@@ -1,13 +1,94 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (one entry per implemented operator
+  * from SURVEY §2 + the north-star extensions); `oracleSql` holds the
+  * DuckDB-equivalent SQL for the driver's correctness gate. Column names
+  * and value types are aligned exactly between the two (the driver hashes
+  * values after sorting columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DocPipeline.run(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational analytics over the star schema (SURVEY §2.5/§2.13) ---
+    "q1_pricing" -> ((s, d) => Analytics.q1Pricing(s, d)),
+    "q3_shipping" -> ((s, d) => Analytics.q3Shipping(s, d)),
+    "q5_region" -> ((s, d) => Analytics.q5Region(s, d)),
+    "topk_orders" -> ((s, d) => Analytics.topkOrdersPerPriority(s, d)),
+    "doc_rollup" -> ((s, d) => Analytics.docRollup(s, d)),
+    "setop_except" -> ((s, d) => Analytics.nationsCustomersNotSuppliers(s, d)),
+    "semi_join" -> ((s, d) => Analytics.customersWithOrders(s, d)),
+    "anti_join" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
+    "order_quantiles" -> ((s, d) => Analytics.orderPriceQuantiles(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Money arithmetic mirrors Analytics.dsum/dsumDisc: exact integer cents
+    // (round(x*100) is tie-free on 2-decimal doubles), exact accumulation,
+    // single final cast to double — engine-independent bit-identical sums.
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+         count(*) AS count_order,
+         (CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0)/count(*) AS avg_qty,
+         (CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0)/count(*) AS avg_price
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_region" ->
+      """SELECT n_name,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)*(100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1994-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+    "topk_orders" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "doc_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+         FROM documents GROUP BY ROLLUP (lang, source)""",
+    "setop_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey AS nationkey FROM supplier""",
+    "semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "order_quantiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority""",
+  )
 }
