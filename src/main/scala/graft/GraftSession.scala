@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events fixture stores TIMESTAMP(NANOS); read as long + convert
+      // in Tables.load (Spark has no native nanos timestamp)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native graft expressions (cosine_sim, ...) in the SQL surface
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -28,7 +28,54 @@ object SparkEntry {
     "semi_join" -> ((s, d) => Analytics.customersWithOrders(s, d)),
     "anti_join" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
     "order_quantiles" -> ((s, d) => Analytics.orderPriceQuantiles(s, d)),
+    // --- document ETL pipeline (SURVEY §2.1-2.10, §3.1) ---
+    "pipeline_envelope" -> ((s, d) => DocPipeline.pipelineQuery(s, d)),
+    // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
+    "doc_profile" -> ((s, d) => TextAnalytics.docProfile(s, d)),
+    "doc_quality" -> ((s, d) => TextAnalytics.docQuality(s, d)),
+    "doc_classify" -> ((s, d) => TextAnalytics.docClassify(s, d)),
+    "lang_agg" -> ((s, d) => TextAnalytics.langAgg(s, d)),
+    // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
+    "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
+    "vector_topk_label" -> ((s, d) => Similarity.topK(s, d, labelEq = Some(3))),
+    "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
+    // --- dedup family (north star) ---
+    "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "lsh_pairs" -> ((s, d) => Dedup.lshPairs(s, d)),
+    "simhash_sigs" -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // --- event-time analytics (SURVEY §2.13) ---
+    "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
+    "events_sliding" -> ((s, d) => Events.sliding(s, d)),
+    "events_sessions" -> ((s, d) => Events.sessions(s, d)),
+    "events_asof" -> ((s, d) => Events.asofClickBeforePurchase(s, d)),
+    "events_range_join" -> ((s, d) => Events.clicksBeforePurchase(s, d)),
+    "events_props" -> ((s, d) => Events.propsExtract(s, d)),
+    // --- JSON repair (SURVEY §2.7 E2-E4) over noisy wrapped props ---
+    "json_repair" -> ((s, d) => jsonRepairQuery(s, d)),
+    // --- Structured Streaming twin: replayed finite stream must equal
+    //     the batch result (same oracle as events_tumbling) ---
+    "events_stream_tumbling" -> ((s, d) =>
+      graft.streaming.StreamOps.streamTumblingQuery(s, d)),
   )
+
+  /** E3/E4 exercised over fence-wrapped noisy JSON built from
+    * events.props (a smaller decoy candidate forces the largest-valid
+    * scan to do real work). */
+  private def jsonRepairQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.load(s, d, "events")
+      .select(col("event_id"), col("props"),
+        concat(lit("noise {\"z\":1} ```json\n"), col("props"),
+          lit("\n``` trailing")).as("wrapped"))
+      .select(col("event_id"),
+        graft.functions.JsonRepair.extractJsonCandidate(col("wrapped")).as("repaired"),
+        graft.functions.JsonRepair.safeJson(col("props")).as("safe"))
+      .orderBy(col("event_id"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     // Money arithmetic mirrors Analytics.dsum/dsumDisc: exact integer cents
@@ -90,5 +137,34 @@ object SparkEntry {
          min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
          count(*) AS n_orders
          FROM orders GROUP BY o_orderpriority""",
+    "pipeline_envelope" -> DocPipeline.pipelineOracleSql,
+    "doc_profile" -> TextAnalytics.docProfileSql,
+    "doc_quality" -> TextAnalytics.docQualitySql,
+    "doc_classify" -> TextAnalytics.docClassifySql,
+    "lang_agg" -> TextAnalytics.langAggSql,
+    "vector_topk" -> Similarity.topKSql(),
+    "vector_topk_label" -> Similarity.topKSql(labelEq = Some(3)),
+    "vector_lsh_topk" -> Similarity.lshTopKSql(),
+    "embedding_neardup" -> Similarity.nearDupPairsSql(),
+    "exact_dedup" -> Dedup.exactDedupSql,
+    "jaccard_pairs" -> Dedup.jaccardPairsSql(),
+    "minhash_sigs" -> Dedup.minhashSignaturesSql(),
+    "lsh_pairs" -> Dedup.lshPairsSql(),
+    "simhash_sigs" -> Dedup.simhashSignaturesSql,
+    "simhash_pairs" -> Dedup.simhashPairsSql(),
+    "events_tumbling" -> Events.tumblingSql,
+    "events_stream_tumbling" -> Events.tumblingSql,
+    "events_sliding" -> Events.slidingSql,
+    "events_sessions" -> Events.sessionsSql,
+    "events_asof" -> Events.asofClickBeforePurchaseSql,
+    "events_range_join" -> Events.clicksBeforePurchaseSql,
+    "events_props" -> Events.propsExtractSql,
+    "json_repair" -> {
+      val wrapped = """'noise {"z":1} ```json' || chr(10) || props || chr(10) || '``` trailing'"""
+      s"""SELECT event_id,
+          ${graft.functions.JsonRepair.extractJsonCandidateSql(wrapped)} AS repaired,
+          ${graft.functions.JsonRepair.safeJsonSql("props")} AS safe
+          FROM events"""
+    },
   )
 }

@@ -14,8 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read a fixture table. The `events` fixture stores TIMESTAMP(NANOS)
+    * which Spark's vectorized reader refuses natively; with
+    * `spark.sql.legacy.parquet.nanosAsLong` (set in GraftSession) it
+    * arrives as a LongType of epoch-nanos, converted here with exact
+    * integer division (a double division would lose precision at 1e18). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case None => df
+    }
+  }
 
   /** Register every fixture table as a temp view (SQL surface for free). */
   def registerAll(spark: SparkSession, dir: String): Unit =

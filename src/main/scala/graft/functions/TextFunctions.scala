@@ -172,15 +172,19 @@ object TextFunctions {
   def extractDateSql(c: String): String =
     s"CAST(nullif(regexp_extract($c, '$isoDatePat', 1), '') AS DATE)"
 
-  /** Phone normalization per prompt rule src/utils.py:64: ensure leading +. */
+  /** Phone normalization per prompt rule src/utils.py:64: ensure leading +.
+    * ISO dates are blanked first — `2024-01-31` is digits+hyphens and
+    * would otherwise satisfy the phone shape. */
   def extractPhone(c: Column): Column = {
-    val raw = nullif(regexp_extract(c, phonePat, 1), lit(""))
+    val noDates = regexp_replace(c, isoDatePat, " ")
+    val raw = nullif(regexp_extract(noDates, phonePat, 1), lit(""))
     when(raw.isNull, lit(null).cast(StringType))
       .when(raw.startsWith("+"), raw)
       .otherwise(concat(lit("+"), raw))
   }
   def extractPhoneSql(c: String): String = {
-    val raw = s"nullif(regexp_extract($c, '$phonePat', 1), '')"
+    val noDates = s"regexp_replace($c, '$isoDatePat', ' ', 'g')"
+    val raw = s"nullif(regexp_extract($noDates, '$phonePat', 1), '')"
     s"CASE WHEN $raw IS NULL THEN NULL WHEN $raw LIKE '+%' THEN $raw ELSE '+' || $raw END"
   }
 

@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operators over the `documents` corpus (north star:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale posture (100 TB):
+  *  - exact dedup is a single hash groupBy on the text hash — one shuffle
+  *    of (hash, doc_id), never the text payload;
+  *  - candidate generation is always equi-join shaped (inverted shingle
+  *    index or LSH band buckets), NEVER an O(n^2) cross join;
+  *  - signatures (minhash/simhash) are narrow per-document passes of
+  *    codegen'd higher-order functions — no UDFs, no driver loops;
+  *  - pair verification (exact Jaccard) runs only on candidates.
+  *
+  * Determinism contract: every hash is an explicit polynomial hash mod
+  * 1e9+7 computed with identical integer arithmetic in Spark and the
+  * DuckDB oracle (no engine-private hash functions), so signatures,
+  * buckets, and pair sets match bit-for-bit.
+  */
+object Dedup {
+
+  val P = 1000000007L
+
+  /** Character-level polynomial rolling hash of a (lambda-bound) string
+    * expression, mod 1e9+7 — same contract as TextFunctions.fingerprint
+    * but usable inside higher-order functions. */
+  def chash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(s)),
+        lit(0L),
+        (acc, i) => (acc * lit(31L) + ascii(s.substr(i, lit(1)))) % lit(P)))
+  def chashSql(s: String): String =
+    s"CASE WHEN length($s) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"generate_series(1, length($s))), (acc, i) -> (acc * 31 + ascii(substr($s, i, 1))) % $P) END"
+
+  /** Distinct word-bigram shingles of a text column (the dedup unit —
+    * word n-grams, not char n-grams: char shingles over a narrow
+    * vocabulary are near-universal and make every inverted-index join
+    * quadratic). */
+  def shingles(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    when(size(toks) < 2, array().cast(ArrayType(StringType))).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+  }
+  def shinglesSql(c: String): String = {
+    val toks = s"regexp_split_to_array(trim($c), '\\s+')"
+    s"CASE WHEN len($toks) < 2 THEN [] ELSE list_distinct(list_transform(" +
+      s"generate_series(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1])) END"
+  }
+
+  /** Exact dedup: group documents by content hash, keep the smallest
+    * doc_id as the canonical copy. Shuffles only (hash, doc_id) pairs. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), chash(col("text")).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
+  def exactDedupSql: String =
+    s"""SELECT ${chashSql("text")} AS text_hash, min(doc_id) AS keeper_id,
+        count(*) AS n_copies FROM documents GROUP BY 1"""
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    * explode shingles, self-join on shingle (equi-join — each co-occurring
+    * distinct shingle yields the pair once, so count(*) = |A∩B|), then
+    * |A∪B| = |A|+|B|-|A∩B|. Only pairs sharing >= 1 shingle are ever
+    * materialized. */
+  def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = 0.5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sized = docs.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    val inv = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("s"))
+    val b = inv.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("s"))
+    a.join(b, a("s") === b("s") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("a_n") + col("b_n") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  def jaccardPairsSql(minJ: Double = 0.5): String =
+    s"""WITH d AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+        sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d),
+        inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM sized),
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n,
+                         b.n_sh AS b_n, count(*) AS inter
+                  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+        SELECT a_id, b_id,
+               CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
+        FROM pairs
+        WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= $minJ"""
+
+  // --- MinHash --------------------------------------------------------
+  // h_s(shingle) = (a_s * chash(shingle) + b_s) mod P with a_s = 2s+3,
+  // b_s = 5s+7: products stay < 2^36 (no BIGINT overflow in either
+  // engine). Empty shingle set -> sentinel P (larger than any hash).
+
+  def minhashOne(fps: Column, seed: Int): Column = {
+    val a = 2L * seed + 3
+    val b = 5L * seed + 7
+    coalesce(
+      array_min(transform(fps, f => (lit(a) * f + lit(b)) % lit(P))),
+      lit(P))
+  }
+  def minhashOneSql(fps: String, seed: Int): String = {
+    val a = 2L * seed + 3
+    val b = 5L * seed + 7
+    s"coalesce(list_min(list_transform($fps, f -> ($a * f + $b) % $P)), $P)"
+  }
+
+  /** Per-document MinHash signature, unnested to (doc_id, seed, minhash)
+    * rows so the oracle can compare it as a flat table. */
+  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(shingles(col("text")), s => chash(s)).as("fps"))
+    val sig = docs.select(col("doc_id"),
+      array((0 until k).map(s => minhashOne(col("fps"), s)): _*).as("sig"))
+    sig.select(col("doc_id"), posexplode(col("sig")).as(Seq("seed", "minhash")))
+      .orderBy(col("doc_id"), col("seed"))
+  }
+  def minhashSignaturesSql(k: Int = 8): String = {
+    val sigs = (0 until k).map(s => minhashOneSql("fps", s)).mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, list_transform(${shinglesSql("text")}, s -> ${chashSql("s")}) AS fps
+                   FROM documents),
+        sig AS (SELECT doc_id, $sigs AS sig FROM d)
+        SELECT doc_id, CAST(i - 1 AS INT) AS seed, sig[i] AS minhash
+        FROM sig, unnest(generate_series(1, $k)) AS t(i)"""
+  }
+
+  /** MinHash-LSH near-dup pairs: band the k-row signature into bands of
+    * `r` rows, hash each band, equi-join on (band, band_hash) to get
+    * candidates, then verify with exact Jaccard >= minJ. The band join is
+    * the only wide op and its key space grows with corpus size — no
+    * quadratic blowup for non-similar docs. */
+  def lshPairs(spark: SparkSession, dir: String, k: Int = 8, r: Int = 2,
+               minJ: Double = 0.5): DataFrame = {
+    require(k % r == 0, "bands must tile the signature")
+    val nBands = k / r
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("fps", transform(col("sh"), s => chash(s)))
+    val sig = docs.withColumn("sig",
+      array((0 until k).map(s => minhashOne(col("fps"), s)): _*))
+    // band hash = polynomial combine of the band's minhashes mod P
+    def bandHash(band: Int): Column =
+      (0 until r).map(i => element_at(col("sig"), band * r + i + 1))
+        .foldLeft(lit(0L): Column)((acc, h) => (acc * lit(131L) + h) % lit(P))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until nBands).map(bandHash): _*)).as(Seq("band", "bh")))
+    val a = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("band").as("band_b"), col("bh").as("bh_b"))
+    val cand = a.join(b,
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  def lshPairsSql(k: Int = 8, r: Int = 2, minJ: Double = 0.5): String = {
+    val nBands = k / r
+    val sigs = (0 until k).map(s => minhashOneSql("fps", s)).mkString("[", ", ", "]")
+    val bandHashes = (0 until nBands).map { band =>
+      (0 until r).map(i => s"sig[${band * r + i + 1}]")
+        .foldLeft("CAST(0 AS BIGINT)")((acc, h) => s"(($acc) * 131 + $h) % $P")
+    }.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+        f AS (SELECT doc_id, sh, list_transform(sh, s -> ${chashSql("s")}) AS fps FROM d),
+        sig AS (SELECT doc_id, sh, $sigs AS sig FROM f),
+        banded AS (SELECT doc_id, sh, CAST(i - 1 AS INT) AS band, bhs[i] AS bh
+                   FROM (SELECT doc_id, sh, $bandHashes AS bhs FROM sig),
+                        unnest(generate_series(1, $nBands)) AS t(i)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                        a.sh AS a_sh, b.sh AS b_sh
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        scored AS (SELECT a_id, b_id,
+                   CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
+                   CAST(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh)) AS DOUBLE) AS jaccard
+                   FROM cand)
+        SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= $minJ"""
+  }
+
+  // --- SimHash --------------------------------------------------------
+
+  val SimBits = 30 // chash yields ~30 usable bits (mod 1e9+7)
+
+  /** 30-bit SimHash over word tokens: token hash votes +1/-1 per bit,
+    * signature bit i set iff the vote sum is positive. Narrow codegen'd
+    * pass; near-dup = small Hamming distance (banded join in ScalaTest —
+    * the signature itself is the oracle-checked artifact). */
+  def simhash(c: Column): Column = {
+    val toks = when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(c), "\\s+"))
+    val hashes = transform(toks, t => chash(t))
+    // exact 2^i lookup (lambda-var shift amounts aren't expressible with
+    // shiftleft, whose shift is a literal)
+    val pow2 = array((0 until SimBits).map(i => lit(1L << i)): _*)
+    def p2(i: Column): Column = element_at(pow2, i.cast(IntegerType) + 1)
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), SimBits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimBits - 1)),
+        (a, i) => a + when(floor(h / p2(i)) % 2 === 1, lit(1)).otherwise(lit(-1))))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(SimBits - 1)),
+        (v, i) => when(v > 0, p2(i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+  def simhashSql(c: String): String = {
+    val toks = s"CASE WHEN length(trim($c)) = 0 THEN [] ELSE regexp_split_to_array(trim($c), '\\s+') END"
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(generate_series(0, ${SimBits - 1}), i ->
+          CASE WHEN list_reduce(list_prepend(0,
+            list_transform($toks, t ->
+              CASE WHEN CAST(floor(${chashSql("t")} / (1 << i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)),
+            (a, v) -> a + v) > 0
+          THEN CAST(1 AS BIGINT) << i ELSE 0 END)),
+        (acc, x) -> acc + x)"""
+  }
+
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  def simhashSignaturesSql: String =
+    s"SELECT doc_id, ${simhashSql("text")} AS simhash FROM documents"
+
+  /** SimHash near-dup pairs by banded Hamming join: split the signature
+    * into `nBands` bands; Hamming distance <= nBands-1 guarantees two
+    * near-dups share >= 1 exact band (pigeonhole), so candidates come
+    * from an equi-join on (band, band_bits); verify with bit_count(xor).
+    */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 1,
+                   nBands: Int = 2): DataFrame = {
+    val bandWidth = SimBits / nBands
+    val sigs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+    def band(i: Int): Column =
+      floor(col("simhash") / shiftleft(lit(1L), i * bandWidth)).cast(LongType) % (1L << bandWidth)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map(band): _*)).as(Seq("band", "bits")))
+    val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"),
+      col("band"), col("bits"))
+    val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"),
+      col("band").as("band_b"), col("bits").as("bits_b"))
+    a.join(b, col("band") === col("band_b") && col("bits") === col("bits_b") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming",
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  def simhashPairsSql(maxHamming: Int = 1, nBands: Int = 2): String = {
+    val bandWidth = SimBits / nBands
+    val bands = (0 until nBands)
+      .map(i => s"(CAST(floor(simhash / (CAST(1 AS BIGINT) << ${i * bandWidth})) AS BIGINT) % ${1L << bandWidth})")
+      .mkString("[", ", ", "]")
+    s"""WITH sigs AS (SELECT doc_id, ${simhashSql("text")} AS simhash FROM documents),
+        banded AS (SELECT doc_id, simhash, CAST(i - 1 AS INT) AS band, bs[i] AS bits
+                   FROM (SELECT doc_id, simhash, $bands AS bs FROM sigs),
+                        unnest(generate_series(1, $nBands)) AS t(i)),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                        a.simhash AS a_sig, b.simhash AS b_sig
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, bit_count(xor(a_sig, b_sig)) AS hamming
+        FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= $maxHamming"""
+  }
+}

@@ -53,6 +53,10 @@ object DocPipeline {
       col("doc_id"),
       concat(lit("mem://docs/"), col("doc_id"), lit(".txt")).as("file_path"),
       col("text").as("raw_text"),
+      // pre-clean text retained for field extraction: the reference
+      // cleans before extracting, but P1's charset strips '@' so emails
+      // could never survive — normalized per the quirk ledger (SURVEY §7)
+      col("text").as("text_orig"),
       lit(null).cast(StringType).as("error"),
       lit(0).as("retry_count"))
       .withColumn("error",
@@ -87,13 +91,14 @@ object DocPipeline {
     * prompt normalization rules; structured_data = JSON with empty fields
     * suppressed (P7; to_json drops nulls). */
   def extract(df: DataFrame): DataFrame = {
-    val t = col("raw_text")
+    val t = col("text_orig") // fields from pre-clean text (see ingest)
+    val c = col("raw_text")  // text stats from the cleaned text
     df.withColumn("x_amount", guarded(extractAmount(t), lit(null).cast(DoubleType), col("error")))
       .withColumn("x_email", guarded(extractEmail(t), lit(null).cast(StringType), col("error")))
       .withColumn("x_date", guarded(extractDate(t), lit(null).cast(DateType), col("error")))
       .withColumn("x_phone", guarded(extractPhone(t), lit(null).cast(StringType), col("error")))
-      .withColumn("x_first_token", guarded(firstToken(t), lit(null).cast(StringType), col("error")))
-      .withColumn("x_n_tokens", guarded(tokenCount(t), lit(null).cast(IntegerType), col("error")))
+      .withColumn("x_first_token", guarded(firstToken(c), lit(null).cast(StringType), col("error")))
+      .withColumn("x_n_tokens", guarded(tokenCount(c), lit(null).cast(IntegerType), col("error")))
       .withColumn("structured_data",
         guarded(
           to_json(struct(
@@ -180,4 +185,38 @@ object DocPipeline {
       col("file_url"), col("x_first_token"), col("x_n_tokens"),
       col("is_valid"), col("retry_count"))
       .orderBy(col("doc_id"))
+
+  /** DuckDB oracle for pipelineQuery: the full stage chain composed from
+    * the TextFunctions SQL builders. Mirrors stage order exactly —
+    * error gate on RAW text, then clean, classify(cleaned),
+    * extract(cleaned), validate, deterministic persistence ids.
+    * Deterministic extractors are idempotent, so the retried rows keep
+    * their results and only retry_count distinguishes them. */
+  def pipelineOracleSql: String = {
+    val err = "(text IS NULL OR length(trim(text)) = 0)"
+    val cleaned = cleanTextSql("text")
+    s"""WITH ext AS (
+          SELECT doc_id,
+            NOT $err AS success,
+            CASE WHEN $err THEN NULL ELSE ${classifySql(cleaned)} END AS doc_type,
+            CASE WHEN $err THEN NULL ELSE
+              md5('mem://docs/' || doc_id || '.txt' || coalesce($cleaned, '')) END AS record_id,
+            CASE WHEN $err THEN NULL ELSE
+              'mem://store/documents/' || doc_id || '.txt' END AS file_url,
+            CASE WHEN $err THEN NULL ELSE ${firstTokenSql(cleaned)} END AS x_first_token,
+            CASE WHEN $err THEN NULL ELSE ${tokenCountSql(cleaned)} END AS x_n_tokens,
+            CASE WHEN $err THEN NULL ELSE ${extractEmailSql("text")} END AS x_email,
+            CASE WHEN $err THEN NULL ELSE ${extractAmountSql("text")} END AS x_amount
+          FROM documents)
+        SELECT doc_id, success, doc_type, record_id, file_url,
+          x_first_token, x_n_tokens,
+          CASE WHEN NOT success THEN FALSE ELSE
+            (${validEmailSql("x_email")} AND ${validAmountSql("x_amount")}
+             AND NOT coalesce(x_n_tokens = 0, FALSE)) END AS is_valid,
+          CASE WHEN success AND NOT (${validEmailSql("x_email")}
+               AND ${validAmountSql("x_amount")}
+               AND NOT coalesce(x_n_tokens = 0, FALSE))
+            THEN $MaxRetries ELSE 0 END AS retry_count
+        FROM ext"""
+  }
 }

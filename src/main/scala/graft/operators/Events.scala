@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Event-time analytics over the `events` fixture (SURVEY §2.13 — the
+  * categories the reference lacks but a continuous-ingest engine needs;
+  * the streaming versions of the window ops live in graft.streaming and
+  * share these semantics).
+  *
+  * Determinism: money-ish double sums use the exact-integer-cents trick
+  * (events.value is 2-decimal by construction); everything else is
+  * counts/min/max/int sums — order-independent under parallel agg.
+  *
+  * Scale posture: every op shuffles at most once on its natural key
+  * (window bucket, user_id); the as-of join is the union-window form —
+  * never a per-row lookup or a nested-loop join; the range join is
+  * bucketized to stay equi-join shaped.
+  */
+object Events {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast(LongType)
+  private val Wide = DecimalType(38, 0)
+  private def dsum(c: org.apache.spark.sql.Column) =
+    (sum(cents(c).cast(Wide)).cast(DoubleType) / 100.0)
+
+  /** Tumbling 1-hour windows per event type: count + exact value sum. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+  def tumblingSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+       FROM events GROUP BY 1, 2"""
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("wstart"), col("n_events"))
+      .orderBy(col("wstart"))
+  def slidingSql: String =
+    """SELECT wstart, count(*) AS n_events FROM (
+         SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS wstart
+         FROM events) GROUP BY 1"""
+
+  /** Sessionization: per-user sessions split at >30-minute inactivity
+    * gaps; one row per session with its start and event count. Uses
+    * Spark's native session_window (same semantics as the streaming
+    * stateful op); the oracle replicates it with lag + a running sum. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  def sessionsSql: String =
+    """WITH marked AS (
+         SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       numbered AS (
+         SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM marked)
+       SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+       FROM numbered GROUP BY user_id, session_id"""
+
+  /** As-of join: for every purchase, the user's most recent click at or
+    * before it. Implemented as union + one window pass over (user_id, ts)
+    * — the scalable form: one shuffle on user_id, no per-row lookups, no
+    * range explosion. The oracle uses DuckDB's native ASOF JOIN. */
+  def asofClickBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_click_id"), col("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+  def asofClickBeforePurchaseSql: String =
+    """SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS last_click_id, c.ts AS last_click_ts
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+  /** Range join: clicks by the same user within the hour before each
+    * purchase. Bucketized to hour buckets so it stays an equi-join on
+    * (user_id, bucket) — each purchase probes its own and the previous
+    * bucket; the residual range predicate filters after the hash join.
+    * At 100 TB this is the difference between a hash join and a
+    * broadcast-nested-loop. */
+  def clicksBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val hourB = (c: org.apache.spark.sql.Column) => floor(unix_timestamp(c) / 3600L)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("bucket", explode(array(hourB(col("p_ts")), hourB(col("p_ts")) - 1)))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumn("c_bucket", hourB(col("c_ts")))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") && col("bucket") === col("c_bucket") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_clicks_1h"))
+      .orderBy(col("p_id"))
+  }
+  def clicksBeforePurchaseSql: String =
+    """SELECT p.event_id AS p_id, count(*) AS n_clicks_1h
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts < p.ts
+       GROUP BY 1"""
+
+  /** JSON property extraction (the reference's jsonb analogue, SURVEY
+    * §1.2): pull props.k as an int and aggregate per event type. */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  def propsExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY 1"""
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Vector similarity search over `array<float>` embeddings (SURVEY §2.6
+  * V3/V4 + the north-star ANN surface).
+  *
+  * Reference semantics: Pinecone cosine top-k (k=3 at both call sites,
+  * /root/reference/src/agents.py:120,133) with an optional `$eq` metadata
+  * filter applied BEFORE scoring (/root/reference/src/pinecone_utils.py:160).
+  * Here the index is the `embeddings` table and `label` stands in for the
+  * metadata key (FIXTURES.md).
+  *
+  * Scale posture (100 TB): the query set is the SMALL side and is always
+  * broadcast — the corpus never shuffles and never moves; scoring is a
+  * narrow map over corpus partitions, and top-k is a per-query window
+  * after a shuffle of only (qid, vec_id, score) triples, never vectors.
+  * The brute-force path is the exact baseline; `lshTopK` is the scale
+  * path: bucket the corpus once by hyperplane signs, then score only
+  * within the query's bucket (candidates shrink ~2^bits-fold).
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k for each query vector (V3).
+    * `labelEq` replays V4's metadata pre-filter. */
+  def topK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
+           labelEq: Option[Int] = None): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus0 = labelEq.map(l => emb.filter(col("label") === l)).getOrElse(emb)
+    val corpus = corpus0.select(col("vec_id"), col("embedding"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+    val scored = corpus.join(queries, col("vec_id") =!= col("qid"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Oracle SQL for topK — identical fold-order arithmetic (VectorFunctions
+    * determinism contract). */
+  def topKSql(k: Int = 3, nQueries: Int = 10, labelEq: Option[Int] = None): String = {
+    val filt = labelEq.map(l => s"WHERE label = $l").getOrElse("")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < $nQueries),
+        c AS (SELECT vec_id, embedding FROM embeddings $filt),
+        scored AS (SELECT qid, vec_id, ${cosineSql("q_emb", "embedding")} AS score
+                   FROM q CROSS JOIN c WHERE vec_id <> qid),
+        ranked AS (SELECT qid, vec_id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+  }
+
+  /** Sign-LSH bucket id: `bits` hyperplane sign bits packed into an int.
+    * The planes are the first `bits` coordinate axes — axis-aligned
+    * random-hyperplane LSH, deterministic and engine-independent (the
+    * general seeded-plane variant is VectorFunctions.hyperplaneBit). */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def signBucketSql(v: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** ANN top-k: score only candidates in the query's sign bucket.
+    * Candidate set shrinks ~2^bits-fold; recall < 1 by design (the exact
+    * baseline is `topK`). Corpus is bucketed once (narrow), the join key
+    * is (bucket), and only the small query side is broadcast. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
+              bits: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          signBucket(col("embedding"), bits).as("q_bucket")))
+    val scored = corpus.join(queries,
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def lshTopKSql(k: Int = 3, nQueries: Int = 10, bits: Int = 4): String =
+    s"""WITH c AS (SELECT vec_id, embedding, ${signBucketSql("embedding", bits)} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS q_emb, bucket AS q_bucket FROM c WHERE vec_id < $nQueries),
+        scored AS (SELECT qid, c.vec_id, ${cosineSql("q_emb", "c.embedding")} AS score
+                   FROM q JOIN c ON c.bucket = q.q_bucket AND c.vec_id <> qid),
+        ranked AS (SELECT qid, vec_id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+
+  /** Embedding near-duplicate pairs: same sign bucket AND cosine >= minCos
+    * (north-star embedding-cosine near-dup). Pairs are (a < b) so each is
+    * reported once. The bucket equi-join keeps this a hash join — never a
+    * cross join — at any scale; skewed buckets fall to AQE skew handling. */
+  def nearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.4,
+                   bits: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val b = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val a = b.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("bucket").as("a_bucket"))
+    a.join(b, col("a_bucket") === col("bucket") && col("a_id") < col("vec_id"))
+      .withColumn("score", cosine(col("a_emb"), col("embedding")))
+      .filter(col("score") >= minCos)
+      .select(col("a_id"), col("vec_id").as("b_id"), col("score"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def nearDupPairsSql(minCos: Double = 0.4, bits: Int = 4): String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${signBucketSql("embedding", bits)} AS bucket FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ${cosineSql("a.embedding", "b.embedding")} AS score
+        FROM b a JOIN b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ${cosineSql("a.embedding", "b.embedding")} >= $minCos"""
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY §2.9 K1-K4): the persistence stage's set-oriented
+  * write paths.
+  *
+  * Reference semantics: per-document object-storage PUT + Postgres
+  * insert with DB-generated uuid/timestamp
+  * (/root/reference/src/supabase_client.py:14-77). Bulk writes can't
+  * round-trip DB-generated keys, so ids/timestamps are pre-generated in
+  * the plan (same information, deterministic where possible) and the
+  * write is one distributed `df.write` — never a per-row driver loop.
+  */
+object Sinks {
+
+  /** K2: the `documents_out` relational sink (FIXTURES.md §B.2 shape).
+    * Parquet here; swap `.parquet` for `.jdbc(url, table, props)` when a
+    * database is reachable — the DataFrame contract is identical. */
+  def writeDocumentsOut(df: DataFrame, outDir: String): Unit =
+    df.select(
+      coalesce(col("record_id"), expr("uuid()")).as("id"),
+      col("doc_type"),
+      col("raw_text"),
+      col("structured_data"),
+      col("file_url"),
+      lit(null).cast("string").as("pinecone_id"),
+      col("created_at"))
+      .write.mode("append").parquet(outDir)
+
+  /** K1: object-storage upload — content-addressed binary store with a
+    * deterministic URL (bucket/name), done distributed via the binary
+    * writer (no driver-side byte shuffling). */
+  def uploadBinary(df: DataFrame, bucketDir: String): DataFrame = {
+    df.select(col("file_path"), col("content"))
+      .withColumn("file_url",
+        concat(lit(s"$bucketDir/"), element_at(split(col("file_path"), "/"), -1)))
+      .write.mode("append").parquet(s"$bucketDir/_objects")
+    df.withColumn("file_url",
+      concat(lit(s"$bucketDir/"), element_at(split(col("file_path"), "/"), -1)))
+  }
+
+  /** K4: JSON export of extraction results. */
+  def exportJson(df: DataFrame, outDir: String): Unit =
+    df.write.mode("overwrite").json(outDir)
+}

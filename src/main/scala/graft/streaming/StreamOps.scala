@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming surface (SURVEY §1.5, §2.13): the reference's
+  * continuous one-document-per-HTTP-request ingest becomes a stream of
+  * rows; windows/watermarks/stateful dedup are the event-time operators
+  * the `events` fixture drives.
+  *
+  * Scale posture: streaming state (window aggs, dedup keys) is keyed by
+  * (window, type) / event_id and partitioned by the state store — the
+  * watermark bounds state size; without it a 100 TB stream would
+  * accumulate state forever. Every op here carries one.
+  */
+object StreamOps {
+
+  /** The events fixture's file schema under nanosAsLong (ts arrives as
+    * epoch-nanos long; see Tables.load). */
+  val eventsFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Read the events fixture as a file stream (one micro-batch per file),
+    * with the same exact ns→µs conversion as the batch path.
+    * FileStreamSource requires a DIRECTORY source; the fixture is a
+    * single file, so it is staged (hardlink/copy) into a temp dir once —
+    * which is also the natural replay shape (one file per micro-batch).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("events_stream")
+        try java.nio.file.Files.createLink(d.resolve("events.parquet"), src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, d.resolve("events.parquet")) }
+        d.toString
+      }
+    spark.readStream
+      .schema(eventsFileSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed counts + exact-cents value sums with a
+    * 2-hour watermark — the streaming twin of Events.tumbling (same
+    * result on a replayed finite stream, which is what the oracle
+    * checks). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / 100.0).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful streaming dedup on event_id, state bounded by the
+    * watermark (the streaming ingest-dedup from SURVEY §2.13). */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user streaming sessionization (30-min gap), same semantics as
+    * the batch Events.sessions. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Run a (finite) streaming DataFrame to a named in-memory sink until
+    * all available input is processed; returns the result table. Used by
+    * Verify (streaming twin queries) and tests. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: String = "complete"): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming twin of Events.tumbling over the replayed fixture —
+    * verifiable against the SAME DuckDB oracle as the batch query. */
+  def streamTumblingQuery(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, tumblingCounts(eventsStream(spark, dir)),
+      s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      .orderBy(col("wstart"), col("event_type"))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.DocPipeline
+
+/** Golden pipeline tests (FIXTURES.md §B): success path, error
+  * short-circuit, validation-retry, retries-exhausted-still-persists. */
+class DocPipelineSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private lazy val corpusDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    Seq(
+      // clean invoice: amount, email, date, phone all extractable
+      (0L, "INVOICE amount due 250.00 bill to sam@acme.io on 2024-03-01 call 555-111-2222", "en", "s0", 10L),
+      // empty text -> parse error short-circuit
+      (1L, "", "en", "s1", 0L),
+      // raw text is all stripped charset: cleaned text is empty ->
+      // n_tokens=0 -> "empty extraction" validation failure + retry
+      (2L, "@@@@ $$$$ %%%%", "en", "s2", 10L),
+      // plain other doc, nothing extractable, still valid (absent fields ok)
+      (3L, "just some plain words here", "en", "s3", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private lazy val out = DocPipeline.run(spark, corpusDir).collect()
+    .map(r => r.getLong(0) -> r).toMap
+
+  test("success path: classification + extraction + envelope (R1)") {
+    val r = out(0L)
+    assert(r.getBoolean(1)) // success
+    assert(r.getString(3) == "invoice") // doc_type
+    assert(r.getString(4) != null) // record_id
+    assert(r.getString(5).startsWith("mem://store/documents/")) // file_url
+    val sd = r.getString(6) // structured_data JSON
+    assert(sd.contains("\"amount\":250.0"))
+    assert(sd.contains("\"email\":\"sam@acme.io\""))
+    assert(sd.contains("\"date\":\"2024-03-01\""))
+    assert(r.getBoolean(7)) // is_valid
+    assert(r.getInt(8) == 0) // retry_count
+  }
+
+  test("error short-circuit: failed row flows to the sink untouched (P5)") {
+    val r = out(1L)
+    assert(!r.getBoolean(1)) // success=false
+    assert(r.getString(2) == "Parsing produced empty text")
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)) // no downstream fields
+  }
+
+  test("validation failure: bounded retry then persists anyway (X2/X3)") {
+    val r = out(2L)
+    assert(r.getBoolean(1)) // still success (validation failure != error)
+    assert(!r.getBoolean(7)) // is_valid=false (empty extraction)
+    assert(r.getInt(8) == DocPipeline.MaxRetries) // exactly one retry
+    assert(r.getString(4) != null) // persisted anyway (record_id)
+  }
+
+  test("absent fields are valid (present-and-malformed rule)") {
+    val r = out(3L)
+    assert(r.getBoolean(1) && r.getBoolean(7) && r.getInt(8) == 0)
+  }
+
+  test("retry loop terminates in <= MaxRetries+1 extraction passes and is deterministic") {
+    val again = DocPipeline.run(spark, corpusDir).collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- out.keys) {
+      assert(out(id).toSeq.dropRight(1) == again(id).toSeq.dropRight(1)) // all but created_at
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+
+class EventsSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events").toString
+    Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "click", 1.00, """{"k": 1}"""),
+      (1L, "2024-01-01 10:10:00", 1L, "click", 2.00, """{"k": 2}"""),
+      (2L, "2024-01-01 10:20:00", 1L, "purchase", 9.99, """{"k": 3}"""),
+      (3L, "2024-01-01 09:00:00", 1L, "click", 1.00, """{"k": 4}"""), // outside 1h of purchase
+      (4L, "2024-01-01 10:15:00", 2L, "click", 1.00, """{"k": 5}"""), // other user
+      (5L, "2024-01-01 12:00:00", 2L, "purchase", 5.00, """{"k": 6}"""))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("as-of join: most recent click at or before each purchase, per user") {
+    val out = Events.asofClickBeforePurchase(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(2L) == 1L) // user 1's latest click before 10:20 is event 1
+    assert(out(5L) == 4L) // user 2's only click
+  }
+
+  test("range join: clicks within the hour before each purchase, same user") {
+    val out = Events.clicksBeforePurchase(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) == 2L) // events 0,1 in window; 3 too old; 4 wrong user
+    assert(!out.contains(5L)) // user 2 has no click within the hour
+  }
+
+  test("sessionization splits at >30min gaps") {
+    val out = Events.sessions(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+    // user 1: 09:00 alone (gap 60min), then 10:00/10:10/10:20 together
+    assert(out.count(_._1 == 1L) == 2)
+    assert(out.exists(s => s._1 == 1L && s._3 == 3))
+    assert(out.exists(s => s._1 == 1L && s._3 == 1))
+    // user 2: 10:15 alone, 12:00 alone
+    assert(out.count(_._1 == 2L) == 2)
+  }
+
+  test("tumbling windows start on the hour, exact cents sums") {
+    val out = Events.tumbling(spark, dir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("2024-01-01 10:00:00.0", "click")) == ((3L, 4.00)))
+    assert(out(("2024-01-01 10:00:00.0", "purchase")) == ((1L, 9.99)))
+  }
+
+  test("props JSON extraction (jsonb analogue)") {
+    val out = Events.propsExtract(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("click") == 1 + 2 + 4 + 5)
+    assert(out("purchase") == 3 + 6)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    val r = Seq((a, b)).toDF("a", "b").select(cosine(col("a"), col("b"))).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1, zero-vector=null") {
+    assert(math.abs(cos(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)).get - 1.0) < 1e-12)
+    assert(math.abs(cos(Seq(1f, 0f), Seq(0f, 1f)).get) < 1e-12)
+    assert(math.abs(cos(Seq(1f, 0f), Seq(-1f, 0f)).get + 1.0) < 1e-12)
+    assert(cos(Seq(0f, 0f), Seq(1f, 2f)).isEmpty)
+  }
+
+  test("cosine is bounded [-1,1] on random vectors (property)") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 30).map(_ => (0 until 16).map(_ => rnd.nextFloat() * 2 - 1))
+    for (a <- vecs.take(5); b <- vecs) {
+      val c = cos(a, b).get
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("topK returns exactly k neighbors per query, ranked by score") {
+    val out = Similarity.topK(spark, TestSession.sfDir, k = 3, nQueries = 5).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 3)
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+  }
+
+  test("label-filtered topK only returns corpus vectors with that label") {
+    val out = Similarity.topK(spark, TestSession.sfDir, k = 3, nQueries = 5,
+      labelEq = Some(3))
+    val ids = out.select("vec_id").as[Long].collect().toSet
+    val labels = Tables.load(spark, TestSession.sfDir, "embeddings")
+      .filter(col("vec_id").isin(ids.toSeq: _*))
+      .select("label").as[Int].collect().toSet
+    assert(labels == Set(3))
+  }
+
+  test("LSH topK results are a subset of the query's bucket and scored identically to brute force") {
+    val exact = Similarity.topK(spark, TestSession.sfDir, k = 50, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(spark, TestSession.sfDir, k = 3, nQueries = 3)
+      .collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      // every LSH hit that brute force also ranked gets the same score
+      exact.get(key).foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+}

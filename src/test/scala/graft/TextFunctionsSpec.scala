@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("t").select(c(col("t"))).collect()(0).get(0)
+
+  /** Seeded pseudo-random strings over a mixed alphabet (printable +
+    * whitespace + unicode) for property-style checks without a
+    * property-testing dependency. */
+  private def randomStrings(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc XYZ123.,-():!@#$%^&*\t\né世"
+    (0 until n).map(_ => (0 until rnd.nextInt(40)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.length))).mkString)
+  }
+
+  test("cleanText collapses whitespace and strips charset (P1)") {
+    assert(one("hello,   world (x) - y.", cleanText) == "hello, world (x) - y.")
+    assert(one("a\t\tb!!@#c", cleanText) == "a bc")
+  }
+
+  test("cleanText matches a reference-faithful reimplementation (property)") {
+    // reference clean_text (utils.py:162-178): collapse whitespace THEN
+    // strip charset THEN trim. Deliberately NOT idempotent: stripping a
+    // char between two spaces recreates a double space — we preserve the
+    // reference's semantics, quirk included.
+    def ref(s: String): String =
+      s.replaceAll("\\s+", " ").replaceAll("[^\\w\\s.,\\-():]", "").trim
+    val inputs = randomStrings(60)
+    val got = inputs.toDF("t").select(cleanText(col("t")).as("c")).as[String].collect()
+    assert(got.toSeq == inputs.map(ref))
+  }
+
+  test("classify: keyword scorer picks the right label, ties first-wins") {
+    assert(one("INVOICE: amount due on receipt of this bill to you", classify) == "invoice")
+    assert(one("this agreement between the parties hereby", classify) == "contract")
+    assert(one("nothing to see here", classify) == "other")
+    // one 'invoice' hit and one 'report' hit -> earliest label wins
+    assert(one("invoice findings", classify) == "invoice")
+  }
+
+  test("langId: stopword heuristic") {
+    assert(one("the cat is on the mat and it is flat", langId) == "en")
+    assert(one("你好世界", langId) == "zh")
+    assert(one("zzz qqq", langId) == "und")
+  }
+
+  test("field extractors implement the prompt normalization rules (E1)") {
+    val t = "Pay 123.45 to bob@x.co by 2024-01-31, call 555-123-4567"
+    assert(one(t, extractAmount) == 123.45)
+    assert(one(t, extractEmail) == "bob@x.co")
+    assert(one(t, extractDate).toString == "2024-01-31")
+    assert(one(t, extractPhone) == "+555-123-4567") // + prefixed per rule
+    assert(one("call +1 555 0000", extractPhone) == "+1 555 0000") // already prefixed
+  }
+
+  test("validators: present-and-malformed only (X1)") {
+    assert(one("x", _ => validEmail(lit(null).cast("string"))) == true)
+    assert(one("x", _ => validEmail(lit("bad@@"))) == false)
+    assert(one("x", _ => validEmail(lit("a@b.c"))) == true)
+    assert(one("x", _ => validAmount(lit(-1.0))) == false)
+  }
+
+  test("tokenCount and fingerprint: empty-string edge") {
+    assert(one("", tokenCount) == 0)
+    assert(one("a b  c", tokenCount) == 3)
+    assert(one("", fingerprint) == 0L)
+    // polynomial hash: "ab" = (0*31+97)*31+98 mod 1e9+7
+    assert(one("ab", fingerprint) == (97L * 31 + 98) % 1000000007L)
+  }
+
+  test("quality score bounded [0,1] (property)") {
+    val qs = randomStrings(60).toDF("t")
+      .select(qualityScore(col("t")).as("q")).as[Double].collect()
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0 + 1e-9))
+  }
+}
