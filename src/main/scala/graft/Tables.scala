@@ -29,6 +29,18 @@ object Tables {
     }
   }
 
+  /** Load for compute-heavy per-row operators: when the scan yields far
+    * fewer partitions than the cluster has cores (tiny fixture files at
+    * test scale: one file = one partition = one busy core out of 32),
+    * redistribute up front. At production scale (files >> cores) the
+    * guard makes this a no-op — the scan's natural parallelism wins and
+    * no shuffle is added. */
+  def loadWide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** Register every fixture table as a temp view (SQL surface for free). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -40,12 +40,7 @@ object TextFunctions {
   //     characters, mod 1e9+7. Stand-in for the reference's content hashes
   //     (src/app.py:142 uses python hash()); ours is engine-independent and
   //     reproducible anywhere. ---
-  def fingerprint(c: Column): Column =
-    when(length(c) === 0, lit(0L)).otherwise(
-      aggregate(
-        sequence(lit(1), length(c)),
-        lit(0L),
-        (acc, i) => (acc * lit(31L) + ascii(c.substr(i, lit(1)))) % lit(1000000007L)))
+  def fingerprint(c: Column): Column = NativeFunctions.polyHash(c)
   def fingerprintSql(c: String): String =
     s"CASE WHEN length($c) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"generate_series(1, length($c))), (acc, i) -> (acc * 31 + ascii(substr($c, i, 1))) % 1000000007) END"

@@ -33,14 +33,12 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
-  /** Cosine similarity = dot/(|a|*|b|); null-safe on zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, lit(null).cast(DoubleType))
-      .otherwise(d / (na * nb))
-  }
+  /** Cosine similarity = dot/(|a|*|b|); null-safe on zero vectors.
+    * Native codegen'd expression (graft.plans.CosineSimilarity) — the
+    * single-pass left-to-right fold is bit-identical to the HOF form
+    * and to the oracle's list fold, but allocation-free. Inputs must be
+    * `array<float>` (the embedding storage type). */
+  def cosine(a: Column, b: Column): Column = NativeFunctions.cosineSim(a, b)
   def cosineSql(a: String, b: String): String = {
     val d = dotSql(a, b)
     val na = normSql(a)

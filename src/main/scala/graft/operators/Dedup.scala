@@ -13,8 +13,9 @@ import graft.Tables
   *    of (hash, doc_id), never the text payload;
   *  - candidate generation is always equi-join shaped (inverted shingle
   *    index or LSH band buckets), NEVER an O(n^2) cross join;
-  *  - signatures (minhash/simhash) are narrow per-document passes of
-  *    codegen'd higher-order functions — no UDFs, no driver loops;
+  *  - signatures (minhash/simhash) are explode + hash-once + codegen'd
+  *    grouped aggregates — no UDFs, no interpreted HOF hot loops, no
+  *    driver loops;
   *  - pair verification (exact Jaccard) runs only on candidates.
   *
   * Determinism contract: every hash is an explicit polynomial hash mod
@@ -26,15 +27,10 @@ object Dedup {
 
   val P = 1000000007L
 
-  /** Character-level polynomial rolling hash of a (lambda-bound) string
-    * expression, mod 1e9+7 — same contract as TextFunctions.fingerprint
-    * but usable inside higher-order functions. */
-  def chash(s: Column): Column =
-    when(length(s) === 0, lit(0L)).otherwise(
-      aggregate(
-        sequence(lit(1), length(s)),
-        lit(0L),
-        (acc, i) => (acc * lit(31L) + ascii(s.substr(i, lit(1)))) % lit(P)))
+  /** Character-level polynomial rolling hash mod 1e9+7 — the native
+    * codegen'd PolyHash expression (graft.plans.PolyHash); identical
+    * semantics to the oracle's list_reduce form in chashSql. */
+  def chash(s: Column): Column = graft.functions.NativeFunctions.polyHash(s)
   def chashSql(s: String): String =
     s"CASE WHEN length($s) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"generate_series(1, length($s))), (acc, i) -> (acc * 31 + ascii(substr($s, i, 1))) % $P) END"
@@ -59,7 +55,7 @@ object Dedup {
   /** Exact dedup: group documents by content hash, keep the smallest
     * doc_id as the canonical copy. Shuffles only (hash, doc_id) pairs. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), chash(col("text")).as("text_hash"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
@@ -74,7 +70,7 @@ object Dedup {
     * |A∪B| = |A|+|B|-|A∩B|. Only pairs sharing >= 1 shingle are ever
     * materialized. */
   def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = 0.5): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val sized = docs.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
     val inv = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
@@ -108,27 +104,39 @@ object Dedup {
   // b_s = 5s+7: products stay < 2^36 (no BIGINT overflow in either
   // engine). Empty shingle set -> sentinel P (larger than any hash).
 
-  def minhashOne(fps: Column, seed: Int): Column = {
-    val a = 2L * seed + 3
-    val b = 5L * seed + 7
-    coalesce(
-      array_min(transform(fps, f => (lit(a) * f + lit(b)) % lit(P))),
-      lit(P))
-  }
   def minhashOneSql(fps: String, seed: Int): String = {
     val a = 2L * seed + 3
     val b = 5L * seed + 7
     s"coalesce(list_min(list_transform($fps, f -> ($a * f + $b) % $P)), $P)"
   }
 
+  /** (doc_id, sh, mh_0..mh_{k-1}) — the signature computed the
+    * scale-shaped way: explode shingles to rows, hash each shingle ONCE
+    * with the native PolyHash, then k codegen'd `min` aggregates. The
+    * HOF formulation (minhashOne over an fps array) recomputes the
+    * per-char hash k times after Catalyst's projection collapse AND
+    * evaluates interpreted; this form is one narrow pass + one small
+    * shuffle of (doc_id, k longs). */
+  private[operators] def sigTable(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val ex = docs
+      .select(col("doc_id"), col("sh"), explode_outer(col("sh")).as("s"))
+      .withColumn("fp", chash(col("s")))
+    val aggs = (0 until k).map { s =>
+      val a = 2L * s + 3
+      val b = 5L * s + 7
+      coalesce(min((lit(a) * col("fp") + lit(b)) % lit(P)), lit(P)).as(s"mh_$s")
+    }
+    ex.groupBy(col("doc_id")).agg(first(col("sh")).as("sh"), aggs: _*)
+  }
+
   /** Per-document MinHash signature, unnested to (doc_id, seed, minhash)
     * rows so the oracle can compare it as a flat table. */
   def minhashSignatures(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val sig = sigTable(spark, dir, k)
       .select(col("doc_id"),
-        transform(shingles(col("text")), s => chash(s)).as("fps"))
-    val sig = docs.select(col("doc_id"),
-      array((0 until k).map(s => minhashOne(col("fps"), s)): _*).as("sig"))
+        array((0 until k).map(s => col(s"mh_$s")): _*).as("sig"))
     sig.select(col("doc_id"), posexplode(col("sig")).as(Seq("seed", "minhash")))
       .orderBy(col("doc_id"), col("seed"))
   }
@@ -150,14 +158,10 @@ object Dedup {
                minJ: Double = 0.5): DataFrame = {
     require(k % r == 0, "bands must tile the signature")
     val nBands = k / r
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("fps", transform(col("sh"), s => chash(s)))
-    val sig = docs.withColumn("sig",
-      array((0 until k).map(s => minhashOne(col("fps"), s)): _*))
+    val sig = sigTable(spark, dir, k)
     // band hash = polynomial combine of the band's minhashes mod P
     def bandHash(band: Int): Column =
-      (0 until r).map(i => element_at(col("sig"), band * r + i + 1))
+      (0 until r).map(i => col(s"mh_${band * r + i}"))
         .foldLeft(lit(0L): Column)((acc, h) => (acc * lit(131L) + h) % lit(P))
     val banded = sig.select(col("doc_id"), col("sh"),
       posexplode(array((0 until nBands).map(bandHash): _*)).as(Seq("band", "bh")))
@@ -206,27 +210,28 @@ object Dedup {
 
   val SimBits = 30 // chash yields ~30 usable bits (mod 1e9+7)
 
-  /** 30-bit SimHash over word tokens: token hash votes +1/-1 per bit,
-    * signature bit i set iff the vote sum is positive. Narrow codegen'd
-    * pass; near-dup = small Hamming distance (banded join in ScalaTest —
-    * the signature itself is the oracle-checked artifact). */
-  def simhash(c: Column): Column = {
-    val toks = when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
-      .otherwise(split(trim(c), "\\s+"))
-    val hashes = transform(toks, t => chash(t))
-    // exact 2^i lookup (lambda-var shift amounts aren't expressible with
-    // shiftleft, whose shift is a literal)
-    val pow2 = array((0 until SimBits).map(i => lit(1L << i)): _*)
-    def p2(i: Column): Column = element_at(pow2, i.cast(IntegerType) + 1)
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), SimBits),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimBits - 1)),
-        (a, i) => a + when(floor(h / p2(i)) % 2 === 1, lit(1)).otherwise(lit(-1))))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(SimBits - 1)),
-        (v, i) => when(v > 0, p2(i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+  /** (doc_id, simhash) — 30-bit SimHash over word tokens: token hash
+    * votes +1/-1 per bit, signature bit i set iff the vote sum is
+    * positive. Computed the scale-shaped way: explode tokens, one native
+    * PolyHash per token, then 30 codegen'd conditional-sum aggregates
+    * (the nested-HOF formulation is interpreted and allocation-bound). */
+  private[operators] def simhashTable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = when(length(trim(col("text"))) === 0,
+      array().cast(ArrayType(StringType))).otherwise(split(trim(col("text")), "\\s+"))
+    val ex = docs.select(col("doc_id"), explode_outer(toks).as("t"))
+      .withColumn("h", chash(col("t")))
+    val votes = (0 until SimBits).map { i =>
+      sum(when(col("h").isNull, lit(0))
+        .when(shiftright(col("h"), i) % 2 === 1, lit(1))
+        .otherwise(lit(-1))).as(s"v_$i")
+    }
+    ex.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(i =>
+          when(col(s"v_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
   def simhashSql(c: String): String = {
     val toks = s"CASE WHEN length(trim($c)) = 0 THEN [] ELSE regexp_split_to_array(trim($c), '\\s+') END"
@@ -241,9 +246,7 @@ object Dedup {
   }
 
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), simhash(col("text")).as("simhash"))
-      .orderBy(col("doc_id"))
+    simhashTable(spark, dir).orderBy(col("doc_id"))
   def simhashSignaturesSql: String =
     s"SELECT doc_id, ${simhashSql("text")} AS simhash FROM documents"
 
@@ -255,8 +258,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 1,
                    nBands: Int = 2): DataFrame = {
     val bandWidth = SimBits / nBands
-    val sigs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+    val sigs = simhashTable(spark, dir)
     def band(i: Int): Column =
       floor(col("simhash") / shiftleft(lit(1L), i * bandWidth)).cast(LongType) % (1L << bandWidth)
     val banded = sigs.select(col("doc_id"), col("simhash"),

@@ -128,7 +128,10 @@ object DocPipeline {
     * src/agents.py:42-44). Deterministic: iteration count is a
     * compile-time constant. */
   def extractValidateWithRetry(df: DataFrame): DataFrame = {
-    var cur = validate(extract(df))
+    // persist before branching: the valid/invalid split and the union
+    // both re-read this frame; without it the whole upstream pipeline
+    // recomputes once per branch (at 100 TB: checkpoint instead)
+    var cur = validate(extract(df)).persist()
     for (i <- 1 to MaxRetries) {
       val ok = cur.filter(col("error").isNotNull || col("is_valid"))
       val bad = cur.filter(col("error").isNull && !col("is_valid"))
@@ -172,7 +175,7 @@ object DocPipeline {
 
   /** Full pipeline over a fixture dir's `documents` table. */
   def run(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadWide(spark, dir, "documents")
     respond(persist(extractValidateWithRetry(
       schemaLookup(spark, classifyStage(clean(ingest(docs)))))))
   }

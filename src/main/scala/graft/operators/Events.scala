@@ -30,7 +30,7 @@ object Events {
 
   /** Tumbling 1-hour windows per event type: count + exact value sum. */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    Tables.loadWide(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("wstart"), col("event_type"),
@@ -44,7 +44,7 @@ object Events {
 
   /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
   def sliding(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    Tables.loadWide(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("wstart"), col("n_events"))
@@ -60,7 +60,7 @@ object Events {
     * Spark's native session_window (same semantics as the streaming
     * stateful op); the oracle replicates it with lag + a running sum. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    Tables.loadWide(spark, dir, "events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
@@ -86,7 +86,7 @@ object Events {
     * — the scalable form: one shuffle on user_id, no per-row lookups, no
     * range explosion. The oracle uses DuckDB's native ASOF JOIN. */
   def asofClickBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+    val ev = Tables.loadWide(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val w = Window.partitionBy(col("user_id"))
@@ -115,7 +115,7 @@ object Events {
     * At 100 TB this is the difference between a hash join and a
     * broadcast-nested-loop. */
   def clicksBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+    val ev = Tables.loadWide(spark, dir, "events")
     val hourB = (c: org.apache.spark.sql.Column) => floor(unix_timestamp(c) / 3600L)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
@@ -142,7 +142,7 @@ object Events {
   /** JSON property extraction (the reference's jsonb analogue, SURVEY
     * §1.2): pull props.k as an int and aggregate per event type. */
   def propsExtract(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    Tables.loadWide(spark, dir, "events")
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .groupBy(col("event_type"))

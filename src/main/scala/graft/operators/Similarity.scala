@@ -30,7 +30,7 @@ object Similarity {
     * `labelEq` replays V4's metadata pre-filter. */
   def topK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
            labelEq: Option[Int] = None): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+    val emb = Tables.loadWide(spark, dir, "embeddings")
     val corpus0 = labelEq.map(l => emb.filter(col("label") === l)).getOrElse(emb)
     val corpus = corpus0.select(col("vec_id"), col("embedding"))
     val queries = broadcast(
@@ -79,7 +79,7 @@ object Similarity {
     * is (bucket), and only the small query side is broadcast. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
               bits: Int = 4): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+    val emb = Tables.loadWide(spark, dir, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"))
     val queries = broadcast(
@@ -112,7 +112,7 @@ object Similarity {
     * cross join — at any scale; skewed buckets fall to AQE skew handling. */
   def nearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.4,
                    bits: Int = 4): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+    val emb = Tables.loadWide(spark, dir, "embeddings")
     val b = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"))
     val a = b.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),

@@ -19,7 +19,7 @@ object TextAnalytics {
   /** Per-document profile: language, token count, first token, rolling-hash
     * fingerprint. One narrow pass over the corpus. */
   def docProfile(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadWide(spark, dir, "documents")
       .select(
         col("doc_id"),
         langId(col("text")).as("lang_pred"),
@@ -38,7 +38,7 @@ object TextAnalytics {
   /** Per-document quality score (bounded [0,1] composite). Kept separate
     * from docProfile so a float mismatch is isolated to one query. */
   def docQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
@@ -48,7 +48,7 @@ object TextAnalytics {
   /** C1 classification over the cleaned text (pipeline stages 3-4 as a
     * standalone query). */
   def docClassify(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"),
         classify(cleanText(col("text"))).as("doc_type"))
       .orderBy(col("doc_id"))
@@ -59,7 +59,7 @@ object TextAnalytics {
   /** Corpus rollup by predicted language: doc counts + exact long token
     * sums (order-independent, deterministic under parallel agg). */
   def langAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadWide(spark, dir, "documents")
       .select(langId(col("text")).as("lang_pred"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
       .groupBy(col("lang_pred"))

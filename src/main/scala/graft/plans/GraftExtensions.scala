@@ -16,5 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, null, "poly_hash",
+        "poly_hash(s) - polynomial rolling hash mod 1e9+7 over code points", ""),
+      (children: Seq[Expression]) => PolyHash(children.head)))
   }
 }
