@@ -13,9 +13,17 @@ object Bench {
     // full physical plan without writing anything.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // failures surface as negative time + stderr, never as a silent
+      // fake-fast success
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val t = (System.nanoTime() - t0) / 1e9
+      // operators may persist() intermediates (retry loop, LSH sigs);
+      // drop them so queries are timed independently
+      spark.catalog.clearCache()
+      name -> (if (ok) t else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

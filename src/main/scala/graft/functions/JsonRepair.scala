@@ -26,15 +26,14 @@ object JsonRepair {
   /** E3 extract_json: largest valid {...} candidate (first-wins on length
     * ties, matching the reference's stable largest-first sort). Returns
     * the candidate substring (not the parsed value) so results are
-    * engine-comparable as strings. */
-  def extractJsonCandidate(c: Column): Column = {
-    val unfenced = regexp_replace(c, fence, "")
-    val cands = regexp_extract_all(unfenced, lit(candidatePat), lit(0))
-    val valid = filter(cands, x => try_parse_json(x).isNotNull)
-    val maxLen = array_max(transform(valid, x => length(x)))
-    // try_element_at: null (not an error) when no candidate survived
-    try_element_at(filter(valid, x => length(x) === maxLen), lit(1))
-  }
+    * engine-comparable as strings. Native single-pass expression — the
+    * HOF form (regexp_extract_all + try_parse_json in lambdas) is
+    * re-evaluated per reference by projection collapse and interprets
+    * ~0.6 ms/row. */
+  def extractJsonCandidate(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.LargestValidJsonCandidate(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
   def extractJsonCandidateSql(c: String): String = {
     val unfenced = s"regexp_replace($c, '$fence', '', 'g')"
     val cands = s"regexp_extract_all($unfenced, '\\{[\\s\\S]*?\\}')"
@@ -44,13 +43,18 @@ object JsonRepair {
         END"""
   }
 
+  private def isValidJson(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.IsValidJson(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   /** E4 safe_json_load: the input if it parses, else the first greedy
     * {...} block if that parses, else null. */
   def safeJson(c: Column): Column =
-    when(try_parse_json(c).isNotNull, c)
+    when(isValidJson(c), c)
       .otherwise({
         val block = nullif(regexp_extract(c, greedyPat, 1), lit(""))
-        when(try_parse_json(block).isNotNull, block)
+        when(isValidJson(block), block)
           .otherwise(lit(null).cast(StringType))
       })
   def safeJsonSql(c: String): String = {

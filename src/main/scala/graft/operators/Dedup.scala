@@ -38,14 +38,13 @@ object Dedup {
   /** Distinct word-bigram shingles of a text column (the dedup unit —
     * word n-grams, not char n-grams: char shingles over a narrow
     * vocabulary are near-universal and make every inverted-index join
-    * quadratic). */
-  def shingles(c: Column): Column = {
-    val toks = split(trim(c), "\\s+")
-    when(size(toks) < 2, array().cast(ArrayType(StringType))).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
-  }
+    * quadratic). Native one-pass expression (graft.plans.WordBigrams);
+    * the HOF form re-splits the document inside every lambda after
+    * projection collapse. */
+  def shingles(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.WordBigrams(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
   def shinglesSql(c: String): String = {
     val toks = s"regexp_split_to_array(trim($c), '\\s+')"
     s"CASE WHEN len($toks) < 2 THEN [] ELSE list_distinct(list_transform(" +
@@ -110,25 +109,25 @@ object Dedup {
     s"coalesce(list_min(list_transform($fps, f -> ($a * f + $b) % $P)), $P)"
   }
 
-  /** (doc_id, sh, mh_0..mh_{k-1}) — the signature computed the
-    * scale-shaped way: explode shingles to rows, hash each shingle ONCE
-    * with the native PolyHash, then k codegen'd `min` aggregates. The
-    * HOF formulation (minhashOne over an fps array) recomputes the
-    * per-char hash k times after Catalyst's projection collapse AND
-    * evaluates interpreted; this form is one narrow pass + one small
-    * shuffle of (doc_id, k longs). */
+  /** (doc_id, mh_0..mh_{k-1}) — the signature computed the scale-shaped
+    * way: explode shingles to rows, hash each shingle ONCE with the
+    * native PolyHash, then k codegen'd `min` aggregates. Longs-only on
+    * purpose: adding the shingle array to the aggregate (e.g. via
+    * `first(sh)`) demotes it to a SortAggregate that sorts and shuffles
+    * every exploded row WITH its array — measured 10x the whole
+    * signature cost. Consumers that need the arrays re-derive them
+    * narrowly from the scan (the native expression is cheaper than
+    * shuffling them). */
   private[operators] def sigTable(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val docs = Tables.loadWide(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val ex = docs
-      .select(col("doc_id"), col("sh"), explode_outer(col("sh")).as("s"))
+    val ex = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), explode_outer(shingles(col("text"))).as("s"))
       .withColumn("fp", chash(col("s")))
     val aggs = (0 until k).map { s =>
       val a = 2L * s + 3
       val b = 5L * s + 7
       coalesce(min((lit(a) * col("fp") + lit(b)) % lit(P)), lit(P)).as(s"mh_$s")
     }
-    ex.groupBy(col("doc_id")).agg(first(col("sh")).as("sh"), aggs: _*)
+    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-document MinHash signature, unnested to (doc_id, seed, minhash)
@@ -158,22 +157,37 @@ object Dedup {
                minJ: Double = 0.5): DataFrame = {
     require(k % r == 0, "bands must tile the signature")
     val nBands = k / r
-    val sig = sigTable(spark, dir, k)
+    val sig = sigTable(spark, dir, k).persist()
+    // eager materialization: both sides of the band self-join scan this
+    // cache; built lazily inside one action, each side races to compute
+    // the uncached partitions and the whole signature pass runs twice
+    // (measured 2x the operator). 5000 rows - the count is free.
+    sig.count()
     // band hash = polynomial combine of the band's minhashes mod P
     def bandHash(band: Int): Column =
       (0 until r).map(i => col(s"mh_${band * r + i}"))
         .foldLeft(lit(0L): Column)((acc, h) => (acc * lit(131L) + h) % lit(P))
-    val banded = sig.select(col("doc_id"), col("sh"),
+    // candidate generation on IDS ONLY — the shingle arrays would
+    // otherwise ride through the band explode (x nBands), the self-join
+    // shuffle (both sides) and the dedup shuffle; fetching them back by
+    // a post-dedup equi-join moves each array exactly once
+    val banded = sig.select(col("doc_id"),
       posexplode(array((0 until nBands).map(bandHash): _*)).as(Seq("band", "bh")))
-    val a = banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-      col("band"), col("bh"))
-    val b = banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+    val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("b_id"),
       col("band").as("band_b"), col("bh").as("bh_b"))
-    val cand = a.join(b,
+    val candIds = a.join(b,
         col("band") === col("band_b") && col("bh") === col("bh_b") &&
           col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // shingle arrays for verification come straight off the scan (narrow,
+    // native expression) — never through an aggregate or the band join
+    val docsSh = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val cand = candIds
+      .join(docsSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(docsSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
     cand
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
@@ -258,7 +272,8 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 1,
                    nBands: Int = 2): DataFrame = {
     val bandWidth = SimBits / nBands
-    val sigs = simhashTable(spark, dir)
+    val sigs = simhashTable(spark, dir).persist() // read by both join sides
+    sigs.count() // eager for the same reason as lshPairs
     def band(i: Int): Column =
       floor(col("simhash") / shiftleft(lit(1L), i * bandWidth)).cast(LongType) % (1L << bandWidth)
     val banded = sigs.select(col("doc_id"), col("simhash"),

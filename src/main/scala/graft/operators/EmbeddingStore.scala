@@ -35,7 +35,7 @@ object EmbeddingStore {
       case Some(s) => updates.withColumn("_prio", lit(1L) + col(s).cast("long"))
       case None => updates.withColumn("_prio", lit(1L))
     }
-    val all = e.unionByName(u.drop(seqCol.toSeq: _*), allowMissingColumns = false)
+    val all = e.unionByName(u, allowMissingColumns = false)
     val w = Window.partitionBy(col(idCol)).orderBy(col("_prio").desc)
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

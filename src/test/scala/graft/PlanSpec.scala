@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, Similarity}
+
+/** Plan-shape assertions: the properties that matter at 100 TB — filters
+  * reach the parquet scan, constant-size dims broadcast, scans prune
+  * columns — verified against the actual physical plans. */
+class PlanSpec extends AnyFunSuite {
+  import TestSession.{spark, sfDir}
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan(Analytics.q1Pricing(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1: scan reads only the columns the query needs") {
+    val p = plan(Analytics.q1Pricing(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_tax"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q5: constant-size dims join via broadcast, not shuffle") {
+    val p = plan(Analytics.q5Region(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("semi join stays a semi join in the physical plan") {
+    val p = plan(Analytics.customersWithOrders(spark, sfDir))
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("vector topK broadcasts the query side") {
+    val p = plan(Similarity.topK(spark, sfDir))
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan(Analytics.q1Pricing(spark, sfDir))
+    // two HashAggregate nodes per agg: partial then final
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+}
