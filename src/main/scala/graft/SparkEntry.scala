@@ -24,12 +24,15 @@ object SparkEntry {
     "q5_region" -> ((s, d) => Analytics.q5Region(s, d)),
     "topk_orders" -> ((s, d) => Analytics.topkOrdersPerPriority(s, d)),
     "doc_rollup" -> ((s, d) => Analytics.docRollup(s, d)),
+    "doc_cube" -> ((s, d) => Analytics.docCube(s, d)),
+    "parts_by_brand" -> ((s, d) => Analytics.partsByBrand(s, d)),
     "setop_except" -> ((s, d) => Analytics.nationsCustomersNotSuppliers(s, d)),
     "semi_join" -> ((s, d) => Analytics.customersWithOrders(s, d)),
     "anti_join" -> ((s, d) => Analytics.customersWithoutOrders(s, d)),
     "order_quantiles" -> ((s, d) => Analytics.orderPriceQuantiles(s, d)),
     // --- document ETL pipeline (SURVEY §2.1-2.10, §3.1) ---
     "pipeline_envelope" -> ((s, d) => DocPipeline.pipelineQuery(s, d)),
+    "schema_cascade" -> ((s, d) => SchemaRetrieval.cascade(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
     "doc_profile" -> ((s, d) => TextAnalytics.docProfile(s, d)),
     "doc_quality" -> ((s, d) => TextAnalytics.docQuality(s, d)),
@@ -122,6 +125,14 @@ object SparkEntry {
     "doc_rollup" ->
       """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
          FROM documents GROUP BY ROLLUP (lang, source)""",
+    "doc_cube" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+         FROM documents GROUP BY CUBE (lang, source)""",
+    "parts_by_brand" ->
+      """SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_retail,
+         min(p_size) AS min_size, max(p_size) AS max_size
+         FROM part GROUP BY p_brand""",
     "setop_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey AS nationkey FROM supplier""",
@@ -138,6 +149,7 @@ object SparkEntry {
          count(*) AS n_orders
          FROM orders GROUP BY o_orderpriority""",
     "pipeline_envelope" -> DocPipeline.pipelineOracleSql,
+    "schema_cascade" -> SchemaRetrieval.cascadeSql,
     "doc_profile" -> TextAnalytics.docProfileSql,
     "doc_quality" -> TextAnalytics.docQualitySql,
     "doc_classify" -> TextAnalytics.docClassifySql,

@@ -125,6 +125,27 @@ object Analytics {
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
   }
 
+  /** Cube over documents: all grouping-set combinations of
+    * (lang, source) — the full §2.13 grouping-sets surface next to
+    * docRollup's ROLLUP. */
+  def docCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
+  /** Brand-level part stats — exercises the `part` table: exact-cents
+    * retail price sums + size spread per brand. */
+  def partsByBrand(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("sum_retail"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Set ops: nations that have customers but no suppliers (EXCEPT). */
   def nationsCustomersNotSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))

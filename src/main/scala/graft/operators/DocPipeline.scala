@@ -35,14 +35,18 @@ object DocPipeline {
   /** Built-in extraction schema table (SURVEY §1.4): doc_type -> schema
     * JSON + description. Broadcast-tiny by construction (one row per
     * doc_type label), mirroring the Pinecone schema index's role. */
-  def schemaTable(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rows = labels.map(_._1).map { dt =>
+  /** The built-in index rows as pure data (shared with
+    * SchemaRetrieval's cascade + oracle). */
+  val schemaRows: Seq[(String, String, String)] =
+    labels.map(_._1).map { dt =>
       (dt,
         s"""{"fields":{"amount":"monetary amount","email":"contact email","date":"primary date","phone":"contact phone"},"description":"$dt extraction schema"}""",
         s"Extraction schema for $dt documents")
     }
-    rows.toDF("schema_doc_type", "schema_json", "schema_description")
+
+  def schemaTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    schemaRows.toDF("schema_doc_type", "schema_json", "schema_description")
   }
 
   /** Stage 1-2: ingest + parse. For the parquet corpus the text is already
@@ -62,16 +66,28 @@ object DocPipeline {
       .withColumn("error",
         when(col("raw_text").isNull || length(trim(col("raw_text"))) === 0,
           lit("Parsing produced empty text")).otherwise(col("error")))
+      // R2 log envelope (src/app.py:60-95): per-row human-readable
+      // stage log, appended by each stage below
+      .withColumn("logs", array(
+        when(col("error").isNull, lit("parsing: ok"))
+          .otherwise(concat(lit("parsing: "), col("error")))))
+
+  /** Append a stage log line (R2), noting skips on errored rows. */
+  private def logStage(df: DataFrame, stage: String): DataFrame =
+    df.withColumn("logs", array_append(col("logs"),
+      when(col("error").isNull, lit(s"$stage: ok"))
+        .otherwise(lit(s"$stage: skipped (error)"))))
 
   /** Stage 3: clean_text (P1). */
   def clean(df: DataFrame): DataFrame =
-    df.withColumn("raw_text",
-      guarded(cleanText(col("raw_text")), col("raw_text"), col("error")))
+    logStage(df.withColumn("raw_text",
+      guarded(cleanText(col("raw_text")), col("raw_text"), col("error"))), "clean")
 
   /** Stage 4: classification (C1, deterministic core). */
   def classifyStage(df: DataFrame): DataFrame =
-    df.withColumn("doc_type",
-      guarded(classify(col("raw_text")), lit(null).cast(StringType), col("error")))
+    logStage(df.withColumn("doc_type",
+      guarded(classify(col("raw_text")), lit(null).cast(StringType), col("error"))),
+      "classification")
 
   /** Stage 5: schema lookup (J1) — broadcast left join on doc_type
     * (strategy 1), literal fallback schema (strategy 3; the reference's
@@ -157,6 +173,7 @@ object DocPipeline {
           element_at(split(col("file_path"), "/"), -1)),
           lit(null).cast(StringType), col("error")))
       .withColumn("created_at", current_timestamp())
+      .transform(logStage(_, "persistence"))
 
   /** Stage 9: response envelope (R1, src/agents.py:297-324). */
   def respond(df: DataFrame): DataFrame =
@@ -171,7 +188,8 @@ object DocPipeline {
       col("is_valid"),
       col("retry_count"),
       col("x_amount"), col("x_email"), col("x_date"), col("x_phone"),
-      col("x_first_token"), col("x_n_tokens"))
+      col("x_first_token"), col("x_n_tokens"),
+      col("logs"))
 
   /** Full pipeline over a fixture dir's `documents` table. */
   def run(spark: SparkSession, dir: String): DataFrame = {
