@@ -38,6 +38,7 @@ object SparkEntry {
     "doc_quality" -> ((s, d) => TextAnalytics.docQuality(s, d)),
     "doc_classify" -> ((s, d) => TextAnalytics.docClassify(s, d)),
     "lang_agg" -> ((s, d) => TextAnalytics.langAgg(s, d)),
+    "doc_tokens" -> ((s, d) => TextAnalytics.docTokens(s, d)),
     // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
     "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
     "vector_topk_label" -> ((s, d) => Similarity.topK(s, d, labelEq = Some(3))),
@@ -154,6 +155,7 @@ object SparkEntry {
     "doc_quality" -> TextAnalytics.docQualitySql,
     "doc_classify" -> TextAnalytics.docClassifySql,
     "lang_agg" -> TextAnalytics.langAggSql,
+    "doc_tokens" -> TextAnalytics.docTokensSql,
     "vector_topk" -> Similarity.topKSql(),
     "vector_topk_label" -> Similarity.topKSql(labelEq = Some(3)),
     "vector_lsh_topk" -> Similarity.lshTopKSql(),

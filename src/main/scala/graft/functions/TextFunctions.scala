@@ -36,6 +36,16 @@ object TextFunctions {
   def tokenCountSql(c: String): String =
     s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim($c), '\\s+')) END"
 
+  // --- subword tokenization: BPE-ish regex segmentation (north star:
+  //     token counting for training-data pipelines). Splits into
+  //     letter-runs, digit-runs, and single punctuation marks — the
+  //     pre-tokenization pass of a byte-pair encoder. ---
+  val subwordPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(subwordPat), lit(0)))
+  def subwordCountSql(c: String): String =
+    s"len(regexp_extract_all($c, '$subwordPat'))"
+
   // --- document fingerprint: order-sensitive polynomial rolling hash over
   //     characters, mod 1e9+7. Stand-in for the reference's content hashes
   //     (src/app.py:142 uses python hash()); ours is engine-independent and

@@ -56,6 +56,20 @@ object TextAnalytics {
   def docClassifySql: String =
     s"SELECT doc_id, ${classifySql(cleanTextSql("text"))} AS doc_type FROM documents"
 
+  /** Per-document token accounting: whitespace tokens vs BPE-ish
+    * subword segments (the two token-count bases a training-data
+    * pipeline budgets with). */
+  def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("ws_tokens"),
+        subwordCount(col("text")).as("subword_tokens"))
+      .orderBy(col("doc_id"))
+
+  def docTokensSql: String =
+    s"""SELECT doc_id, ${tokenCountSql("text")} AS ws_tokens,
+        ${subwordCountSql("text")} AS subword_tokens FROM documents"""
+
   /** Corpus rollup by predicted language: doc counts + exact long token
     * sums (order-independent, deterministic under parallel agg). */
   def langAgg(spark: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -78,6 +78,37 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Custom keyed state (SURVEY §2.13): per-user running aggregates via
+    * flatMapGroupsWithState — the escape hatch for stateful logic the
+    * built-in window/dedup operators can't express. Emits one updated
+    * (user_id, n_events, total_value_cents, last_seen) row per user per
+    * micro-batch; state is GroupState-managed and survives batches. */
+  case class UserState(n: Long, cents: Long, lastSeen: java.sql.Timestamp)
+  case class UserUpdate(user_id: Long, n_events: Long, total_cents: Long,
+                        last_seen: java.sql.Timestamp)
+
+  def runningUserTotals(events: DataFrame): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .selectExpr("user_id", "ts", "CAST(round(value * 100) AS LONG) AS cents")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[UserState]) => {
+          val prev = state.getOption.getOrElse(
+            UserState(0L, 0L, new java.sql.Timestamp(0L)))
+          var n = prev.n; var cents = prev.cents; var last = prev.lastSeen
+          rows.foreach { case (_, ts, c) =>
+            n += 1; cents += c
+            if (ts.after(last)) last = ts
+          }
+          state.update(UserState(n, cents, last))
+          Iterator.single(UserUpdate(user, n, cents, last))
+        })
+  }
 
   /** Run a (finite) streaming DataFrame to a named in-memory sink until
     * all available input is processed; returns the result table. Used by

@@ -50,6 +50,28 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids") // dup 2 suppressed once
   }
 
+  test("flatMapGroupsWithState: per-user running totals accumulate across micro-batches") {
+    import spark.implicits._
+    val totals = StreamOps.runToMemory(spark,
+      StreamOps.runningUserTotals(StreamOps.eventsStream(spark, TestSession.sfDir)).toDF(),
+      "running_totals", mode = "append")
+    // the fixture replays as one micro-batch here, so the last update per
+    // user must equal the batch aggregate
+    val last = totals.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("n_events"),
+        org.apache.spark.sql.functions.col("total_cents"))).as("m"))
+      .selectExpr("user_id", "m.n_events", "m.total_cents")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = Tables.load(spark, TestSession.sfDir, "events")
+      .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("cents").as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(last == batch)
+  }
+
   test("streaming sessionization produces bounded session state") {
     val sessions = StreamOps.runToMemory(spark,
       StreamOps.sessionCounts(StreamOps.eventsStream(spark, TestSession.sfDir)),
