@@ -6,12 +6,20 @@ object Bench {
     val spark = GraftSession.get("graft-bench")
     // JVM/codegen warmup so the first timed query isn't charged ~30s of
     // JIT + classloading: run one representative query untimed.
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    try SparkEntry.queries("parts_by_brand")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // noop sink: count() lets Catalyst prune pure projections (a
     // narrow query would time as a row-count scan); noop executes the
     // full physical plan without writing anything.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated subset for local perf iteration, e.g.
+    //   SPARK_GRAFT_BENCH_ONLY=json_repair,jaccard_pairs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // failures surface as negative time + stderr, never as a silent
       // fake-fast success
@@ -28,7 +36,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt and braces: the round-1 driver failed to parse the JSON out of
+    // sbt-prefixed stdout ("parsed": null), so also persist it to a file
+    // (env-overridable path) that survives the run.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

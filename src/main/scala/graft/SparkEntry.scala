@@ -32,7 +32,15 @@ object SparkEntry {
     "order_quantiles" -> ((s, d) => Analytics.orderPriceQuantiles(s, d)),
     // --- document ETL pipeline (SURVEY §2.1-2.10, §3.1) ---
     "pipeline_envelope" -> ((s, d) => DocPipeline.pipelineQuery(s, d)),
+    "binary_ingest" -> ((s, d) => graft.sources.BinaryIngest.binaryIngestQuery(s, d)),
+    "schema_extract" -> ((s, d) => DocPipeline.schemaExtractQuery(s, d)),
+    "retry_fix" -> ((s, d) => DocPipeline.retryFixQuery(s, d)),
+    "pipeline_logs" -> ((s, d) => DocPipeline.pipelineLogsQuery(s, d)),
     "schema_cascade" -> ((s, d) => SchemaRetrieval.cascade(s, d)),
+    "embed_upsert" -> ((s, d) => EmbeddingStore.embedUpsertQuery(s, d)),
+    "doc_embeddings" -> ((s, d) => EmbeddingStore.docEmbeddingsQuery(s, d)),
+    "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
+    "multimodal_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
     "doc_profile" -> ((s, d) => TextAnalytics.docProfile(s, d)),
     "doc_quality" -> ((s, d) => TextAnalytics.docQuality(s, d)),
@@ -43,7 +51,9 @@ object SparkEntry {
     "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
     "vector_topk_label" -> ((s, d) => Similarity.topK(s, d, labelEq = Some(3))),
     "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "vector_lsh_topk_b6" -> ((s, d) => Similarity.lshTopK(s, d, bitsOpt = Some(6))),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
+    "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -123,11 +133,15 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3""",
+    // Outer CAST on sums: DuckDB sum(int) returns HUGEINT (decimal128 in
+    // Arrow) which hash-mismatches Spark's int64 even when values agree.
     "doc_rollup" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY ROLLUP (lang, source)""",
     "doc_cube" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY CUBE (lang, source)""",
     "parts_by_brand" ->
       """SELECT p_brand, count(*) AS n_parts,
@@ -150,7 +164,15 @@ object SparkEntry {
          count(*) AS n_orders
          FROM orders GROUP BY o_orderpriority""",
     "pipeline_envelope" -> DocPipeline.pipelineOracleSql,
+    "binary_ingest" -> graft.sources.BinaryIngest.binaryIngestOracleSql,
+    "schema_extract" -> DocPipeline.schemaExtractOracleSql,
+    "retry_fix" -> DocPipeline.retryFixOracleSql,
+    "pipeline_logs" -> DocPipeline.pipelineLogsOracleSql,
     "schema_cascade" -> SchemaRetrieval.cascadeSql,
+    "embed_upsert" -> EmbeddingStore.embedUpsertOracleSql,
+    "doc_embeddings" -> EmbeddingStore.docEmbeddingsOracleSql(),
+    "multimodal_features" -> Multimodal.featuresOracleSql,
+    "multimodal_frames" -> Multimodal.framesOracleSql(),
     "doc_profile" -> TextAnalytics.docProfileSql,
     "doc_quality" -> TextAnalytics.docQualitySql,
     "doc_classify" -> TextAnalytics.docClassifySql,
@@ -159,7 +181,9 @@ object SparkEntry {
     "vector_topk" -> Similarity.topKSql(),
     "vector_topk_label" -> Similarity.topKSql(labelEq = Some(3)),
     "vector_lsh_topk" -> Similarity.lshTopKSql(),
+    "vector_lsh_topk_b6" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
+    "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),
     "minhash_sigs" -> Dedup.minhashSignaturesSql(),

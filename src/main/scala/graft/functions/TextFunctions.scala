@@ -158,6 +158,11 @@ object TextFunctions {
   //     the prompt's normalization rules (dates->YYYY-MM-DD,
   //     amounts->numeric, phones +-prefixed). ---
   val amountPat = "([0-9]+\\.[0-9][0-9])"
+  // First-pass amount: sign-permissive. A captured negative fails X1
+  // validation ("negative amount") and the feedback-aware retry pass
+  // re-scans with the non-negative `amountPat` — the deterministic
+  // analogue of the reference's feedback-driven re-prompt.
+  val signedAmountPat = "(-?[0-9]+\\.[0-9][0-9])"
   val emailPat = "([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+)"
   val isoDatePat = "([0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9])"
   val phonePat = "(\\+?[0-9][0-9 ()-]{6,}[0-9])"
@@ -166,6 +171,11 @@ object TextFunctions {
     nullif(regexp_extract(c, amountPat, 1), lit("")).cast(DoubleType)
   def extractAmountSql(c: String): String =
     s"CAST(nullif(regexp_extract($c, '$amountPat', 1), '') AS DOUBLE)"
+
+  def extractAmountSigned(c: Column): Column =
+    nullif(regexp_extract(c, signedAmountPat, 1), lit("")).cast(DoubleType)
+  def extractAmountSignedSql(c: String): String =
+    s"CAST(nullif(regexp_extract($c, '$signedAmountPat', 1), '') AS DOUBLE)"
 
   def extractEmail(c: Column): Column =
     nullif(regexp_extract(c, emailPat, 1), lit(""))

@@ -63,24 +63,55 @@ object Dedup {
     s"""SELECT ${chashSql("text")} AS text_hash, min(doc_id) AS keeper_id,
         count(*) AS n_copies FROM documents GROUP BY 1"""
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    * explode shingles, self-join on shingle (equi-join — each co-occurring
-    * distinct shingle yields the pair once, so count(*) = |A∩B|), then
-    * |A∪B| = |A|+|B|-|A∩B|. Only pairs sharing >= 1 shingle are ever
-    * materialized. */
+  /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
+    * shingle index (PPJoin-style; exactness-preserving).
+    *
+    * Round-1 shape joined the FULL inverted index with itself: one hot
+    * shingle shared by d documents yields O(d²) join rows — quadratic on
+    * a common bigram at 100 TB. Prefix filtering fixes the asymptotics:
+    * order every document's shingles by ascending global document
+    * frequency (rarest first; ties on the shingle string — a total
+    * order), and join only each document's first |A| − ceil(t·|A|) + 1
+    * shingles. Two sets with Jaccard ≥ t must share a prefix element
+    * under any common total order, so no pair is lost — and the hottest
+    * shingles sort LAST, so they almost never enter a prefix. Candidates
+    * are then verified with the exact Jaccard from the full arrays
+    * (fetched narrowly from the scan, never shuffled through the join).
+    * The DuckDB oracle computes the unpruned join, so the correctness
+    * gate doubles as a proof the pruning dropped nothing. */
   def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = 0.5): DataFrame = {
-    val docs = Tables.loadWide(spark, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    val docsSh = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sized = docs.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-    val inv = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("s"))
-    val b = inv.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("s"))
-    a.join(b, a("s") === b("s") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) /
-          (col("a_n") + col("b_n") - col("inter")).cast(DoubleType))
+    val inv = docsSh
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    // global document frequency per shingle: narrow (shingle, 1) shuffle
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rank shingles within each doc by (df asc, s) and keep the t-prefix;
+    // size filter t·|A| ≤ |B| ≤ |A|/t is applied at the candidate join
+    val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast(IntegerType)
+    val ranked = inv.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= prefixLen)
+      .select(col("doc_id"), col("n_sh"), col("s"))
+    // join keys renamed per side: same-lineage `s === s` tempts the
+    // analyzer into a trivially-true predicate (self-join ambiguity)
+    val a = ranked.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("s").as("s_a"))
+    val b = ranked.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("s").as("s_b"))
+    val candIds = a.join(b,
+        col("s_a") === col("s_b") && col("a_id") < col("b_id") &&
+          col("b_n") >= ceil(lit(minJ) * col("a_n")) &&
+          col("a_n") >= ceil(lit(minJ) * col("b_n")))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // exact verification on the candidate set only
+    candIds
+      .join(docsSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(docsSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= minJ)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))

@@ -34,15 +34,53 @@ object DocPipeline {
 
   /** Built-in extraction schema table (SURVEY §1.4): doc_type -> schema
     * JSON + description. Broadcast-tiny by construction (one row per
-    * doc_type label), mirroring the Pinecone schema index's role. */
+    * doc_type label), mirroring the Pinecone schema index's role.
+    *
+    * Field sets are differentiated per doc_type so the J1→E1 dataflow
+    * edge carries real information: extraction emits only the fields the
+    * RETRIEVED schema asks for (reference builds the extraction prompt
+    * from the retrieved schema, src/agents.py:159-206 + src/utils.py:36-89).
+    * A doc_type with no schema record falls back to an empty fields map =
+    * advisory mode, "extract all recognizable fields" (E6 quirk,
+    * src/utils.py:42-47). */
+  val fieldDescriptions: Map[String, String] = Map(
+    "amount" -> "monetary amount", "email" -> "contact email",
+    "date" -> "primary date", "phone" -> "contact phone")
+  val schemaFieldSets: Seq[(String, Seq[String])] = Seq(
+    "invoice" -> Seq("amount", "date", "email"),
+    "contract" -> Seq("date", "email", "phone"),
+    "receipt" -> Seq("amount", "date"),
+    "form" -> Seq("email", "phone"),
+    "report" -> Seq("date"),
+    "transcript" -> Seq("date", "email"),
+    "cover letter" -> Seq("email"),
+    "resume" -> Seq("email", "phone"))
+
   /** The built-in index rows as pure data (shared with
     * SchemaRetrieval's cascade + oracle). */
   val schemaRows: Seq[(String, String, String)] =
-    labels.map(_._1).map { dt =>
+    schemaFieldSets.map { case (dt, fields) =>
+      val fieldsJson = fields.sorted
+        .map(f => s""""$f":"${fieldDescriptions(f)}"""").mkString(",")
       (dt,
-        s"""{"fields":{"amount":"monetary amount","email":"contact email","date":"primary date","phone":"contact phone"},"description":"$dt extraction schema"}""",
+        s"""{"fields":{$fieldsJson},"description":"$dt extraction schema"}""",
         s"Extraction schema for $dt documents")
     }
+
+  /** Doc types whose schema explicitly requests `field` (SQL-side twin of
+    * the map_contains_key gate; schema_json is a function of doc_type, so
+    * the oracle can gate on doc_type directly). */
+  def typesWanting(field: String): Seq[String] =
+    schemaFieldSets.collect { case (dt, fs) if fs.contains(field) => dt }
+
+  /** SQL predicate: does this row's schema request `field`? Advisory mode
+    * (no schema record for the doc_type -> empty fields map) wants
+    * everything. */
+  def wantSql(field: String): String = {
+    val all = schemaFieldSets.map(_._1).map(t => s"'$t'").mkString(", ")
+    val want = typesWanting(field).map(t => s"'$t'").mkString(", ")
+    s"(doc_type IS NULL OR doc_type NOT IN ($all) OR doc_type IN ($want))"
+  }
 
   def schemaTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -101,18 +139,47 @@ object DocPipeline {
       .withColumn("schema_description",
         coalesce(col("schema_description"),
           concat(lit("Default schema for "), coalesce(col("doc_type"), lit("unknown")), lit(" documents"))))
+      // E5 schema unwrap (src/agents.py:170-171): parse the JSON-encoded
+      // schema once; downstream extraction gates on this map
+      .withColumn("schema_fields",
+        from_json(col("schema_json"), StructType(Seq(
+          StructField("fields", MapType(StringType, StringType)),
+          StructField("description", StringType)))).getField("fields"))
       .drop("schema_doc_type")
 
+  /** Does this row's retrieved schema request `field`? Advisory mode
+    * (empty/unparseable fields map — the fallback schema, or E6's
+    * degraded prompt path) requests everything. */
+  private def want(field: String): Column =
+    col("schema_fields").isNull ||
+      size(map_keys(col("schema_fields"))) === 0 ||
+      map_contains_key(col("schema_fields"), lit(field))
+
   /** Stage 6: extraction (E1 deterministic core): regex field extractors +
-    * prompt normalization rules; structured_data = JSON with empty fields
-    * suppressed (P7; to_json drops nulls). */
-  def extract(df: DataFrame): DataFrame = {
+    * prompt normalization rules, GATED by the retrieved schema's fields
+    * map (schema-driven extraction: the J1→E1 edge carries the field
+    * set, matching the reference's schema-built prompt,
+    * src/agents.py:159-206). structured_data = JSON with empty fields
+    * suppressed (P7; to_json drops nulls).
+    *
+    * `feedbackAware=true` is the retry pass (X3): the extractor consumes
+    * the failed pass's `prev_feedback` — on "negative amount" it re-scans
+    * with the non-negative pattern (the deterministic analogue of
+    * re-prompting with validator feedback, src/agents.py:48-59,159-180). */
+  def extract(df: DataFrame, feedbackAware: Boolean = false): DataFrame = {
     val t = col("text_orig") // fields from pre-clean text (see ingest)
     val c = col("raw_text")  // text stats from the cleaned text
-    df.withColumn("x_amount", guarded(extractAmount(t), lit(null).cast(DoubleType), col("error")))
-      .withColumn("x_email", guarded(extractEmail(t), lit(null).cast(StringType), col("error")))
-      .withColumn("x_date", guarded(extractDate(t), lit(null).cast(DateType), col("error")))
-      .withColumn("x_phone", guarded(extractPhone(t), lit(null).cast(StringType), col("error")))
+    val amount0 = extractAmountSigned(t)
+    val amount =
+      if (!feedbackAware) amount0
+      else when(array_contains(col("prev_feedback"), "negative amount"),
+        extractAmount(t)).otherwise(amount0)
+    def gated(field: String, x: Column, tpe: DataType): Column =
+      guarded(when(want(field), x), lit(null).cast(tpe), col("error"))
+    df.withColumn("x_amount", gated("amount", amount, DoubleType))
+      .withColumn("x_email", gated("email", extractEmail(t), StringType))
+      .withColumn("x_date", gated("date", extractDate(t), DateType))
+      .withColumn("x_phone", gated("phone", extractPhone(t), StringType))
       .withColumn("x_first_token", guarded(firstToken(c), lit(null).cast(StringType), col("error")))
       .withColumn("x_n_tokens", guarded(tokenCount(c), lit(null).cast(IntegerType), col("error")))
       .withColumn("structured_data",
@@ -125,11 +192,18 @@ object DocPipeline {
   }
 
   /** Stage 7: validation (X1 deterministic constraints). A field is
-    * invalid only when present AND malformed. */
+    * invalid when present AND malformed — plus `missing amount` when the
+    * schema EXPLICITLY requests an amount and none was extracted
+    * (advisory mode requires nothing, so the unschema'd path keeps the
+    * reference's lenient semantics). */
   def validate(df: DataFrame): DataFrame = {
+    val explicitlyWantsAmount =
+      col("schema_fields").isNotNull &&
+        map_contains_key(col("schema_fields"), lit("amount"))
     val feedback = array_compact(array(
       when(!validEmail(col("x_email")), lit("malformed email")),
       when(!validAmount(col("x_amount")), lit("negative amount")),
+      when(explicitlyWantsAmount && col("x_amount").isNull, lit("missing amount")),
       when(col("x_n_tokens").isNotNull && col("x_n_tokens") === 0, lit("empty extraction"))))
     df.withColumn("validation_feedback",
         guarded(feedback, array().cast(ArrayType(StringType)), col("error")))
@@ -152,10 +226,13 @@ object DocPipeline {
       val ok = cur.filter(col("error").isNotNull || col("is_valid"))
       val bad = cur.filter(col("error").isNull && !col("is_valid"))
         .withColumn("retry_count", lit(i))
-      // re-extraction with feedback available to the extractor
+      // re-extraction WITH the validator's feedback wired into the
+      // extractor (X3): a retried row can genuinely flip to valid
       // (retry_count already updated; drop stage outputs, keep envelope)
       val cols = df.columns
-      val retried = validate(extract(bad.select(cols.head, cols.tail: _*)))
+      val retried = validate(extract(
+        bad.select(cols.map(col) :+ col("validation_feedback").as("prev_feedback"): _*),
+        feedbackAware = true)).drop("prev_feedback")
       cur = ok.unionByName(retried)
     }
     cur
@@ -209,15 +286,24 @@ object DocPipeline {
 
   /** DuckDB oracle for pipelineQuery: the full stage chain composed from
     * the TextFunctions SQL builders. Mirrors stage order exactly —
-    * error gate on RAW text, then clean, classify(cleaned),
-    * extract(cleaned), validate, deterministic persistence ids.
-    * Deterministic extractors are idempotent, so the retried rows keep
-    * their results and only retry_count distinguishes them. */
-  def pipelineOracleSql: String = {
-    val err = "(text IS NULL OR length(trim(text)) = 0)"
-    val cleaned = cleanTextSql("text")
-    s"""WITH ext AS (
-          SELECT doc_id,
+    * error gate on RAW text, then clean, classify(cleaned), schema-gated
+    * extraction (want* predicates are the SQL twin of the
+    * map_contains_key gate — schema_json is a function of doc_type),
+    * validation, the feedback-aware retry pass, deterministic
+    * persistence ids. The oracle reproduces BOTH extraction passes: the
+    * signed first-pass amount, and the retry's non-negative re-scan
+    * gated on "negative amount" feedback. */
+  def pipelineOracleSql: String =
+    s"WITH ${pipelineOracleCtes("documents", "text")} ${pipelineOracleSelect}"
+
+  /** The CTE chain (ext0 → gated → v0 → v1) shared by every
+    * pipeline-shaped oracle; composes after a WITH that may already hold
+    * an enrichment CTE. */
+  def pipelineOracleCtes(table: String, textCol: String): String = {
+    val err = s"($textCol IS NULL OR length(trim($textCol)) = 0)"
+    val cleaned = cleanTextSql(textCol)
+    s"""ext0 AS (
+          SELECT doc_id, $textCol AS t_orig,
             NOT $err AS success,
             CASE WHEN $err THEN NULL ELSE ${classifySql(cleaned)} END AS doc_type,
             CASE WHEN $err THEN NULL ELSE
@@ -225,19 +311,154 @@ object DocPipeline {
             CASE WHEN $err THEN NULL ELSE
               'mem://store/documents/' || doc_id || '.txt' END AS file_url,
             CASE WHEN $err THEN NULL ELSE ${firstTokenSql(cleaned)} END AS x_first_token,
-            CASE WHEN $err THEN NULL ELSE ${tokenCountSql(cleaned)} END AS x_n_tokens,
-            CASE WHEN $err THEN NULL ELSE ${extractEmailSql("text")} END AS x_email,
-            CASE WHEN $err THEN NULL ELSE ${extractAmountSql("text")} END AS x_amount
-          FROM documents)
-        SELECT doc_id, success, doc_type, record_id, file_url,
-          x_first_token, x_n_tokens,
-          CASE WHEN NOT success THEN FALSE ELSE
-            (${validEmailSql("x_email")} AND ${validAmountSql("x_amount")}
-             AND NOT coalesce(x_n_tokens = 0, FALSE)) END AS is_valid,
-          CASE WHEN success AND NOT (${validEmailSql("x_email")}
-               AND ${validAmountSql("x_amount")}
-               AND NOT coalesce(x_n_tokens = 0, FALSE))
-            THEN $MaxRetries ELSE 0 END AS retry_count
-        FROM ext"""
+            CASE WHEN $err THEN NULL ELSE ${tokenCountSql(cleaned)} END AS x_n_tokens
+          FROM $table),
+        gated AS (
+          SELECT *,
+            CASE WHEN NOT success THEN NULL
+                 WHEN ${wantSql("email")} THEN ${extractEmailSql("t_orig")} END AS x_email,
+            CASE WHEN NOT success THEN NULL
+                 WHEN ${wantSql("date")} THEN ${extractDateSql("t_orig")} END AS x_date,
+            CASE WHEN NOT success THEN NULL
+                 WHEN ${wantSql("phone")} THEN ${extractPhoneSql("t_orig")} END AS x_phone,
+            CASE WHEN NOT success THEN NULL
+                 WHEN ${wantSql("amount")} THEN ${extractAmountSignedSql("t_orig")} END AS x_amount0
+          FROM ext0),
+        v0 AS (
+          SELECT *,
+            success AND ${validEmailSql("x_email")} AND ${validAmountSql("x_amount0")}
+              AND NOT ($wantsAmtSql AND x_amount0 IS NULL)
+              AND NOT coalesce(x_n_tokens = 0, FALSE) AS is_valid0,
+            NOT ${validAmountSql("x_amount0")} AS neg_amount0
+          FROM gated),
+        v1 AS (
+          SELECT *,
+            CASE WHEN is_valid0 OR NOT success THEN x_amount0
+                 WHEN neg_amount0 THEN
+                   CASE WHEN ${wantSql("amount")} THEN ${extractAmountSql("t_orig")} END
+                 ELSE x_amount0 END AS x_amount
+          FROM v0)"""
   }
+
+  private def wantsAmtSql: String =
+    s"doc_type IN (${typesWanting("amount").map(t => s"'$t'").mkString(", ")})"
+
+  def pipelineOracleSelect: String =
+    s"""SELECT doc_id, success, doc_type, record_id, file_url,
+          x_first_token, x_n_tokens,
+          CASE WHEN NOT success THEN FALSE
+               WHEN is_valid0 THEN TRUE
+               ELSE ${validEmailSql("x_email")} AND ${validAmountSql("x_amount")}
+                 AND NOT ($wantsAmtSql AND x_amount IS NULL)
+                 AND NOT coalesce(x_n_tokens = 0, FALSE) END AS is_valid,
+          CASE WHEN success AND NOT is_valid0 THEN $MaxRetries ELSE 0 END AS retry_count
+        FROM v1"""
+
+  /** R2 log envelope, oracle-visible: the per-row stage log as a joined
+    * string (array<string> compares poorly across Arrow bridges). */
+  def pipelineLogsQuery(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir)
+      .select(col("doc_id"), array_join(col("logs"), "|").as("logs_str"))
+      .orderBy(col("doc_id"))
+  def pipelineLogsOracleSql: String = {
+    val err = "(text IS NULL OR length(trim(text)) = 0)"
+    s"""SELECT doc_id,
+        CASE WHEN $err THEN
+          'parsing: Parsing produced empty text|clean: skipped (error)|classification: skipped (error)|persistence: skipped (error)'
+        ELSE 'parsing: ok|clean: ok|classification: ok|persistence: ok' END AS logs_str
+        FROM documents"""
+  }
+
+  // --- Enriched corpus: makes the schema-driven + retry paths ----------
+  // fixture-visible. The word-salad fixture has no amounts/emails/dates
+  // and no classifier keywords, so we inject them as pure functions of
+  // doc_id, IDENTICALLY in Spark and the oracle (same device as the
+  // json_repair query). doc_id%9 picks the classifier keyword (residue 8
+  // = none -> "other" -> fallback schema -> advisory extract-all);
+  // doc_id%7==0 omits the amount (retries-exhausted path for amount-
+  // requiring schemas); doc_id%3==0 makes it negative (fixed on retry).
+
+  /** One keyword per classifier label, each hitting exactly one label
+    * pattern (verified disjoint against TextFunctions.labels). */
+  private val enrichKeywords: Seq[String] = Seq(
+    "invoice", "agreement", "receipt", "checkbox", "findings",
+    "transcript", "dear hiring", "employment history")
+
+  def enrichedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val kw = element_at(
+      array((enrichKeywords :+ "").map(lit): _*),
+      (col("doc_id") % 9).cast(IntegerType) + 1)
+    val amount = when(col("doc_id") % 7 =!= 0,
+      concat(lit(" total "),
+        when(col("doc_id") % 3 === 0, lit("-")).otherwise(lit("")),
+        ((col("doc_id") % 90) + 10).cast(StringType), lit(".25")))
+      .otherwise(lit(""))
+    Tables.loadWide(spark, dir, "documents").withColumn("text",
+      concat(kw, lit(" "), col("text"), amount,
+        lit(" user"), col("doc_id").cast(StringType), lit("@example.com"),
+        lit(" on 2024-03-1"), (col("doc_id") % 9).cast(StringType),
+        lit(" tel 555-0100")))
+  }
+
+  /** SQL twin of enrichedDocs as a CTE named `enriched`. */
+  def enrichedCte: String = {
+    val kw = enrichKeywords.zipWithIndex
+      .map { case (k, i) => s"WHEN $i THEN '$k'" }.mkString(" ")
+    s"""enriched AS (SELECT doc_id,
+          (CASE doc_id % 9 $kw ELSE '' END) || ' ' || text ||
+          (CASE WHEN doc_id % 7 <> 0 THEN ' total ' ||
+             (CASE WHEN doc_id % 3 = 0 THEN '-' ELSE '' END) ||
+             CAST(doc_id % 90 + 10 AS VARCHAR) || '.25' ELSE '' END) ||
+          ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+          ' on 2024-03-1' || CAST(doc_id % 9 AS VARCHAR) || ' tel 555-0100'
+          AS text
+        FROM documents)"""
+  }
+
+  private def pipelineOver(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractValidateWithRetry(
+      schemaLookup(spark, classifyStage(clean(ingest(docs)))))
+
+  /** Schema-driven extraction, oracle-visible (E1+E5): different
+    * doc_types emit different field sets, driven by the PARSED
+    * schema_json fields map — the J1→E1 edge carries real information. */
+  def schemaExtractQuery(spark: SparkSession, dir: String): DataFrame =
+    pipelineOver(spark, enrichedDocs(spark, dir))
+      .select(col("doc_id"), col("doc_type"),
+        array_join(array_sort(map_keys(col("schema_fields"))), ",").as("schema_keys"),
+        col("x_amount"), col("x_email"), col("x_date"), col("x_phone"))
+      .orderBy(col("doc_id"))
+
+  def schemaExtractOracleSql: String = {
+    val keysCase = schemaFieldSets
+      .map { case (dt, fs) => s"WHEN '$dt' THEN '${fs.sorted.mkString(",")}'" }
+      .mkString(" ")
+    s"""WITH $enrichedCte, ${pipelineOracleCtes("enriched", "text")}
+        SELECT doc_id, doc_type,
+          CASE doc_type $keysCase ELSE '' END AS schema_keys,
+          x_amount, x_email, x_date, x_phone
+        FROM v1"""
+  }
+
+  /** The retry loop doing real work, oracle-visible (X2/X3): negative
+    * first-pass amounts flip to valid on the feedback-aware retry
+    * (retry_count=1, is_valid=true); docs whose schema requires an
+    * amount that the text lacks exhaust retries and persist anyway
+    * (retry_count=1, is_valid=false). */
+  def retryFixQuery(spark: SparkSession, dir: String): DataFrame =
+    pipelineOver(spark, enrichedDocs(spark, dir))
+      .select(col("doc_id"), col("doc_type"), col("x_amount"),
+        col("is_valid"), col("retry_count"))
+      .orderBy(col("doc_id"))
+
+  def retryFixOracleSql: String =
+    s"""WITH $enrichedCte, ${pipelineOracleCtes("enriched", "text")}
+        SELECT doc_id, doc_type, x_amount,
+          CASE WHEN NOT success THEN FALSE
+               WHEN is_valid0 THEN TRUE
+               ELSE ${validEmailSql("x_email")} AND ${validAmountSql("x_amount")}
+                 AND NOT ($wantsAmtSql AND x_amount IS NULL)
+                 AND NOT coalesce(x_n_tokens = 0, FALSE) END AS is_valid,
+          CASE WHEN success AND NOT is_valid0 THEN $MaxRetries ELSE 0 END AS retry_count
+        FROM v1"""
 }

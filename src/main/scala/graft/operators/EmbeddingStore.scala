@@ -30,9 +30,11 @@ object EmbeddingStore {
     * `existing`; ties inside `updates` resolve to the last by `seq`. */
   def upsert(existing: DataFrame, updates: DataFrame, idCol: String = "vec_id",
              seqCol: Option[String] = None): DataFrame = {
-    val e = existing.withColumn("_prio", lit(0L))
+    // the seq column is upsert bookkeeping, not payload: fold it into
+    // _prio and drop it so both union sides share the store schema
+    val e = seqCol.foldLeft(existing.withColumn("_prio", lit(0L)))(_.drop(_))
     val u = seqCol match {
-      case Some(s) => updates.withColumn("_prio", lit(1L) + col(s).cast("long"))
+      case Some(s) => updates.withColumn("_prio", lit(1L) + col(s).cast("long")).drop(s)
       case None => updates.withColumn("_prio", lit(1L))
     }
     val all = e.unionByName(u, allowMissingColumns = false)
@@ -40,6 +42,75 @@ object EmbeddingStore {
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_prio", "_rn")
+  }
+
+  /** Oracle-checkable upsert (V2/K3): fixture embeddings ∪ two literal
+    * update waves — wave 2 (seq 2) overrides wave 1 (seq 1) overrides the
+    * store; untouched ids pass through. Projects (vec_id, label) so the
+    * compare is scalar-only. */
+  def embedUpsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val u1 = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), (col("label") + 100).as("label"), lit(1L).as("seq"))
+    val u2 = emb.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), (col("label") + 200).as("label"), lit(2L).as("seq"))
+    upsert(emb, u1.unionByName(u2), seqCol = Some("seq"))
+      .orderBy(col("vec_id"))
+  }
+  def embedUpsertOracleSql: String =
+    """SELECT vec_id,
+       CASE WHEN vec_id % 20 = 0 THEN label + 200
+            WHEN vec_id % 10 = 0 THEN label + 100
+            ELSE label END AS label
+       FROM embeddings"""
+
+  /** End-to-end embedding pipeline (V1→V2→K3→V3 in one dataflow):
+    * pseudo-embed the documents at the store's dimension, upsert them
+    * into the embeddings store under offset ids, then query the merged
+    * store with the first 3 document vectors (cosine top-k). */
+  def docEmbeddingsQuery(spark: SparkSession, dir: String, k: Int = 3,
+                         dim: Int = 64, offset: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val docEmb = graft.Tables.loadWide(spark, dir, "documents")
+      .select((col("doc_id") + offset).as("vec_id"),
+        SchemaRetrieval.pseudoEmbed(col("text"), dim).as("embedding"),
+        lit(-1).cast("int").as("label"))
+    val store = upsert(emb, docEmb)
+    val queries = broadcast(docEmb.filter(col("vec_id") < offset + 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    store.join(queries, col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        graft.functions.VectorFunctions.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+  def docEmbeddingsOracleSql(k: Int = 3, dim: Int = 64,
+                             offset: Long = 1000000L): String = {
+    import graft.functions.VectorFunctions.cosineSql
+    // hash hoisted into its own CTE column so DuckDB evaluates it once
+    // per document, not once per vector element
+    s"""WITH d0 AS (SELECT doc_id, ${Dedup.chashSql("text")} AS ph FROM documents),
+        d AS (SELECT doc_id + $offset AS vec_id,
+                list_transform(generate_series(0, ${dim - 1}), i ->
+                  CAST((ph * (2*i + 3) + i) % 1021 AS DOUBLE) / 1024.0) AS embedding,
+                -1 AS label
+              FROM d0),
+        s AS (SELECT vec_id, embedding, label FROM embeddings
+              UNION ALL SELECT vec_id, embedding, label FROM d),
+        q AS (SELECT vec_id AS qid, embedding AS q_emb FROM d
+              WHERE vec_id < ${offset + 3}),
+        scored AS (SELECT qid, s.vec_id, ${cosineSql("q_emb", "s.embedding")} AS score
+                   FROM q CROSS JOIN s WHERE s.vec_id <> qid),
+        ranked AS (SELECT qid, vec_id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
   /** Upsert + persist to a Parquet store dir (the K3 sink). */

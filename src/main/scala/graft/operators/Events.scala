@@ -55,10 +55,13 @@ object Events {
                         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS wstart
          FROM events) GROUP BY 1"""
 
-  /** Sessionization: per-user sessions split at >30-minute inactivity
+  /** Sessionization: per-user sessions split at 30-minute inactivity
     * gaps; one row per session with its start and event count. Uses
     * Spark's native session_window (same semantics as the streaming
-    * stateful op); the oracle replicates it with lag + a running sum. */
+    * stateful op); the oracle replicates it with lag + a running sum.
+    * Boundary contract: session_window ranges are END-EXCLUSIVE, so an
+    * event arriving exactly 30 minutes after the previous one starts a
+    * NEW session — the oracle therefore splits on gap >= 30min. */
   def sessions(spark: SparkSession, dir: String): DataFrame =
     Tables.loadWide(spark, dir, "events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -70,7 +73,7 @@ object Events {
     """WITH marked AS (
          SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
                 THEN 1 ELSE 0 END AS new_session
          FROM events),
        numbered AS (
@@ -89,8 +92,13 @@ object Events {
     val ev = Tables.loadWide(spark, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // same-timestamp ties: clicks sort BEFORE purchases so a click at
+    // exactly the purchase's ts is visible to it — matching ASOF's
+    // inclusive `p.ts >= c.ts` semantics
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("last_click_id",
         last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
@@ -151,7 +159,7 @@ object Events {
       .orderBy(col("event_type"))
   def propsExtractSql: String =
     """SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY 1"""

@@ -97,6 +97,34 @@ object Multimodal {
     }
   }
 
+  /** Oracle-checkable feature extraction: the scalar outputs (byte count,
+    * content fingerprint) — the stub's float vector is an LCG over 64-bit
+    * wrap-around, deliberately not re-expressed in SQL. Fingerprint uses
+    * the engine-wide polynomial hash; the fixture is pure ASCII so
+    * byte-wise and codepoint-wise hashing coincide (asserted by the
+    * oracle itself: a non-ASCII byte would hash-mismatch). */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("fingerprint"))
+      .orderBy(col("media_id"))
+  def featuresOracleSql: String =
+    s"""SELECT doc_id AS media_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(length(text) AS INT) AS n_bytes,
+        ${Dedup.chashSql("text")} AS fingerprint
+        FROM documents"""
+
+  /** Oracle-checkable frame sampling over the video rows. */
+  def framesQuery(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir))
+      .orderBy(col("media_id"), col("frame_idx"))
+  def framesOracleSql(frameBytes: Int = 32, stride: Int = 4): String =
+    s"""WITH v AS (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 3 = 2)
+        SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+          CAST(least($frameBytes, n - i*$frameBytes) AS INT) AS frame_bytes
+        FROM v, unnest(generate_series(0, CAST(ceil(n / $frameBytes.0) AS BIGINT) - 1)) t(i)
+        WHERE i % $stride = 0"""
+
   /** Resize: metadata-level transform (stub keeps bytes; a codec impl
     * would re-encode). Demonstrates the typed-metadata contract. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {

@@ -31,14 +31,14 @@ object SchemaRetrieval {
 
   val Dim = 8
 
-  /** Deterministic pseudo-embedding of a text column. */
-  def pseudoEmbed(c: Column, dim: Int = Dim): Column = {
-    val ph = Dedup.chash(c)
-    array((0 until dim).map { i =>
-      ((ph * lit(2L * i + 3) + lit(i.toLong)) % lit(1021L))
-        .cast(DoubleType)./(lit(1024.0)).cast(FloatType)
-    }: _*)
-  }
+  /** Deterministic pseudo-embedding of a text column. Native expression:
+    * the composed `array(f(chash, 0), ..., f(chash, dim-1))` form had the
+    * shared hash re-inlined per element by projection collapse — dim full
+    * passes over the text (round-1 schema_cascade hot spot). */
+  def pseudoEmbed(c: Column, dim: Int = Dim): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.PseudoEmbed(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c), dim))
   def pseudoEmbedSql(c: String, dim: Int = Dim): String =
     (0 until dim).map { i =>
       s"CAST((${chashSql(c)} * ${2L * i + 3} + $i) % 1021 AS DOUBLE) / 1024.0"

@@ -59,6 +59,23 @@ object Similarity {
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
+  /** Scale-adaptive LSH width: the smallest `bits` in [minBits, maxBits]
+    * with expected bucket occupancy n/2^bits <= target. A constant bits
+    * leaves the within-bucket self-join O(n²/2^bits) — still quadratic at
+    * 100 TB; growing bits with the corpus keeps per-bucket work bounded,
+    * so total join cost stays ~linear in n. Integer arithmetic only
+    * (n <= target·2^b) so Spark and the DuckDB oracle agree exactly. */
+  def adaptiveBits(n: Long, target: Long = 128, minBits: Int = 4, maxBits: Int = 16): Int =
+    (minBits to maxBits).find(b => n <= target * (1L << b)).getOrElse(maxBits)
+
+  /** SQL twin of adaptiveBits as a 1-row CTE body (column `bits`). */
+  def adaptiveBitsSql(table: String, target: Long = 128, minBits: Int = 4,
+                      maxBits: Int = 16): String =
+    s"""SELECT min(b) AS bits
+        FROM (SELECT unnest(generate_series($minBits, $maxBits)) AS b),
+             (SELECT count(*) AS n FROM $table)
+        WHERE n <= $target * (1 << b)"""
+
   /** Sign-LSH bucket id: `bits` hyperplane sign bits packed into an int.
     * The planes are the first `bits` coordinate axes — axis-aligned
     * random-hyperplane LSH, deterministic and engine-independent (the
@@ -76,10 +93,13 @@ object Similarity {
   /** ANN top-k: score only candidates in the query's sign bucket.
     * Candidate set shrinks ~2^bits-fold; recall < 1 by design (the exact
     * baseline is `topK`). Corpus is bucketed once (narrow), the join key
-    * is (bucket), and only the small query side is broadcast. */
+    * is (bucket), and only the small query side is broadcast.
+    * `bits = None` sizes the bucket count to the corpus (adaptiveBits) —
+    * a metadata-cheap count() before planning. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
-              bits: Int = 4): DataFrame = {
+              bitsOpt: Option[Int] = None): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
+    val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
     val corpus = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"))
     val queries = broadcast(
@@ -96,8 +116,22 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  def lshTopKSql(k: Int = 3, nQueries: Int = 10, bits: Int = 4): String =
-    s"""WITH c AS (SELECT vec_id, embedding, ${signBucketSql("embedding", bits)} AS bucket FROM embeddings),
+  /** Adaptive-width bucket expression for the oracle: unrolls to maxBits
+    * terms, each gated on i <= nb.bits (a plain column from the
+    * cross-joined 1-row `nb` CTE — DuckDB forbids subqueries inside
+    * lambda bodies). */
+  private def signBucketSqlAdaptive(v: String, maxBits: Int = 16): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, $maxBits), i ->
+        CASE WHEN i <= nb.bits AND $v[i] >= 0
+             THEN (1 << (i - 1)) ELSE 0 END)) AS INT)"""
+
+  def lshTopKSql(k: Int = 3, nQueries: Int = 10, bitsOpt: Option[Int] = None): String = {
+    val (nbCte, nbFrom, bucketExpr) = bitsOpt match {
+      case Some(b) => ("", "", signBucketSql("embedding", b))
+      case None => (s"nb AS (${adaptiveBitsSql("embeddings")}), ", ", nb",
+        signBucketSqlAdaptive("embedding"))
+    }
+    s"""WITH ${nbCte}c AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings$nbFrom),
         q AS (SELECT vec_id AS qid, embedding AS q_emb, bucket AS q_bucket FROM c WHERE vec_id < $nQueries),
         scored AS (SELECT qid, c.vec_id, ${cosineSql("q_emb", "c.embedding")} AS score
                    FROM q JOIN c ON c.bucket = q.q_bucket AND c.vec_id <> qid),
@@ -105,14 +139,16 @@ object Similarity {
                    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
                    FROM scored)
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+  }
 
   /** Embedding near-duplicate pairs: same sign bucket AND cosine >= minCos
     * (north-star embedding-cosine near-dup). Pairs are (a < b) so each is
     * reported once. The bucket equi-join keeps this a hash join — never a
     * cross join — at any scale; skewed buckets fall to AQE skew handling. */
   def nearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.4,
-                   bits: Int = 4): DataFrame = {
+                   bitsOpt: Option[Int] = None): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
+    val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
     val b = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"))
     val a = b.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
@@ -124,10 +160,16 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  def nearDupPairsSql(minCos: Double = 0.4, bits: Int = 4): String =
-    s"""WITH b AS (SELECT vec_id, embedding, ${signBucketSql("embedding", bits)} AS bucket FROM embeddings)
+  def nearDupPairsSql(minCos: Double = 0.4, bitsOpt: Option[Int] = None): String = {
+    val (nbCte, nbFrom, bucketExpr) = bitsOpt match {
+      case Some(b) => ("", "", signBucketSql("embedding", b))
+      case None => (s"nb AS (${adaptiveBitsSql("embeddings")}), ", ", nb",
+        signBucketSqlAdaptive("embedding"))
+    }
+    s"""WITH ${nbCte}b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings$nbFrom)
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                ${cosineSql("a.embedding", "b.embedding")} AS score
         FROM b a JOIN b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ${cosineSql("a.embedding", "b.embedding")} >= $minCos"""
+  }
 }

@@ -33,12 +33,14 @@ object Sinks {
     * deterministic URL (bucket/name), done distributed via the binary
     * writer (no driver-side byte shuffling). */
   def uploadBinary(df: DataFrame, bucketDir: String): DataFrame = {
+    // file_url addresses the store the bytes were actually written to
+    // (the _objects parquet prefix), keyed by basename
+    val url = concat(lit(s"$bucketDir/_objects/"),
+      element_at(split(col("file_path"), "/"), -1))
     df.select(col("file_path"), col("content"))
-      .withColumn("file_url",
-        concat(lit(s"$bucketDir/"), element_at(split(col("file_path"), "/"), -1)))
+      .withColumn("file_url", url)
       .write.mode("append").parquet(s"$bucketDir/_objects")
-    df.withColumn("file_url",
-      concat(lit(s"$bucketDir/"), element_at(split(col("file_path"), "/"), -1)))
+    df.withColumn("file_url", url)
   }
 
   /** K4: JSON export of extraction results. */

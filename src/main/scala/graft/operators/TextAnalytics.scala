@@ -82,6 +82,6 @@ object TextAnalytics {
 
   def langAggSql: String =
     s"""SELECT ${langIdSql("text")} AS lang_pred, count(*) AS n_docs,
-        sum(CAST(${tokenCountSql("text")} AS BIGINT)) AS sum_tokens
+        CAST(sum(CAST(${tokenCountSql("text")} AS BIGINT)) AS BIGINT) AS sum_tokens
         FROM documents GROUP BY 1"""
 }

@@ -23,11 +23,20 @@ object JsonSupport {
   private val mapper = new ObjectMapper()
   private val factory = new JsonFactory(mapper)
 
+  /** Streaming validity: drain the token stream without materializing a
+    * JsonNode tree (readTree allocated one tree per candidate — the
+    * round-1 json_repair hot spot). Same parser, same strictness
+    * verdicts; full-input consumption still enforced. */
   def isValidJson(s: String): Boolean =
     try {
       val p = factory.createParser(s)
-      try { mapper.readTree(p); p.nextToken() == null }
-      finally p.close()
+      try {
+        if (p.nextToken() == null) false // empty input is not valid JSON
+        else {
+          p.skipChildren() // no-op on scalars; drains objects/arrays
+          p.nextToken() == null
+        }
+      } finally p.close()
     } catch { case _: Exception => false }
 
   def isValid(s: UTF8String): Boolean = isValidJson(s.toString)

@@ -22,10 +22,14 @@ import org.apache.spark.sql.types._
   */
 object BinaryIngest {
 
-  /** Lowercased filename extension ('' when none). */
-  def ext(path: Column): Column =
-    lower(when(col("path").contains("."),
-      element_at(split(path, "\\."), -1)).otherwise(lit("")))
+  /** Lowercased filename extension ('' when none). Works on the basename
+    * only — a dotted directory with an extensionless file (/a.b/file)
+    * has no extension. */
+  def ext(path: Column): Column = {
+    val base = element_at(split(path, "/"), -1)
+    lower(when(base.contains("."),
+      element_at(split(base, "\\."), -1)).otherwise(lit("")))
+  }
 
   /** Reference filename sanitize: strip chars outside [\w\s\-.]. */
   def sanitizeName(name: Column): Column =
@@ -85,49 +89,95 @@ object BinaryIngest {
         StructField("length", LongType), StructField("content", BinaryType))))
       .load(dir)
 
-  /** Full S1-S6 ingest: dispatch on extension, parse to `raw_text`, with
-    * the per-row error channel. Text decodes inline (codegen); binary
-    * formats run their parser per-partition. */
+  /** One ingested row: the S1-S6 output envelope. */
+  final case class Ingested(file_path: String, file_name: String,
+    fmt: String, length: Long, raw_text: String, error: String)
+
+  /** Full S1-S6 ingest: dispatch on extension and parse to `raw_text`
+    * inside ONE mapPartitions — parser init amortized per partition, no
+    * payload shuffle (round 1 re-joined parsed text back on `path`,
+    * shuffling every document body twice; at 100 TB of binary docs that
+    * join is the whole job cost). Per-row failure lands in `error`,
+    * never kills the batch. */
   def ingest(spark: SparkSession, binary: DataFrame,
              pdf: BinaryParser = StubPdfParser,
              docx: BinaryParser = StubDocxParser,
              ocr: BinaryParser = StubOcrParser): DataFrame = {
-    val dispatched = binary
+    import spark.implicits._
+    binary
       .withColumn("file_name", sanitizeName(element_at(split(col("path"), "/"), -1)))
       .withColumn("fmt", format(ext(col("path"))))
-    // binary formats: mapPartitions so parser init is amortized per
-    // partition (S3-S5); result is (path -> text|error)
-    val parsedRdd = dispatched
-      .select(col("path"), col("fmt"), col("content"))
-      .filter(col("fmt") =!= "text")
-      .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val path = r.getString(0)
-          val fmt = r.getString(1)
-          val bytes = r.getAs[Array[Byte]](2)
-          val parser = fmt match {
-            case "pdf" => pdf
-            case "docx" => docx
-            case _ => ocr
-          }
-          try (path, parser.parse(bytes), null: String)
-          catch { case e: Exception => (path, null: String, s"$fmt parse failed: ${e.getMessage}") }
+      .select(col("path"), col("file_name"), col("fmt"),
+        col("length").cast(LongType), col("content"))
+      .as[(String, String, String, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (path, name, fmt, len, bytes) =>
+          val (text, parseErr) =
+            try {
+              val t = fmt match {
+                case "text" => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+                case "pdf" => pdf.parse(bytes)
+                case "docx" => docx.parse(bytes)
+                case _ => ocr.parse(bytes)
+              }
+              (t, null: String)
+            } catch {
+              case e: Exception => (null: String, s"$fmt parse failed: ${e.getMessage}")
+            }
+          val err =
+            if (parseErr != null) parseErr
+            else if (text == null || text.trim.isEmpty) "Parsing produced empty text"
+            else null
+          Ingested(path, name, fmt, len, text, err)
         }
       }
-    val spark2 = spark
-    import spark2.implicits._
-    val parsed = parsedRdd.toDF("p_path", "parsed_text", "parse_error")
-    dispatched
-      .join(parsed, col("path") === col("p_path"), "left")
-      .withColumn("raw_text",
-        when(col("fmt") === "text", decode(col("content"), "UTF-8"))
-          .otherwise(col("parsed_text")))
-      .withColumn("error",
-        when(col("parse_error").isNotNull, col("parse_error"))
-          .when(col("raw_text").isNull || length(trim(col("raw_text"))) === 0,
-            lit("Parsing produced empty text"))
-          .otherwise(lit(null).cast(StringType)))
-      .select(col("path").as("file_path"), col("file_name"), col("fmt"),
-        col("length"), col("raw_text"), col("error"))
+      .toDF()
+  }
+
+  /** Oracle-checkable ingest: synthesize a binary corpus from the
+    * documents fixture (bytes = UTF-8 text; extension cycles
+    * txt/pdf/docx by doc_id; '&' in the name exercises sanitize) and run
+    * the single-pass ingest over it. The DuckDB twin reproduces the stub
+    * parsers' transforms (pdf: form-feed → newline; docx: drop empty
+    * lines, tab-rows → " | "). Null-text rows are excluded — a binary
+    * source has no null payloads. */
+  def binaryIngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = element_at(array(lit("txt"), lit("pdf"), lit("docx")),
+      (col("doc_id") % 3).cast(IntegerType) + 1)
+    val bin = graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(
+        concat(lit("mem://in/Doc&"), col("doc_id").cast(StringType), lit("."), e).as("path"),
+        encode(col("text"), "UTF-8").as("content"))
+      .withColumn("length", length(col("content")).cast(LongType))
+    ingest(spark, bin).orderBy(col("file_path"))
+  }
+
+  def binaryIngestOracleSql: String = {
+    val docxText =
+      """array_to_string(list_transform(
+           list_filter(string_split(text, chr(10)), x -> x <> ''),
+           x -> CASE WHEN contains(x, chr(9))
+                     THEN array_to_string(string_split(x, chr(9)), ' | ')
+                     ELSE x END), chr(10))"""
+    s"""WITH b AS (
+          SELECT doc_id, text,
+            CASE doc_id % 3 WHEN 0 THEN 'txt' WHEN 1 THEN 'pdf' ELSE 'docx' END AS e
+          FROM documents WHERE text IS NOT NULL),
+        parsed AS (
+          SELECT
+            'mem://in/Doc&' || CAST(doc_id AS VARCHAR) || '.' || e AS file_path,
+            regexp_replace('Doc&' || CAST(doc_id AS VARCHAR) || '.' || e,
+              '[^\\w\\s\\-.]', '', 'g') AS file_name,
+            CASE e WHEN 'txt' THEN 'text' ELSE e END AS fmt,
+            CAST(octet_length(encode(text)) AS BIGINT) AS length,
+            CASE e WHEN 'pdf' THEN replace(text, chr(12), chr(10))
+                   WHEN 'docx' THEN $docxText
+                   ELSE text END AS raw_text
+          FROM b)
+        SELECT *,
+          CASE WHEN raw_text IS NULL OR length(trim(raw_text)) = 0
+               THEN 'Parsing produced empty text' END AS error
+        FROM parsed"""
   }
 }
