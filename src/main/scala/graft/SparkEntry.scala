@@ -38,6 +38,7 @@ object SparkEntry {
     "pipeline_logs" -> ((s, d) => DocPipeline.pipelineLogsQuery(s, d)),
     "schema_cascade" -> ((s, d) => SchemaRetrieval.cascade(s, d)),
     "embed_upsert" -> ((s, d) => EmbeddingStore.embedUpsertQuery(s, d)),
+    "metadata_sanitize" -> ((s, d) => EmbeddingStore.metadataSanitizeQuery(s, d)),
     "doc_embeddings" -> ((s, d) => EmbeddingStore.docEmbeddingsQuery(s, d)),
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
@@ -57,6 +58,7 @@ object SparkEntry {
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
+    "jaccard_prefix_pairs" -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
     "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "lsh_pairs" -> ((s, d) => Dedup.lshPairs(s, d)),
     "simhash_sigs" -> ((s, d) => Dedup.simhashSignatures(s, d)),
@@ -170,6 +172,7 @@ object SparkEntry {
     "pipeline_logs" -> DocPipeline.pipelineLogsOracleSql,
     "schema_cascade" -> SchemaRetrieval.cascadeSql,
     "embed_upsert" -> EmbeddingStore.embedUpsertOracleSql,
+    "metadata_sanitize" -> EmbeddingStore.metadataSanitizeOracleSql,
     "doc_embeddings" -> EmbeddingStore.docEmbeddingsOracleSql(),
     "multimodal_features" -> Multimodal.featuresOracleSql,
     "multimodal_frames" -> Multimodal.framesOracleSql(),
@@ -186,6 +189,7 @@ object SparkEntry {
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),
+    "jaccard_prefix_pairs" -> Dedup.jaccardPairsSql(0.9),
     "minhash_sigs" -> Dedup.minhashSignaturesSql(),
     "lsh_pairs" -> Dedup.lshPairsSql(),
     "simhash_sigs" -> Dedup.simhashSignaturesSql,

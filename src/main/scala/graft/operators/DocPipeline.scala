@@ -222,6 +222,11 @@ object DocPipeline {
     // both re-read this frame; without it the whole upstream pipeline
     // recomputes once per branch (at 100 TB: checkpoint instead)
     var cur = validate(extract(df)).persist()
+    // eager materialization: the ok/bad split below reads this cache from
+    // two branches of ONE action — built lazily, each branch races to
+    // compute the uncached partitions and the whole upstream pipeline
+    // runs twice (the round-1 trap; see verify skill notes)
+    cur.count()
     for (i <- 1 to MaxRetries) {
       val ok = cur.filter(col("error").isNotNull || col("is_valid"))
       val bad = cur.filter(col("error").isNull && !col("is_valid"))

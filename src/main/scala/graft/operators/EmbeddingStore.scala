@@ -113,6 +113,38 @@ object EmbeddingStore {
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
+  /** Metadata sanitize (reference pinecone_utils.py:70-80): JSON object →
+    * flat map<string,string>, nested values re-encoded as compact JSON
+    * (the double-encoded schema ride-along of §1.3). */
+  def sanitizeMetadata(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.SanitizeMetadata(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
+  /** Oracle-checkable metadata sanitize: deterministic nested metadata
+    * JSON per document → sanitized map, probed per key (map columns
+    * compare poorly across Arrow bridges; per-key strings are exact). */
+  def metadataSanitizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val j = concat(
+      lit("""{"id":"""), col("doc_id").cast("string"),
+      lit(""","schema":{"fields":{"a":"x"}},"tags":["t1","t2"],"label":"L"""),
+      (col("doc_id") % 5).cast("string"), lit("\"}"))
+    graft.Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), sanitizeMetadata(j).as("m"))
+      .select(col("doc_id"),
+        element_at(col("m"), "id").as("m_id"),
+        element_at(col("m"), "schema").as("m_schema"),
+        element_at(col("m"), "tags").as("m_tags"),
+        element_at(col("m"), "label").as("m_label"))
+      .orderBy(col("doc_id"))
+  }
+  def metadataSanitizeOracleSql: String =
+    """SELECT doc_id, CAST(doc_id AS VARCHAR) AS m_id,
+       '{"fields":{"a":"x"}}' AS m_schema,
+       '["t1","t2"]' AS m_tags,
+       'L' || CAST(doc_id % 5 AS VARCHAR) AS m_label
+       FROM documents"""
+
   /** Upsert + persist to a Parquet store dir (the K3 sink). */
   def upsertToStore(spark: SparkSession, storeDir: String,
                     updates: DataFrame, idCol: String = "vec_id"): Unit = {
