@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sinks
+
+/** K1/K2/K4 sink contracts (SURVEY §2.9). */
+class SinksSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("K2 writeDocumentsOut: documents_out shape, appendable, uuid fallback") {
+    val dir = tmp("docsout") + "/documents_out"
+    val rows = Seq(
+      ("r1", "invoice", "text a", """{"amount":1.0}""", "mem://store/a.txt"),
+      (null.asInstanceOf[String], "other", "text b", null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("record_id", "doc_type", "raw_text", "structured_data", "file_url")
+      .withColumn("created_at", current_timestamp())
+    Sinks.writeDocumentsOut(rows, dir)
+    Sinks.writeDocumentsOut(rows.filter(col("record_id").isNotNull), dir) // append
+    val out = spark.read.parquet(dir)
+    assert(out.columns.toSeq == Seq("id", "doc_type", "raw_text",
+      "structured_data", "file_url", "pinecone_id", "created_at"))
+    assert(out.count() == 3)
+    // DB-generated-id stand-in: null record_id gets a uuid, never null
+    assert(out.filter(col("id").isNull).count() == 0)
+    assert(out.filter(col("id") === "r1").count() == 2)
+  }
+
+  test("K1 uploadBinary: file_url addresses the written object store") {
+    val bucket = tmp("bucket")
+    val df = Seq(("in/a b.txt", "payload".getBytes("UTF-8")))
+      .toDF("file_path", "content")
+    val out = Sinks.uploadBinary(df, bucket).collect()(0)
+    val url = out.getAs[String]("file_url")
+    assert(url == s"$bucket/_objects/a b.txt")
+    // the store really holds the bytes under that prefix
+    val stored = spark.read.parquet(s"$bucket/_objects")
+    val row = stored.filter(col("file_url") === url).collect()
+    assert(row.length == 1 &&
+      new String(row(0).getAs[Array[Byte]]("content"), "UTF-8") == "payload")
+  }
+
+  test("K4 exportJson round-trips extraction results") {
+    val dir = tmp("json") + "/export"
+    Seq((1L, """{"a":1}""")).toDF("doc_id", "structured_data")
+      .transform { df => Sinks.exportJson(df, dir); df }
+    val back = spark.read.json(dir)
+    assert(back.count() == 1)
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Time every oracle SQL against a fixture dir and emit a ratio table.
+
+Usage: python3 tools/oracle_times.py <sfDir> <verifyOutDir> [benchJson] [outMd]
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), times each
+query in DuckDB (3 runs, min), and — if a Bench JSON is given — writes a
+per-query Spark-vs-oracle ratio table to <outMd> (default ORACLE_TIMES.md).
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+
+def main(sf_dir, out_dir, bench_json=None, out_md="ORACLE_TIMES.md"):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    times = {}
+    for name, sql in sorted(oracle.items()):
+        try:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as e:
+            times[name] = None
+            print(f"{name}: oracle error: {e}")
+    bench = {}
+    if bench_json:
+        b = json.load(open(bench_json))
+        bench = b.get("queries", {})
+    lines = [
+        f"# Oracle timings — {sf_dir}",
+        "",
+        "DuckDB per-query times (min of 3) next to the recorded Spark bench.",
+        "Spark times include plan+codegen per query; DuckDB runs in-process",
+        "on the same machine. Ratio = spark / oracle.",
+        "",
+        "| query | spark s | oracle s | ratio |",
+        "|---|---|---|---|",
+    ]
+    total_s = total_o = 0.0
+    for name in sorted(times):
+        o = times[name]
+        s = bench.get(name)
+        if o:
+            total_o += o
+        if s and s > 0:
+            total_s += s
+        ratio = f"{s / o:.2f}" if (s and o and s > 0) else "—"
+        lines.append(f"| {name} | {s if s is not None else '—'} | "
+                     f"{o if o is not None else 'ERR'} | {ratio} |")
+    lines.append(f"| **total** | **{total_s:.1f}** | **{total_o:.1f}** | "
+                 f"**{(total_s / total_o):.2f}** |" if total_o else "")
+    open(out_md, "w").write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
