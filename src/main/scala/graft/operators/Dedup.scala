@@ -77,9 +77,11 @@ object Dedup {
     * text at 100 TB, where a few hot shingles would dominate the join —
     * `jaccardPrefixPairs` below prunes candidates by df-ordered prefix
     * before they exist. Both are exact; pick by corpus df profile. */
-  def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = 0.5): DataFrame = {
-    val docs = Tables.loadWide(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+  def jaccardPairs(spark: SparkSession, dir: String, minJ: Double = 0.5): DataFrame =
+    jaccardPairsOn(Tables.loadWide(spark, dir, "documents"), minJ)
+
+  private[graft] def jaccardPairsOn(docsIn: DataFrame, minJ: Double): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), shingles(col("text")).as("sh"))
     val sized = docs.select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
     val inv = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val a = inv.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("s").as("s_a"))
@@ -96,22 +98,48 @@ object Dedup {
   }
 
   /** Exact Jaccard pairs via a PREFIX-FILTERED inverted index
-    * (PPJoin-style) — the scale path for Zipfian document frequencies.
+    * (PPJoin-style) — the scale path for Zipfian document frequencies —
+    * with a measured df-profile dispatch to the count-join shape when the
+    * corpus defeats prefix pruning.
     *
-    * Order every document's shingles by ascending global df (rarest
-    * first; ties on the shingle string — a total order) and join only
-    * each document's first |A| − ceil(t·|A|) + 1 shingles: two sets with
-    * Jaccard ≥ t must share a prefix element under any common total
-    * order, so no pair is lost — and hot shingles sort LAST, so they
-    * almost never generate candidates. Survivors are verified with the
-    * native sorted-intersect count over per-document sorted arrays
-    * (graft.plans.SortedIntersectCount — Spark's ArrayIntersect is
-    * interpreted and allocates the intersection; measured 10x slower).
-    * The DuckDB oracle computes the unpruned join, so the correctness
-    * gate doubles as a proof the pruning dropped nothing. */
-  def jaccardPrefixPairs(spark: SparkSession, dir: String, minJ: Double = 0.9): DataFrame = {
+    * Prefix shape: order every document's shingles by ascending global df
+    * (rarest first; ties on the shingle string — a total order) and join
+    * only each document's first |A| − ceil(t·|A|) + 1 shingles: two sets
+    * with Jaccard ≥ t must share a prefix element under any common total
+    * order, so no pair is lost — and hot shingles sort LAST, so on Zipfian
+    * corpora they almost never generate candidates. Each surviving join
+    * row additionally passes PPJoin's POSITIONAL filter: a token matched
+    * at df-rank (rn_a, rn_b) bounds the achievable overlap by
+    * 1 + min(|A|−rn_a, |B|−rn_b) (the matched token plus everything after
+    * it on both sides — all shared tokens rank ≥ the first match), and
+    * Jaccard ≥ t forces overlap ≥ ceil(t/(1+t)·(|A|+|B|)); rows that
+    * cannot reach that bound die before the dedup/verify shuffle.
+    * Survivors are verified with the native sorted-intersect count over
+    * per-document sorted arrays (graft.plans.SortedIntersectCount —
+    * Spark's ArrayIntersect is interpreted and allocates the
+    * intersection; measured 10x slower).
+    *
+    * Dispatch: prefix pruning is worthless when document frequency is
+    * FLAT (a small hot vocabulary — e.g. this fixture corpus): every kept
+    * shingle is still hot and the candidate join goes quadratic no matter
+    * how short the prefix. Before joining, measure the EXACT candidate
+    * row count the prefix join would emit — Σ_s C(df_prefix(s), 2), one
+    * cheap linear aggregate over the already-built prefix index — and
+    * fall back to the count-join shape (`jaccardPairs`, one codegen'd
+    * join→count pass, measured 0.3× the DuckDB oracle) when it exceeds
+    * `candidateBudget` candidates per document. The probe costs two
+    * linear passes; the join it avoids is quadratic. Both shapes are
+    * exact; the DuckDB oracle computes the unpruned join, so the
+    * correctness gate doubles as a proof the pruning dropped nothing. */
+  def jaccardPrefixPairs(spark: SparkSession, dir: String, minJ: Double = 0.9,
+                         candidateBudget: Long = 64): DataFrame =
+    jaccardPrefixPairsOn(Tables.loadWide(spark, dir, "documents"),
+      Tables.load(spark, dir, "documents").count(), minJ, candidateBudget)
+
+  private[graft] def jaccardPrefixPairsOn(docsIn: DataFrame, nDocs: Long,
+      minJ: Double, candidateBudget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docsSh = Tables.loadWide(spark, dir, "documents")
+    val docsSh = docsIn
       .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
     val inv = docsSh
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
@@ -119,20 +147,43 @@ object Dedup {
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rank shingles within each doc by (df asc, s) and keep the t-prefix;
     // size filter t·|A| ≤ |B| ≤ |A|/t is applied at the candidate join
-    val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast(IntegerType)
+    // same 1e-9 ceil slack as the join bounds: an overshooting ceil here
+    // would SHORTEN the prefix below the theorem's minimum length
+    val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh") - lit(1e-9)) + 1).cast(IntegerType)
     val ranked = inv.join(dfreq, "s")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= prefixLen)
-      .select(col("doc_id"), col("n_sh"), col("s"))
+      .select(col("doc_id"), col("n_sh"), col("s"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df-profile probe: exact candidate-join output size from the prefix
+    // index (linear), vs a metadata-only row count from the parquet footer
+    val cand = ranked.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(floor(col("c") * (col("c") - 1L) / 2L)).cast(LongType),
+        lit(0L)).as("cand"))
+      .head().getLong(0)
+    if (cand > candidateBudget * math.max(nDocs, 1L)) {
+      ranked.unpersist()
+      return jaccardPairsOn(docsIn, minJ)
+    }
     // join keys renamed per side: same-lineage `s === s` tempts the
     // analyzer into a trivially-true predicate (self-join ambiguity)
-    val a = ranked.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"), col("s").as("s_a"))
-    val b = ranked.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"), col("s").as("s_b"))
+    val a = ranked.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+      col("s").as("s_a"), col("rn").as("rn_a"))
+    val b = ranked.select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
+      col("s").as("s_b"), col("rn").as("rn_b"))
+    // required overlap for J >= t: inter/(a_n+b_n-inter) >= t  <=>
+    // inter >= t/(1+t)·(a_n+b_n); positional bound must be able to reach
+    // it. Every pruning-side ceil carries a 1e-9 slack: 0.9 is not exact
+    // in binary fp, so ceil(0.9·10) = ceil(9.000000000000002) = 10 would
+    // silently over-prune exactly-at-threshold pairs — the verify step
+    // protects against loose bounds, never tight ones.
+    val required = ceil(lit(minJ / (1 + minJ)) * (col("a_n") + col("b_n")) - lit(1e-9))
     val candIds = a.join(b,
         col("s_a") === col("s_b") && col("a_id") < col("b_id") &&
-          col("b_n") >= ceil(lit(minJ) * col("a_n")) &&
-          col("a_n") >= ceil(lit(minJ) * col("b_n")))
+          col("b_n") >= ceil(lit(minJ) * col("a_n") - lit(1e-9)) &&
+          col("a_n") >= ceil(lit(minJ) * col("b_n") - lit(1e-9)) &&
+          lit(1) + least(col("a_n") - col("rn_a"), col("b_n") - col("rn_b")) >= required)
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
     // exact verification on the candidate set only; arrays come straight

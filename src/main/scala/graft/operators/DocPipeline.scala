@@ -182,14 +182,19 @@ object DocPipeline {
       .withColumn("x_phone", gated("phone", extractPhone(t), StringType))
       .withColumn("x_first_token", guarded(firstToken(c), lit(null).cast(StringType), col("error")))
       .withColumn("x_n_tokens", guarded(tokenCount(c), lit(null).cast(IntegerType), col("error")))
-      .withColumn("structured_data",
-        guarded(
-          to_json(struct(
-            col("x_amount").as("amount"), col("x_email").as("email"),
-            col("x_date").as("date"), col("x_phone").as("phone"),
-            col("x_first_token").as("first_token"), col("x_n_tokens").as("n_tokens"))),
-          lit(null).cast(StringType), col("error")))
+      .withColumn("structured_data", structuredData)
   }
+
+  /** P7 envelope: extraction output as JSON with empty fields suppressed
+    * (to_json drops nulls). Recomputed after the retry pass rewrites
+    * x_amount. */
+  private def structuredData: Column =
+    guarded(
+      to_json(struct(
+        col("x_amount").as("amount"), col("x_email").as("email"),
+        col("x_date").as("date"), col("x_phone").as("phone"),
+        col("x_first_token").as("first_token"), col("x_n_tokens").as("n_tokens"))),
+      lit(null).cast(StringType), col("error"))
 
   /** Stage 7: validation (X1 deterministic constraints). A field is
     * invalid when present AND malformed — plus `missing amount` when the
@@ -211,16 +216,52 @@ object DocPipeline {
         guarded(size(col("validation_feedback")) === 0, lit(false), col("error")))
   }
 
-  /** Stages 6-7 with the bounded retry loop (X2/X3, SURVEY §2.8):
-    * driver-side split/recompute/union, exactly MaxRetries iterations.
-    * Documents still invalid after the budget proceed to persistence
-    * anyway (reference routes retries-exhausted past validation,
-    * src/agents.py:42-44). Deterministic: iteration count is a
-    * compile-time constant. */
+  /** Stages 6-7 with the bounded retry loop (X2/X3, SURVEY §2.8) in the
+    * FUSED single-pass form: because the deterministic extractor's
+    * feedback-aware re-extraction is itself a column expression, the
+    * whole retry pass stays in-plan — recompute only what feedback can
+    * change (x_amount on "negative amount"), bump retry_count, rebuild
+    * the envelope, revalidate. One narrow pass, no persist, no
+    * split/union, nothing materialized (the round-2 version cached the
+    * full wide envelope — logs array, schema structs, text columns —
+    * before the split; the cache write cost 10-38x the query).
+    *
+    * Revalidating the WHOLE frame is sound: validation is a
+    * deterministic function of the stage columns, and untouched rows
+    * recompute to identical values. Documents still invalid after the
+    * budget proceed to persistence anyway (reference routes
+    * retries-exhausted past validation, src/agents.py:42-44). */
   def extractValidateWithRetry(df: DataFrame): DataFrame = {
-    // persist before branching: the valid/invalid split and the union
-    // both re-read this frame; without it the whole upstream pipeline
-    // recomputes once per branch (at 100 TB: checkpoint instead)
+    require(MaxRetries == 1,
+      "fused retry pass and the v0->v1 oracle CTEs both encode exactly one " +
+        "feedback-aware retry; generalize extractValidateGeneric + the oracle " +
+        "builder together before bumping MaxRetries")
+    val p0 = validate(extract(df))
+    val retrying = col("error").isNull && !col("is_valid")
+    // X3: the only feedback the deterministic extractor acts on is
+    // "negative amount" -> re-scan with the non-negative pattern; every
+    // other field re-extracts to the identical value, so only x_amount
+    // (and what derives from it) is rewritten
+    val amountRetry =
+      when(array_contains(col("validation_feedback"), "negative amount"),
+        when(want("amount"), extractAmount(col("text_orig"))).otherwise(lit(null).cast(DoubleType)))
+        .otherwise(col("x_amount"))
+    validate(
+      p0.withColumn("retry_count",
+          when(retrying, lit(MaxRetries)).otherwise(col("retry_count")))
+        .withColumn("x_amount", when(retrying, amountRetry).otherwise(col("x_amount")))
+        .withColumn("structured_data",
+          when(retrying, structuredData).otherwise(col("structured_data"))))
+  }
+
+  /** The GENERIC bounded retry loop — driver-side split/recompute/union,
+    * exactly MaxRetries iterations — kept for extraction backends whose
+    * re-extraction is NOT expressible in-plan (a real LLM re-prompt via
+    * Inference.LlmBackend). The fused form above is the default pipeline
+    * path; RetrySpec asserts the two agree on the deterministic
+    * extractor. At 100 TB the persist becomes a checkpoint of a NARROW
+    * projection (doc_id + decision columns), never the full envelope. */
+  def extractValidateGeneric(df: DataFrame): DataFrame = {
     var cur = validate(extract(df)).persist()
     // eager materialization: the ok/bad split below reads this cache from
     // two branches of ONE action — built lazily, each branch races to

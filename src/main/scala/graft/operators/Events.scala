@@ -56,19 +56,36 @@ object Events {
          FROM events) GROUP BY 1"""
 
   /** Sessionization: per-user sessions split at 30-minute inactivity
-    * gaps; one row per session with its start and event count. Uses
-    * Spark's native session_window (same semantics as the streaming
-    * stateful op); the oracle replicates it with lag + a running sum.
-    * Boundary contract: session_window ranges are END-EXCLUSIVE, so an
-    * event arriving exactly 30 minutes after the previous one starts a
-    * NEW session — the oracle therefore splits on gap >= 30min. */
-  def sessions(spark: SparkSession, dir: String): DataFrame =
+    * gaps; one row per session with its start and event count.
+    *
+    * Batch shape: lag + running-sum session numbering over ONE window
+    * partitioned by user_id, then a groupBy(user_id, session_id) that
+    * REUSES the window's hash partitioning (user_id is a subset of the
+    * grouping keys, so Catalyst inserts no second shuffle) — one shuffle
+    * total. The native session_window form pays two shuffles plus the
+    * state-store merge machinery; it earns that cost only under
+    * continuous arrival, so it lives in the streaming path
+    * (graft.streaming.StreamOps.sessionCounts), which shares these
+    * semantics. Boundary contract (matching session_window's
+    * END-EXCLUSIVE ranges): an event arriving exactly 30 minutes after
+    * the previous one starts a NEW session — split on gap >= 30min. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // microsecond arithmetic: a seconds cast would truncate sub-second
+    // timestamps and disagree with the oracle's exact INTERVAL compare
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
     Tables.loadWide(spark, dir, "events")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("session_window.start").as("session_start"),
-        col("n_events"))
+      .select(col("user_id"), col("ts"))
+      .withColumn("new_session",
+        when(gap.isNull || gap >= 30L * 60L * 1000000L, lit(1)).otherwise(lit(0)))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+  }
   def sessionsSql: String =
     """WITH marked AS (
          SELECT user_id, ts,

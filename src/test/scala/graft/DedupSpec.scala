@@ -55,6 +55,41 @@ class DedupSpec extends AnyFunSuite {
     // the exact dup must always collide (identical signatures)
   }
 
+  // Zipf-shaped corpus for the PPJoin prefix path: shingles are
+  // near-unique per doc (like real text), with planted near-dup pairs —
+  // including one at EXACTLY J = 0.9 (subset pair, 9 shared of 10), the
+  // case an fp-overshooting ceil would silently prune.
+  private lazy val zipfDocs = {
+    def words(ids: Seq[Int]) = ids.map(i => s"w$i").mkString(" ")
+    val base = (0 until 11).map(_ + 100) // 11 distinct words -> 10 bigrams
+    Seq(
+      (0L, words(base)),                   // 10 bigrams
+      (1L, words(base.take(10))),          // 9 bigrams, subset of 0 -> J = 0.9
+      (2L, words(base.map(_ + 50))),       // disjoint vocabulary
+      (3L, words(base)),                   // exact dup of 0 -> J = 1.0
+      (4L, words(Seq(100, 101) ++ (300 to 306)))) // shares 1 bigram with 0: J << 0.9
+      .toDF("doc_id", "text")
+  }
+
+  test("prefix-Jaccard (PPJoin path, forced): equals the count-join shape, keeps the exactly-at-threshold pair") {
+    val viaPrefix = Dedup.jaccardPrefixPairsOn(zipfDocs, 5L, 0.9, candidateBudget = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaCount = Dedup.jaccardPairsOn(zipfDocs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrefix == viaCount)
+    assert(viaPrefix.contains((0L, 1L, 0.9)))  // fp-slack: ceil(0.9*10) must be 9, not 10
+    assert(viaPrefix.contains((0L, 3L, 1.0)))
+    assert(!viaPrefix.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefix-Jaccard dispatch: budget 0 falls back to the count-join shape, same result") {
+    val fallback = Dedup.jaccardPrefixPairsOn(zipfDocs, 5L, 0.9, candidateBudget = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.jaccardPairsOn(zipfDocs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fallback == direct && fallback.nonEmpty)
+  }
+
   test("simhash: identical texts -> hamming 0; banded pairs find them") {
     val sigs = Dedup.simhashSignatures(spark, corpusDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

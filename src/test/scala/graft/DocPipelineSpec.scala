@@ -70,4 +70,23 @@ class DocPipelineSpec extends AnyFunSuite {
       assert(out(id).toSeq.dropRight(1) == again(id).toSeq.dropRight(1)) // all but created_at
     }
   }
+
+  test("fused retry pass == generic split/recompute/union loop") {
+    // the enriched corpus exercises every retry path: negative amounts
+    // that flip valid on retry, missing-amount retries-exhausted rows,
+    // error rows, advisory-mode rows
+    def prep(d: org.apache.spark.sql.DataFrame) =
+      DocPipeline.schemaLookup(spark,
+        DocPipeline.classifyStage(DocPipeline.clean(DocPipeline.ingest(d))))
+    val docs = DocPipeline.enrichedDocs(spark, TestSession.sfDir)
+    val outCols = Seq("doc_id", "doc_type", "x_amount", "x_email", "x_date",
+      "x_phone", "structured_data", "validation_feedback", "is_valid", "retry_count")
+    val fused = DocPipeline.extractValidateWithRetry(prep(docs))
+      .select(outCols.map(col): _*).orderBy("doc_id").collect()
+    val generic = DocPipeline.extractValidateGeneric(prep(docs))
+      .select(outCols.map(col): _*).orderBy("doc_id").collect()
+    spark.catalog.clearCache() // generic persists
+    assert(fused.length == generic.length && fused.nonEmpty)
+    fused.zip(generic).foreach { case (f, g) => assert(f == g) }
+  }
 }
