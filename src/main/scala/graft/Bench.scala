@@ -1,9 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load average — recorded into the bench JSON so a
+    * reader can tell an idle-phase run from a co-tenant-load one (this
+    * box's background workload swings totals 2-4x; round-2 lesson). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
+    val loadStart = loadAvg
     // JVM/codegen warmup so the first timed query isn't charged ~30s of
     // JIT + classloading: run one representative query untimed.
     try SparkEntry.queries("parts_by_brand")(spark, sfDir).count()
@@ -14,7 +22,13 @@ object Bench {
     // Optional comma-separated subset for local perf iteration, e.g.
     //   SPARK_GRAFT_BENCH_ONLY=json_repair,jaccard_pairs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { set =>
+      val unknown = set.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: unknown query names in SPARK_GRAFT_BENCH_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only match {
       case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
       case None => SparkEntry.queries
@@ -28,16 +42,22 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val t = (System.nanoTime() - t0) / 1e9
-      // operators may persist() intermediates (retry loop, LSH sigs);
-      // drop them so queries are timed independently
+      // operators may persist() intermediates (prefix-Jaccard index, LSH
+      // sigs); drop them so queries are timed independently
       spark.catalog.clearCache()
       name -> (if (ok) t else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // a partial run is self-identifying ("only" key) so a typo'd subset
+    // can never masquerade as the canonical full bench
+    val onlyField = only
+      .map(s => s""","only":${s.toSeq.sorted.mkString("[\"", "\",\"", "\"]")}""")
+      .getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","n_queries":${results.size},"load_start":$loadStart,"load_end":$loadAvg$onlyField}"""
     println(json)
     // Belt and braces: the round-1 driver failed to parse the JSON out of
     // sbt-prefixed stdout ("parsed": null), so also persist it to a file

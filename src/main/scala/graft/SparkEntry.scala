@@ -51,6 +51,7 @@ object SparkEntry {
     // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
     "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
     "vector_topk_label" -> ((s, d) => Similarity.topK(s, d, labelEq = Some(3))),
+    "vector_topk_meta" -> ((s, d) => Similarity.topKMeta(s, d)),
     "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "vector_lsh_topk_b6" -> ((s, d) => Similarity.lshTopK(s, d, bitsOpt = Some(6))),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
@@ -183,6 +184,7 @@ object SparkEntry {
     "doc_tokens" -> TextAnalytics.docTokensSql,
     "vector_topk" -> Similarity.topKSql(),
     "vector_topk_label" -> Similarity.topKSql(labelEq = Some(3)),
+    "vector_topk_meta" -> Similarity.topKMetaSql(),
     "vector_lsh_topk" -> Similarity.lshTopKSql(),
     "vector_lsh_topk_b6" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),

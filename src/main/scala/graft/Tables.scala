@@ -38,7 +38,17 @@ object Tables {
   def loadWide(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    // scan-parallelism probe from file sizes only (free, driver-side):
+    // the previous df.rdd.getNumPartitions forced an RDD conversion of
+    // the plan at build time for EVERY query
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(path).getLength
+      catch { case _: Exception => Long.MaxValue }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val approxParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (approxParts * 2 < target) df.repartition(target) else df
   }
 
   /** Register every fixture table as a temp view (SQL surface for free). */

@@ -65,7 +65,10 @@ object Multimodal {
     * (text bytes standing in for undecodable media payloads). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables.load(spark, dir, "documents")
+    // loadWide: the whole point of the mapPartitions decoders is
+    // per-partition parallelism — a single-file fixture scan would run
+    // them on 1 of 32 cores
+    graft.Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>

@@ -58,13 +58,17 @@ object SchemaRetrieval {
 
   /** The cascade over the documents corpus: (doc_id, strategy, chosen).
     * Strategy 3 never fires here because the built-in index is
-    * non-empty — its guard lives in DocPipeline.schemaLookup. */
+    * non-empty — its guard lives in DocPipeline.schemaLookup.
+    *
+    * P3 fidelity: strategy 2's query text is the first 1000 chars of the
+    * CLEANED text (reference embeds state["raw_text"][:1000],
+    * src/agents.py:132, where raw_text is already clean_text'ed). */
   def cascade(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = graft.functions.TextFunctions.cleanText(col("text"))
     val docs = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"),
-        graft.functions.TextFunctions.classify(
-          graft.functions.TextFunctions.cleanText(col("text"))).as("doc_type"),
-        pseudoEmbed(col("text")).as("d_emb"))
+        graft.functions.TextFunctions.classify(cleaned).as("doc_type"),
+        pseudoEmbed(substring(cleaned, 1, 1000)).as("d_emb"))
     val schemaNames = DocPipeline.schemaRows.map(_._1)
     // strategy 1: exact type match against the tiny index — a literal
     // isin, the broadcast-join limit case for a handful of keys
@@ -91,12 +95,18 @@ object SchemaRetrieval {
     val rows = DocPipeline.schemaRows.map { case (dt, json, _) =>
       s"('$dt', '${schemaText(dt, json).replace("'", "''")}')"
     }.mkString(", ")
-    val docType = graft.functions.TextFunctions.classifySql(
-      graft.functions.TextFunctions.cleanTextSql("text"))
+    // cleaned text and its hash are hoisted into CTE columns so DuckDB
+    // evaluates each once per document, not once per embedding element
     s"""WITH schemas AS (SELECT * FROM (VALUES $rows) AS t(sdt, stext)),
         semb AS (SELECT sdt, ${pseudoEmbedSql("stext")} AS s_emb FROM schemas),
-        docs AS (SELECT doc_id, $docType AS doc_type,
-                        ${pseudoEmbedSql("text")} AS d_emb FROM documents),
+        d0 AS (SELECT doc_id, ${graft.functions.TextFunctions.cleanTextSql("text")} AS ct
+               FROM documents),
+        d1 AS (SELECT doc_id, ct, ${chashSql("substr(ct, 1, 1000)")} AS ph FROM d0),
+        docs AS (SELECT doc_id,
+                        ${graft.functions.TextFunctions.classifySql("ct")} AS doc_type,
+                        list_transform(generate_series(0, ${Dim - 1}), i ->
+                          CAST((ph * (2*i + 3) + i) % 1021 AS DOUBLE) / 1024.0) AS d_emb
+                 FROM d1),
         s1 AS (SELECT d.*, (d.doc_type IN (SELECT sdt FROM schemas)) AS matched FROM docs d),
         s2 AS (SELECT doc_id, sdt AS best FROM (
                  SELECT s1.doc_id, semb.sdt,

@@ -59,6 +59,68 @@ object Similarity {
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
+  /** V4 with a TRUE metadata map (reference vector records carry
+    * `metadata: dict` sanitized to flat string values,
+    * pinecone_utils.py:70-82, and queries filter `$eq` on a metadata key
+    * BEFORE scoring, pinecone_utils.py:160): build the store with a
+    * sanitized metadata map — nested schema double-encoded under
+    * "schema", exactly the reference's ride-along — push an update wave
+    * through the upsert (last-writer-wins carries the map), filter the
+    * corpus on metadata['type'] pre-score, and return the top-k WITH the
+    * double-encoded schema so the map provably rides the whole dataflow.
+    *
+    * Scale posture: identical to topK — the metadata filter prunes the
+    * corpus BEFORE the broadcast join (at scale: partition/Z-order the
+    * store by hot metadata keys so the filter prunes files, not rows). */
+  def topKMeta(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
+               typeEq: String = "L3"): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    // nested metadata JSON per record; sanitize flattens it to
+    // map<string,string> with the nested schema re-encoded as JSON
+    def metaJson(prefix: String): Column = concat(
+      lit(s"""{"type":"$prefix"""), (col("label") % 5).cast(StringType),
+      lit("""","schema":{"fields":{"amount":"monetary amount"}}}"""))
+    val base = emb.select(col("vec_id"), col("embedding"), col("label"),
+      EmbeddingStore.sanitizeMetadata(metaJson("L")).as("metadata"))
+    // update wave: every 10th record's metadata is rewritten (type
+    // prefix U) — the upsert must carry the NEW map, dropping those
+    // records out of the L-typed corpus below
+    val updates = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        EmbeddingStore.sanitizeMetadata(metaJson("U")).as("metadata"))
+    val store = EmbeddingStore.upsert(base, updates)
+    val corpus = store
+      .filter(element_at(col("metadata"), "type") === typeEq)
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("metadata"), "schema").as("m_schema"))
+    val queries = broadcast(
+      store.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+    val scored = corpus.join(queries, col("vec_id") =!= col("qid"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"), col("m_schema"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def topKMetaSql(k: Int = 3, nQueries: Int = 10, typeEq: String = "L3"): String =
+    s"""WITH s AS (SELECT vec_id, embedding,
+          (CASE WHEN vec_id % 10 = 0 THEN 'U' ELSE 'L' END)
+            || CAST(label % 5 AS VARCHAR) AS mtype
+        FROM embeddings),
+        c AS (SELECT vec_id, embedding FROM s WHERE mtype = '$typeEq'),
+        q AS (SELECT vec_id AS qid, embedding AS q_emb FROM s WHERE vec_id < $nQueries),
+        scored AS (SELECT qid, c.vec_id, ${cosineSql("q_emb", "c.embedding")} AS score
+                   FROM q CROSS JOIN c WHERE c.vec_id <> qid),
+        ranked AS (SELECT qid, vec_id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, score,
+               '{"fields":{"amount":"monetary amount"}}' AS m_schema
+        FROM ranked WHERE rn <= $k"""
+
   /** Scale-adaptive LSH width: the smallest `bits` in [minBits, maxBits]
     * with expected bucket occupancy n/2^bits <= target. A constant bits
     * leaves the within-bucket self-join O(n²/2^bits) — still quadratic at
@@ -68,10 +130,14 @@ object Similarity {
   def adaptiveBits(n: Long, target: Long = 128, minBits: Int = 4, maxBits: Int = 16): Int =
     (minBits to maxBits).find(b => n <= target * (1L << b)).getOrElse(maxBits)
 
-  /** SQL twin of adaptiveBits as a 1-row CTE body (column `bits`). */
+  /** SQL twin of adaptiveBits as a 1-row CTE body (column `bits`).
+    * COALESCE clamps to maxBits exactly like the Scala side's getOrElse:
+    * when n > target·2^maxBits the filter matches nothing and a bare
+    * min(b) would yield NULL bits (bucket 0 for every row = full
+    * self-join) while Spark buckets with maxBits. */
   def adaptiveBitsSql(table: String, target: Long = 128, minBits: Int = 4,
                       maxBits: Int = 16): String =
-    s"""SELECT min(b) AS bits
+    s"""SELECT coalesce(min(b), $maxBits) AS bits
         FROM (SELECT unnest(generate_series($minBits, $maxBits)) AS b),
              (SELECT count(*) AS n FROM $table)
         WHERE n <= $target * (1 << b)"""

@@ -69,11 +69,14 @@ object BinaryIngest {
         .mkString("\n")
   }
 
-  /** STUB OCR parser (real impl: Tesseract). Deterministic fake so the
-    * pipeline stays testable without the binary. */
+  /** STUB OCR parser (real impl: Tesseract image_to_string,
+    * parsers.py:90-106). Deterministic fake: the fixture's "image"
+    * payloads are text bytes, so the stub "recognizes" exactly that text,
+    * marker-prefixed — faithful to OCR's contract (bytes → the text in
+    * the image) and exactly mirrorable in the DuckDB oracle. */
   object StubOcrParser extends BinaryParser {
     def parse(bytes: Array[Byte]): String =
-      s"OCR_TEXT(${bytes.length} bytes, ${java.util.Arrays.hashCode(bytes)})"
+      "[ocr] " + new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Batch ingest of a directory of files (S1 batch form). */
@@ -136,14 +139,15 @@ object BinaryIngest {
 
   /** Oracle-checkable ingest: synthesize a binary corpus from the
     * documents fixture (bytes = UTF-8 text; extension cycles
-    * txt/pdf/docx by doc_id; '&' in the name exercises sanitize) and run
-    * the single-pass ingest over it. The DuckDB twin reproduces the stub
-    * parsers' transforms (pdf: form-feed → newline; docx: drop empty
-    * lines, tab-rows → " | "). Null-text rows are excluded — a binary
-    * source has no null payloads. */
+    * txt/pdf/docx/png by doc_id — ALL FOUR dispatch arms; '&' in the
+    * name exercises sanitize) and run the single-pass ingest over it.
+    * The DuckDB twin reproduces the stub parsers' transforms (pdf:
+    * form-feed → newline; docx: drop empty lines, tab-rows → " | ";
+    * ocr: marker-prefixed recognized text). Null-text rows are
+    * excluded — a binary source has no null payloads. */
   def binaryIngestQuery(spark: SparkSession, dir: String): DataFrame = {
-    val e = element_at(array(lit("txt"), lit("pdf"), lit("docx")),
-      (col("doc_id") % 3).cast(IntegerType) + 1)
+    val e = element_at(array(lit("txt"), lit("pdf"), lit("docx"), lit("png")),
+      (col("doc_id") % 4).cast(IntegerType) + 1)
     val bin = graft.Tables.loadWide(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(
@@ -162,17 +166,19 @@ object BinaryIngest {
                      ELSE x END), chr(10))"""
     s"""WITH b AS (
           SELECT doc_id, text,
-            CASE doc_id % 3 WHEN 0 THEN 'txt' WHEN 1 THEN 'pdf' ELSE 'docx' END AS e
+            CASE doc_id % 4 WHEN 0 THEN 'txt' WHEN 1 THEN 'pdf'
+                            WHEN 2 THEN 'docx' ELSE 'png' END AS e
           FROM documents WHERE text IS NOT NULL),
         parsed AS (
           SELECT
             'mem://in/Doc&' || CAST(doc_id AS VARCHAR) || '.' || e AS file_path,
             regexp_replace('Doc&' || CAST(doc_id AS VARCHAR) || '.' || e,
               '[^\\w\\s\\-.]', '', 'g') AS file_name,
-            CASE e WHEN 'txt' THEN 'text' ELSE e END AS fmt,
+            CASE e WHEN 'txt' THEN 'text' WHEN 'png' THEN 'image' ELSE e END AS fmt,
             CAST(octet_length(encode(text)) AS BIGINT) AS length,
             CASE e WHEN 'pdf' THEN replace(text, chr(12), chr(10))
                    WHEN 'docx' THEN $docxText
+                   WHEN 'png' THEN '[ocr] ' || text
                    ELSE text END AS raw_text
           FROM b)
         SELECT *,

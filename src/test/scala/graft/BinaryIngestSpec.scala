@@ -44,7 +44,7 @@ class BinaryIngestSpec extends AnyFunSuite {
   }
 
   test("image routes to OCR parser (S5)") {
-    assert(out("scan.png").getString(4).startsWith("OCR_TEXT("))
+    assert(out("scan.png").getString(4) == "[ocr] fakeimagebytes")
   }
 
   test("empty parse -> per-row error, batch survives (P5)") {
