@@ -77,6 +77,8 @@ object SparkEntry {
     //     the batch result (same oracle as events_tumbling) ---
     "events_stream_tumbling" -> ((s, d) =>
       graft.streaming.StreamOps.streamTumblingQuery(s, d)),
+    "events_stream_sessions" -> ((s, d) =>
+      graft.streaming.StreamOps.streamSessionsQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -198,6 +200,7 @@ object SparkEntry {
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "events_tumbling" -> Events.tumblingSql,
     "events_stream_tumbling" -> Events.tumblingSql,
+    "events_stream_sessions" -> Events.sessionsSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

@@ -59,38 +59,45 @@ object Similarity {
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
-  /** V4 with a TRUE metadata map (reference vector records carry
-    * `metadata: dict` sanitized to flat string values,
-    * pinecone_utils.py:70-82, and queries filter `$eq` on a metadata key
-    * BEFORE scoring, pinecone_utils.py:160): build the store with a
-    * sanitized metadata map — nested schema double-encoded under
-    * "schema", exactly the reference's ride-along — push an update wave
-    * through the upsert (last-writer-wins carries the map), filter the
-    * corpus on metadata['type'] pre-score, and return the top-k WITH the
-    * double-encoded schema so the map provably rides the whole dataflow.
+  /** V4 with a TRUE metadata map and NAMESPACE scoping (reference vector
+    * records carry `metadata: dict` sanitized to flat string values,
+    * pinecone_utils.py:70-82; queries are namespace-scoped,
+    * pinecone_utils.py:98, and filter `$eq` on a metadata key BEFORE
+    * scoring, pinecone_utils.py:160): build the store with a namespace
+    * column and a sanitized metadata map — nested schema double-encoded
+    * under "schema", exactly the reference's ride-along — push an update
+    * wave through the upsert (last-writer-wins carries the map), scope
+    * the corpus to one namespace AND filter metadata['type'] pre-score,
+    * and return the top-k WITH the double-encoded schema so the map
+    * provably rides the whole dataflow.
     *
-    * Scale posture: identical to topK — the metadata filter prunes the
-    * corpus BEFORE the broadcast join (at scale: partition/Z-order the
-    * store by hot metadata keys so the filter prunes files, not rows). */
+    * Scale posture: identical to topK — namespace + metadata filters
+    * prune the corpus BEFORE the broadcast join (at scale: partition the
+    * store BY namespace and Z-order by hot metadata keys so these
+    * filters prune files, not rows). */
   def topKMeta(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
-               typeEq: String = "L3"): DataFrame = {
+               typeEq: String = "L3", ns: String = "ns1"): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     // nested metadata JSON per record; sanitize flattens it to
     // map<string,string> with the nested schema re-encoded as JSON
     def metaJson(prefix: String): Column = concat(
       lit(s"""{"type":"$prefix"""), (col("label") % 5).cast(StringType),
       lit("""","schema":{"fields":{"amount":"monetary amount"}}}"""))
+    val namespace = concat(lit("ns"), (col("vec_id") % 3).cast(StringType))
     val base = emb.select(col("vec_id"), col("embedding"), col("label"),
+      namespace.as("namespace"),
       EmbeddingStore.sanitizeMetadata(metaJson("L")).as("metadata"))
     // update wave: every 10th record's metadata is rewritten (type
     // prefix U) — the upsert must carry the NEW map, dropping those
     // records out of the L-typed corpus below
     val updates = emb.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), col("embedding"), col("label"),
+        namespace.as("namespace"),
         EmbeddingStore.sanitizeMetadata(metaJson("U")).as("metadata"))
     val store = EmbeddingStore.upsert(base, updates)
     val corpus = store
-      .filter(element_at(col("metadata"), "type") === typeEq)
+      .filter(col("namespace") === ns &&
+        element_at(col("metadata"), "type") === typeEq)
       .select(col("vec_id"), col("embedding"),
         element_at(col("metadata"), "schema").as("m_schema"))
     val queries = broadcast(
@@ -105,12 +112,15 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  def topKMetaSql(k: Int = 3, nQueries: Int = 10, typeEq: String = "L3"): String =
+  def topKMetaSql(k: Int = 3, nQueries: Int = 10, typeEq: String = "L3",
+                  ns: String = "ns1"): String =
     s"""WITH s AS (SELECT vec_id, embedding,
+          'ns' || CAST(vec_id % 3 AS VARCHAR) AS namespace,
           (CASE WHEN vec_id % 10 = 0 THEN 'U' ELSE 'L' END)
             || CAST(label % 5 AS VARCHAR) AS mtype
         FROM embeddings),
-        c AS (SELECT vec_id, embedding FROM s WHERE mtype = '$typeEq'),
+        c AS (SELECT vec_id, embedding FROM s
+              WHERE namespace = '$ns' AND mtype = '$typeEq'),
         q AS (SELECT vec_id AS qid, embedding AS q_emb FROM s WHERE vec_id < $nQueries),
         scored AS (SELECT qid, c.vec_id, ${cosineSql("q_emb", "c.embedding")} AS score
                    FROM q CROSS JOIN c WHERE c.vec_id <> qid),

@@ -130,4 +130,13 @@ object StreamOps {
     runToMemory(spark, tumblingCounts(eventsStream(spark, dir)),
       s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}")
       .orderBy(col("wstart"), col("event_type"))
+
+  /** Streaming twin of Events.sessions (session_window + state store
+    * on the replayed stream) — verifiable against the SAME DuckDB oracle
+    * as the batch lag+running-sum form, proving the two sessionization
+    * shapes agree on the end-exclusive >= 30min gap contract. */
+  def streamSessionsQuery(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, sessionCounts(eventsStream(spark, dir)),
+      s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      .orderBy(col("user_id"), col("session_start"))
 }
