@@ -12,10 +12,6 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
     val loadStart = loadAvg
-    // JVM/codegen warmup so the first timed query isn't charged ~30s of
-    // JIT + classloading: run one representative query untimed.
-    try SparkEntry.queries("parts_by_brand")(spark, sfDir).count()
-    catch { case _: Throwable => () }
     // noop sink: count() lets Catalyst prune pure projections (a
     // narrow query would time as a row-count scan); noop executes the
     // full physical plan without writing anything.
@@ -29,10 +25,21 @@ object Bench {
         System.err.println(
           s"[bench] WARNING: unknown query names in SPARK_GRAFT_BENCH_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val selected = only match {
+    val selected = (only match {
       case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
       case None => SparkEntry.queries
+    }).toSeq.sortBy(_._1) // deterministic order: per-query times reproduce
+    // Codegen/JIT warmup: run every selected query once at the SMALLEST
+    // fixture (sf0.001) untimed, so timed numbers measure data work, not
+    // first-compile of each query's generated code. This mirrors the
+    // oracle's methodology — tools/oracle_times.py reports min-of-3,
+    // i.e. warm DuckDB times.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    selected.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // failures surface as negative time + stderr, never as a silent
@@ -49,7 +56,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // a partial run is self-identifying ("only" key) so a typo'd subset
     // can never masquerade as the canonical full bench
     val onlyField = only

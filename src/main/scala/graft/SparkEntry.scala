@@ -54,6 +54,7 @@ object SparkEntry {
     "vector_topk_meta" -> ((s, d) => Similarity.topKMeta(s, d)),
     "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "vector_lsh_topk_b6" -> ((s, d) => Similarity.lshTopK(s, d, bitsOpt = Some(6))),
+    "vector_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     // --- dedup family (north star) ---
@@ -189,6 +190,7 @@ object SparkEntry {
     "vector_topk_meta" -> Similarity.topKMetaSql(),
     "vector_lsh_topk" -> Similarity.lshTopKSql(),
     "vector_lsh_topk_b6" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
+    "vector_ivf_topk" -> Similarity.ivfTopKSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "exact_dedup" -> Dedup.exactDedupSql,

@@ -217,6 +217,80 @@ object Similarity {
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
+  /** IVF-Flat ANN top-k — the second scale path beside sign-LSH: coarse-
+    * quantize the corpus ONCE into `nCells` centroid cells (one narrow
+    * assignment pass — argmax cosine against the codebook), then answer
+    * each query by scoring only the cells its `nProbe` nearest centroids
+    * own. Candidates shrink ~nCells/nProbe-fold; recall < 1 by design
+    * (the exact baseline is `topK`).
+    *
+    * The codebook here is deterministic — the first `nCells` corpus
+    * vectors — so the operator is oracle-checkable end-to-end; a k-means
+    * codebook plugs in behind the same contract (assignment and probing
+    * are centroid-agnostic). Collecting it to the driver is the one
+    * legitimate collect in the engine: O(nCells·dim) MODEL state,
+    * independent of corpus size — the same broadcast-small-side pattern
+    * as the schema index (SchemaRetrieval.pseudoEmbedLocal), inlined as
+    * literals so assignment stays a codegen'd narrow expression with NO
+    * shuffle of the corpus and no re-join of cell ids.
+    *
+    * Scale posture: corpus never shuffles (cell id is a narrow column;
+    * at rest it would be the partition key of the stored index); the
+    * probe side explodes to nProbe rows per query and broadcasts; the
+    * only wide op is the per-query top-k window over (qid, vec_id,
+    * score) triples. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
+              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val codebook: Array[(Long, Array[Float])] =
+      emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    // (score, cid) structs against every centroid; argmax by natural
+    // struct ordering — ties break to the larger cent_id on both engines
+    def centScores(v: Column): Seq[Column] = codebook.map { case (cid, cv) =>
+      struct(cosine(v, typedlit(cv)).as("score"), lit(cid).as("cid"))
+    }.toSeq
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      greatest(centScores(col("embedding")): _*).getField("cid").as("cell"))
+    val probeCells = transform(
+      slice(sort_array(array(centScores(col("q_emb")): _*), asc = false), 1, nProbe),
+      s => s.getField("cid"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+        .withColumn("q_cell", explode(probeCells)))
+    // cells partition the corpus (assignment is unique), so probing
+    // nProbe cells can never double-count a candidate — no dedup needed
+    val scored = assigned.join(queries,
+        col("cell") === col("q_cell") && col("vec_id") =!= col("qid"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def ivfTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
+                 nProbe: Int = 2): String =
+    s"""WITH cb AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                    FROM embeddings WHERE vec_id < $nCells),
+        ca AS (SELECT e.vec_id, e.embedding, cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosineSql("e.embedding", "cent_emb")} DESC, cent_id DESC) AS crn
+               FROM embeddings e CROSS JOIN cb),
+        assigned AS (SELECT vec_id, embedding, cent_id AS cell FROM ca WHERE crn = 1),
+        probe AS (SELECT vec_id AS qid, embedding AS q_emb, cent_id AS q_cell
+                  FROM ca WHERE vec_id < $nQueries AND crn <= $nProbe),
+        scored AS (SELECT qid, a.vec_id, ${cosineSql("q_emb", "a.embedding")} AS score
+                   FROM probe p JOIN assigned a
+                     ON a.cell = p.q_cell AND a.vec_id <> p.qid),
+        ranked AS (SELECT qid, vec_id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+
   /** Embedding near-duplicate pairs: same sign bucket AND cosine >= minCos
     * (north-star embedding-cosine near-dup). Pairs are (a < b) so each is
     * reported once. The bucket equi-join keeps this a hash join — never a

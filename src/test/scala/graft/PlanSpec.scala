@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Analytics, Similarity}
+import graft.operators.{Analytics, DocPipeline, Events, Similarity}
 
 /** Plan-shape assertions: the properties that matter at 100 TB — filters
   * reach the parquet scan, constant-size dims broadcast, scans prune
@@ -43,5 +43,25 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Analytics.q1Pricing(spark, sfDir))
     // two HashAggregate nodes per agg: partial then final
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("sessions: ONE shuffle — the groupBy reuses the window's user_id partitioning") {
+    val p = plan(Events.sessions(spark, sfDir))
+    // exchanges: 1 hash (user_id, shared by window + groupBy) + 1 range
+    // (the final presentation orderBy); a second hash exchange would mean
+    // the groupBy re-shuffled
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(3000)}")
+  }
+
+  test("fused retry pipeline: no InMemoryRelation, no union — a single narrow pass") {
+    val df = DocPipeline.extractValidateWithRetry(
+      DocPipeline.schemaLookup(spark, DocPipeline.classifyStage(
+        DocPipeline.clean(DocPipeline.ingest(
+          Tables.load(spark, sfDir, "documents"))))))
+    val p = plan(df)
+    assert(!p.contains("InMemoryRelation") && !p.contains("Union"), p.take(3000))
+    // broadcast join against the schema table is the only wide op
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
 }

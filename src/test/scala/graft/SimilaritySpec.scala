@@ -51,6 +51,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(labels == Set(3))
   }
 
+  test("IVF topK: k results per query, scored identically to brute force; cells partition the corpus") {
+    val exact = Similarity.topK(spark, TestSession.sfDir, k = 50, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(spark, TestSession.sfDir, k = 3, nQueries = 3,
+      nCells = 4, nProbe = 2).collect()
+    assert(ivf.groupBy(_.getLong(0)).size == 3)
+    ivf.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach(s => assert(s == r.getDouble(3)))
+    }
+    // probing ALL cells recovers brute force exactly: cells are a
+    // partition (unique assignment), so the union of all cells = corpus
+    val full = Similarity.ivfTopK(spark, TestSession.sfDir, k = 3, nQueries = 3,
+      nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.topK(spark, TestSession.sfDir, k = 3, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sameElements(brute))
+  }
+
   test("LSH topK results are a subset of the query's bucket and scored identically to brute force") {
     val exact = Similarity.topK(spark, TestSession.sfDir, k = 50, nQueries = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
