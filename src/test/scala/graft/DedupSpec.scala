@@ -82,6 +82,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!viaPrefix.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-Jaccard == count-join on randomized corpora (property, seeded)") {
+    // mixed df profiles: a Zipf-ish unique tail + planted hot words +
+    // planted near-dup clusters at varying overlap, across 3 seeds
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 60).map { i =>
+        val base =
+          if (i % 5 == 4) {
+            // near-dup of the previous doc: copy + perturb tail words
+            val prev = 1 + rnd.nextInt(20)
+            (0 until 12).map(w => s"s${seed}_d${i - 1}_$w").take(12 - prev % 4) ++
+              (0 until prev % 4).map(w => s"mut${i}_$w")
+          } else {
+            val hot = if (rnd.nextBoolean()) Seq("the", "of") else Seq.empty
+            hot ++ (0 until 10 + rnd.nextInt(6)).map(w => s"s${seed}_d${i}_$w")
+          }
+        (i.toLong, rnd.shuffle(base).mkString(" "))
+      }.toDF("doc_id", "text")
+      val prefix = Dedup.jaccardPrefixPairsOn(docs, 60L, 0.5, candidateBudget = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val count = Dedup.jaccardPairsOn(docs, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == count, s"seed $seed: prefix path dropped or invented pairs")
+    }
+  }
+
   test("prefix-Jaccard dispatch: budget 0 falls back to the count-join shape, same result") {
     val fallback = Dedup.jaccardPrefixPairsOn(zipfDocs, 5L, 0.9, candidateBudget = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
