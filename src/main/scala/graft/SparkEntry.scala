@@ -72,6 +72,7 @@ object SparkEntry {
     "events_asof" -> ((s, d) => Events.asofClickBeforePurchase(s, d)),
     "events_range_join" -> ((s, d) => Events.clicksBeforePurchase(s, d)),
     "events_props" -> ((s, d) => Events.propsExtract(s, d)),
+    "events_distinct_kmv" -> ((s, d) => Sketches.distinctUsersKmv(s, d)),
     // --- JSON repair (SURVEY §2.7 E2-E4) over noisy wrapped props ---
     "json_repair" -> ((s, d) => jsonRepairQuery(s, d)),
     // --- Structured Streaming twin: replayed finite stream must equal
@@ -208,6 +209,7 @@ object SparkEntry {
     "events_asof" -> Events.asofClickBeforePurchaseSql,
     "events_range_join" -> Events.clicksBeforePurchaseSql,
     "events_props" -> Events.propsExtractSql,
+    "events_distinct_kmv" -> Sketches.distinctUsersKmvSql(),
     "json_repair" -> {
       val wrapped = """'noise {"z":1} ```json' || chr(10) || props || chr(10) || '``` trailing'"""
       s"""SELECT event_id,

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{CosineSimilarity, PolyHash}
+import graft.plans.{CosineSimilarity, KmvMins, PolyHash}
 
 /** Column builders for graft's native Catalyst expressions — usable on
   * any session (no FunctionRegistry dependency; the SQL names
@@ -13,4 +13,7 @@ object NativeFunctions {
     Bridge.column(PolyHash(Bridge.expression(c)))
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  /** KMV sketch aggregate: k smallest distinct longs, sorted. */
+  def kmvMins(c: Column, k: Int): Column =
+    Bridge.column(KmvMins(Bridge.expression(c), k).toAggregateExpression())
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.NativeFunctions.kmvMins
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  test("kmvMins keeps the k smallest DISTINCT values, sorted, across partitions") {
+    val vals = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 2L, 6L, 4L, 9L)
+    val out = vals.toDF("v").repartition(4)
+      .agg(kmvMins(col("v"), 4).as("mins"))
+      .collect()(0).getSeq[Long](0)
+    assert(out == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("kmvMins with fewer than k distinct values returns them all") {
+    val out = Seq(5L, 5L, 2L).toDF("v")
+      .agg(kmvMins(col("v"), 8).as("mins"))
+      .collect()(0).getSeq[Long](0)
+    assert(out == Seq(2L, 5L))
+  }
+
+  test("KMV estimate: exact when nd < k; within 35% of truth at k=64 on a 10k-key group") {
+    // small group: exact pass-through
+    val small = Seq.tabulate(20)(i => ("a", i.toLong)).toDF("g", "user_id")
+    val h = (lit(Sketches.M) * col("user_id")) % lit(Sketches.P)
+    val estSmall = small.groupBy(col("g"))
+      .agg(kmvMins(h, 64).as("mins"))
+      .select(size(col("mins"))).as[Int].collect()(0)
+    assert(estSmall == 20)
+    // large group: multiplicative-hash uniformity gives a (k-1)*P/h_k
+    // estimate with relative sd ~ 1/sqrt(k-2) ~ 12.7%; 35% is ~2.7 sd
+    val n = 10000L
+    val big = spark.range(n).select(lit("b").as("g"), col("id").as("user_id"))
+    val mins = big.groupBy(col("g"))
+      .agg(kmvMins((lit(Sketches.M) * col("user_id")) % lit(Sketches.P), 64).as("mins"))
+      .select(get(col("mins"), lit(63))).as[Long].collect()(0)
+    val est = 63L * Sketches.P / mins
+    assert(math.abs(est - n).toDouble / n < 0.35, s"estimate $est for true $n")
+  }
+
+  test("distinctUsersKmv returns one row per event_type with exact counts alongside") {
+    val out = Sketches.distinctUsersKmv(spark, TestSession.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getLong(1)
+      val exact = r.getLong(2)
+      // k=64: groups under 64 distinct users must be EXACT
+      if (exact < 64) assert(est == exact)
+      else assert(math.abs(est - exact).toDouble / exact < 0.5)
+    }
+  }
+}
