@@ -239,22 +239,60 @@ object Similarity {
     * probe side explodes to nProbe rows per query and broadcasts; the
     * only wide op is the per-query top-k window over (qid, vec_id,
     * score) triples. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
-              nCells: Int = 8, nProbe: Int = 2): DataFrame = {
-    val emb = Tables.loadWide(spark, dir, "embeddings")
-    val codebook: Array[(Long, Array[Float])] =
-      emb.filter(col("vec_id") < nCells)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    // (score, cid) structs against every centroid; argmax by natural
-    // struct ordering — ties break to the larger cent_id on both engines
-    def centScores(v: Column): Seq[Column] = codebook.map { case (cid, cv) =>
+  /** (score, cid) structs against every centroid; argmax by natural
+    * struct ordering — ties break to the larger cent_id on both engines. */
+  private def centScores(v: Column,
+      codebook: Array[(Long, Array[Float])]): Seq[Column] =
+    codebook.map { case (cid, cv) =>
       struct(cosine(v, typedlit(cv)).as("score"), lit(cid).as("cid"))
     }.toSeq
+
+  /** The deterministic default codebook: the first nCells corpus vectors. */
+  def seedCodebook(emb: DataFrame, nCells: Int): Array[(Long, Array[Float])] =
+    emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  /** Lloyd-iteration k-means refinement of a codebook — the trained
+    * variant behind ivfTopK's pluggable-codebook contract. Deterministic
+    * given the seed codebook: each iteration is (1) the same narrow
+    * argmax-assignment expression ivfTopK uses, (2) per-cell elementwise
+    * means via posexplode → two grouped aggregations, (3) collect the
+    * O(nCells·dim) codebook back to the driver. Cells that lose all
+    * members keep their previous centroid. At 100 TB each iteration is
+    * two shuffles of (cell, pos, partial-sum) triples — never vectors —
+    * and iters is a small constant (k-means on a sample is the usual
+    * production choice; both fit this contract). */
+  def kmeansCodebook(emb: DataFrame, nCells: Int, iters: Int = 2): Array[(Long, Array[Float])] = {
+    var codebook = seedCodebook(emb, nCells)
+    for (_ <- 1 to iters) {
+      val assigned = emb.select(
+        greatest(centScores(col("embedding"), codebook): _*).getField("cid").as("cell"),
+        col("embedding"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cent"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Double](1).map(_.toFloat).toArray).toMap
+      codebook = codebook.map { case (cid, cv) => (cid, means.getOrElse(cid, cv)) }
+    }
+    codebook
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
+              nCells: Int = 8, nProbe: Int = 2,
+              codebookOpt: Option[Array[(Long, Array[Float])]] = None): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val codebook: Array[(Long, Array[Float])] =
+      codebookOpt.getOrElse(seedCodebook(emb, nCells))
     val assigned = emb.select(col("vec_id"), col("embedding"),
-      greatest(centScores(col("embedding")): _*).getField("cid").as("cell"))
+      greatest(centScores(col("embedding"), codebook): _*).getField("cid").as("cell"))
     val probeCells = transform(
-      slice(sort_array(array(centScores(col("q_emb")): _*), asc = false), 1, nProbe),
+      slice(sort_array(array(centScores(col("q_emb"), codebook): _*), asc = false), 1, nProbe),
       s => s.getField("cid"))
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)

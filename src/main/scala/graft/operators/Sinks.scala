@@ -46,4 +46,19 @@ object Sinks {
   /** K4: JSON export of extraction results. */
   def exportJson(df: DataFrame, outDir: String): Unit =
     df.write.mode("overwrite").json(outDir)
+
+  /** Bucketed table write — the 100 TB co-located-join posture: two
+    * tables bucketed (and sorted) the same way on their join key join
+    * with ZERO exchange — the shuffle is paid ONCE at write time and
+    * amortized over every subsequent join/aggregation on that key
+    * (SinksSpec proves the exchange-free plan). Bucketing requires the
+    * catalog (saveAsTable); `spark.sql.warehouse.dir` decides where the
+    * files land. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int = 16): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -70,6 +70,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.sameElements(brute))
   }
 
+  test("k-means codebook: training does not worsen assignment quality; IVF accepts it") {
+    val emb = Tables.load(spark, TestSession.sfDir, "embeddings")
+    val seed = Similarity.seedCodebook(emb, 4)
+    val trained = Similarity.kmeansCodebook(emb, 4, iters = 2)
+    assert(trained.map(_._1).sameElements(seed.map(_._1))) // stable cell ids
+    assert(!trained.zip(seed).forall { case (a, b) => a._2.sameElements(b._2) })
+    // mean cosine to the assigned centroid must not decrease after Lloyd
+    def meanAssignScore(cb: Array[(Long, Array[Float])]): Double = {
+      val scored = cb.map { case (_, cv) =>
+        org.apache.spark.sql.functions.struct(
+          cosine(col("embedding"), typedlit(cv)).as("score"))
+      }
+      emb.select(greatest(scored: _*).getField("score").as("s"))
+        .agg(avg(col("s"))).as[Double].collect()(0)
+    }
+    assert(meanAssignScore(trained) >= meanAssignScore(seed) - 1e-9)
+    // the trained codebook plugs into the same operator
+    val out = Similarity.ivfTopK(spark, TestSession.sfDir, k = 3, nQueries = 3,
+      nCells = 4, nProbe = 2, codebookOpt = Some(trained)).collect()
+    assert(out.groupBy(_.getLong(0)).size == 3)
+    val exact = Similarity.topK(spark, TestSession.sfDir, k = 50, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
   test("LSH topK results are a subset of the query's bucket and scored identically to brute force") {
     val exact = Similarity.topK(spark, TestSession.sfDir, k = 50, nQueries = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

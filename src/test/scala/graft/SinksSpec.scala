@@ -44,6 +44,43 @@ class SinksSpec extends AnyFunSuite {
       new String(row(0).getAs[Array[Byte]]("content"), "UTF-8") == "payload")
   }
 
+  private def dropBucketTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
+  test("bucketed tables join with ZERO exchange (co-located join posture)") {
+    dropBucketTable("docs_bkt"); dropBucketTable("embs_bkt")
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val embs = Tables.load(spark, TestSession.sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    Sinks.writeBucketed(docs, "docs_bkt", "doc_id", nBuckets = 4)
+    Sinks.writeBucketed(embs, "embs_bkt", "doc_id", nBuckets = 4)
+    // fixture tables are broadcast-small, which would bypass the bucketed
+    // path entirely; disable broadcast so the plan is the one a 100 TB
+    // big-big join would get (SortMergeJoin over bucketed scans)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("docs_bkt").join(spark.table("embs_bkt"), "doc_id")
+      val p = joined.queryExecution.executedPlan.toString
+      // the shuffle was paid once at write time; the join itself is
+      // exchange-free (SortMergeJoin directly over the bucketed scans)
+      assert(!p.contains("Exchange"), p.take(3000))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      dropBucketTable("docs_bkt"); dropBucketTable("embs_bkt")
+    }
+  }
+
   test("K4 exportJson round-trips extraction results") {
     val dir = tmp("json") + "/export"
     Seq((1L, """{"a":1}""")).toDF("doc_id", "structured_data")
