@@ -59,6 +59,25 @@ def main(sf_dir, out_dir, bench_json=None, out_md="ORACLE_TIMES.md"):
                      f"{o if o is not None else 'ERR'} | {ratio} |")
     lines.append(f"| **total** | **{total_s:.1f}** | **{total_o:.1f}** | "
                  f"**{(total_s / total_o):.2f}** |" if total_o else "")
+    if bench_json:
+        b = json.load(open(bench_json))
+        lines += [
+            "",
+            "## Run conditions (same-run provenance)",
+            "",
+            f"- Spark column comes verbatim from `{bench_json}` "
+            f"(n_queries={b.get('n_queries')}, min of reps={b.get('reps', 1)} "
+            "per query, warm: every query pre-run once at sf0.001 untimed — "
+            "mirroring the oracle's min-of-3 warm methodology).",
+            f"- Bench 1-min load: {b.get('load_start'):.2f} at start (the "
+            f"co-tenant signal; this box's background workload comes in "
+            f"phases), {b.get('load_end'):.2f} at end — the end figure "
+            "includes the bench's own 32-thread execution and is expected "
+            "to exceed 1.",
+            "- Spark pays a ~0.3-1s plan+codegen floor per query that "
+            "DuckDB's in-process millisecond queries do not; ratios on "
+            "sub-second oracles reflect that floor, not scaling behavior.",
+        ]
     open(out_md, "w").write("\n".join(lines) + "\n")
     print("\n".join(lines))
 
