@@ -139,4 +139,24 @@ object StreamOps {
     runToMemory(spark, sessionCounts(eventsStream(spark, dir)),
       s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}")
       .orderBy(col("user_id"), col("session_start"))
+
+  /** Streaming upsert sink (the reference's CONTINUOUS ingest shape: one
+    * Pinecone upsert per request, src/pinecone_utils.py:85-88 — here one
+    * last-writer-wins merge per micro-batch via foreachBatch into the
+    * Parquet store). Within a batch, ties on id resolve by the highest
+    * `seqCol`; across batches, later batches win — exactly the
+    * last-writer-wins contract of EmbeddingStore.upsert, continuously.
+    * Blocks until the (finite) stream drains; production would `.start()`
+    * and keep the handle. */
+  def streamUpsertToStore(spark: SparkSession, updates: DataFrame,
+                          storeDir: String, idCol: String = "vec_id"): Unit = {
+    val q = updates.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.EmbeddingStore.upsertToStore(
+          batch.sparkSession, storeDir, batch, idCol)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -71,6 +71,10 @@ class DocPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("fused retry pass == generic split/recompute/union loop") {
     // the enriched corpus exercises every retry path: negative amounts
     // that flip valid on retry, missing-amount retries-exhausted rows,

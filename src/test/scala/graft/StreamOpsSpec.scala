@@ -50,6 +50,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids") // dup 2 suppressed once
   }
 
+  test("streaming upsert sink: per-micro-batch last-writer-wins into the store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("supsert").toString
+    val in = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def put(name: String, rows: Seq[(Long, Int)]): Unit = {
+      val stage = s"$dir/stage_$name"
+      rows.toDF("vec_id", "label").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+      Thread.sleep(20) // distinct mtimes -> deterministic batch order
+    }
+    put("b1.parquet", Seq((1L, 10), (2L, 20)))
+    put("b2.parquet", Seq((2L, 21), (3L, 30))) // batch 2 overwrites id 2
+    val updates = spark.readStream
+      .schema("vec_id LONG, label INT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val store = s"$dir/store"
+    StreamOps.streamUpsertToStore(spark, updates, store)
+    val out = spark.read.parquet(store).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 10, 2L -> 21, 3L -> 30))
+  }
+
   test("flatMapGroupsWithState: per-user running totals accumulate across micro-batches") {
     import spark.implicits._
     val totals = StreamOps.runToMemory(spark,
