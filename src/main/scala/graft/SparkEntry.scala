@@ -52,6 +52,7 @@ object SparkEntry {
     "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
     "vector_topk_label" -> ((s, d) => Similarity.topK(s, d, labelEq = Some(3))),
     "vector_topk_meta" -> ((s, d) => Similarity.topKMeta(s, d)),
+    "vector_topk_agg" -> ((s, d) => Similarity.topKAgg(s, d)),
     "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "vector_lsh_topk_b6" -> ((s, d) => Similarity.lshTopK(s, d, bitsOpt = Some(6))),
     "vector_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -189,6 +190,8 @@ object SparkEntry {
     "vector_topk" -> Similarity.topKSql(),
     "vector_topk_label" -> Similarity.topKSql(labelEq = Some(3)),
     "vector_topk_meta" -> Similarity.topKMetaSql(),
+    // the aggregate-shaped top-k returns exactly the window form's rows
+    "vector_topk_agg" -> Similarity.topKSql(),
     "vector_lsh_topk" -> Similarity.lshTopKSql(),
     "vector_lsh_topk_b6" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "vector_ivf_topk" -> Similarity.ivfTopKSql(),

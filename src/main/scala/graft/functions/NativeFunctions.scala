@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{CosineSimilarity, KmvMins, PolyHash}
+import graft.plans.{CosineSimilarity, KmvMins, PolyHash, TopKByScore}
 
 /** Column builders for graft's native Catalyst expressions — usable on
   * any session (no FunctionRegistry dependency; the SQL names
@@ -16,4 +16,8 @@ object NativeFunctions {
   /** KMV sketch aggregate: k smallest distinct longs, sorted. */
   def kmvMins(c: Column, k: Int): Column =
     Bridge.column(KmvMins(Bridge.expression(c), k).toAggregateExpression())
+  /** Heap top-k aggregate: best k (score, id) pairs, (score DESC, id ASC). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+      .toAggregateExpression())
 }

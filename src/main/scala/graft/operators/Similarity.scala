@@ -45,6 +45,34 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** topK in the AGGREGATE shape (SURVEY §4's heap top-k): one
+    * ObjectHashAggregate with the bounded-heap TopKByScore buffer instead
+    * of a window rank. Identical results to `topK` (same (score DESC,
+    * id ASC) contract — the oracle is literally topKSql); the difference
+    * is the shuffle: the window form moves EVERY scored (qid, vec_id,
+    * score) triple to the qid's reducer, the aggregate form
+    * partial-aggregates so each partition ships at most k rows per qid.
+    * At fixture scale both are sub-second; at 100 TB corpus × q queries
+    * the shuffle shrinks from |corpus|·q rows to k·partitions·q. */
+  def topKAgg(spark: SparkSession, dir: String, k: Int = 3,
+              nQueries: Int = 10): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+    corpus.join(queries, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.NativeFunctions.topKByScore(
+        col("score"), col("vec_id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast(IntegerType).as("rn"),
+        col("p.id").as("vec_id"), col("p.score").as("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Oracle SQL for topK — identical fold-order arithmetic (VectorFunctions
     * determinism contract). */
   def topKSql(k: Int = 3, nQueries: Int = 10, labelEq: Option[Int] = None): String = {

@@ -70,6 +70,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.sameElements(brute))
   }
 
+  test("heap top-k aggregate == window top-k, and partial-aggregates (no full-row shuffle)") {
+    val win = Similarity.topK(spark, TestSession.sfDir, k = 5, nQueries = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val agg = Similarity.topKAgg(spark, TestSession.sfDir, k = 5, nQueries = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(win.sameElements(agg))
+    val p = Similarity.topKAgg(spark, TestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    // two ObjectHashAggregate nodes = partial (map-side, bounded heap per
+    // partition) then final — the scale contract; no Window node at all
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("k-means codebook: training does not worsen assignment quality; IVF accepts it") {
     val emb = Tables.load(spark, TestSession.sfDir, "embeddings")
     val seed = Similarity.seedCodebook(emb, 4)
