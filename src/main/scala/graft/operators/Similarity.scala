@@ -282,15 +282,19 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
   /** Lloyd-iteration k-means refinement of a codebook — the trained
-    * variant behind ivfTopK's pluggable-codebook contract. Deterministic
-    * given the seed codebook: each iteration is (1) the same narrow
-    * argmax-assignment expression ivfTopK uses, (2) per-cell elementwise
-    * means via posexplode → two grouped aggregations, (3) collect the
-    * O(nCells·dim) codebook back to the driver. Cells that lose all
-    * members keep their previous centroid. At 100 TB each iteration is
-    * two shuffles of (cell, pos, partial-sum) triples — never vectors —
-    * and iters is a small constant (k-means on a sample is the usual
-    * production choice; both fit this contract). */
+    * variant behind ivfTopK's pluggable-codebook contract. Each iteration
+    * is (1) the same narrow argmax-assignment expression ivfTopK uses,
+    * (2) per-cell elementwise means via posexplode → two grouped
+    * aggregations, (3) collect the O(nCells·dim) codebook back to the
+    * driver. Cells that lose all members keep their previous centroid.
+    * Deterministic only up to floating-point reduction order (double
+    * `avg` partial sums combine in shuffle order) — which is why the
+    * oracle-checked ivf query ships the exactly-reproducible seed
+    * codebook and this trained variant is spec-verified on quality
+    * (assignment cosine must not decrease), not on exact values. At
+    * 100 TB each iteration is two shuffles of (cell, pos, partial-sum)
+    * triples — never vectors — and iters is a small constant (k-means on
+    * a sample is the usual production choice; both fit this contract). */
   def kmeansCodebook(emb: DataFrame, nCells: Int, iters: Int = 2): Array[(Long, Array[Float])] = {
     var codebook = seedCodebook(emb, nCells)
     for (_ <- 1 to iters) {
