@@ -321,6 +321,14 @@ object Similarity {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val codebook: Array[(Long, Array[Float])] =
       codebookOpt.getOrElse(seedCodebook(emb, nCells))
+    if (codebook.isEmpty) {
+      // empty corpus (or no vectors under nCells): no cells exist, so no
+      // neighbors — return the empty result with the contract schema
+      // rather than letting greatest() choke on zero centroid columns
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "vec_id", "score")
+    }
     val assigned = emb.select(col("vec_id"), col("embedding"),
       greatest(centScores(col("embedding"), codebook): _*).getField("cid").as("cell"))
     val probeCells = transform(

@@ -116,6 +116,36 @@ class DedupSpec extends AnyFunSuite {
     assert(fallback == direct && fallback.nonEmpty)
   }
 
+  test("LSH pairs are SOUND on randomized corpora: every reported pair has true J >= minJ (property, seeded)") {
+    // LSH is allowed to miss pairs (recall < 1 by banding) but must never
+    // report a pair whose verified Jaccard is below the threshold, and
+    // every reported score must equal the exact count-join score
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 50).map { i =>
+      val words =
+        if (i % 4 == 3) (0 until 12).map(w => s"d${i - 1}_$w") // exact dup of i-1
+        else (0 until 12).map(w => s"d${i}_$w")
+      (i.toLong, words.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lshprop").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = Dedup.jaccardPairs(spark, dir, minJ = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.lshPairs(spark, dir, minJ = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty) // the planted exact dups must band-collide
+    lsh.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"$pair reported by LSH but below threshold exactly")
+      assert(exact(pair) == j, s"$pair score mismatch")
+    }
+    // exact dups (J=1.0) are guaranteed to collide in every band
+    docs.indices.filter(_ % 4 == 3).foreach { i =>
+      assert(lsh.exists(_._1 == ((i - 1).toLong, i.toLong)), s"missed exact dup ($i)")
+    }
+  }
+
   test("simhash: identical texts -> hamming 0; banded pairs find them") {
     val sigs = Dedup.simhashSignatures(spark, corpusDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -111,6 +111,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK on an empty corpus returns the empty contract schema, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("emptyemb").toString
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Tables.load(spark, TestSession.sfDir, "embeddings").schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.ivfTopK(spark, dir)
+    assert(out.columns.toSeq == Seq("qid", "rn", "vec_id", "score"))
+    assert(out.count() == 0)
+  }
+
   test("LSH topK results are a subset of the query's bucket and scored identically to brute force") {
     val exact = Similarity.topK(spark, TestSession.sfDir, k = 50, nQueries = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
