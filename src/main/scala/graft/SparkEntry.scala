@@ -36,6 +36,7 @@ object SparkEntry {
     "schema_extract" -> ((s, d) => DocPipeline.schemaExtractQuery(s, d)),
     "retry_fix" -> ((s, d) => DocPipeline.retryFixQuery(s, d)),
     "pipeline_logs" -> ((s, d) => DocPipeline.pipelineLogsQuery(s, d)),
+    "llm_prompts" -> ((s, d) => DocPipeline.promptsQuery(s, d)),
     "schema_cascade" -> ((s, d) => SchemaRetrieval.cascade(s, d)),
     "embed_upsert" -> ((s, d) => EmbeddingStore.embedUpsertQuery(s, d)),
     "metadata_sanitize" -> ((s, d) => EmbeddingStore.metadataSanitizeQuery(s, d)),
@@ -176,6 +177,7 @@ object SparkEntry {
     "schema_extract" -> DocPipeline.schemaExtractOracleSql,
     "retry_fix" -> DocPipeline.retryFixOracleSql,
     "pipeline_logs" -> DocPipeline.pipelineLogsOracleSql,
+    "llm_prompts" -> DocPipeline.promptsOracleSql,
     "schema_cascade" -> SchemaRetrieval.cascadeSql,
     "embed_upsert" -> EmbeddingStore.embedUpsertOracleSql,
     "metadata_sanitize" -> EmbeddingStore.metadataSanitizeOracleSql,

@@ -486,6 +486,69 @@ object DocPipeline {
         FROM v1"""
   }
 
+  /** Compact fields-map JSON per doc_type (the inner object of
+    * schema_json; '{}' for types without a schema record). */
+  def fieldsJsonFor(dt: String): String =
+    schemaFieldSets.toMap.get(dt)
+      .map(fs => fs.sorted.map(f => s""""$f":"${fieldDescriptions(f)}"""")
+        .mkString("{", ",", "}"))
+      .getOrElse("{}")
+
+  /** LLM prompt surface, oracle-visible (utils.py:5-33,36-89 via
+    * graft.functions.Prompts): per document, the classification prompt
+    * (first 500 chars of the cleaned text) and the extraction prompt the
+    * NEXT extraction call would receive — schema fields map, document
+    * text, and the validator's feedback block when pass 0 failed (X3's
+    * re-prompt, agents.py:48-59). This is what a real Inference backend
+    * gets handed; the DuckDB twin proves the strings byte-identical. */
+  def promptsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Prompts
+    val base = validate(extract(schemaLookup(spark,
+      classifyStage(clean(ingest(enrichedDocs(spark, dir)))))))
+    base.select(col("doc_id"),
+      Prompts.classificationPrompt(col("raw_text")).as("classify_prompt"),
+      Prompts.extractionPrompt(col("doc_type"), to_json(col("schema_fields")),
+        col("raw_text"), col("validation_feedback")).as("extract_prompt"))
+      .orderBy(col("doc_id"))
+  }
+
+  def promptsOracleSql: String = {
+    import graft.functions.Prompts
+    val cleaned = cleanTextSql("text")
+    val fieldsCase = schemaFieldSets.map(_._1)
+      .map(dt => s"WHEN '$dt' THEN '${fieldsJsonFor(dt)}'")
+      .mkString("CASE doc_type ", " ", " ELSE '{}' END")
+    // feedback array mirrors validate(): order = email, amount, missing, empty
+    val feedbackArr =
+      s"""list_filter([
+          CASE WHEN NOT ${validEmailSql("x_email")} THEN 'malformed email' END,
+          CASE WHEN NOT ${validAmountSql("x_amount0")} THEN 'negative amount' END,
+          CASE WHEN $wantsAmtSql AND x_amount0 IS NULL THEN 'missing amount' END,
+          CASE WHEN coalesce(x_n_tokens = 0, FALSE) THEN 'empty extraction' END
+        ], x -> x IS NOT NULL)"""
+    s"""WITH $enrichedCte,
+        c0 AS (SELECT doc_id, text AS t_orig, $cleaned AS ct,
+                 (text IS NULL OR length(trim(text)) = 0) AS err
+               FROM enriched),
+        typed AS (SELECT *, CASE WHEN err THEN NULL ELSE ${classifySql("ct")} END AS doc_type
+                  FROM c0),
+        gated AS (SELECT *,
+            CASE WHEN err THEN NULL
+                 WHEN ${wantSql("email")} THEN ${extractEmailSql("t_orig")} END AS x_email,
+            CASE WHEN err THEN NULL
+                 WHEN ${wantSql("amount")} THEN ${extractAmountSignedSql("t_orig")} END AS x_amount0,
+            CASE WHEN err THEN NULL ELSE ${tokenCountSql("ct")} END AS x_n_tokens
+          FROM typed),
+        fbk AS (SELECT *, CASE WHEN err THEN [] ELSE $feedbackArr END AS feedback,
+                  $fieldsCase AS fields_json
+                FROM gated)
+        SELECT doc_id,
+          ${Prompts.classificationPromptSql("ct")} AS classify_prompt,
+          ${Prompts.extractionPromptSql("doc_type", "fields_json", "ct",
+            Prompts.feedbackBlockSql("feedback"))} AS extract_prompt
+        FROM fbk"""
+  }
+
   /** The retry loop doing real work, oracle-visible (X2/X3): negative
     * first-pass amounts flip to valid on the feedback-aware retry
     * (retry_count=1, is_valid=true); docs whose schema requires an

@@ -71,6 +71,27 @@ class DocPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("prompt builders: advisory fallback, feedback block, validation prompt") {
+    import graft.functions.Prompts
+    val row = Seq(("invoice", """{"amount":"monetary amount"}""",
+      "INVOICE total 5.00", Seq("negative amount"), """{"amount":-5.0}"""))
+      .toDF("dt", "fj", "text", "fb", "xj")
+      .select(
+        Prompts.extractionPrompt(col("dt"), col("fj"), col("text"), col("fb")).as("ep"),
+        Prompts.extractionPrompt(col("dt"), lit("{}"), col("text"),
+          lit(null).cast("array<string>")).as("ep_advisory"),
+        Prompts.validationPrompt(col("dt"), col("fj"), col("xj")).as("vp"))
+      .collect()(0)
+    val ep = row.getString(0)
+    assert(ep.contains("Document Type: invoice"))
+    assert(ep.contains("""{"amount":"monetary amount"}"""))
+    assert(ep.contains("Previous extraction had issues:\n- negative amount"))
+    val adv = row.getString(1)
+    assert(adv.contains(Prompts.AdvisoryLine) && !adv.contains("Previous extraction"))
+    val vp = row.getString(2)
+    assert(vp.contains("Validation Agent") && vp.contains("""{"amount":-5.0}"""))
+  }
+
   test("driver contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
