@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: time the heavy operators at 1× and 10× the bench corpus
+  * and report the growth ratio — the empirical answer to "does this plan
+  * survive a scale-up" (near-linear growth ⇒ no quadratic shuffle or
+  * candidate blowup hiding in the plan).
+  *
+  * The 10× corpus is TEN VOCABULARY-DISJOINT COPIES of the fixture
+  * (each copy's letters rotated by `translate`, doc_ids offset): inputs
+  * grow 10×, per-copy similarity structure is preserved, and cross-copy
+  * shingles never collide — so the TRUE answer (pair set) also grows
+  * 10×, which is exactly the regime where a linear-capable operator must
+  * show ~10× wall time and a quadratic one shows ~100×.
+  *
+  * Not part of the correctness gate (no oracle); run manually:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+  private def rotated(i: Int): String =
+    Alpha.drop(i % 26) + Alpha.take(i % 26)
+
+  private def time(fn: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    fn.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = GraftSession.get("graft-scale-probe")
+    val bigDir = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until copies).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text", translate(col("text"), Alpha, rotated(i)))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until copies).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    import graft.operators._
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+      "jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
+      "jaccard_prefix_pairs" -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
+      "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+      "lsh_pairs" -> ((s, d) => Dedup.lshPairs(s, d)),
+      "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+      // fixed 10-query set over a growing corpus: expect ~linear scan cost
+      "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
+      "vector_topk_agg" -> ((s, d) => Similarity.topKAgg(s, d)),
+      "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)))
+
+    // warmup both dirs so codegen/JIT is out of the measurement
+    probes.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+
+    println(f"| operator | 1x s | ${copies}x s | growth |")
+    println("|---|---|---|---|")
+    probes.foreach { case (name, fn) =>
+      val t1 = math.min(time(fn(spark, sfDir)), time(fn(spark, sfDir)))
+      spark.catalog.clearCache()
+      val tN = math.min(time(fn(spark, bigDir)), time(fn(spark, bigDir)))
+      spark.catalog.clearCache()
+      println(f"| $name | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
+    }
+    spark.stop()
+  }
+}
