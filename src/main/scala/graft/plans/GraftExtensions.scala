@@ -1,25 +1,54 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-/** Engine extension point: registers graft's native expressions in the
-  * session's FunctionRegistry (activated via
+/** Engine extension point: registers graft's native expressions and
+  * aggregates in the session's FunctionRegistry (activated via
   * `spark.sql.extensions=graft.plans.GraftExtensions`, set in
   * GraftSession). Gives the SQL surface and `call_function` access to
-  * the codegen'd operators. */
+  * the codegen'd operators. `GraftExtensions.registerAll` installs the
+  * same functions into an ALREADY-RUNNING session (extensions only apply
+  * at session build time). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_sim"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The aggregates' k must be a literal int at the call site. */
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("poly_hash"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, null, "poly_hash",
         "poly_hash(s) - polynomial rolling hash mod 1e9+7 over code points", ""),
-      (children: Seq[Expression]) => PolyHash(children.head)))
-  }
+      (children: Seq[Expression]) => PolyHash(children.head)),
+    (new FunctionIdentifier("kmv_mins"),
+      new ExpressionInfo(classOf[KmvMins].getName, null, "kmv_mins",
+        "kmv_mins(h, k) - aggregate: the k smallest distinct bigints, sorted (KMV sketch buffer)", ""),
+      (children: Seq[Expression]) =>
+        KmvMins(children(0), intLit(children(1), "kmv_mins k"))),
+    (new FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, null, "top_k_by_score",
+        "top_k_by_score(score, id, k) - aggregate: best k (score, id) pairs, score DESC then id ASC", ""),
+      (children: Seq[Expression]) => TopKByScore(children(0), children(1),
+        intLit(children(2), "top_k_by_score k"))))
+
+  /** Install into a live session (tests, notebooks without the conf). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

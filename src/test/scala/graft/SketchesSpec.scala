@@ -43,6 +43,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - n).toDouble / n < 0.35, s"estimate $est for true $n")
   }
 
+  test("aggregates are SQL-registered via GraftExtensions (kmv_mins, top_k_by_score)") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    Seq(9L, 3L, 7L, 1L, 3L).toDF("v").createOrReplaceTempView("t_kmv")
+    val mins = spark.sql("SELECT kmv_mins(v, 3) AS m FROM t_kmv")
+      .collect()(0).getSeq[Long](0)
+    assert(mins == Seq(1L, 3L, 7L))
+    Seq((0.9, 1L), (0.5, 2L), (0.9, 0L)).toDF("s", "i").createOrReplaceTempView("t_topk")
+    val top = spark.sql("SELECT top_k_by_score(s, i, 2) AS t FROM t_topk")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.9, 0L), (0.9, 1L)))
+  }
+
   test("distinctUsersKmv returns one row per event_type with exact counts alongside") {
     val out = Sketches.distinctUsersKmv(spark, TestSession.sfDir).collect()
     assert(out.nonEmpty)
