@@ -55,6 +55,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.9, 0L), (0.9, 1L)))
   }
 
+  test("SQL-first user path: temp views + registered functions reproduce a flagship operator") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    Tables.registerAll(spark, TestSession.sfDir)
+    val viaSql = spark.sql(
+      """SELECT poly_hash(text) AS text_hash, min(doc_id) AS keeper_id,
+         count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY keeper_id""")
+      .collect().map(_.toSeq)
+    val viaApi = graft.operators.Dedup.exactDedup(spark, TestSession.sfDir)
+      .collect().map(_.toSeq)
+    assert(viaSql.length == viaApi.length && viaSql.nonEmpty)
+    assert(viaSql.map(s => (s(0), s(1), s(2))).toSet ==
+      viaApi.map(s => (s(0), s(1), s(2))).toSet)
+  }
+
   test("distinctUsersKmv returns one row per event_type with exact counts alongside") {
     val out = Sketches.distinctUsersKmv(spark, TestSession.sfDir).collect()
     assert(out.nonEmpty)
