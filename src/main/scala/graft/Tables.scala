@@ -47,7 +47,10 @@ object Tables {
       try fs.getContentSummary(path).getLength
       catch { case _: Exception => Long.MaxValue }
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val approxParts = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    // divide-then-add: the ceil form (bytes + maxSplit - 1) overflows on
+    // the Long.MaxValue failure sentinel and would INVERT the fallback
+    // into a forced full shuffle
+    val approxParts = math.max(1L, bytes / maxSplit + 1)
     if (approxParts * 2 < target) df.repartition(target) else df
   }
 

@@ -162,7 +162,9 @@ object Dedup {
       .agg(coalesce(sum(floor(col("c") * (col("c") - 1L) / 2L)).cast(LongType),
         lit(0L)).as("cand"))
       .head().getLong(0)
-    if (cand > candidateBudget * math.max(nDocs, 1L)) {
+    // divide, don't multiply: budget * nDocs overflows Long for large
+    // budgets (e.g. a caller forcing the prefix path with Long.MaxValue)
+    if (cand / math.max(nDocs, 1L) > candidateBudget) {
       ranked.unpersist()
       return jaccardPairsOn(docsIn, minJ)
     }
@@ -186,6 +188,14 @@ object Dedup {
           lit(1) + least(col("a_n") - col("rn_a"), col("b_n") - col("rn_b")) >= required)
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small by construction: the probe bounded it)
+    // candidate set eagerly so the BIG prefix index can be dropped now —
+    // otherwise it stays cached until the session ends on the success
+    // path. The candIds cache itself is bounded and cleared by callers'
+    // clearCache between queries.
+    candIds.count()
+    ranked.unpersist()
     // exact verification on the candidate set only; arrays come straight
     // off the (broadcast-small per candidate volume) scan
     candIds

@@ -145,14 +145,19 @@ object EmbeddingStore {
        'L' || CAST(doc_id % 5 AS VARCHAR) AS m_label
        FROM documents"""
 
-  /** Upsert + persist to a Parquet store dir (the K3 sink). */
+  /** Upsert + persist to a Parquet store dir (the K3 sink). `seqCol`
+    * (dropped from the stored schema) resolves same-id ties WITHIN the
+    * update wave; without it, duplicate ids inside one wave keep an
+    * arbitrary row. */
   def upsertToStore(spark: SparkSession, storeDir: String,
-                    updates: DataFrame, idCol: String = "vec_id"): Unit = {
+                    updates: DataFrame, idCol: String = "vec_id",
+                    seqCol: Option[String] = None): Unit = {
+    val storedSchema = seqCol.foldLeft(updates)(_.drop(_)).schema
     val existing =
       try spark.read.parquet(storeDir)
       catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], updates.schema) }
-    val merged = upsert(existing, updates, idCol)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storedSchema) }
+    val merged = upsert(existing, updates, idCol, seqCol)
     // write to a temp dir then swap — Parquet has no transactional
     // overwrite-while-reading
     val tmp = storeDir + "_tmp"

@@ -128,8 +128,12 @@ object Similarity {
         element_at(col("metadata"), "type") === typeEq)
       .select(col("vec_id"), col("embedding"),
         element_at(col("metadata"), "schema").as("m_schema"))
+    // query side comes from `base`, not the merged store: the update
+    // wave rewrites only metadata, never embeddings, so reading through
+    // the upsert would evaluate the corpus-wide last-writer-wins window
+    // a SECOND time inside the same action for identical query vectors
     val queries = broadcast(
-      store.filter(col("vec_id") < nQueries)
+      base.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
     val scored = corpus.join(queries, col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("q_emb"), col("embedding")))

@@ -28,10 +28,18 @@ object Sketches {
 
   /** Per-event-type distinct-user estimate (KMV, k smallest hashes) next
     * to the exact count — the oracle checks BOTH, which also pins the
-    * estimator's error behavior on this corpus. */
+    * estimator's error behavior on this corpus.
+    *
+    * The key is reduced mod P BEFORE the multiply: M·(P−1) ≈ 2.65e18
+    * fits a Long, whereas M·key overflows (silently in Spark, an error
+    * in DuckDB) for keys above ~3.47e9 — inside this operator's stated
+    * scale. Keys ≥ P fold (hash collisions) — fine for a sketch: they
+    * can only under-count by ~n/P, far below the estimator's own
+    * 1/sqrt(k) error until n approaches billions of DISTINCT keys per
+    * group, at which point raise P/k. */
   def distinctUsersKmv(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     val ev = Tables.loadWide(spark, dir, "events")
-    val h = (lit(M) * col("user_id")) % lit(P)
+    val h = (lit(M) * (col("user_id") % lit(P))) % lit(P)
     // get() in the otherwise-branch (0-based, null on out-of-bounds)
     // keeps the eagerly-evaluated expression safe for groups with < k
     // distinct users
@@ -48,7 +56,7 @@ object Sketches {
   }
 
   def distinctUsersKmvSql(k: Int = 64): String =
-    s"""WITH d AS (SELECT DISTINCT event_type, ($M * user_id) % $P AS h FROM events),
+    s"""WITH d AS (SELECT DISTINCT event_type, ($M * (user_id % $P)) % $P AS h FROM events),
         r AS (SELECT event_type, h,
                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
               FROM d),

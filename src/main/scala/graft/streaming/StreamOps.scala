@@ -143,18 +143,20 @@ object StreamOps {
   /** Streaming upsert sink (the reference's CONTINUOUS ingest shape: one
     * Pinecone upsert per request, src/pinecone_utils.py:85-88 — here one
     * last-writer-wins merge per micro-batch via foreachBatch into the
-    * Parquet store). Within a batch, ties on id resolve by the highest
-    * `seqCol`; across batches, later batches win — exactly the
-    * last-writer-wins contract of EmbeddingStore.upsert, continuously.
+    * Parquet store). Across batches, later batches win; WITHIN a batch,
+    * same-id ties resolve by the highest `seqCol` when given (without
+    * one, duplicate ids inside a single micro-batch keep an arbitrary
+    * row — pass an event-time/sequence column for deterministic merges).
     * Blocks until the (finite) stream drains; production would `.start()`
     * and keep the handle. */
   def streamUpsertToStore(spark: SparkSession, updates: DataFrame,
-                          storeDir: String, idCol: String = "vec_id"): Unit = {
+                          storeDir: String, idCol: String = "vec_id",
+                          seqCol: Option[String] = None): Unit = {
     val q = updates.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.EmbeddingStore.upsertToStore(
-          batch.sparkSession, storeDir, batch, idCol)
+          batch.sparkSession, storeDir, batch, idCol, seqCol)
       }
       .start()
     try q.processAllAvailable() finally q.stop()

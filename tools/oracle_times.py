@@ -61,6 +61,8 @@ def main(sf_dir, out_dir, bench_json=None, out_md="ORACLE_TIMES.md"):
                  f"**{(total_s / total_o):.2f}** |" if total_o else "")
     if bench_json:
         b = json.load(open(bench_json))
+        def fmt(x):
+            return f"{x:.2f}" if isinstance(x, (int, float)) else "n/a"
         lines += [
             "",
             "## Run conditions (same-run provenance)",
@@ -69,9 +71,9 @@ def main(sf_dir, out_dir, bench_json=None, out_md="ORACLE_TIMES.md"):
             f"(n_queries={b.get('n_queries')}, min of reps={b.get('reps', 1)} "
             "per query, warm: every query pre-run once at sf0.001 untimed — "
             "mirroring the oracle's min-of-3 warm methodology).",
-            f"- Bench 1-min load: {b.get('load_start'):.2f} at start (the "
+            f"- Bench 1-min load: {fmt(b.get('load_start'))} at start (the "
             f"co-tenant signal; this box's background workload comes in "
-            f"phases), {b.get('load_end'):.2f} at end — the end figure "
+            f"phases), {fmt(b.get('load_end'))} at end — the end figure "
             "includes the bench's own 32-thread execution and is expected "
             "to exceed 1.",
             "- Spark pays a ~0.3-1s plan+codegen floor per query that "
