@@ -314,12 +314,18 @@ object DocPipeline {
       col("x_first_token"), col("x_n_tokens"),
       col("logs"))
 
-  /** Full pipeline over a fixture dir's `documents` table. */
-  def run(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadWide(spark, dir, "documents")
+  /** Full pipeline over any (doc_id, text) frame — batch OR streaming:
+    * since the retry pass was fused into column logic (round 3), every
+    * stage is stateless-narrow except the stream-static broadcast schema
+    * join, so the same composition runs under Structured Streaming
+    * unchanged (StreamOps.streamDocPipeline). */
+  def runOnDocs(spark: SparkSession, docs: DataFrame): DataFrame =
     respond(persist(extractValidateWithRetry(
       schemaLookup(spark, classifyStage(clean(ingest(docs)))))))
-  }
+
+  /** Full pipeline over a fixture dir's `documents` table. */
+  def run(spark: SparkSession, dir: String): DataFrame =
+    runOnDocs(spark, Tables.loadWide(spark, dir, "documents"))
 
   /** Oracle-checkable projection of the pipeline (excludes the
     * wall-clock `created_at`). */

@@ -140,6 +140,24 @@ object StreamOps {
       s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}")
       .orderBy(col("user_id"), col("session_start"))
 
+  /** The reference's TRUE shape, continuously: documents arrive one file
+    * at a time (its HTTP loop), each flows through the FULL 7-stage ETL —
+    * parse (binary ingest + format dispatch) → clean → classify → schema
+    * lookup → extract → validate-with-retry → persist → respond. Round
+    * 3's fused retry made every stage stateless-narrow (the split/union
+    * loop was not streamable), so this is literally the batch pipeline
+    * composition running under Structured Streaming; the only non-narrow
+    * op is the stream-static broadcast schema join. doc_id is derived
+    * from the file path (the stream has no fixture ids). */
+  def streamDocPipeline(spark: SparkSession, dropDir: String): DataFrame = {
+    val ingested = graft.sources.BinaryIngest.ingest(spark,
+      graft.sources.BinaryIngest.readBinaryStream(spark, dropDir))
+    val docs = ingested.select(
+      xxhash64(col("file_path")).as("doc_id"),
+      col("raw_text").as("text"))
+    graft.operators.DocPipeline.runOnDocs(spark, docs)
+  }
+
   /** Streaming upsert sink (the reference's CONTINUOUS ingest shape: one
     * Pinecone upsert per request, src/pinecone_utils.py:85-88 — here one
     * last-writer-wins merge per micro-batch via foreachBatch into the

@@ -50,6 +50,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids") // dup 2 suppressed once
   }
 
+  test("streaming document pipeline: full 7-stage ETL on a file stream equals the batch pipeline") {
+    import spark.implicits._
+    val drop = java.nio.file.Files.createTempDirectory("drop").toString
+    def putTxt(name: String, text: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$drop/$name"),
+        text.getBytes("UTF-8"))
+      Thread.sleep(20)
+    }
+    putTxt("a.txt", "INVOICE amount due 99.50 bill to kim@acme.io on 2024-05-01")
+    putTxt("b.txt", "agreement between parties dated 2024-06-02 call 555-222-3333")
+    val streamed = StreamOps.runToMemory(spark,
+      StreamOps.streamDocPipeline(spark, drop),
+      s"stream_pipe_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      mode = "append")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    // batch twin over the same files through the same ingest + id scheme
+    val bin = graft.sources.BinaryIngest.ingest(spark,
+      graft.sources.BinaryIngest.readBinary(spark, drop))
+    val docs = bin.select(xxhash64(col("file_path")).as("doc_id"),
+      col("raw_text").as("text"))
+    val batch = graft.operators.DocPipeline.runOnDocs(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(streamed.keySet == batch.keySet && streamed.size == 2)
+    streamed.keys.foreach(id => assert(streamed(id) == batch(id)))
+    // the streamed envelope really went through classification + extraction
+    assert(streamed.values.exists(_.contains("invoice")))
+  }
+
   test("streaming upsert sink: per-micro-batch last-writer-wins into the store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("supsert").toString
