@@ -30,12 +30,35 @@ object ScaleProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val spark = GraftSession.get("graft-scale-probe")
-    val bigDir = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+    // the ~10x corpus copy is scratch: honor an explicit dir (overwritten
+    // in place, kept) or build in a temp dir deleted on the way out, so
+    // repeated runs don't leak multi-hundred-MB directories
+    val outDirEnv = sys.env.get("SPARK_GRAFT_SCALE_DIR")
+    val bigPath = outDirEnv.map(java.nio.file.Paths.get(_)).getOrElse(
+      java.nio.file.Files.createTempDirectory("scaleprobe"))
+    val bigDir = bigPath.toString
+    try {
+      run(spark, sfDir, bigDir, copies)
+    } finally {
+      if (outDirEnv.isEmpty) deleteRecursively(bigPath)
+      spark.stop()
+    }
+  }
 
+  private def run(spark: SparkSession, sfDir: String, bigDir: String,
+                  copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     (0 until copies).map { i =>
       docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
@@ -78,6 +101,5 @@ object ScaleProbe {
       spark.catalog.clearCache()
       println(f"| $name | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
     }
-    spark.stop()
   }
 }

@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   *    (utils.py:49-55);
   *  - schema fields render as COMPACT json (the reference pretty-prints
   *    with indent=2 — cosmetic, normalized here like the quirk ledger's
-  *    other whitespace normalizations).
+  *    other whitespace normalizations). Divergence from the reference is
+  *    whitespace/typo normalization ONLY ("standardtized" → "standardized",
+  *    f-string indentation stripped); all sentences of utils.py:15-31 and
+  *    57-87 are present, including the "Be careful to choose accurately"
+  *    guidance, the irrelevant-text rule, the "(Education: ...)" example
+  *    and all six CRITICAL rules.
   */
 object Prompts {
 
@@ -33,7 +38,8 @@ object Prompts {
       Labels.map(l => s"- $l").mkString("\n") +
       "\n\nDocument text (first 500 chars):\n"
   private val ClassifySuffix =
-    "\n\nCheck for keywords and context in the text.\n" +
+    "\n\nBe careful to choose accurately the category that best fits the text in the document. " +
+      "Check for keywords and context in the text.\n" +
       "Return ONLY the category name, nothing else."
 
   /** utils.py:5-33 — classification prompt over the first 500 chars. */
@@ -47,9 +53,12 @@ object Prompts {
       "Your task:\n" +
       "- Extract the structured data accurately from the document\n" +
       "- Output valid JSON only\n" +
+      "- If the text in the Document is irrelevant with respect to the document type, " +
+      "then look for the correct document type from the text in the document for information.\n" +
       "- Add + with phone number if not present.\n" +
-      "- If a field contains only one date, consider that as End Date.\n" +
-      "- Convert fields to standardized formats (dates to YYYY-MM-DD, amounts to numeric values).\n\n" +
+      "- If a field contains only one date, consider that as End Date." +
+      "(Education: Start Date: Unspecified , End Date: 2025).\n" +
+      "- Convert fields to standardized formats (dates to YYYY-MM-DD, amounts to numeric values) if possible.\n\n" +
       "Document Type: "
   private val ExtractSchemaHead = "\n\nSchema (guidelines, not strict requirements):\n"
   private val ExtractDocHead = "\n\nDocument:\n"
@@ -58,6 +67,8 @@ object Prompts {
     "\n\nCRITICAL rules:\n" +
       "- Your response MUST be a valid JSON object\n" +
       "- Do NOT wrap the JSON in markdown\n" +
+      "- Do NOT include any text before or after the JSON\n" +
+      "- Ensure all brackets are closed and commas are valid\n" +
       "- Do not invent fields that are not present in the document text.\n" +
       "- Do not include fields with None or empty fields in the output."
   private val FeedbackPrefix = "Previous extraction had issues:\n"

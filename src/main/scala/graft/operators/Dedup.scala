@@ -130,7 +130,13 @@ object Dedup {
     * `candidateBudget` candidates per document. The probe costs two
     * linear passes; the join it avoids is quadratic. Both shapes are
     * exact; the DuckDB oracle computes the unpruned join, so the
-    * correctness gate doubles as a proof the pruning dropped nothing. */
+    * correctness gate doubles as a proof the pruning dropped nothing.
+    *
+    * Resource note: the prefix path materializes its candidate set as an
+    * eager `localCheckpoint` (blocks freed automatically when the
+    * returned DataFrame is GC'd; not recoverable on executor loss) and
+    * holds a MEMORY_AND_DISK cache on the prefix index only WITHIN this
+    * call — nothing stays registered in the CacheManager after return. */
   def jaccardPrefixPairs(spark: SparkSession, dir: String, minJ: Double = 0.9,
                          candidateBudget: Long = 64): DataFrame =
     jaccardPrefixPairsOn(Tables.loadWide(spark, dir, "documents"),
@@ -188,13 +194,16 @@ object Dedup {
           lit(1) + least(col("a_n") - col("rn_a"), col("b_n") - col("rn_b")) >= required)
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small by construction: the probe bounded it)
-    // candidate set eagerly so the BIG prefix index can be dropped now —
-    // otherwise it stays cached until the session ends on the success
-    // path. The candIds cache itself is bounded and cleared by callers'
-    // clearCache between queries.
-    candIds.count()
+      // eager LOCAL CHECKPOINT, not persist(): materializes the (small by
+      // construction: the probe bounded it) candidate set NOW so the BIG
+      // prefix index can be dropped below, truncates the quadratic-join
+      // lineage, and — unlike a CacheManager persist, which lives until an
+      // explicit unpersist/clearCache — its RDD-level blocks are freed by
+      // the ContextCleaner once the returned DataFrame is GC'd, so
+      // repeated library calls do not accumulate session-lifetime caches.
+      // Trade-off: localCheckpoint data is not recoverable on executor
+      // loss; the exposure window is a single query.
+      .localCheckpoint(true)
     ranked.unpersist()
     // exact verification on the candidate set only; arrays come straight
     // off the (broadcast-small per candidate volume) scan

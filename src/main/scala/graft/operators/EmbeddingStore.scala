@@ -27,14 +27,19 @@ object EmbeddingStore {
     concat(docType, lit("_schema_"), pmod(xxhash64(schemaJson), lit(100000)))
 
   /** Last-writer-wins upsert: rows in `updates` replace same-id rows in
-    * `existing`; ties inside `updates` resolve to the last by `seq`. */
+    * `existing`; ties inside `updates` resolve to the last by `seq`. A
+    * NULL seq still counts as "later wave" (it beats the store — coalesced
+    * to seq 0, the lowest update priority); rows with EQUAL seq for one id
+    * within a wave have no defined order and keep an arbitrary one (same
+    * contract as the reference's in-batch dict collapse). */
   def upsert(existing: DataFrame, updates: DataFrame, idCol: String = "vec_id",
              seqCol: Option[String] = None): DataFrame = {
     // the seq column is upsert bookkeeping, not payload: fold it into
     // _prio and drop it so both union sides share the store schema
     val e = seqCol.foldLeft(existing.withColumn("_prio", lit(0L)))(_.drop(_))
     val u = seqCol match {
-      case Some(s) => updates.withColumn("_prio", lit(1L) + col(s).cast("long")).drop(s)
+      case Some(s) => updates.withColumn("_prio",
+        lit(1L) + coalesce(col(s).cast("long"), lit(0L))).drop(s)
       case None => updates.withColumn("_prio", lit(1L))
     }
     val all = e.unionByName(u, allowMissingColumns = false)

@@ -36,8 +36,12 @@ object Similarity {
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+    // NULL-score contract (engine-wide): cosine is NULL on zero-norm
+    // vectors; such rows are never ranked — filtered here and in every
+    // SQL twin, so the window and aggregate shapes agree by construction
     val scored = corpus.join(queries, col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .filter(col("score").isNotNull)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -64,6 +68,7 @@ object Similarity {
     corpus.join(queries, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("score"))
+      .filter(col("score").isNotNull) // NULL-score contract: see topK
       .groupBy(col("qid"))
       .agg(graft.functions.NativeFunctions.topKByScore(
         col("score"), col("vec_id"), k).as("top"))
@@ -83,7 +88,7 @@ object Similarity {
                    FROM q CROSS JOIN c WHERE vec_id <> qid),
         ranked AS (SELECT qid, vec_id, score,
                    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-                   FROM scored)
+                   FROM scored WHERE score IS NOT NULL)
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
@@ -137,6 +142,7 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
     val scored = corpus.join(queries, col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .filter(col("score").isNotNull) // NULL-score contract: see topK
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -158,7 +164,7 @@ object Similarity {
                    FROM q CROSS JOIN c WHERE c.vec_id <> qid),
         ranked AS (SELECT qid, vec_id, score,
                    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-                   FROM scored)
+                   FROM scored WHERE score IS NOT NULL)
         SELECT qid, rn, vec_id, score,
                '{"fields":{"amount":"monetary amount"}}' AS m_schema
         FROM ranked WHERE rn <= $k"""
@@ -217,6 +223,7 @@ object Similarity {
     val scored = corpus.join(queries,
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .filter(col("score").isNotNull) // NULL-score contract: see topK
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -245,7 +252,7 @@ object Similarity {
                    FROM q JOIN c ON c.bucket = q.q_bucket AND c.vec_id <> qid),
         ranked AS (SELECT qid, vec_id, score,
                    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-                   FROM scored)
+                   FROM scored WHERE score IS NOT NULL)
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
@@ -347,6 +354,7 @@ object Similarity {
     val scored = assigned.join(queries,
         col("cell") === col("q_cell") && col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .filter(col("score").isNotNull) // NULL-score contract: see topK
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -370,7 +378,7 @@ object Similarity {
                      ON a.cell = p.q_cell AND a.vec_id <> p.qid),
         ranked AS (SELECT qid, vec_id, score,
                    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-                   FROM scored)
+                   FROM scored WHERE score IS NOT NULL)
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
 
   /** Embedding near-duplicate pairs: same sign bucket AND cosine >= minCos

@@ -12,6 +12,12 @@ import org.apache.spark.sql.types._
   * best-first, ordered by (score DESC, id ASC) — exactly the engine's
   * top-k window contract (`row_number OVER (ORDER BY score DESC, id)`).
   *
+  * NULL contract: rows with a NULL score (or NULL id) are SKIPPED by
+  * `update`, matching the engine-wide `score IS NOT NULL` filter every
+  * top-k query shape (window and aggregate) and its SQL oracle apply —
+  * the two shapes agree by construction even on zero-norm vectors
+  * (where cosine yields NULL).
+  *
   * SURVEY §4's custom-aggregate criterion, motivated by scale: the window
   * form shuffles EVERY scored (group, id, score) triple to the group's
   * reducer before ranking; this aggregate partial-aggregates

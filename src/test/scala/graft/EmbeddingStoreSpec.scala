@@ -23,6 +23,29 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getString(1) == "u2")
   }
 
+  test("upsert with seq: NULL seq still beats the existing store row") {
+    val existing = Seq((1L, "stale", 5L)).toDF("vec_id", "payload", "seq")
+    val updates = Seq((1L, "fresh", Option.empty[Long]))
+      .toDF("vec_id", "payload", "seq")
+    val out = EmbeddingStore.upsert(existing, updates, seqCol = Some("seq")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "fresh")
+  }
+
+  test("upsert with seq: null seq loses to a seq'd update for the same id") {
+    val existing = Seq((1L, "stale", 0L)).toDF("vec_id", "payload", "seq")
+    val updates = Seq((1L, "unseq", Option.empty[Long]), (1L, "seq1", Some(1L)))
+      .toDF("vec_id", "payload", "seq")
+    val out = EmbeddingStore.upsert(existing, updates, seqCol = Some("seq")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "seq1")
+  }
+
+  test("upsert with seq: equal-seq tie keeps exactly one row (arbitrary)") {
+    val existing = Seq.empty[(Long, String, Long)].toDF("vec_id", "payload", "seq")
+    val updates = Seq((1L, "t1", 1L), (1L, "t2", 1L)).toDF("vec_id", "payload", "seq")
+    val out = EmbeddingStore.upsert(existing, updates, seqCol = Some("seq")).collect()
+    assert(out.length == 1 && Set("t1", "t2").contains(out(0).getString(1)))
+  }
+
   test("upsertToStore round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("store").toString + "/emb"
     val v1 = Seq((1L, "a"), (2L, "b")).toDF("vec_id", "payload")
