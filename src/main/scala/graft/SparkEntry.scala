@@ -49,6 +49,8 @@ object SparkEntry {
     "doc_classify" -> ((s, d) => TextAnalytics.docClassify(s, d)),
     "lang_agg" -> ((s, d) => TextAnalytics.langAgg(s, d)),
     "doc_tokens" -> ((s, d) => TextAnalytics.docTokens(s, d)),
+    "lang_top_words" -> ((s, d) => TextAnalytics.langTopWords(s, d)),
+    "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
     // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
     "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
     "vector_topk_label" -> ((s, d) => Similarity.topK(s, d, labelEq = Some(3))),
@@ -67,6 +69,7 @@ object SparkEntry {
     "lsh_pairs" -> ((s, d) => Dedup.lshPairs(s, d)),
     "simhash_sigs" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
     // --- event-time analytics (SURVEY §2.13) ---
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_sliding" -> ((s, d) => Events.sliding(s, d)),
@@ -189,6 +192,10 @@ object SparkEntry {
     "doc_classify" -> TextAnalytics.docClassifySql,
     "lang_agg" -> TextAnalytics.langAggSql,
     "doc_tokens" -> TextAnalytics.docTokensSql,
+    // sketch is exact on this corpus (vocab < cap) so the exact GROUP BY
+    // twin checks counts AND rank order
+    "lang_top_words" -> TextAnalytics.langTopWordsSql(),
+    "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
     "vector_topk" -> Similarity.topKSql(),
     "vector_topk_label" -> Similarity.topKSql(labelEq = Some(3)),
     "vector_topk_meta" -> Similarity.topKMetaSql(),
@@ -206,6 +213,7 @@ object SparkEntry {
     "lsh_pairs" -> Dedup.lshPairsSql(),
     "simhash_sigs" -> Dedup.simhashSignaturesSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
+    "span_dedup" -> Dedup.spanDedupSql(),
     "events_tumbling" -> Events.tumblingSql,
     "events_stream_tumbling" -> Events.tumblingSql,
     "events_stream_sessions" -> Events.sessionsSql,

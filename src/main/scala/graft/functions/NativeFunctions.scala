@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{CosineSimilarity, KmvMins, PolyHash, TopKByScore}
+import graft.plans.{CosineSimilarity, KmvMins, PolyHash, TopFreq, TopKByScore}
 
 /** Column builders for graft's native Catalyst expressions — usable on
   * any session (no FunctionRegistry dependency; the SQL names
@@ -20,4 +20,8 @@ object NativeFunctions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
+  /** Space-Saving frequent-items sketch: <= cap (item, cnt) counters,
+    * ordered (cnt DESC, item ASC); exact while distinct items <= cap. */
+  def topFreq(item: Column, cap: Int): Column =
+    Bridge.column(TopFreq(Bridge.expression(item), cap).toAggregateExpression())
 }

@@ -450,4 +450,48 @@ object Dedup {
         SELECT a_id, b_id, bit_count(xor(a_sig, b_sig)) AS hamming
         FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= $maxHamming"""
   }
+
+  /** Duplicated-span detection — the exact-substring-dedup primitive
+    * (north star; the fixed-width-window analogue of suffix-array
+    * substring dedup a la Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): every sliding `w`-word window of every
+    * document, grouped corpus-wide; spans occurring >= minOcc times come
+    * back with occurrence/document counts and the earliest containing
+    * doc. A training pipeline drops or rewrites these spans.
+    *
+    * Scale shape: window construction is NARROW — a per-document
+    * transform/slice over the token array (no shuffle, no self-join);
+    * the only wide op is the one (span) count shuffle, partial-aggregated
+    * map-side. Cost is O(total_tokens · w) with no quadratic term, so the
+    * pass survives 100 TB; output is bounded by the corpus's repeated-
+    * span vocabulary. (A per-token lead()-window form would shuffle every
+    * token by doc_id first — strictly worse.) */
+  def spanDedup(spark: SparkSession, dir: String, w: Int = 5,
+                minOcc: Long = 2): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val spans = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= w) // shorter docs have no w-span
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("words")) - lit(w - 1)),
+          i => array_join(slice(col("words"), i, lit(w)), " "))).as("span"))
+    spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") >= minOcc)
+      .orderBy(col("span"))
+  }
+
+  def spanDedupSql(w: Int = 5, minOcc: Long = 2): String =
+    s"""WITH d AS (SELECT doc_id,
+          regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+        FROM documents),
+        s AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(words) - ${w - 1}),
+                  i -> array_to_string(words[i:i+${w - 1}], ' '))) AS span
+              FROM d WHERE len(words) >= $w)
+        SELECT span, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM s GROUP BY 1 HAVING count(*) >= $minOcc"""
 }

@@ -84,4 +84,102 @@ object TextAnalytics {
     s"""SELECT ${langIdSql("text")} AS lang_pred, count(*) AS n_docs,
         CAST(sum(CAST(${tokenCountSql("text")} AS BIGINT)) AS BIGINT) AS sum_tokens
         FROM documents GROUP BY 1"""
+
+  /** Per-language top-k frequent words via the Space-Saving sketch
+    * (graft.plans.TopFreq): explode whitespace tokens, ONE bounded-state
+    * aggregate per language, slice the k best counters.
+    *
+    * Scale contrast: the exact form (the oracle) shuffles every distinct
+    * (lang, word) pair to count, then ranks with a window; the sketch
+    * partial-aggregates to <= cap counters per language per partition
+    * before the shuffle, so the heavy-hitter profile of a 100 TB corpus
+    * moves cap·n_langs counters instead of the vocabulary. On this
+    * corpus (~30-word vocabulary < cap) the sketch is EXACT — the oracle
+    * checks the sketch against the true GROUP BY counts, pinning both
+    * the counts and the (cnt DESC, word ASC) rank order. */
+  def langTopWords(spark: SparkSession, dir: String, k: Int = 5,
+                   cap: Int = 256): DataFrame =
+    Tables.loadWide(spark, dir, "documents")
+      .select(langId(col("text")).as("lang_pred"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang_pred"))
+      .agg(graft.functions.NativeFunctions.topFreq(col("word"), cap).as("tf"))
+      .select(col("lang_pred"), posexplode(col("tf")).as(Seq("pos", "p")))
+      .filter(col("pos") < k)
+      .select(col("lang_pred"), (col("pos") + 1).as("rnk"),
+        col("p.item").as("word"), col("p.cnt").as("cnt"))
+      .orderBy(col("lang_pred"), col("rnk"))
+
+  def langTopWordsSql(k: Int = 5): String =
+    s"""WITH w AS (SELECT ${langIdSql("text")} AS lang_pred,
+          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        FROM documents),
+        g AS (SELECT lang_pred, word, count(*) AS cnt
+              FROM w WHERE word <> '' GROUP BY 1, 2),
+        r AS (SELECT lang_pred, word, cnt,
+              CAST(row_number() OVER (PARTITION BY lang_pred
+                ORDER BY cnt DESC, word) AS INT) AS rnk
+              FROM g)
+        SELECT lang_pred, rnk, word, cnt FROM r WHERE rnk <= $k"""
+
+  /** Per-document top-k keywords by TF-IDF (north star: keyword
+    * extraction for training-data pipelines). The idf factor is the
+    * LOG-FREE rational surrogate (N − df + 0.5)/(df + 0.5) — BM25's idf
+    * odds ratio without the ln. Rationale: ln() is correctly-rounded on
+    * neither engine (both are within-1-ulp libm calls that can disagree
+    * in the last bit, failing the driver's value hash), while the
+    * surrogate is exact IEEE add/divide/multiply on integer-valued
+    * doubles — bit-identical everywhere — and is monotone in 1/df like
+    * the log form, so per-document rank order matches classic TF-IDF
+    * whenever tf ties don't interleave. A production deployment can swap
+    * `ln` in with one line.
+    *
+    * Scale shape: tokens explode narrowly; tf is one (doc_id, word)
+    * shuffle; df reuses tf with a word-only reshuffle; the df join is on
+    * word (broadcastable for bounded vocabularies, plain equi-join
+    * otherwise); ranking shuffles (doc_id, word, score) triples only.
+    * N comes from a metadata-cheap count. */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val n = Tables.load(spark, dir, "documents").count()
+    val tokens = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    // fresh name for the join key: tf and dfreq share lineage, and a
+    // same-attribute equality would resolve trivially true (self-join gotcha)
+    val dfreq = tf.groupBy(col("word").as("dfw"))
+      .agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, col("word") === col("dfw"))
+      .withColumn("tfidf", col("tf").cast(DoubleType) *
+        ((lit(n.toDouble) - col("df").cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def tfidfKeywordsSql(k: Int = 5): String =
+    s"""WITH t AS (SELECT doc_id,
+          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+        FROM documents),
+        tf AS (SELECT doc_id, word, count(*) AS tf
+               FROM t WHERE word <> '' GROUP BY 1, 2),
+        df AS (SELECT word AS dfw, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (SELECT doc_id, word,
+               CAST(tf AS DOUBLE) *
+                 (((n.n - CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) AS tfidf
+               FROM tf JOIN df ON tf.word = df.dfw CROSS JOIN n),
+        r AS (SELECT doc_id, word, tfidf,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, word) AS INT) AS rnk
+              FROM scored)
+        SELECT doc_id, rnk, word, tfidf FROM r WHERE rnk <= $k"""
 }

@@ -44,7 +44,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TopKByScore].getName, null, "top_k_by_score",
         "top_k_by_score(score, id, k) - aggregate: best k (score, id) pairs, score DESC then id ASC", ""),
       (children: Seq[Expression]) => TopKByScore(children(0), children(1),
-        intLit(children(2), "top_k_by_score k"))))
+        intLit(children(2), "top_k_by_score k"))),
+    (new FunctionIdentifier("top_freq"),
+      new ExpressionInfo(classOf[TopFreq].getName, null, "top_freq",
+        "top_freq(item, cap) - aggregate: Space-Saving frequent-items sketch, <= cap (item, cnt) counters, cnt DESC then item ASC", ""),
+      (children: Seq[Expression]) =>
+        TopFreq(children(0), intLit(children(1), "top_freq cap"))))
 
   /** Install into a live session (tests, notebooks without the conf). */
   def registerAll(spark: SparkSession): Unit =

@@ -146,6 +146,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("spanDedup: shared 5-word spans surface with occurrence and doc counts; short/empty docs ignored") {
+    val out = Dedup.spanDedup(spark, corpusDir, w = 5, minOcc = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 0, 1 (exact dups) and 2 (same first 8 words) share every
+    // 5-span of "the quick brown fox jumps over the lazy"; first_doc = 0
+    val hot = out.find(_._1 == "the quick brown fox jumps")
+    assert(hot.contains(("the quick brown fox jumps", 3L, 3L, 0L)))
+    // the dup-pair-only tail span appears twice in two docs
+    assert(out.find(_._1 == "jumps over the lazy dog").contains(("jumps over the lazy dog", 2L, 2L, 0L)))
+    // doc 3's unique spans and doc 4 (empty) contribute nothing
+    assert(!out.exists(_._1.contains("completely")))
+  }
+
+  test("tfidfKeywords: rare terms outrank common ones; ties break alphabetically") {
+    val out = graft.operators.TextAnalytics.tfidfKeywords(spark, corpusDir, k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2))).toMap
+    // doc 0: "the" (tf=2, df=3) scores 2*(5-3+0.5)/3.5 = 1.428.. just above
+    // "dog" (tf=1, df=2) at (5-2+0.5)/2.5 = 1.4 — the tf factor matters
+    assert(out((0L, 1)) == "the" && out((0L, 2)) == "dog")
+    // doc 3: all-unique words tie (tf=1, df=1) -> alphabetical order
+    assert(out((3L, 1)) == "completely" && out((3L, 2)) == "different")
+  }
+
   test("simhash: identical texts -> hamming 0; banded pairs find them") {
     val sigs = Dedup.simhashSignatures(spark, corpusDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

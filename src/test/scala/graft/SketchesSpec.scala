@@ -69,6 +69,47 @@ class SketchesSpec extends AnyFunSuite {
       viaApi.map(s => (s(0), s(1), s(2))).toSet)
   }
 
+  test("topFreq: exact counts and (cnt DESC, item ASC) order while distinct <= cap") {
+    import graft.functions.NativeFunctions.topFreq
+    val words = Seq("b", "a", "a", "c", "b", "a", "c", "d")
+    val out = words.toDF("w").repartition(3)
+      .agg(topFreq(col("w"), 16).as("tf"))
+      .selectExpr("inline(tf)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 3L), ("b", 2L), ("c", 2L), ("d", 1L)))
+  }
+
+  test("topFreq: buffer never exceeds cap; heavy hitter survives eviction pressure") {
+    import graft.functions.NativeFunctions.topFreq
+    // 200 distinct one-off items + one item appearing 50 times, cap 8:
+    // the heavy hitter must surface on top (Space-Saving never loses an
+    // item with true count > n/cap), and at most 8 counters come back
+    val rows = (1 to 200).map(i => s"rare_$i") ++ Seq.fill(50)("hot")
+    val out = rows.toDF("w").repartition(1) // single partition: sequential eviction path
+      .agg(topFreq(col("w"), 8).as("tf"))
+      .selectExpr("inline(tf)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length <= 8)
+    assert(out.head._1 == "hot" && out.head._2 >= 50L) // over-estimate-only error
+  }
+
+  test("topFreq: NULL items are skipped") {
+    import graft.functions.NativeFunctions.topFreq
+    val out = Seq(Some("x"), None, Some("x"), None).toDF("w")
+      .agg(topFreq(col("w"), 4).as("tf"))
+      .selectExpr("inline(tf)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("x", 2L)))
+  }
+
+  test("top_freq is SQL-registered via GraftExtensions") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    Seq("a", "b", "a").toDF("w").createOrReplaceTempView("t_tf")
+    val out = spark.sql("SELECT inline(top_freq(w, 4)) FROM t_tf")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("distinctUsersKmv returns one row per event_type with exact counts alongside") {
     val out = Sketches.distinctUsersKmv(spark, TestSession.sfDir).collect()
     assert(out.nonEmpty)
