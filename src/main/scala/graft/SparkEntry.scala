@@ -86,6 +86,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamTumblingQuery(s, d)),
     "events_stream_sessions" -> ((s, d) =>
       graft.streaming.StreamOps.streamSessionsQuery(s, d)),
+    "events_stream_range_join" -> ((s, d) =>
+      graft.streaming.StreamOps.streamRangeJoinQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -217,6 +219,8 @@ object SparkEntry {
     "events_tumbling" -> Events.tumblingSql,
     "events_stream_tumbling" -> Events.tumblingSql,
     "events_stream_sessions" -> Events.sessionsSql,
+    // the stream-stream interval join must reproduce the batch range join
+    "events_stream_range_join" -> Events.clicksBeforePurchaseSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

@@ -140,6 +140,45 @@ object StreamOps {
       s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}")
       .orderBy(col("user_id"), col("session_start"))
 
+  /** STREAM-STREAM interval join (SURVEY §2.13): clicks joined to
+    * purchases of the same user within the preceding hour, both sides
+    * live streams. The event-time range condition plus the two
+    * watermarks is what bounds the join state: each side can discard
+    * buffered rows once the other side's watermark passes the
+    * constraint, so state stays O(1 hour of traffic per user) at any
+    * corpus size — without the range bound a stream-stream join must
+    * buffer both streams forever. Inner-join matches emit as soon as
+    * both rows have arrived (append mode, no watermark wait). */
+  def clickPurchaseJoinStream(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+  }
+
+  /** Streaming twin of Events.clicksBeforePurchase — the stream-stream
+    * join runs under Structured Streaming (the stateful op under test);
+    * the per-purchase count is a batch rollup of the joined rows (a
+    * non-windowed key can't aggregate in append mode after a
+    * stream-stream join). Verified against the SAME DuckDB oracle as
+    * the batch range join. */
+  def streamRangeJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val joined = clickPurchaseJoinStream(eventsStream(spark, dir))
+      .select(col("p_id"))
+    runToMemory(spark, joined,
+      s"stream_range_join_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      mode = "append")
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_clicks_1h"))
+      .orderBy(col("p_id"))
+  }
+
   /** The reference's TRUE shape, continuously: documents arrive one file
     * at a time (its HTTP loop), each flows through the FULL 7-stage ETL —
     * parse (binary ingest + format dispatch) → clean → classify → schema

@@ -16,6 +16,14 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch range join on a replayed stream") {
+    val streamed = StreamOps.streamRangeJoinQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = Events.clicksBeforePurchase(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events") {
     // replay the same file twice by unioning two reads of the stream dir
     // through a dedup stage: batch-side check of the streaming op's
