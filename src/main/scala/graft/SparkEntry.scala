@@ -51,6 +51,9 @@ object SparkEntry {
     "doc_tokens" -> ((s, d) => TextAnalytics.docTokens(s, d)),
     "lang_top_words" -> ((s, d) => TextAnalytics.langTopWords(s, d)),
     "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
+    "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
+    "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
+    "seq_packing" -> ((s, d) => TextAnalytics.seqPacking(s, d)),
     // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
     "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
     "vector_topk_label" -> ((s, d) => Similarity.topK(s, d, labelEq = Some(3))),
@@ -70,6 +73,7 @@ object SparkEntry {
     "simhash_sigs" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
+    "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- event-time analytics (SURVEY §2.13) ---
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_sliding" -> ((s, d) => Events.sliding(s, d)),
@@ -198,6 +202,9 @@ object SparkEntry {
     // twin checks counts AND rank order
     "lang_top_words" -> TextAnalytics.langTopWordsSql(),
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
+    "pii_scrub" -> TextAnalytics.piiScrubSql,
+    "doc_splits" -> TextAnalytics.docSplitsSql,
+    "seq_packing" -> TextAnalytics.seqPackingSql(),
     "vector_topk" -> Similarity.topKSql(),
     "vector_topk_label" -> Similarity.topKSql(labelEq = Some(3)),
     "vector_topk_meta" -> Similarity.topKMetaSql(),
@@ -216,6 +223,7 @@ object SparkEntry {
     "simhash_sigs" -> Dedup.simhashSignaturesSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "span_dedup" -> Dedup.spanDedupSql(),
+    "decontaminate" -> Dedup.decontaminateSql(),
     "events_tumbling" -> Events.tumblingSql,
     "events_stream_tumbling" -> Events.tumblingSql,
     "events_stream_sessions" -> Events.sessionsSql,

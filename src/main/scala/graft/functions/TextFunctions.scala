@@ -220,4 +220,14 @@ object TextFunctions {
     c.isNull || (c >= lit(0.0))
   def validAmountSql(c: String): String =
     s"($c IS NULL OR $c >= 0.0)"
+
+  // --- PII scrubbing (north star: redaction before a corpus becomes
+  //     training data). Emails first — once replaced, their digits can't
+  //     feed the greedy phone pattern — then phone-shaped digit runs.
+  //     Same regexes as the E1 extractors, so what extraction can find,
+  //     scrubbing provably removes. ---
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailPat, "[EMAIL]"), phonePat, "[PHONE]")
+  def scrubPiiSql(c: String): String =
+    s"regexp_replace(regexp_replace($c, '$emailPat', '[EMAIL]', 'g'), '$phonePat', '[PHONE]', 'g')"
 }

@@ -468,14 +468,8 @@ object Dedup {
     * token by doc_id first — strictly worse.) */
   def spanDedup(spark: SparkSession, dir: String, w: Int = 5,
                 minOcc: Long = 2): DataFrame = {
-    val words = split(lower(trim(col("text"))), "\\s+")
-    val spans = Tables.loadWide(spark, dir, "documents")
-      .select(col("doc_id"), words.as("words"))
-      .filter(size(col("words")) >= w) // shorter docs have no w-span
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("words")) - lit(w - 1)),
-          i => array_join(slice(col("words"), i, lit(w)), " "))).as("span"))
-    spans.groupBy(col("span"))
+    spanTable(Tables.loadWide(spark, dir, "documents"), w)
+      .groupBy(col("span"))
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
@@ -484,14 +478,63 @@ object Dedup {
   }
 
   def spanDedupSql(w: Int = 5, minOcc: Long = 2): String =
-    s"""WITH d AS (SELECT doc_id,
+    s"""WITH ${spanCteSql(w)}
+        SELECT span, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM s GROUP BY 1 HAVING count(*) >= $minOcc"""
+
+  /** (doc_id, span) for every sliding w-word window — the narrow span
+    * builder shared by spanDedup and decontaminate. */
+  private[operators] def spanTable(docs: DataFrame, w: Int): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    docs.select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= w) // shorter docs have no w-span
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("words")) - lit(w - 1)),
+          i => array_join(slice(col("words"), i, lit(w)), " "))).as("span"))
+  }
+
+  /** The spanTable twin as a DuckDB CTE body named `s(doc_id, span)`. */
+  private def spanCteSql(w: Int): String =
+    s"""d AS (SELECT doc_id,
           regexp_split_to_array(lower(trim(text)), '\\s+') AS words
         FROM documents),
         s AS (SELECT doc_id,
                 unnest(list_transform(generate_series(1, len(words) - ${w - 1}),
                   i -> array_to_string(words[i:i+${w - 1}], ' '))) AS span
-              FROM d WHERE len(words) >= $w)
-        SELECT span, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
-               min(doc_id) AS first_doc
-        FROM s GROUP BY 1 HAVING count(*) >= $minOcc"""
+              FROM d WHERE len(words) >= $w)"""
+
+  /** Benchmark DECONTAMINATION (north star: before training, drop corpus
+    * documents that overlap an evaluation set — n-gram-overlap decontam
+    * as in public LLM training reports): flag every training document
+    * (doc_id >= benchBelow) sharing at least one w-word span with the
+    * benchmark set (doc_id < benchBelow), with the count of distinct
+    * shared spans as the contamination score.
+    *
+    * Scale shape: the benchmark side is SMALL by definition — its
+    * distinct spans broadcast, so the probe is a broadcast hash join
+    * against the training corpus's narrow span stream (no shuffle of the
+    * corpus); the per-doc count is the only shuffle, keyed by doc_id.
+    * At a 100 TB corpus the whole pass is one scan + one count shuffle. */
+  def decontaminate(spark: SparkSession, dir: String, w: Int = 4,
+                    benchBelow: Long = 10): DataFrame = {
+    val spans = spanTable(Tables.loadWide(spark, dir, "documents"), w)
+    val benchSpans = broadcast(
+      spans.filter(col("doc_id") < benchBelow)
+        .select(col("span").as("b_span")).distinct())
+    spans.filter(col("doc_id") >= benchBelow)
+      .dropDuplicates("doc_id", "span") // score = DISTINCT shared spans
+      .join(benchSpans, col("span") === col("b_span"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateSql(w: Int = 4, benchBelow: Long = 10): String =
+    s"""WITH ${spanCteSql(w)},
+        bench AS (SELECT DISTINCT span FROM s WHERE doc_id < $benchBelow),
+        train AS (SELECT DISTINCT doc_id, span FROM s WHERE doc_id >= $benchBelow)
+        SELECT t.doc_id, count(*) AS n_shared_spans
+        FROM train t JOIN bench b ON t.span = b.span
+        GROUP BY 1"""
 }

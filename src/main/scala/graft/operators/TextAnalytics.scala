@@ -182,4 +182,83 @@ object TextAnalytics {
                 ORDER BY tfidf DESC, word) AS INT) AS rnk
               FROM scored)
         SELECT doc_id, rnk, word, tfidf FROM r WHERE rnk <= $k"""
+
+  /** PII scrubbing pass (north star: redact before training). The
+    * fixture corpus carries no PII, so the query ENRICHES each document
+    * with a deterministic contact tail (email + phone derived from
+    * doc_id) and then proves the scrub removes exactly that — the oracle
+    * twin applies the same enrich + redact. One narrow codegen'd pass. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com on +1 555 000 "),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), scrubPii(enriched).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  def piiScrubSql: String = {
+    val enriched = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com on +1 555 000 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    s"SELECT doc_id, ${scrubPiiSql(s"($enriched)")} AS scrubbed FROM documents"
+  }
+
+  /** Deterministic train/val/test corpus split (north star: reproducible
+    * splits at any scale): bucket = content fingerprint mod 100, split by
+    * bucket thresholds (90/5/5). Hash-based, so membership is stable
+    * under re-partitioning, re-ordering, and incremental corpus growth —
+    * unlike positional/random sampling. Narrow, no shuffle. */
+  def docSplits(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = fingerprint(col("text")) % 100
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 90, lit("train"))
+          .when(bucket < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docSplitsSql: String =
+    s"""SELECT doc_id, (${fingerprintSql("text")}) % 100 AS bucket,
+        CASE WHEN (${fingerprintSql("text")}) % 100 < 90 THEN 'train'
+             WHEN (${fingerprintSql("text")}) % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents"""
+
+  /** Sequence packing (north star: concat-and-chunk, the packing LLM
+    * training uses — documents are concatenated in order and sliced into
+    * fixed `cap`-token context windows; a document may cross a chunk
+    * boundary). Packing is per-SHARD (doc_id div shardSize): each shard
+    * packs independently, so the prefix-sum window partitions by shard
+    * and parallelizes — a single global ordering would serialize the
+    * cumsum through one task at 100 TB. Exact integer arithmetic only. */
+  def seqPacking(spark: SparkSession, dir: String, cap: Long = 512,
+                 shardSize: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), expr(s"doc_id div $shardSize").as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    toks.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"),
+        (col("cum") - col("n_tokens")).as("offset"),
+        expr(s"(cum - n_tokens) div $cap").as("chunk"),
+        (expr(s"(cum - n_tokens) div $cap") =!=
+          expr(s"(cum - 1) div $cap")).as("crosses"))
+      .orderBy(col("doc_id"))
+  }
+
+  def seqPackingSql(cap: Long = 512, shardSize: Long = 100): String =
+    s"""WITH t AS (SELECT doc_id, doc_id // $shardSize AS shard,
+          CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens
+        FROM documents),
+        c AS (SELECT doc_id, shard, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM t)
+        SELECT doc_id, shard, (cum - n_tokens) AS offset,
+               (cum - n_tokens) // $cap AS chunk,
+               ((cum - n_tokens) // $cap) <> ((cum - 1) // $cap) AS crosses
+        FROM c"""
 }

@@ -159,6 +159,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(_._1.contains("completely")))
   }
 
+  test("decontaminate: train docs sharing w-spans with the benchmark set are flagged with distinct-span counts") {
+    // bench = docs 0,1 (identical texts); doc 2 shares five distinct
+    // 4-word spans with them, docs 3/4 share none
+    val out = Dedup.decontaminate(spark, corpusDir, w = 4, benchBelow = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 5L)))
+  }
+
+  test("seqPacking: offsets are exact prefix sums within a shard; chunk boundaries flagged") {
+    val out = graft.operators.TextAnalytics.seqPacking(spark, corpusDir,
+      cap = 10, shardSize = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // one shard; token counts are 9, 9, 9, 6, 0 -> offsets 0, 9, 18, 27, 33
+    assert(out.map(_._3).toSeq == Seq(0L, 9L, 18L, 27L, 33L))
+    assert(out.map(_._4).toSeq == Seq(0L, 0L, 1L, 2L, 3L)) // chunk = offset div 10
+    // doc 0 spans tokens [0,9): crosses nothing; doc 1 spans [9,18): crosses the 10 boundary
+    assert(!out(0)._5 && out(1)._5)
+  }
+
   test("tfidfKeywords: rare terms outrank common ones; ties break alphabetically") {
     val out = graft.operators.TextAnalytics.tfidfKeywords(spark, corpusDir, k = 2)
       .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2))).toMap

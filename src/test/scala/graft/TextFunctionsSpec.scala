@@ -76,6 +76,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one("ab", fingerprint) == (97L * 31 + 98) % 1000000007L)
   }
 
+  test("scrubPii redacts what the E1 extractors can find, leaves clean text alone") {
+    val s = one("pay 12.50 to bob.smith+x@corp.example.org or call +1 (415) 555-0133 now",
+      scrubPii).asInstanceOf[String]
+    assert(s == "pay 12.50 to [EMAIL] or call [PHONE] now")
+    assert(one("no pii here, just words.", scrubPii) == "no pii here, just words.")
+    // the scrubbed text yields nothing to the extractors
+    val clean = Seq(s).toDF("t")
+      .select(extractEmail(col("t")).as("e"), extractPhone(col("t")).as("p"))
+      .collect()(0)
+    assert(clean.isNullAt(0) && clean.isNullAt(1))
+  }
+
   test("quality score bounded [0,1] (property)") {
     val qs = randomStrings(60).toDF("t")
       .select(qualityScore(col("t")).as("q")).as[Double].collect()
