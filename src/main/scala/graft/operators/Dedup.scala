@@ -513,9 +513,14 @@ object Dedup {
     *
     * Scale shape: the benchmark side is SMALL by definition — its
     * distinct spans broadcast, so the probe is a broadcast hash join
-    * against the training corpus's narrow span stream (no shuffle of the
-    * corpus); the per-doc count is the only shuffle, keyed by doc_id.
-    * At a 100 TB corpus the whole pass is one scan + one count shuffle. */
+    * against the training corpus's narrow span stream: the corpus
+    * reaches the join with NO shuffle (plan-asserted in PlanSpec). The
+    * distinct-shared-span count runs AFTER the join, so the only rows
+    * that ever shuffle are the contamination HITS — at a 100 TB corpus
+    * that is one scan + a shuffle of the (rare) matches, never the
+    * span stream. (Deduping the corpus spans BEFORE the join reads
+    * nicer but hash-shuffles every span of every document — measured as
+    * the dominant exchange, and exactly what this shape deletes.) */
   def decontaminate(spark: SparkSession, dir: String, w: Int = 4,
                     benchBelow: Long = 10): DataFrame = {
     val spans = spanTable(Tables.loadWide(spark, dir, "documents"), w)
@@ -523,10 +528,9 @@ object Dedup {
       spans.filter(col("doc_id") < benchBelow)
         .select(col("span").as("b_span")).distinct())
     spans.filter(col("doc_id") >= benchBelow)
-      .dropDuplicates("doc_id", "span") // score = DISTINCT shared spans
       .join(benchSpans, col("span") === col("b_span"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_spans"))
+      .agg(countDistinct(col("span")).as("n_shared_spans"))
       .orderBy(col("doc_id"))
   }
 

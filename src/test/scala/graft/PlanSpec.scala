@@ -54,6 +54,31 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(3000)}")
   }
 
+  test("decontaminate: bench side broadcasts, corpus span stream reaches the join unshuffled") {
+    val p = plan(graft.operators.Dedup.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the corpus is the join's LEFT child: the tree-printer renders it
+    // between the BroadcastHashJoin line and the BroadcastExchange that
+    // starts the (small, legitimately-shuffled) bench side. No hash
+    // exchange may appear there — every shuffle must be post-join
+    // (matches only) or bench-side.
+    val corpusSide = p.substring(
+      p.indexOf("BroadcastHashJoin"), p.indexOf("BroadcastExchange"))
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus side reshuffled before the broadcast join:\n$corpusSide")
+  }
+
+  test("topFreq sketch partial-aggregates map-side (ObjectHashAggregate x2)") {
+    val p = plan(graft.operators.TextAnalytics.langTopWords(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("seqPacking: prefix-sum window partitions by shard (no single-task global sort)") {
+    val p = plan(graft.operators.TextAnalytics.seqPacking(spark, sfDir))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("fused retry pipeline: no InMemoryRelation, no union — a single narrow pass") {
     val df = DocPipeline.extractValidateWithRetry(
       DocPipeline.schemaLookup(spark, DocPipeline.classifyStage(
