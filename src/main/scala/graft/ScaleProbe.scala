@@ -80,6 +80,10 @@ object ScaleProbe {
       "minhash_sigs" -> ((s, d) => Dedup.minhashSignatures(s, d)),
       "lsh_pairs" -> ((s, d) => Dedup.lshPairs(s, d)),
       "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+      "span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
+      "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+      "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
+      "lang_top_words" -> ((s, d) => TextAnalytics.langTopWords(s, d)),
       // fixed 10-query set over a growing corpus: expect ~linear scan cost
       "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
       "vector_topk_agg" -> ((s, d) => Similarity.topKAgg(s, d)),
