@@ -20,7 +20,7 @@ object NativeFunctions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
       .toAggregateExpression())
-  /** Space-Saving frequent-items sketch: <= cap (item, cnt) counters,
+  /** Misra-Gries frequent-items summary: <= cap (item, cnt) counters,
     * ordered (cnt DESC, item ASC); exact while distinct items <= cap. */
   def topFreq(item: Column, cap: Int): Column =
     Bridge.column(TopFreq(Bridge.expression(item), cap).toAggregateExpression())

@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *  - schema fields render as COMPACT json (the reference pretty-prints
   *    with indent=2 — cosmetic, normalized here like the quirk ledger's
   *    other whitespace normalizations). Divergence from the reference is
-  *    whitespace/typo normalization ONLY ("standardtized" → "standardized",
-  *    f-string indentation stripped); all sentences of utils.py:15-31 and
-  *    57-87 are present, including the "Be careful to choose accurately"
-  *    guidance, the irrelevant-text rule, the "(Education: ...)" example
-  *    and all six CRITICAL rules.
+  *    WHITESPACE ONLY (the f-string indentation/blank-line layout is
+  *    flattened); every word of utils.py:15-31 and 57-87 is present —
+  *    the "Be careful to choose accurately" guidance, the trailing
+  *    period on "- other.", the irrelevant-text rule, the
+  *    "(Education: ...)" example, the reference's own "standardtized"
+  *    typo, and all six CRITICAL rules.
   */
 object Prompts {
 
@@ -35,7 +36,9 @@ object Prompts {
 
   private val ClassifyPrefix =
     "Classify the following document into ONE of these categories:\n\n" +
-      Labels.map(l => s"- $l").mkString("\n") +
+      // the reference's list ends '- other.' — trailing period included
+      // (utils.py:25)
+      Labels.map(l => if (l == "other") s"- $l." else s"- $l").mkString("\n") +
       "\n\nDocument text (first 500 chars):\n"
   private val ClassifySuffix =
     "\n\nBe careful to choose accurately the category that best fits the text in the document. " +
@@ -58,7 +61,9 @@ object Prompts {
       "- Add + with phone number if not present.\n" +
       "- If a field contains only one date, consider that as End Date." +
       "(Education: Start Date: Unspecified , End Date: 2025).\n" +
-      "- Convert fields to standardized formats (dates to YYYY-MM-DD, amounts to numeric values) if possible.\n\n" +
+      // 'standardtized' [sic] — the reference's own typo, reproduced so a
+      // backend swap receives byte-faithful prompts (utils.py:66)
+      "- Convert the fields to standardtized formats (e.g., dates to YYYY-MM-DD, amounts to numeric values) if possible.\n\n" +
       "Document Type: "
   private val ExtractSchemaHead = "\n\nSchema (guidelines, not strict requirements):\n"
   private val ExtractDocHead = "\n\nDocument:\n"

@@ -222,12 +222,28 @@ object TextFunctions {
     s"($c IS NULL OR $c >= 0.0)"
 
   // --- PII scrubbing (north star: redaction before a corpus becomes
-  //     training data). Emails first — once replaced, their digits can't
-  //     feed the greedy phone pattern — then phone-shaped digit runs.
-  //     Same regexes as the E1 extractors, so what extraction can find,
-  //     scrubbing provably removes. ---
+  //     training data). Order matters and mirrors extractPhone's
+  //     date-blanking rationale: emails first (their digits must not
+  //     feed the greedy phone pattern), then ISO dates (a date is
+  //     DOB-grade PII, and '2024-01-31' is digits+hyphens — without its
+  //     own token the phone pattern would mislabel it [PHONE]), then
+  //     phone-shaped digit runs. Same regexes as the E1 extractors, so
+  //     what extraction can find, scrubbing provably removes — each
+  //     under its own token. ---
   def scrubPii(c: Column): Column =
-    regexp_replace(regexp_replace(c, emailPat, "[EMAIL]"), phonePat, "[PHONE]")
+    regexp_replace(regexp_replace(regexp_replace(
+      c, emailPat, "[EMAIL]"), isoDatePat, "[DATE]"), phonePat, "[PHONE]")
   def scrubPiiSql(c: String): String =
-    s"regexp_replace(regexp_replace($c, '$emailPat', '[EMAIL]', 'g'), '$phonePat', '[PHONE]', 'g')"
+    s"regexp_replace(regexp_replace(regexp_replace($c, '$emailPat', '[EMAIL]', 'g'), " +
+      s"'$isoDatePat', '[DATE]', 'g'), '$phonePat', '[PHONE]', 'g')"
+
+  // --- the engine's ONE whitespace word tokenizer (lowercased trimmed
+  //     \s+ split; '' survives only for empty input — callers filter).
+  //     langTopWords, tfidfKeywords, and Dedup.spanTable all tokenize
+  //     through this pair so engine and oracle can never desynchronize
+  //     per-query. ---
+  def words(c: Column): Column =
+    split(lower(trim(c)), "\\s+")
+  def wordsSql(c: String): String =
+    s"regexp_split_to_array(lower(trim($c)), '\\s+')"
 }

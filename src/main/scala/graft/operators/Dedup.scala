@@ -486,8 +486,8 @@ object Dedup {
   /** (doc_id, span) for every sliding w-word window — the narrow span
     * builder shared by spanDedup and decontaminate. */
   private[operators] def spanTable(docs: DataFrame, w: Int): DataFrame = {
-    val words = split(lower(trim(col("text"))), "\\s+")
-    docs.select(col("doc_id"), words.as("words"))
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.words(col("text")).as("words"))
       .filter(size(col("words")) >= w) // shorter docs have no w-span
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("words")) - lit(w - 1)),
@@ -497,7 +497,7 @@ object Dedup {
   /** The spanTable twin as a DuckDB CTE body named `s(doc_id, span)`. */
   private def spanCteSql(w: Int): String =
     s"""d AS (SELECT doc_id,
-          regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+          ${graft.functions.TextFunctions.wordsSql("text")} AS words
         FROM documents),
         s AS (SELECT doc_id,
                 unnest(list_transform(generate_series(1, len(words) - ${w - 1}),

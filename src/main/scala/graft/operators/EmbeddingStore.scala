@@ -27,26 +27,35 @@ object EmbeddingStore {
     concat(docType, lit("_schema_"), pmod(xxhash64(schemaJson), lit(100000)))
 
   /** Last-writer-wins upsert: rows in `updates` replace same-id rows in
-    * `existing`; ties inside `updates` resolve to the last by `seq`. A
-    * NULL seq still counts as "later wave" (it beats the store — coalesced
-    * to seq 0, the lowest update priority); rows with EQUAL seq for one id
-    * within a wave have no defined order and keep an arbitrary one (same
-    * contract as the reference's in-batch dict collapse). */
+    * `existing` — unconditionally, for ANY seq value (negative, zero,
+    * NULL); the wave membership and the within-wave sequence are separate
+    * ranks. Inside `updates`, higher `seq` wins; a NULL seq ranks below
+    * every explicit seq (an unsequenced update loses to a sequenced one
+    * but still beats the store); rows with EQUAL seq for one id keep an
+    * arbitrary one (same contract as the reference's in-batch dict
+    * collapse). */
   def upsert(existing: DataFrame, updates: DataFrame, idCol: String = "vec_id",
              seqCol: Option[String] = None): DataFrame = {
     // the seq column is upsert bookkeeping, not payload: fold it into
-    // _prio and drop it so both union sides share the store schema
-    val e = seqCol.foldLeft(existing.withColumn("_prio", lit(0L)))(_.drop(_))
+    // (_wave, _seq) and drop it so both union sides share the store
+    // schema. Two-level ordering — wave first — so no seq value can ever
+    // demote an update below the existing store (a single additive
+    // priority would: 1 + seq underflows the store's rank at seq <= -1)
+    val e = seqCol.foldLeft(existing
+      .withColumn("_wave", lit(0L)).withColumn("_seq", lit(0L)))(_.drop(_))
     val u = seqCol match {
-      case Some(s) => updates.withColumn("_prio",
-        lit(1L) + coalesce(col(s).cast("long"), lit(0L))).drop(s)
-      case None => updates.withColumn("_prio", lit(1L))
+      case Some(s) => updates.withColumn("_wave", lit(1L))
+        .withColumn("_seq", coalesce(col(s).cast("long"), lit(Long.MinValue)))
+        .drop(s)
+      case None => updates.withColumn("_wave", lit(1L))
+        .withColumn("_seq", lit(0L))
     }
     val all = e.unionByName(u, allowMissingColumns = false)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_prio").desc)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_wave").desc, col("_seq").desc)
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_prio", "_rn")
+      .drop("_wave", "_seq", "_rn")
   }
 
   /** Oracle-checkable upsert (V2/K3): fixture embeddings ∪ two literal

@@ -85,7 +85,7 @@ object TextAnalytics {
         CAST(sum(CAST(${tokenCountSql("text")} AS BIGINT)) AS BIGINT) AS sum_tokens
         FROM documents GROUP BY 1"""
 
-  /** Per-language top-k frequent words via the Space-Saving sketch
+  /** Per-language top-k frequent words via the Misra-Gries summary
     * (graft.plans.TopFreq): explode whitespace tokens, ONE bounded-state
     * aggregate per language, slice the k best counters.
     *
@@ -101,7 +101,7 @@ object TextAnalytics {
                    cap: Int = 256): DataFrame =
     Tables.loadWide(spark, dir, "documents")
       .select(langId(col("text")).as("lang_pred"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        explode(words(col("text"))).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("lang_pred"))
       .agg(graft.functions.NativeFunctions.topFreq(col("word"), cap).as("tf"))
@@ -113,7 +113,7 @@ object TextAnalytics {
 
   def langTopWordsSql(k: Int = 5): String =
     s"""WITH w AS (SELECT ${langIdSql("text")} AS lang_pred,
-          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+          unnest(${wordsSql("text")}) AS word
         FROM documents),
         g AS (SELECT lang_pred, word, count(*) AS cnt
               FROM w WHERE word <> '' GROUP BY 1, 2),
@@ -146,7 +146,7 @@ object TextAnalytics {
     val n = Tables.load(spark, dir, "documents").count()
     val tokens = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        explode(words(col("text"))).as("word"))
       .filter(col("word") =!= "")
     val tf = tokens.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -167,7 +167,7 @@ object TextAnalytics {
 
   def tfidfKeywordsSql(k: Int = 5): String =
     s"""WITH t AS (SELECT doc_id,
-          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+          unnest(${wordsSql("text")}) AS word
         FROM documents),
         tf AS (SELECT doc_id, word, count(*) AS tf
                FROM t WHERE word <> '' GROUP BY 1, 2),
@@ -244,7 +244,10 @@ object TextAnalytics {
       .select(col("doc_id"), col("shard"),
         (col("cum") - col("n_tokens")).as("offset"),
         expr(s"(cum - n_tokens) div $cap").as("chunk"),
-        (expr(s"(cum - n_tokens) div $cap") =!=
+        // a zero-token document occupies nothing and can't cross a
+        // boundary even when its offset lands exactly on one
+        (col("n_tokens") > 0 &&
+          expr(s"(cum - n_tokens) div $cap") =!=
           expr(s"(cum - 1) div $cap")).as("crosses"))
       .orderBy(col("doc_id"))
   }
@@ -259,6 +262,7 @@ object TextAnalytics {
               FROM t)
         SELECT doc_id, shard, (cum - n_tokens) AS offset,
                (cum - n_tokens) // $cap AS chunk,
-               ((cum - n_tokens) // $cap) <> ((cum - 1) // $cap) AS crosses
+               (n_tokens > 0 AND
+                ((cum - n_tokens) // $cap) <> ((cum - 1) // $cap)) AS crosses
         FROM c"""
 }

@@ -47,7 +47,7 @@ object GraftExtensions {
         intLit(children(2), "top_k_by_score k"))),
     (new FunctionIdentifier("top_freq"),
       new ExpressionInfo(classOf[TopFreq].getName, null, "top_freq",
-        "top_freq(item, cap) - aggregate: Space-Saving frequent-items sketch, <= cap (item, cnt) counters, cnt DESC then item ASC", ""),
+        "top_freq(item, cap) - aggregate: Misra-Gries frequent-items summary, <= cap (item, cnt) counters, cnt DESC then item ASC", ""),
       (children: Seq[Expression]) =>
         TopFreq(children(0), intLit(children(1), "top_freq cap"))))
 

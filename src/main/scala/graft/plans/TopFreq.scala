@@ -10,32 +10,36 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Space-Saving frequent-items sketch (Metwally et al., "Efficient
-  * computation of frequent and top-k elements in data streams"): at most
-  * `cap` counters per group; returned as `array<struct<item:string,
+/** Misra–Gries frequent-items summary (Misra & Gries, "Finding repeated
+  * elements"; mergeability per Agarwal et al., "Mergeable summaries"): at
+  * most `cap` counters per group; returned as `array<struct<item:string,
   * cnt:bigint>>` ordered (cnt DESC, item ASC).
   *
   * Counter maintenance is the classic algorithm: a tracked item
-  * increments its counter; an untracked item takes over the minimum
-  * counter at `min + 1` (over-estimating by at most that evicted
-  * minimum). Merges sum matching counters and keep the `cap` largest —
-  * the mergeable-summaries variant, so partial aggregation
-  * (ObjectHashAggregate map-side combine) ships at most `cap` counters
-  * per group per partition instead of one row per (group, item).
+  * increments its counter; an untracked item inserts at 1 when a slot is
+  * free, otherwise ALL counters decrement by one (dropping zeros) — the
+  * overflow charge is spread across every tracked item. Merges sum
+  * matching counters, then restore the bound by subtracting the
+  * (cap+1)-th largest count from every counter and dropping the
+  * non-positive — the Agarwal et al. merge, which preserves the error
+  * bound under arbitrary merge trees. As a TypedImperativeAggregate it
+  * partial-aggregates (ObjectHashAggregate map-side combine), so a
+  * heavy-hitter profile ships at most `cap` counters per group per
+  * partition instead of one row per (group, item).
   *
-  * EXACTNESS contract (what the DuckDB oracle checks): while a buffer
-  * never overflows `cap` — i.e. every partition and every merge sees at
-  * most `cap` distinct items per group — no eviction or trim ever
-  * happens and all counts are exact, equal to GROUP BY item counts.
-  * Beyond `cap` distinct items the result is an over-estimate bounded by
-  * n/cap per counter (heavy hitters above that threshold are never
-  * lost). Eviction is deterministic: (lowest count, lexicographically
-  * LARGEST item) goes first, mirroring the output order's (cnt DESC,
-  * item ASC) preference.
+  * Error contract (UNDER-estimate only, the MG direction):
+  * `cnt <= true count <= cnt + n/(cap+1)` where n is the group's total
+  * item count — so any item with true frequency above n/(cap+1) is
+  * guaranteed retained. While no buffer ever overflows `cap` distinct
+  * items — the EXACTNESS regime the DuckDB oracle checks — no decrement
+  * or merge-subtraction fires and every count is exact, equal to the
+  * GROUP BY truth. All maintenance is deterministic (decrement-all has
+  * no victim choice; the merge subtraction is order-free), so results
+  * are partitioning-independent in the exact regime.
   *
-  * Scale posture: frequent-token / heavy-hitter profiles over a 100 TB
-  * corpus with count(*) GROUP BY item shuffle every distinct (group,
-  * item) pair; this sketch bounds the shuffle to cap·n_groups counters.
+  * Scale posture: frequent-token profiles over a 100 TB corpus with
+  * count(*) GROUP BY item shuffle every distinct (group, item) pair;
+  * this summary bounds the shuffle to cap·n_groups counters.
   *
   * NULL items are skipped (like count(col)). Item ordering is Java
   * String order — identical to DuckDB's binary collation for ASCII.
@@ -45,9 +49,11 @@ case class TopFreq(
     cap: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
 
   require(cap >= 1, "top_freq needs cap >= 1")
+
+  private type Buf = java.util.HashMap[String, java.lang.Long]
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -55,73 +61,60 @@ case class TopFreq(
     StructField("item", StringType, nullable = false),
     StructField("cnt", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
-    new java.util.HashMap[String, Long]()
+  override def createAggregationBuffer(): Buf = new Buf()
 
-  /** (lowest count, lexicographically largest item) — the deterministic
-    * eviction victim. Linear scan; runs only when the buffer is full AND
-    * the incoming item is untracked. */
-  private def minEntry(buf: java.util.HashMap[String, Long]): (String, Long) = {
-    var mk: String = null
-    var mv = Long.MaxValue
+  /** Subtract `by` from every counter, dropping the non-positive — the
+    * MG overflow/merge-restore step. O(cap). */
+  private def decrementAll(buf: Buf, by: Long): Unit = {
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val v = e.getValue
-      if (v < mv || (v == mv && e.getKey.compareTo(mk) > 0)) {
-        mk = e.getKey; mv = v
-      }
-    }
-    (mk, mv)
-  }
-
-  private def offer(buf: java.util.HashMap[String, Long], item: String, by: Long): Unit = {
-    val cur = buf.get(item)
-    if (buf.containsKey(item)) buf.put(item, cur + by)
-    else if (buf.size < cap) buf.put(item, by)
-    else {
-      val (mk, mv) = minEntry(buf)
-      buf.remove(mk)
-      buf.put(item, mv + by)
+      val nv = e.getValue - by
+      if (nv <= 0L) it.remove() else e.setValue(nv)
     }
   }
 
-  override def update(buf: java.util.HashMap[String, Long],
-                      input: InternalRow): java.util.HashMap[String, Long] = {
+  override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
-    if (v != null) offer(buf, v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) {
+      val item = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(item)
+      if (cur != null) buf.put(item, cur + 1L)
+      else if (buf.size < cap) buf.put(item, 1L)
+      else decrementAll(buf, 1L) // the new item's single count is charged too
+    }
     buf
   }
 
-  /** Sum matching counters, then trim to the `cap` largest by (cnt DESC,
-    * item ASC). Trimming (vs per-item eviction) preserves the sketch's
-    * over-estimate-only error direction and is a no-op while the union
+  /** Sum matching counters; if over cap, subtract the (cap+1)-th largest
+    * count from all and drop the non-positive (never fewer than... at
+    * most cap survive, since the cap+1 largest all shrink by a value at
+    * least as large as every smaller counter). No-op while the union
     * fits in `cap` — the exactness regime. */
-  override def merge(buf: java.util.HashMap[String, Long],
-                     other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+  override def merge(buf: Buf, other: Buf): Buf = {
     val it = other.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val cur = buf.get(e.getKey)
-      if (buf.containsKey(e.getKey)) buf.put(e.getKey, cur + e.getValue)
-      else buf.put(e.getKey, e.getValue)
+      buf.put(e.getKey, if (cur != null) cur + e.getValue else e.getValue)
     }
     if (buf.size > cap) {
-      val kept = sorted(buf).take(cap)
-      buf.clear()
-      kept.foreach { case (k, v) => buf.put(k, v) }
+      import scala.jdk.CollectionConverters._
+      val counts = buf.values().asScala.map(_.longValue).toArray
+      java.util.Arrays.sort(counts)
+      decrementAll(buf, counts(counts.length - cap - 1)) // (cap+1)-th largest
     }
     buf
   }
 
-  private def sorted(buf: java.util.HashMap[String, Long]): Seq[(String, Long)] = {
+  private def sorted(buf: Buf): Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
     buf.entrySet().asScala.toSeq
-      .map(e => (e.getKey, e.getValue))
+      .map(e => (e.getKey, e.getValue.longValue))
       .sortBy { case (k, v) => (-v, k) }
   }
 
-  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+  override def eval(buf: Buf): Any = {
     val s = sorted(buf)
     val rows = new Array[Any](s.length)
     var i = 0
@@ -132,10 +125,10 @@ case class TopFreq(
     new GenericArrayData(rows)
   }
 
-  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: Buf): Array[Byte] = {
     import scala.jdk.CollectionConverters._
     val entries = buf.entrySet().asScala.toSeq
-      .map(e => (e.getKey.getBytes(StandardCharsets.UTF_8), e.getValue))
+      .map(e => (e.getKey.getBytes(StandardCharsets.UTF_8), e.getValue.longValue))
     val bb = ByteBuffer.allocate(4 + entries.map(12 + _._1.length).sum)
     bb.putInt(entries.size)
     entries.foreach { case (k, v) =>
@@ -144,10 +137,10 @@ case class TopFreq(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new java.util.HashMap[String, Long]()
+    val buf = new Buf()
     var i = 0
     while (i < n) {
       val len = bb.getInt

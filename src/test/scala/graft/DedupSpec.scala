@@ -176,6 +176,11 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(0L, 0L, 1L, 2L, 3L)) // chunk = offset div 10
     // doc 0 spans tokens [0,9): crosses nothing; doc 1 spans [9,18): crosses the 10 boundary
     assert(!out(0)._5 && out(1)._5)
+    // cap=33 puts the EMPTY doc's offset (33) exactly on a chunk
+    // boundary: a zero-token doc occupies nothing and must not cross
+    val edge = graft.operators.TextAnalytics.seqPacking(spark, corpusDir,
+      cap = 33, shardSize = 1000).collect()
+    assert(!edge.last.getBoolean(4) && edge.last.getLong(3) == 1L)
   }
 
   test("tfidfKeywords: rare terms outrank common ones; ties break alphabetically") {

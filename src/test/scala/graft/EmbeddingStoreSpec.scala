@@ -39,6 +39,13 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getString(1) == "seq1")
   }
 
+  test("upsert with seq: a NEGATIVE seq update still replaces the store row (wave beats seq)") {
+    val existing = Seq((1L, "stale", 0L)).toDF("vec_id", "payload", "seq")
+    val updates = Seq((1L, "downgrade", -2L)).toDF("vec_id", "payload", "seq")
+    val out = EmbeddingStore.upsert(existing, updates, seqCol = Some("seq")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "downgrade")
+  }
+
   test("upsert with seq: equal-seq tie keeps exactly one row (arbitrary)") {
     val existing = Seq.empty[(Long, String, Long)].toDF("vec_id", "payload", "seq")
     val updates = Seq((1L, "t1", 1L), (1L, "t2", 1L)).toDF("vec_id", "payload", "seq")

@@ -79,18 +79,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(out == Seq(("a", 3L), ("b", 2L), ("c", 2L), ("d", 1L)))
   }
 
-  test("topFreq: buffer never exceeds cap; heavy hitter survives eviction pressure") {
+  test("topFreq: buffer never exceeds cap; heavy hitter survives decrement pressure (MG bound)") {
     import graft.functions.NativeFunctions.topFreq
-    // 200 distinct one-off items + one item appearing 50 times, cap 8:
-    // the heavy hitter must surface on top (Space-Saving never loses an
-    // item with true count > n/cap), and at most 8 counters come back
+    // 200 distinct one-off items + one item appearing 50 times, cap 8,
+    // n = 250: Misra-Gries guarantees any item with true count >
+    // n/(cap+1) = 27.7 is retained, with cnt in [true - n/(cap+1), true]
     val rows = (1 to 200).map(i => s"rare_$i") ++ Seq.fill(50)("hot")
-    val out = rows.toDF("w").repartition(1) // single partition: sequential eviction path
+    val out = rows.toDF("w").repartition(1) // single partition: sequential decrement path
       .agg(topFreq(col("w"), 8).as("tf"))
       .selectExpr("inline(tf)")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.length <= 8)
-    assert(out.head._1 == "hot" && out.head._2 >= 50L) // over-estimate-only error
+    assert(out.head._1 == "hot" &&
+      out.head._2 <= 50L && out.head._2 >= 50L - 250L / 9L) // under-estimate-only error
+  }
+
+  test("topFreq merge: under-estimate direction survives multi-buffer merges (MG restore step)") {
+    import graft.functions.NativeFunctions.topFreq
+    // many partitions, each contributing partial buffers over a skewed
+    // stream: merged counts must never exceed the truth, and every item
+    // above the n/(cap+1) threshold must be present
+    val rows = (1 to 64).flatMap(i => Seq.fill(i % 4 + 1)(s"w${i % 16}"))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val cap = 8
+    val out = rows.toDF("w").repartition(16)
+      .agg(topFreq(col("w"), cap).as("tf"))
+      .selectExpr("inline(tf)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.foreach { case (item, cnt) =>
+      assert(cnt <= truth(item), s"$item over-estimated: $cnt > ${truth(item)}")
+    }
+    truth.filter(_._2 > n / (cap + 1)).keys.foreach { hh =>
+      assert(out.exists(_._1 == hh), s"heavy hitter $hh lost")
+    }
   }
 
   test("topFreq: NULL items are skipped") {

@@ -81,6 +81,10 @@ class TextFunctionsSpec extends AnyFunSuite {
       scrubPii).asInstanceOf[String]
     assert(s == "pay 12.50 to [EMAIL] or call [PHONE] now")
     assert(one("no pii here, just words.", scrubPii) == "no pii here, just words.")
+    // a date is digits+hyphens — it must come out as [DATE], never
+    // mislabeled [PHONE] (the extractPhone date-blanking rationale)
+    assert(one("report dated 2024-01-31 follows", scrubPii) ==
+      "report dated [DATE] follows")
     // the scrubbed text yields nothing to the extractors
     val clean = Seq(s).toDF("t")
       .select(extractEmail(col("t")).as("e"), extractPhone(col("t")).as("p"))
