@@ -52,6 +52,7 @@ object SparkEntry {
     "lang_top_words" -> ((s, d) => TextAnalytics.langTopWords(s, d)),
     "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
     "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
+    "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
     "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
     "seq_packing" -> ((s, d) => TextAnalytics.seqPacking(s, d)),
     // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
@@ -203,6 +204,7 @@ object SparkEntry {
     "lang_top_words" -> TextAnalytics.langTopWordsSql(),
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
+    "doc_repetition" -> TextAnalytics.docRepetitionSql,
     "doc_splits" -> TextAnalytics.docSplitsSql,
     "seq_packing" -> TextAnalytics.seqPackingSql(),
     "vector_topk" -> Similarity.topKSql(),

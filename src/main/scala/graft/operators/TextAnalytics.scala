@@ -183,6 +183,66 @@ object TextAnalytics {
               FROM scored)
         SELECT doc_id, rnk, word, tfidf FROM r WHERE rnk <= $k"""
 
+  /** Repetition quality signals (north star: the Gopher/C4-style
+    * repetition filters a training pipeline drops documents on):
+    * duplicate-token fraction (1 − distinct/total) and top-bigram
+    * fraction (occurrences of the most frequent word bigram over all
+    * bigram slots). High values mark boilerplate/spam.
+    *
+    * Scale shape: per-document stats only — one (doc_id, bigram) count
+    * shuffle and one (doc_id) rollup, both partial-aggregated; nothing
+    * corpus-global. Fractions are single IEEE divisions of exact counts,
+    * so the oracle hash-matches. Docs with < 2 words have no bigram
+    * slots: top_bigram_frac = 0 by convention (both engines). */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), expr(
+        "filter(transform(ws, (w, i) -> IF(i < size(ws) - 1, concat(w, ' ', element_at(ws, i + 2)), NULL)), x -> x IS NOT NULL)"
+      ).as("bigrams"),
+        size(expr("filter(ws, w -> w <> '')")).cast("long").as("n_tokens"),
+        size(expr("array_distinct(filter(ws, w -> w <> ''))")).cast("long").as("n_distinct"))
+    val perBigram = toks
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode_outer(col("bigrams")).as("bg"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
+      .agg(count(col("bg")).as("bg_cnt"))
+    perBigram.groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .agg(coalesce(max(when(col("bg").isNotNull, col("bg_cnt"))), lit(0L)).as("top_bg"),
+        coalesce(sum(when(col("bg").isNotNull, col("bg_cnt"))), lit(0L)).as("n_bg"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_distinct")).cast("double") /
+            col("n_tokens").cast("double")).otherwise(lit(0.0)).as("dup_token_frac"),
+        when(col("n_bg") > 0,
+          col("top_bg").cast("double") / col("n_bg").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docRepetitionSql: String =
+    s"""WITH w AS (SELECT doc_id, list_filter(${wordsSql("text")}, x -> x <> '') AS ws
+        FROM documents),
+        base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+                 list_transform(generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1]) AS bigrams
+                 FROM w),
+        bg AS (SELECT doc_id, n_tokens, n_distinct, unnest(bigrams) AS b FROM base),
+        cnt AS (SELECT doc_id, n_tokens, n_distinct, b, count(*) AS c
+                FROM bg GROUP BY 1, 2, 3, 4),
+        agg AS (SELECT doc_id, n_tokens, n_distinct,
+                max(c) AS top_bg, CAST(sum(c) AS BIGINT) AS n_bg
+                FROM cnt GROUP BY 1, 2, 3)
+        SELECT base.doc_id, base.n_tokens, base.n_distinct,
+               CASE WHEN base.n_tokens > 0 THEN
+                 CAST(base.n_tokens - base.n_distinct AS DOUBLE) / CAST(base.n_tokens AS DOUBLE)
+               ELSE 0.0 END AS dup_token_frac,
+               CASE WHEN coalesce(agg.n_bg, 0) > 0 THEN
+                 CAST(agg.top_bg AS DOUBLE) / CAST(agg.n_bg AS DOUBLE)
+               ELSE 0.0 END AS top_bigram_frac
+        FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id"""
+
   /** PII scrubbing pass (north star: redact before training). The
     * fixture corpus carries no PII, so the query ENRICHES each document
     * with a deterministic contact tail (email + phone derived from

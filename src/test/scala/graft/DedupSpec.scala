@@ -183,6 +183,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!edge.last.getBoolean(4) && edge.last.getLong(3) == 1L)
   }
 
+  test("docRepetition: exact dup/top-bigram fractions; empty and short docs get 0") {
+    val out = graft.operators.TextAnalytics.docRepetition(spark, corpusDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 0: 9 tokens, 8 distinct ("the" twice); every bigram unique (8 slots)
+    assert(out(0L) == ((9L, 8L, 1.0 / 9.0, 1.0 / 8.0)))
+    // doc 3: 6 tokens all distinct
+    assert(out(3L) == ((6L, 6L, 0.0, 1.0 / 5.0)))
+    // doc 4: empty -> zeros, not NULLs or division errors
+    assert(out(4L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
   test("tfidfKeywords: rare terms outrank common ones; ties break alphabetically") {
     val out = graft.operators.TextAnalytics.tfidfKeywords(spark, corpusDir, k = 2)
       .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2))).toMap
