@@ -205,6 +205,22 @@ class DedupSpec extends AnyFunSuite {
     assert(out((3L, 1)) == "completely" && out((3L, 2)) == "different")
   }
 
+  test("round-4 operators survive an EMPTY corpus (no div-by-zero, no planner errors)") {
+    val dir = java.nio.file.Files.createTempDirectory("empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    import graft.operators.TextAnalytics
+    assert(Dedup.spanDedup(spark, dir).count() == 0)
+    assert(Dedup.decontaminate(spark, dir).count() == 0)
+    assert(TextAnalytics.tfidfKeywords(spark, dir).count() == 0)
+    assert(TextAnalytics.langTopWords(spark, dir).count() == 0)
+    assert(TextAnalytics.docRepetition(spark, dir).count() == 0)
+    assert(TextAnalytics.seqPacking(spark, dir).count() == 0)
+    assert(TextAnalytics.piiScrub(spark, dir).count() == 0)
+    assert(TextAnalytics.docSplits(spark, dir).count() == 0)
+  }
+
   test("simhash: identical texts -> hamming 0; banded pairs find them") {
     val sigs = Dedup.simhashSignatures(spark, corpusDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
