@@ -84,6 +84,7 @@ object ScaleProbe {
       "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
       "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
       "lang_top_words" -> ((s, d) => TextAnalytics.langTopWords(s, d)),
+      "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
       // fixed 10-query set over a growing corpus: expect ~linear scan cost
       "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
       "vector_topk_agg" -> ((s, d) => Similarity.topKAgg(s, d)),

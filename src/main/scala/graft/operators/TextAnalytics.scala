@@ -195,13 +195,18 @@ object TextAnalytics {
     * so the oracle hash-matches. Docs with < 2 words have no bigram
     * slots: top_bigram_frac = 0 by convention (both engines). */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // filter '' ONCE, then derive counts AND bigrams from the same
+    // filtered array — the oracle does the same, so the two can't
+    // diverge on whitespace-edged text (unfiltered bigrams would see a
+    // phantom '' token wherever trim() left a \t or \n edge)
     val toks = Tables.loadWide(spark, dir, "documents")
-      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), words(col("text")).as("ws0"))
+      .select(col("doc_id"), expr("filter(ws0, w -> w <> '')").as("ws"))
       .select(col("doc_id"), expr(
         "filter(transform(ws, (w, i) -> IF(i < size(ws) - 1, concat(w, ' ', element_at(ws, i + 2)), NULL)), x -> x IS NOT NULL)"
       ).as("bigrams"),
-        size(expr("filter(ws, w -> w <> '')")).cast("long").as("n_tokens"),
-        size(expr("array_distinct(filter(ws, w -> w <> ''))")).cast("long").as("n_distinct"))
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
     val perBigram = toks
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         explode_outer(col("bigrams")).as("bg"))

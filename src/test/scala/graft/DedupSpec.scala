@@ -193,6 +193,14 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((6L, 6L, 0.0, 1.0 / 5.0)))
     // doc 4: empty -> zeros, not NULLs or division errors
     assert(out(4L) == ((0L, 0L, 0.0, 0.0)))
+    // whitespace-edged text: trim() strips spaces only, so "\ta b" splits
+    // to ["", "a", "b"] — the phantom '' must not create a phantom bigram
+    // (the oracle filters before forming bigrams; so must the engine)
+    val dir = java.nio.file.Files.createTempDirectory("wsedge").toString
+    Seq((0L, "\ta b", "en", "s", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val edge = graft.operators.TextAnalytics.docRepetition(spark, dir).collect()(0)
+    assert(edge.getLong(1) == 2L && edge.getDouble(4) == 1.0)
   }
 
   test("tfidfKeywords: rare terms outrank common ones; ties break alphabetically") {
