@@ -53,6 +53,7 @@ object SparkEntry {
     "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
     "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
+    "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
     "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
     "seq_packing" -> ((s, d) => TextAnalytics.seqPacking(s, d)),
     // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
@@ -205,6 +206,7 @@ object SparkEntry {
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,
+    "doc_chunks" -> TextAnalytics.docChunksSql(),
     "doc_splits" -> TextAnalytics.docSplitsSql,
     "seq_packing" -> TextAnalytics.seqPackingSql(),
     "vector_topk" -> Similarity.topKSql(),

@@ -248,6 +248,51 @@ object TextAnalytics {
                ELSE 0.0 END AS top_bigram_frac
         FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id"""
 
+  /** Overlapping token-window CHUNKING (north star: the splitter that
+    * feeds an embedding index — the reference embeds whole documents,
+    * src/pinecone_utils.py:47-52; real RAG corpora chunk first). Chunk k
+    * covers tokens [1 + k·stride, 1 + k·stride + size) with the last
+    * chunk allowed short; K = ceil(max(0, n − size)/stride) chunks per
+    * doc cover every token. Zero-token docs produce no chunks.
+    *
+    * Scale shape: purely narrow — per-document transform/slice like
+    * spanTable, no shuffle at all (the orderBy is presentation). Chunk
+    * arithmetic is integer-exact on both engines. Feed `chunk_text`
+    * to SchemaRetrieval.pseudoEmbed / a real encoder and the chunks
+    * become the embeddings-store rows. */
+  def docChunks(spark: SparkSession, dir: String, size: Int = 32,
+                stride: Int = 24): DataFrame = {
+    require(size >= 1 && stride >= 1, "chunk size and stride must be >= 1")
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws0"))
+      .select(col("doc_id"), expr("filter(ws0, w -> w <> '')").as("ws"))
+      .filter(expr("size(ws) >= 1"))
+      .select(col("doc_id"), col("ws"),
+        expr(s"(greatest(size(ws) - $size, 0) + $stride - 1) div $stride").as("k_max"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, k_max), k -> named_struct(" +
+          s"'chunk_id', k, " +
+          s"'chunk_start', 1 + k * $stride, " +
+          s"'chunk_text', array_join(slice(ws, 1 + k * $stride, $size), ' ')))"))
+          .as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_id").cast("long").as("chunk_id"),
+        col("c.chunk_start").cast("long").as("chunk_start"),
+        col("c.chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def docChunksSql(size: Int = 32, stride: Int = 24): String =
+    s"""WITH w AS (SELECT doc_id, list_filter(${wordsSql("text")}, x -> x <> '') AS ws
+        FROM documents),
+        b AS (SELECT doc_id, ws,
+              (greatest(len(ws) - $size, 0) + $stride - 1) // $stride AS k_max
+              FROM w WHERE len(ws) >= 1)
+        SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+               CAST(1 + k * $stride AS BIGINT) AS chunk_start,
+               array_to_string(ws[1 + k * $stride : $size + k * $stride], ' ') AS chunk_text
+        FROM b, unnest(generate_series(0, k_max)) AS t(k)"""
+
   /** PII scrubbing pass (north star: redact before training). The
     * fixture corpus carries no PII, so the query ENRICHES each document
     * with a deterministic contact tail (email + phone derived from

@@ -203,6 +203,21 @@ class DedupSpec extends AnyFunSuite {
     assert(edge.getLong(1) == 2L && edge.getDouble(4) == 1.0)
   }
 
+  test("docChunks: overlapping windows cover every token; short docs get one chunk; empty docs none") {
+    // doc 0 has 9 tokens; size=4, stride=3 -> K = ceil(5/3) = 2 -> starts 1, 4, 7
+    val out = graft.operators.TextAnalytics.docChunks(spark, corpusDir, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d0 = out.filter(_._1 == 0L)
+    assert(d0.map(c => (c._2, c._3, c._4)).toSeq == Seq(
+      (0L, 1L, "the quick brown fox"),
+      (1L, 4L, "fox jumps over the"),
+      (2L, 7L, "the lazy dog")))       // tail chunk short, still covers token 9
+    // doc 3: 6 tokens -> K = ceil(2/3) = 1 -> 2 chunks
+    assert(out.count(_._1 == 3L) == 2)
+    // doc 4 is empty: no chunks at all
+    assert(!out.exists(_._1 == 4L))
+  }
+
   test("tfidfKeywords: rare terms outrank common ones; ties break alphabetically") {
     val out = graft.operators.TextAnalytics.tfidfKeywords(spark, corpusDir, k = 2)
       .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2))).toMap
@@ -227,6 +242,7 @@ class DedupSpec extends AnyFunSuite {
     assert(TextAnalytics.seqPacking(spark, dir).count() == 0)
     assert(TextAnalytics.piiScrub(spark, dir).count() == 0)
     assert(TextAnalytics.docSplits(spark, dir).count() == 0)
+    assert(TextAnalytics.docChunks(spark, dir).count() == 0)
   }
 
   test("simhash: identical texts -> hamming 0; banded pairs find them") {
