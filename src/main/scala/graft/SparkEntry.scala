@@ -54,6 +54,7 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
+    "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
     "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
     "seq_packing" -> ((s, d) => TextAnalytics.seqPacking(s, d)),
     // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
@@ -207,6 +208,7 @@ object SparkEntry {
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,
     "doc_chunks" -> TextAnalytics.docChunksSql(),
+    "mixture_sample" -> TextAnalytics.mixtureSampleSql,
     "doc_splits" -> TextAnalytics.docSplitsSql,
     "seq_packing" -> TextAnalytics.seqPackingSql(),
     "vector_topk" -> Similarity.topKSql(),

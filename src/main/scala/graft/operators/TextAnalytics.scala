@@ -248,6 +248,50 @@ object TextAnalytics {
                ELSE 0.0 END AS top_bigram_frac
         FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id"""
 
+  /** Source-weighted MIXTURE SAMPLING (north star: pretraining corpora
+    * mix sources at different rates — "sample wiki 3x, crawl 0.3x").
+    * Each source gets a deterministic weight; a document with weight w
+    * is emitted floor(w) times plus once more for the frac(w) share of
+    * documents selected by content-fingerprint bucket — so DOWN-sampling
+    * (w < 1) and UP-sampling (w > 1, replicated epochs) are the same
+    * mechanism, membership is stable under repartitioning and corpus
+    * growth, and the realized rate converges to w per source. The weight
+    * here derives from the source index (20-197% in 7-point steps) so
+    * the oracle can reproduce it; a production caller passes its own
+    * weight map through the same integer-percent contract.
+    *
+    * Scale shape: narrow — fingerprint + integer arithmetic + a bounded
+    * explode (max ceil(w) rows per doc); no shuffle (the orderBy is
+    * presentation). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    // integer percents end to end: wPct in [20, 197]
+    val wPct = (lit(20) + (expr("CAST(substr(source, 4) AS INT)") * 7) % 180)
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        wPct.as("w_pct"),
+        pmod(fingerprint(col("text")), lit(100)).as("bucket"))
+      .select(col("doc_id"), col("source"), col("w_pct"),
+        (expr("w_pct div 100") +
+          when(col("bucket") < col("w_pct") % 100, 1).otherwise(0))
+          .cast("int").as("n_copies"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  def mixtureSampleSql: String =
+    s"""WITH b AS (SELECT doc_id, source,
+          20 + (CAST(substr(source, 4) AS INT) * 7) % 180 AS w_pct,
+          (${fingerprintSql("text")}) % 100 AS bucket
+        FROM documents),
+        c AS (SELECT doc_id, source,
+              (w_pct // 100) + (CASE WHEN bucket < w_pct % 100 THEN 1 ELSE 0 END) AS n_copies
+              FROM b)
+        SELECT doc_id, source, CAST(copy AS INT) AS copy
+        FROM c, unnest(generate_series(1, n_copies)) AS t(copy)
+        WHERE n_copies >= 1"""
+
   /** Overlapping token-window CHUNKING (north star: the splitter that
     * feeds an embedding index — the reference embeds whole documents,
     * src/pinecone_utils.py:47-52; real RAG corpora chunk first). Chunk k

@@ -132,6 +132,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(out == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("mixtureSample: down- and up-sampling from one mechanism; realized rates track weights") {
+    val out = graft.operators.TextAnalytics.mixtureSample(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    // weights span 20%..197%: someone must be dropped, someone replicated
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    assert(perDoc.values.max == 2, "a >100% source must emit copy=2 rows")
+    val total = spark.read.parquet(s"${TestSession.sfDir}/documents.parquet").count()
+    assert(perDoc.size < total, "a <100% source must drop some docs")
+    // copies are dense 1..n per doc (no gaps)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.size).toSeq)
+    }
+  }
+
   test("distinctUsersKmv returns one row per event_type with exact counts alongside") {
     val out = Sketches.distinctUsersKmv(spark, TestSession.sfDir).collect()
     assert(out.nonEmpty)
