@@ -238,10 +238,13 @@ object TextFunctions {
       s"'$isoDatePat', '[DATE]', 'g'), '$phonePat', '[PHONE]', 'g')"
 
   // --- the engine's ONE whitespace word tokenizer (lowercased trimmed
-  //     \s+ split; '' survives only for empty input — callers filter).
-  //     langTopWords, tfidfKeywords, and Dedup.spanTable all tokenize
-  //     through this pair so engine and oracle can never desynchronize
-  //     per-query. ---
+  //     \s+ split). A phantom '' element survives for empty input AND
+  //     for whitespace-EDGED input (trim strips spaces only, so "\ta b"
+  //     splits to ["", "a", "b"]) — every caller must filter '' before
+  //     deriving anything (counts, bigrams, spans), identically on both
+  //     engines. langTopWords, tfidfKeywords, docRepetition, docChunks
+  //     and Dedup.spanTable all tokenize through this pair so engine and
+  //     oracle can never desynchronize per-query. ---
   def words(c: Column): Column =
     split(lower(trim(c)), "\\s+")
   def wordsSql(c: String): String =

@@ -486,8 +486,11 @@ object Dedup {
   /** (doc_id, span) for every sliding w-word window — the narrow span
     * builder shared by spanDedup and decontaminate. */
   private[operators] def spanTable(docs: DataFrame, w: Int): DataFrame = {
+    // filter the tokenizer's phantom '' (whitespace-edged text) BEFORE
+    // forming spans, mirrored in the CTE below — the words() contract
     docs.select(col("doc_id"),
-      graft.functions.TextFunctions.words(col("text")).as("words"))
+      graft.functions.TextFunctions.words(col("text")).as("words0"))
+      .select(col("doc_id"), expr("filter(words0, x -> x <> '')").as("words"))
       .filter(size(col("words")) >= w) // shorter docs have no w-span
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("words")) - lit(w - 1)),
@@ -497,7 +500,7 @@ object Dedup {
   /** The spanTable twin as a DuckDB CTE body named `s(doc_id, span)`. */
   private def spanCteSql(w: Int): String =
     s"""d AS (SELECT doc_id,
-          ${graft.functions.TextFunctions.wordsSql("text")} AS words
+          list_filter(${graft.functions.TextFunctions.wordsSql("text")}, x -> x <> '') AS words
         FROM documents),
         s AS (SELECT doc_id,
                 unnest(list_transform(generate_series(1, len(words) - ${w - 1}),

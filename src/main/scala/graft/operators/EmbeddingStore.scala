@@ -45,14 +45,17 @@ object EmbeddingStore {
       .withColumn("_wave", lit(0L)).withColumn("_seq", lit(0L)))(_.drop(_))
     val u = seqCol match {
       case Some(s) => updates.withColumn("_wave", lit(1L))
-        .withColumn("_seq", coalesce(col(s).cast("long"), lit(Long.MinValue)))
+        // NULL stays NULL — ranked below every explicit seq by
+        // desc_nulls_last (a Long.MinValue sentinel would TIE with an
+        // explicit Long.MinValue seq instead of losing to it)
+        .withColumn("_seq", col(s).cast("long"))
         .drop(s)
       case None => updates.withColumn("_wave", lit(1L))
         .withColumn("_seq", lit(0L))
     }
     val all = e.unionByName(u, allowMissingColumns = false)
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_wave").desc, col("_seq").desc)
+      .orderBy(col("_wave").desc, col("_seq").desc_nulls_last)
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_wave", "_seq", "_rn")

@@ -256,16 +256,24 @@ object TextAnalytics {
     * (w < 1) and UP-sampling (w > 1, replicated epochs) are the same
     * mechanism, membership is stable under repartitioning and corpus
     * growth, and the realized rate converges to w per source. The weight
-    * here derives from the source index (20-197% in 7-point steps) so
-    * the oracle can reproduce it; a production caller passes its own
-    * weight map through the same integer-percent contract.
+    * here derives from the source index — 20 + (7·idx mod 180) percent,
+    * range [20, 199] in general, [20, 153] on the fixture's src0..src19
+    * — so the oracle can reproduce it; sources that don't parse as
+    * 'srcN' fall back to a fingerprint-derived index (never silently
+    * dropped, never an error — identical on both engines). A production
+    * caller passes its own weight map through the same integer-percent
+    * contract.
     *
     * Scale shape: narrow — fingerprint + integer arithmetic + a bounded
     * explode (max ceil(w) rows per doc); no shuffle (the orderBy is
     * presentation). */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    // integer percents end to end: wPct in [20, 197]
-    val wPct = (lit(20) + (expr("CAST(substr(source, 4) AS INT)") * 7) % 180)
+    // integer percents end to end; non-'srcN' sources get a stable
+    // fingerprint-derived index instead of a NULL (which would silently
+    // drop the whole source here and hard-error in the DuckDB twin)
+    val idx = coalesce(expr("try_cast(substr(source, 4) AS INT)"),
+      fingerprint(col("source")) % 180)
+    val wPct = (lit(20) + (idx * 7) % 180)
     Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         wPct.as("w_pct"),
@@ -282,7 +290,8 @@ object TextAnalytics {
 
   def mixtureSampleSql: String =
     s"""WITH b AS (SELECT doc_id, source,
-          20 + (CAST(substr(source, 4) AS INT) * 7) % 180 AS w_pct,
+          20 + (coalesce(TRY_CAST(substr(source, 4) AS INT),
+                         (${fingerprintSql("source")}) % 180) * 7) % 180 AS w_pct,
           (${fingerprintSql("text")}) % 100 AS bucket
         FROM documents),
         c AS (SELECT doc_id, source,
@@ -296,8 +305,10 @@ object TextAnalytics {
     * feeds an embedding index — the reference embeds whole documents,
     * src/pinecone_utils.py:47-52; real RAG corpora chunk first). Chunk k
     * covers tokens [1 + k·stride, 1 + k·stride + size) with the last
-    * chunk allowed short; K = ceil(max(0, n − size)/stride) chunks per
-    * doc cover every token. Zero-token docs produce no chunks.
+    * chunk allowed short; with K = ceil(max(0, n − size)/stride), the
+    * K + 1 chunks k = 0..K cover every token (stride <= size enforced —
+    * a larger stride would leave inter-chunk gaps the contract denies).
+    * Zero-token docs produce no chunks.
     *
     * Scale shape: purely narrow — per-document transform/slice like
     * spanTable, no shuffle at all (the orderBy is presentation). Chunk
@@ -307,6 +318,7 @@ object TextAnalytics {
   def docChunks(spark: SparkSession, dir: String, size: Int = 32,
                 stride: Int = 24): DataFrame = {
     require(size >= 1 && stride >= 1, "chunk size and stride must be >= 1")
+    require(stride <= size, "stride > size leaves tokens in no chunk")
     Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("ws0"))
       .select(col("doc_id"), expr("filter(ws0, w -> w <> '')").as("ws"))

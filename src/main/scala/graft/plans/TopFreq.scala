@@ -87,10 +87,11 @@ case class TopFreq(
   }
 
   /** Sum matching counters; if over cap, subtract the (cap+1)-th largest
-    * count from all and drop the non-positive (never fewer than... at
-    * most cap survive, since the cap+1 largest all shrink by a value at
-    * least as large as every smaller counter). No-op while the union
-    * fits in `cap` — the exactness regime. */
+    * count from all and drop the non-positive. At most `cap` survive:
+    * only counters STRICTLY greater than the subtracted value stay
+    * positive, and by definition at most cap counters exceed the
+    * (cap+1)-th largest. No-op while the union fits in `cap` — the
+    * exactness regime. */
   override def merge(buf: Buf, other: Buf): Buf = {
     val it = other.entrySet().iterator()
     while (it.hasNext) {

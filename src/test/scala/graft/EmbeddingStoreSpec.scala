@@ -46,6 +46,14 @@ class EmbeddingStoreSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getString(1) == "downgrade")
   }
 
+  test("upsert with seq: NULL seq LOSES to an explicit Long.MinValue seq (no sentinel collision)") {
+    val existing = Seq.empty[(Long, String, Long)].toDF("vec_id", "payload", "seq")
+    val updates = Seq((1L, "unseq", Option.empty[Long]),
+      (1L, "minval", Some(Long.MinValue))).toDF("vec_id", "payload", "seq")
+    val out = EmbeddingStore.upsert(existing, updates, seqCol = Some("seq")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "minval")
+  }
+
   test("upsert with seq: equal-seq tie keeps exactly one row (arbitrary)") {
     val existing = Seq.empty[(Long, String, Long)].toDF("vec_id", "payload", "seq")
     val updates = Seq((1L, "t1", 1L), (1L, "t2", 1L)).toDF("vec_id", "payload", "seq")

@@ -99,10 +99,15 @@ class SketchesSpec extends AnyFunSuite {
     // many partitions, each contributing partial buffers over a skewed
     // stream: merged counts must never exceed the truth, and every item
     // above the n/(cap+1) threshold must be present
-    val rows = (1 to 64).flatMap(i => Seq.fill(i % 4 + 1)(s"w${i % 16}"))
+    // 40 'hot' rows push one item ABOVE n/(cap+1) = 200/9 = 22, so the
+    // retention loop below is non-vacuous (without it no item crosses
+    // the threshold and the guarantee goes untested)
+    val rows = (1 to 64).flatMap(i => Seq.fill(i % 4 + 1)(s"w${i % 16}")) ++
+      Seq.fill(40)("hot")
     val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = rows.size.toLong
     val cap = 8
+    assert(truth.values.max > n / (cap + 1), "fixture must cross the MG threshold")
     val out = rows.toDF("w").repartition(16)
       .agg(topFreq(col("w"), cap).as("tf"))
       .selectExpr("inline(tf)")
