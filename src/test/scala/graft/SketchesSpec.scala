@@ -137,6 +137,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(out == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("topFreq exact regime is partitioning-independent (property, seeded)") {
+    import graft.functions.NativeFunctions.topFreq
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)(s"w${rnd.nextInt(30)}") // 30 distinct << cap
+    val results = Seq(1, 4, 16, 32).map { p =>
+      rows.toDF("w").repartition(p)
+        .agg(topFreq(col("w"), 64).as("tf"))
+        .selectExpr("inline(tf)")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    // same counts, same (cnt DESC, item ASC) order, under every layout
+    assert(results.distinct.size == 1)
+    assert(results.head.map(_._2).sum == 400L)
+  }
+
   test("mixtureSample: down- and up-sampling from one mechanism; realized rates track weights") {
     val out = graft.operators.TextAnalytics.mixtureSample(spark, TestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
