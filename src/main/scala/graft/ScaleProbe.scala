@@ -34,7 +34,11 @@ object ScaleProbe {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      // Files.walk is documented as requiring close (it holds a directory
+      // handle open until then)
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
     }
   }
 

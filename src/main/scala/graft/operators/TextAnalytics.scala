@@ -258,8 +258,8 @@ object TextAnalytics {
     * growth, and the realized rate converges to w per source. The weight
     * here derives from the source index — 20 + (7·idx mod 180) percent,
     * range [20, 199] in general, [20, 153] on the fixture's src0..src19
-    * — so the oracle can reproduce it; sources that don't parse as
-    * 'srcN' fall back to a fingerprint-derived index (never silently
+    * — so the oracle can reproduce it; sources that don't match the full
+    * 'srcN' shape fall back to a fingerprint-derived index (never silently
     * dropped, never an error — identical on both engines). A production
     * caller passes its own weight map through the same integer-percent
     * contract.
@@ -268,10 +268,14 @@ object TextAnalytics {
     * explode (max ceil(w) rows per doc); no shuffle (the orderBy is
     * presentation). */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
-    // integer percents end to end; non-'srcN' sources get a stable
+    // integer percents end to end; the suffix parse is gated on the full
+    // 'srcN' shape (otherwise 'web42' would parse as 42 and 'src-30' as a
+    // negative weight) — everything else takes the stable
     // fingerprint-derived index instead of a NULL (which would silently
     // drop the whole source here and hard-error in the DuckDB twin)
-    val idx = coalesce(expr("try_cast(substr(source, 4) AS INT)"),
+    val idx = coalesce(
+      when(col("source").rlike("^src[0-9]+$"),
+        expr("try_cast(substr(source, 4) AS INT)")),
       fingerprint(col("source")) % 180)
     val wPct = (lit(20) + (idx * 7) % 180)
     Tables.loadWide(spark, dir, "documents")
@@ -290,7 +294,8 @@ object TextAnalytics {
 
   def mixtureSampleSql: String =
     s"""WITH b AS (SELECT doc_id, source,
-          20 + (coalesce(TRY_CAST(substr(source, 4) AS INT),
+          20 + (coalesce(CASE WHEN regexp_matches(source, '^src[0-9]+$$')
+                         THEN TRY_CAST(substr(source, 4) AS INT) END,
                          (${fingerprintSql("source")}) % 180) * 7) % 180 AS w_pct,
           (${fingerprintSql("text")}) % 100 AS bucket
         FROM documents),
@@ -405,7 +410,11 @@ object TextAnalytics {
     val toks = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), expr(s"doc_id div $shardSize").as("shard"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
+    // ROWS frame explicitly: the default RANGE frame would give tied
+    // doc_ids one shared cumulative value, diverging from the oracle's
+    // ROWS UNBOUNDED PRECEDING on any corpus with duplicate doc_ids
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     toks.withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"),
         (col("cum") - col("n_tokens")).as("offset"),

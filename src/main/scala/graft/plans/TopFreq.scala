@@ -41,8 +41,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * count(*) GROUP BY item shuffle every distinct (group, item) pair;
   * this summary bounds the shuffle to cap·n_groups counters.
   *
-  * NULL items are skipped (like count(col)). Item ordering is Java
-  * String order — identical to DuckDB's binary collation for ASCII.
+  * NULL items are skipped (like count(col)). Equal-count ties order by
+  * UTF-8 byte comparison — DuckDB's binary collation — for ALL inputs,
+  * including supplementary-plane characters where UTF-16 code-unit
+  * order would diverge.
   */
 case class TopFreq(
     child: Expression,
@@ -110,9 +112,17 @@ case class TopFreq(
 
   private def sorted(buf: Buf): Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
+    // tie-break in UTF-8 byte (binary) order, not UTF-16 code-unit order:
+    // the two diverge for supplementary-plane characters, and the oracle's
+    // row_number ranks by binary collation
     buf.entrySet().asScala.toSeq
       .map(e => (e.getKey, e.getValue.longValue))
-      .sortBy { case (k, v) => (-v, k) }
+      .sortWith { case ((k1, v1), (k2, v2)) =>
+        if (v1 != v2) v1 > v2
+        else java.util.Arrays.compareUnsigned(
+          k1.getBytes(StandardCharsets.UTF_8),
+          k2.getBytes(StandardCharsets.UTF_8)) < 0
+      }
   }
 
   override def eval(buf: Buf): Any = {
