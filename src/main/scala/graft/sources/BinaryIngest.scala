@@ -15,10 +15,11 @@ import org.apache.spark.sql.types._
   * Spark-first shape: `binaryFile` source → narrow per-row dispatch.
   * Plain text decodes inline (codegen'd `decode`). PDF/DOCX/OCR are
   * pluggable `Array[Byte] => String` parsers run via mapPartitions (one
-  * parser instance per partition, the S3-S5 posture); the container has
-  * no PDFBox/POI/Tesseract, so the defaults are clearly-marked
-  * deterministic STUBS — the Spark-side plumbing (dispatch, partitioning,
-  * error channel) is real and tested, the decoder body is swappable.
+  * parser instance per partition, the S3-S5 posture). PDF and DOCX
+  * default to the REAL JDK-only codecs in [[DocFormats]] (zip + XML for
+  * .docx; object scan + FlateDecode + Tj/TJ for .pdf); OCR stays a
+  * clearly-marked deterministic stub (no tesseract binary in the
+  * container) behind the same swappable seam.
   */
 object BinaryIngest {
 
@@ -46,27 +47,6 @@ object BinaryIngest {
     * mapPartitions; must be deterministic for a given byte array. */
   trait BinaryParser extends Serializable {
     def parse(bytes: Array[Byte]): String
-  }
-
-  /** STUB PDF parser (real impl: PDFBox PDFTextStripper — not in this
-    * container). Deterministic fake: emulates per-page text concat by
-    * splitting the payload at form-feed bytes, mirroring
-    * parsers.py:35-50's page loop. */
-  object StubPdfParser extends BinaryParser {
-    def parse(bytes: Array[Byte]): String =
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .split('\f').mkString("\n")
-  }
-
-  /** STUB DOCX parser (real impl: POI XWPFDocument). Deterministic fake:
-    * lines are "paragraphs"; tab-separated lines are "table rows" joined
-    * with " | " exactly like parsers.py:67-75's table flattening. */
-  object StubDocxParser extends BinaryParser {
-    def parse(bytes: Array[Byte]): String =
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .split('\n').filter(_.nonEmpty)
-        .map(l => if (l.contains('\t')) l.split('\t').mkString(" | ") else l)
-        .mkString("\n")
   }
 
   /** STUB OCR parser (real impl: Tesseract image_to_string,
@@ -103,8 +83,8 @@ object BinaryIngest {
     * join is the whole job cost). Per-row failure lands in `error`,
     * never kills the batch. */
   def ingest(spark: SparkSession, binary: DataFrame,
-             pdf: BinaryParser = StubPdfParser,
-             docx: BinaryParser = StubDocxParser,
+             pdf: BinaryParser = DocFormats.PdfParser,
+             docx: BinaryParser = DocFormats.DocxParser,
              ocr: BinaryParser = StubOcrParser): DataFrame = {
     import spark.implicits._
     binary
@@ -138,37 +118,60 @@ object BinaryIngest {
   }
 
   /** Oracle-checkable ingest: synthesize a binary corpus from the
-    * documents fixture (bytes = UTF-8 text; extension cycles
-    * txt/pdf/docx/png by doc_id — ALL FOUR dispatch arms; '&' in the
-    * name exercises sanitize) and run the single-pass ingest over it.
-    * The DuckDB twin reproduces the stub parsers' transforms (pdf:
-    * form-feed → newline; docx: drop empty lines, tab-rows → " | ";
-    * ocr: marker-prefixed recognized text). Null-text rows are
-    * excluded — a binary source has no null payloads. */
+    * documents fixture and run the single-pass ingest over it. The
+    * extension cycles txt/pdf/docx/png by doc_id — ALL FOUR dispatch
+    * arms; '&' in the name exercises sanitize. PDF and DOCX rows carry
+    * REAL container bytes built by [[DocFormats]] and decoded by the
+    * real parsers: the pdf is two pages (full text; first three words),
+    * the docx is one paragraph (full text), one blank paragraph (the
+    * parser must drop it) and a one-row table of the first three words
+    * (flattened " | ") — structure the DuckDB twin reproduces from the
+    * text alone. `length` is the logical payload size (UTF-8 text
+    * bytes), not the container size, which a SQL oracle could not
+    * recompute from zip/deflate output. Null-text rows are excluded —
+    * a binary source has no null payloads. */
   def binaryIngestQuery(spark: SparkSession, dir: String): DataFrame = {
-    val e = element_at(array(lit("txt"), lit("pdf"), lit("docx"), lit("png")),
-      (col("doc_id") % 4).cast(IntegerType) + 1)
+    import spark.implicits._
+    val exts = Array("txt", "pdf", "docx", "png")
     val bin = graft.Tables.loadWide(spark, dir, "documents")
       .filter(col("text").isNotNull)
-      .select(
-        concat(lit("mem://in/Doc&"), col("doc_id").cast(StringType), lit("."), e).as("path"),
-        encode(col("text"), "UTF-8").as("content"))
-      .withColumn("length", length(col("content")).cast(LongType))
+      .select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val e = exts(((id % 4) + 4).toInt % 4)
+        val head3 = text.split(' ').filter(_.trim.nonEmpty).take(3).toSeq
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val content = e match {
+          case "pdf" =>
+            DocFormats.buildPdf(
+              if (head3.nonEmpty) Seq(text, head3.mkString(" ")) else Seq(text))
+          case "docx" =>
+            DocFormats.buildDocx(Seq(text, ""),
+              if (head3.nonEmpty) Seq(head3) else Nil)
+          case _ => payload
+        }
+        (s"mem://in/Doc&$id.$e", content, payload.length.toLong)
+      }
+      .toDF("path", "content", "length")
     ingest(spark, bin).orderBy(col("file_path"))
   }
 
   def binaryIngestOracleSql: String = {
-    val docxText =
-      """array_to_string(list_transform(
-           list_filter(string_split(text, chr(10)), x -> x <> ''),
-           x -> CASE WHEN contains(x, chr(9))
-                     THEN array_to_string(string_split(x, chr(9)), ' | ')
-                     ELSE x END), chr(10))"""
+    // the whitespace set Java's String.trim strips (all cp <= U+0020
+    // that occur in text fixtures)
+    val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     s"""WITH b AS (
           SELECT doc_id, text,
             CASE doc_id % 4 WHEN 0 THEN 'txt' WHEN 1 THEN 'pdf'
-                            WHEN 2 THEN 'docx' ELSE 'png' END AS e
+                            WHEN 2 THEN 'docx' ELSE 'png' END AS e,
+            list_slice(list_filter(string_split(text, ' '),
+              w -> trim(w, $ws) <> ''), 1, 3) AS head3
           FROM documents WHERE text IS NOT NULL),
+        b2 AS (
+          SELECT *,
+            array_to_string(head3, ' ') AS words3,
+            array_to_string(list_transform(head3, w -> trim(w, $ws)), ' | ') AS cells3
+          FROM b),
         parsed AS (
           SELECT
             'mem://in/Doc&' || CAST(doc_id AS VARCHAR) || '.' || e AS file_path,
@@ -176,13 +179,18 @@ object BinaryIngest {
               '[^\\w\\s\\-.]', '', 'g') AS file_name,
             CASE e WHEN 'txt' THEN 'text' WHEN 'png' THEN 'image' ELSE e END AS fmt,
             CAST(octet_length(encode(text)) AS BIGINT) AS length,
-            CASE e WHEN 'pdf' THEN replace(text, chr(12), chr(10))
-                   WHEN 'docx' THEN $docxText
-                   WHEN 'png' THEN '[ocr] ' || text
-                   ELSE text END AS raw_text
-          FROM b)
+            CASE e
+              WHEN 'pdf' THEN CASE WHEN words3 <> ''
+                THEN text || chr(10) || words3 ELSE text END
+              WHEN 'docx' THEN
+                (CASE WHEN trim(text, $ws) <> '' THEN text ELSE '' END) ||
+                (CASE WHEN trim(text, $ws) <> '' AND cells3 <> '' THEN chr(10) ELSE '' END) ||
+                cells3
+              WHEN 'png' THEN '[ocr] ' || text
+              ELSE text END AS raw_text
+          FROM b2)
         SELECT *,
-          CASE WHEN raw_text IS NULL OR length(trim(raw_text)) = 0
+          CASE WHEN raw_text IS NULL OR length(trim(raw_text, $ws)) = 0
                THEN 'Parsing produced empty text' END AS error
         FROM parsed"""
   }

@@ -2,21 +2,26 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.BinaryIngest
+import graft.sources.{BinaryIngest, DocFormats}
 
 class BinaryIngestSpec extends AnyFunSuite {
   import TestSession.spark
 
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("ingest")
-    def put(name: String, content: String): Unit =
-      java.nio.file.Files.write(d.resolve(name), content.getBytes("UTF-8"))
-    put("plain.txt", "hello plain world")
-    put("report.pdf", "page one\ftwo\fthree")
-    put("table.docx", "para one\ncell a\tcell b\npara two")
-    put("scan.png", "fakeimagebytes")
-    put("empty.txt", "   ") // whitespace-only (binaryFile skips 0-byte files)
-    put("weird name!@#.txt", "sanitized")
+    def put(name: String, content: Array[Byte]): Unit =
+      java.nio.file.Files.write(d.resolve(name), content)
+    def putText(name: String, content: String): Unit =
+      put(name, content.getBytes("UTF-8"))
+    putText("plain.txt", "hello plain world")
+    put("report.pdf", DocFormats.buildPdf(Seq("page one", "two", "three")))
+    put("table.docx", DocFormats.buildDocx(
+      Seq("para one", "para two"),
+      Seq(Seq("cell a", "cell b"))))
+    putText("scan.png", "fakeimagebytes")
+    putText("empty.txt", "   ") // whitespace-only (binaryFile skips 0-byte files)
+    putText("broken.pdf", "this is not a pdf")
+    putText("weird name!@#.txt", "sanitized")
     d.toString
   }
 
@@ -35,12 +40,12 @@ class BinaryIngestSpec extends AnyFunSuite {
     assert(out("plain.txt").getString(4) == "hello plain world")
   }
 
-  test("pdf stub joins pages with newline (S3 page-concat semantics)") {
+  test("real pdf parse: FlateDecode + Tj, pages joined with newline (S3)") {
     assert(out("report.pdf").getString(4) == "page one\ntwo\nthree")
   }
 
-  test("docx stub flattens table rows with ' | ' (S4)") {
-    assert(out("table.docx").getString(4) == "para one\ncell a | cell b\npara two")
+  test("real docx parse: paragraphs then table rows ' | '-flattened (S4)") {
+    assert(out("table.docx").getString(4) == "para one\npara two\ncell a | cell b")
   }
 
   test("image routes to OCR parser (S5)") {
@@ -52,9 +57,86 @@ class BinaryIngestSpec extends AnyFunSuite {
     assert(out("plain.txt").getString(5) == null)
   }
 
+  test("unparseable bytes -> per-row error, batch survives (P5)") {
+    assert(Option(out("broken.pdf").getString(5)).exists(_.startsWith("pdf parse failed")))
+    assert(out("broken.pdf").getString(4) == null)
+  }
+
   test("filename sanitize strips charset (P6)") {
     assert(out.keys.exists(_.contains("weird")))
     val r = out.find(_._1.contains("weird")).get._2
     assert(r.getString(1) == "weird name.txt")
+  }
+
+  // ------------------------------------------------- DOCX codec details
+
+  test("docx: blank paragraphs dropped, kept paragraphs untrimmed (parsers.py:61-63)") {
+    val bytes = DocFormats.buildDocx(Seq("  lead space", "   ", "", "tail  "))
+    assert(DocFormats.DocxParser.parse(bytes) == "  lead space\ntail  ")
+  }
+
+  test("docx: cells stripped, empty cells dropped, empty rows dropped (parsers.py:66-75)") {
+    val bytes = DocFormats.buildDocx(Nil,
+      Seq(Seq("  a  ", "", "b"), Seq("   ", ""), Seq("solo")))
+    assert(DocFormats.DocxParser.parse(bytes) == "a | b\nsolo")
+  }
+
+  test("docx: a table between paragraphs still prints after ALL paragraphs") {
+    // python-docx doc.paragraphs / doc.tables ordering — build the body
+    // manually with the table in the middle
+    val para = (t: String) => s"<w:p><w:r><w:t>$t</w:t></w:r></w:p>"
+    val xml = "<?xml version=\"1.0\"?><w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      para("first") +
+      "<w:tbl><w:tr><w:tc>" + para("mid cell") + "</w:tc></w:tr></w:tbl>" +
+      para("second") + "</w:body></w:document>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zos.write(xml.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    assert(DocFormats.DocxParser.parse(bos.toByteArray) == "first\nsecond\nmid cell")
+  }
+
+  test("docx: w:tab and w:br render as tab / newline inside run text") {
+    val xml = "<?xml version=\"1.0\"?><w:document xmlns:w=\"http://schemas.openxmlformats.org/wordprocessingml/2006/main\"><w:body>" +
+      "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t><w:br/><w:t>c</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zos.write(xml.getBytes("UTF-8")); zos.closeEntry(); zos.close()
+    assert(DocFormats.DocxParser.parse(bos.toByteArray) == "a\tb\nc")
+  }
+
+  test("docx: xml-special characters round-trip through the builder") {
+    val s = "a & b < c > d"
+    assert(DocFormats.DocxParser.parse(DocFormats.buildDocx(Seq(s))) == s)
+  }
+
+  // -------------------------------------------------- PDF codec details
+
+  test("pdf: uncompressed streams parse too") {
+    val bytes = DocFormats.buildPdf(Seq("no flate here"), compress = false)
+    assert(DocFormats.PdfParser.parse(bytes) == "no flate here")
+  }
+
+  test("pdf: parens and backslashes escape and unescape") {
+    val s = "f(x) = y \\ z (nested (deep))"
+    assert(DocFormats.PdfParser.parse(DocFormats.buildPdf(Seq(s))) == s)
+  }
+
+  test("pdf: TJ array show-text concatenates string operands") {
+    val content = "BT /F1 12 Tf [(Hel) -30 (lo) 10 ( wor) (ld)] TJ ET"
+    val raw = ("%PDF-1.4\n1 0 obj\n<< /Length " + content.length +
+      " >>\nstream\n" + content + "\nendstream\nendobj\n%%EOF\n")
+    assert(DocFormats.PdfParser.parse(raw.getBytes("ISO-8859-1")) == "Hello world")
+  }
+
+  test("pdf: deterministic bytes for fixed input") {
+    val a = DocFormats.buildPdf(Seq("same", "pages"))
+    val b = DocFormats.buildPdf(Seq("same", "pages"))
+    assert(java.util.Arrays.equals(a, b))
+    val c = DocFormats.buildDocx(Seq("same"), Seq(Seq("t")))
+    val d = DocFormats.buildDocx(Seq("same"), Seq(Seq("t")))
+    assert(java.util.Arrays.equals(c, d))
   }
 }
