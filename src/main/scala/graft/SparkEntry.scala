@@ -43,6 +43,7 @@ object SparkEntry {
     "doc_embeddings" -> ((s, d) => EmbeddingStore.docEmbeddingsQuery(s, d)),
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
+    "multimodal_pixels" -> ((s, d) => Multimodal.pixelStatsQuery(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
     "doc_profile" -> ((s, d) => TextAnalytics.docProfile(s, d)),
     "doc_quality" -> ((s, d) => TextAnalytics.docQuality(s, d)),
@@ -196,6 +197,7 @@ object SparkEntry {
     "doc_embeddings" -> EmbeddingStore.docEmbeddingsOracleSql(),
     "multimodal_features" -> Multimodal.featuresOracleSql,
     "multimodal_frames" -> Multimodal.framesOracleSql(),
+    "multimodal_pixels" -> Multimodal.pixelStatsOracleSql(),
     "doc_profile" -> TextAnalytics.docProfileSql,
     "doc_quality" -> TextAnalytics.docQualitySql,
     "doc_classify" -> TextAnalytics.docClassifySql,

@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The container has no image/audio codecs, so the DECODE BODIES ARE
-  * DETERMINISTIC STUBS (clearly marked below); the Spark-side contract —
-  * schema, batch shape, per-partition init, narrow parallelism — is real
-  * and tested. A production deployment swaps `Decoder` for a JNI/codec
-  * implementation without touching the plumbing.
+  * IMAGE decode is REAL (`javax.imageio` ships in the JDK):
+  * [[ImageDecoder]] mean-pools RGB strips of an actual decoded raster,
+  * [[resize]] re-encodes decodable payloads through `Graphics2D`, and
+  * the `multimodal_pixels` oracle query round-trips a real PNG per row
+  * (encode → distributed ImageIO decode → integer pixel stats DuckDB
+  * recomputes from the source bytes). Audio/video codecs are not in the
+  * container, so those decode bodies remain DETERMINISTIC STUBS behind
+  * the same pluggable `Decoder` seam; the Spark-side contract — schema,
+  * batch shape, per-partition init, narrow parallelism — is real and
+  * tested either way.
   *
   * Scale posture: media rows are large (MBs); every operator is a narrow
   * mapPartitions (no shuffle of binary payloads, decoder init amortized
@@ -59,6 +64,65 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** REAL image decoder (`javax.imageio`): decode the payload, split the
+    * raster into `dim` vertical strips, mean-pool (r+g+b)/(3·255) per
+    * strip. Throws on undecodable bytes — callers route that through the
+    * per-row error channel or pick [[StubDecoder]] for non-image media. */
+  object ImageDecoder extends Decoder {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) throw new IllegalArgumentException("not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      // integer sums, one division at the end: deterministic across runs
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val strip = math.min(dim - 1, x * dim / w)
+          val rgb = img.getRGB(x, y)
+          sums(strip) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          counts(strip) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](dim)
+      var s = 0
+      while (s < dim) {
+        out(s) = if (counts(s) == 0) 0f
+                 else (sums(s).toDouble / (counts(s) * 3.0 * 255.0)).toFloat
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic grayscale PNG: pixel (y,x) = bytes[(y·w + x) mod n].
+    * The JDK PNG writer is deterministic for a fixed raster, and the
+    * pixel values are recomputable from the source bytes alone — which
+    * is what lets a SQL oracle check a REAL encode→decode round trip. */
+  def buildGrayPng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(bytes.nonEmpty, "empty payload")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, bytes(((y * w + x) % bytes.length).toInt) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Synthesize a deterministic media table from the documents fixture
@@ -128,11 +192,106 @@ object Multimodal {
         FROM v, unnest(generate_series(0, CAST(ceil(n / $frameBytes.0) AS BIGINT) - 1)) t(i)
         WHERE i % $stride = 0"""
 
-  /** Resize: metadata-level transform (stub keeps bytes; a codec impl
-    * would re-encode). Demonstrates the typed-metadata contract. */
+  /** Resize image rows. Decodable payloads are REALLY rescaled
+    * (`Graphics2D.drawImage` bilinear) and re-encoded as PNG;
+    * undecodable payloads (the text-bytes fixture, a corrupt upload)
+    * keep their bytes and get the metadata update only — per-row
+    * degradation, never a batch failure. Narrow map, payload never
+    * shuffles. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map(m => if (m.kind == "image") m.copy(width = w, height = h) else m)
+    media.map { m =>
+      if (m.kind != "image") m
+      else {
+        val img =
+          if (m.payload == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        if (img == null) m.copy(width = w, height = h)
+        else {
+          val scaled = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", bos)
+          m.copy(payload = bos.toByteArray, width = w, height = h)
+        }
+      }
+    }
+  }
+
+  /** Oracle-checkable REAL image round trip: image rows render their
+    * text bytes into an actual grayscale PNG ([[buildGrayPng]]), a
+    * distributed `ImageIO.read` decodes it back, and the query emits
+    * integer pixel statistics — sum, count, min, max — that DuckDB
+    * recomputes from the characters alone (fixture is pure ASCII, so
+    * byte == codepoint; a non-ASCII byte would hash-mismatch the gate).
+    * Everything is integer arithmetic: no fp hazard across engines.
+    * Scale shape: narrow map (encode) → narrow mapPartitions (decode);
+    * the payload never shuffles and dies before the orderBy. */
+  def pixelStatsQuery(spark: SparkSession, dir: String,
+                      w: Int = 16, h: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, buildGrayPng(text.getBytes(java.nio.charset.StandardCharsets.UTF_8), w, h))
+      }
+      .mapPartitions { rows =>
+        rows.map { case (id, png) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val raster = img.getRaster
+          var sum = 0L; var mn = 256; var mx = -1; var cnt = 0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = raster.getSample(x, y, 0)
+              sum += v; cnt += 1
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, sum, cnt, mn, mx)
+        }
+      }
+      .toDF("media_id", "px_sum", "px_count", "px_min", "px_max")
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin of [[pixelStatsQuery]]: pixel (y,x) = code of char
+    * ((y·w+x) mod n) — so over w·h pixels each of the first (w·h mod n)
+    * chars appears ceil(w·h/n) times and the rest floor(w·h/n) times
+    * (n > w·h ⇒ just the first w·h chars once). */
+  def pixelStatsOracleSql(w: Int = 16, h: Int = 4): String = {
+    val px = w * h
+    s"""WITH t AS (
+          SELECT doc_id, string_split(text, '') AS chs, length(text) AS n
+          FROM documents
+          WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0),
+        c AS (
+          SELECT doc_id, n,
+            list_transform(chs, c -> ord(c)) AS codes
+          FROM t)
+        SELECT doc_id AS media_id,
+          CAST(CASE WHEN n >= $px THEN list_sum(list_slice(codes, 1, $px))
+               ELSE ($px // n) * list_sum(codes) +
+                    coalesce(list_sum(list_slice(codes, 1, $px % n)), 0)
+               END AS BIGINT) AS px_sum,
+          $px AS px_count,
+          CAST(CASE WHEN n >= $px THEN list_min(list_slice(codes, 1, $px))
+               ELSE list_min(codes) END AS INT) AS px_min,
+          CAST(CASE WHEN n >= $px THEN list_max(list_slice(codes, 1, $px))
+               ELSE list_max(codes) END AS INT) AS px_max
+        FROM c"""
   }
 
   /** Frame sampling for video rows: emit every `stride`-th fixed-size

@@ -25,10 +25,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.fingerprint).toSeq == again.map(_.fingerprint).toSeq)
   }
 
-  test("resize updates image metadata only") {
+  test("resize: undecodable payloads degrade to metadata-only update") {
+    // fixture payloads are text bytes, not images — per-row degradation
     val resized = Multimodal.resize(media, 32, 32).collect()
     assert(resized.filter(_.kind == "image").forall(m => m.width == 32 && m.height == 32))
     assert(resized.filter(_.kind == "audio").forall(_.width != 32 || true))
+  }
+
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageDecoder: real PNG decode, per-strip RGB mean-pool") {
+    // left half pure white, right half pure black, 8x4 image, dim=2
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.ImageDecoder.features(bos.toByteArray, 2)
+    assert(f.toSeq == Seq(1.0f, 0.0f))
+  }
+
+  test("ImageDecoder: throws on undecodable bytes") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageDecoder.features("not an image".getBytes, 4)
+    }
+  }
+
+  test("resize: decodable PNG is really rescaled and re-encoded") {
+    import TestSession.spark.implicits._
+    val in = Seq(Multimodal.MediaRow(1L, "image", solidPng(8, 8, 0x4080c0),
+      8, 8, 0)).toDS()
+    val out = Multimodal.resize(in, 4, 4).collect()(0)
+    assert(out.width == 4 && out.height == 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    // a solid image stays solid under any interpolation
+    assert((back.getRGB(2, 2) & 0xffffff) == 0x4080c0)
+  }
+
+  test("buildGrayPng round-trips source bytes through a real PNG") {
+    val bytes = "abcdefgh".getBytes("UTF-8")
+    val png = Multimodal.buildGrayPng(bytes, 4, 2)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val got = for (y <- 0 until 2; x <- 0 until 4)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(got == bytes.map(_ & 0xff).toSeq)
   }
 
   test("frame sampling emits every stride-th chunk for video rows only") {
