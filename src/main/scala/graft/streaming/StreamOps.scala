@@ -112,15 +112,30 @@ object StreamOps {
 
   /** Run a (finite) streaming DataFrame to a named in-memory sink until
     * all available input is processed; returns the result table. Used by
-    * Verify (streaming twin queries) and tests. */
+    * Verify (streaming twin queries) and tests.
+    *
+    * `statePartitions` pins `spark.sql.shuffle.partitions` for the
+    * stream's lifetime (restored after): a streaming query's state-store
+    * count is FIXED at first start, and each stateful operator pays a
+    * per-micro-batch cost linear in it (store init + commit + version
+    * bookkeeping × operators × batches) regardless of data volume. The
+    * replayed-fixture twins carry a few thousand rows, where 32 stores
+    * are pure fixed overhead; a production deployment sizes this to its
+    * real key cardinality instead. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-                  mode: String = "complete"): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+                  mode: String = "complete",
+                  statePartitions: Int = 4): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val q: StreamingQuery = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
