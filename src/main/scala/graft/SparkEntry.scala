@@ -96,6 +96,10 @@ object SparkEntry {
       graft.streaming.StreamOps.streamSessionsQuery(s, d)),
     "events_stream_range_join" -> ((s, d) =>
       graft.streaming.StreamOps.streamRangeJoinQuery(s, d)),
+    // --- the reference's true continuous shape: full 7-stage doc ETL
+    //     under Structured Streaming, vs the BATCH pipeline oracle ---
+    "pipeline_stream" -> ((s, d) =>
+      graft.streaming.StreamOps.streamPipelineQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -237,6 +241,7 @@ object SparkEntry {
     "events_stream_sessions" -> Events.sessionsSql,
     // the stream-stream interval join must reproduce the batch range join
     "events_stream_range_join" -> Events.clicksBeforePurchaseSql,
+    "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

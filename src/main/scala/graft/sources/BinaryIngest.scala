@@ -64,13 +64,18 @@ object BinaryIngest {
     spark.read.format("binaryFile").load(dir)
 
   /** Streaming ingest of a drop directory (S1 continuous form — the
-    * reference's one-file-per-request loop as a file stream). */
-  def readBinaryStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("binaryFile")
+    * reference's one-file-per-request loop as a file stream).
+    * `maxFilesPerTrigger` caps files per micro-batch (None = all
+    * available files in one batch). */
+  def readBinaryStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("binaryFile")
       .schema(StructType(Seq(
         StructField("path", StringType), StructField("modificationTime", TimestampType),
         StructField("length", LongType), StructField("content", BinaryType))))
-      .load(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.load(dir)
+  }
 
   /** One ingested row: the S1-S6 output envelope. */
   final case class Ingested(file_path: String, file_name: String,
