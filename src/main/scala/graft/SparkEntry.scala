@@ -77,6 +77,7 @@ object SparkEntry {
     "simhash_sigs" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
+    "span_dedup_maximal" -> ((s, d) => Dedup.maximalSpans(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- event-time analytics (SURVEY §2.13) ---
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
@@ -235,6 +236,7 @@ object SparkEntry {
     "simhash_sigs" -> Dedup.simhashSignaturesSql,
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "span_dedup" -> Dedup.spanDedupSql(),
+    "span_dedup_maximal" -> Dedup.maximalSpansSql(),
     "decontaminate" -> Dedup.decontaminateSql(),
     "events_tumbling" -> Events.tumblingSql,
     "events_stream_tumbling" -> Events.tumblingSql,

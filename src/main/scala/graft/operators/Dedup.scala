@@ -507,6 +507,85 @@ object Dedup {
                   i -> array_to_string(words[i:i+${w - 1}], ' '))) AS span
               FROM d WHERE len(words) >= $w)"""
 
+  /** spanTable with the window's 1-based word position kept — the input
+    * to maximal-span chaining. Same narrow shape (per-doc slice, no
+    * shuffle). */
+  private[operators] def spanTablePos(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.words(col("text")).as("words0"))
+      .select(col("doc_id"), expr("filter(words0, x -> x <> '')").as("words"))
+      .filter(size(col("words")) >= w)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("words")) - lit(w - 1)),
+          i => array_join(slice(col("words"), i, lit(w)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("span"))
+
+  /** VARIABLE-LENGTH span dedup — maximal duplicated spans (north star:
+    * the practical analogue of suffix-array exact-substring dedup, Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": report maximal repeated regions, not fixed windows; cf.
+    * /root/reference semantics only via the fixed-w primitive above).
+    *
+    * A w-word window is DUPLICATED when its text occurs >= minOcc times
+    * corpus-wide (spanDedup's criterion). Within a document, runs of
+    * consecutive duplicated windows (positions p, p+1, ...) chain into
+    * one maximal island covering words [span_start, span_start +
+    * span_words - 1]. Every repeated substring of >= w words lies inside
+    * some island, so the islands are a COVER of the maximal-repeated-
+    * substring regions — adjacent distinct repeats merge (the island as
+    * a whole need not repeat verbatim), which over-removes slightly:
+    * exactly the safe direction for training-data dedup.
+    *
+    * Scale shape: window construction is narrow; the span-count shuffle
+    * is partial-aggregated map-side; the repeated-span vocabulary
+    * (bounded by the corpus's repeated phrases, small in real text)
+    * BROADCASTS back onto a recomputed narrow span stream — the corpus
+    * never shuffles to discover which of its windows are duplicated
+    * (decontaminate's shape). Only the duplicated windows — the rare
+    * hits — shuffle by doc_id for chaining, and the final groupBy reuses
+    * that window partitioning (hashpartitioning(doc_id) satisfies the
+    * (doc_id, grp) clustering), so chaining costs ONE shuffle of hits.
+    * If a pathological corpus made the repeated vocabulary huge, the
+    * broadcast degrades to a shuffled hash join — AQE's call, still
+    * never quadratic. */
+  def maximalSpans(spark: SparkSession, dir: String, w: Int = 5,
+                   minOcc: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val repeated = broadcast(
+      spanTablePos(docs, w)
+        .groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= minOcc).select(col("span")))
+    val dup = spanTablePos(docs, w).join(repeated, Seq("span"), "left_semi")
+    // consecutive positions share (pos - row_number): one island per run
+    val grp = col("pos") -
+      row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    dup.withColumn("grp", grp)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("n_windows"),
+        (col("n_windows") + lit(w - 1)).as("span_words"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def maximalSpansSql(w: Int = 5, minOcc: Long = 2): String =
+    s"""WITH d AS (SELECT doc_id,
+          list_filter(${graft.functions.TextFunctions.wordsSql("text")}, x -> x <> '') AS words
+        FROM documents),
+        sp AS (SELECT doc_id, i AS pos, array_to_string(words[i:i+${w - 1}], ' ') AS span
+               FROM d, unnest(generate_series(1, len(words) - ${w - 1})) AS t(i)
+               WHERE len(words) >= $w),
+        r AS (SELECT span FROM sp GROUP BY 1 HAVING count(*) >= $minOcc),
+        dup AS (SELECT doc_id, pos FROM sp WHERE span IN (SELECT span FROM r)),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dup)
+        SELECT doc_id, min(pos) AS span_start, count(*) AS n_windows,
+               count(*) + ${w - 1} AS span_words
+        FROM isl GROUP BY doc_id, grp"""
+
   /** Benchmark DECONTAMINATION (north star: before training, drop corpus
     * documents that overlap an evaluation set — n-gram-overlap decontam
     * as in public LLM training reports): flag every training document

@@ -159,6 +159,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists(_._1.contains("completely")))
   }
 
+  test("maximalSpans: consecutive duplicated windows chain into one maximal island") {
+    val out = Dedup.maximalSpans(spark, corpusDir, w = 5, minOcc = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // docs 0/1: all 5 windows duplicated -> one island covering all 9 words;
+    // doc 2: windows 1-4 duplicated (window 5 'jumps over the lazy cat' is
+    // unique) -> island of 8 words; docs 3/4 contribute nothing
+    assert(out == Seq((0L, 1L, 5L, 9L), (1L, 1L, 5L, 9L), (2L, 1L, 4L, 8L)))
+  }
+
+  test("maximalSpans: non-adjacent duplicated regions stay separate islands") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("maxspan").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon u1 u2 u3 zeta eta theta iota kappa", "en", "s0", 65L),
+      (1L, "alpha beta gamma delta epsilon v1 v2 v3 zeta eta theta iota kappa", "en", "s1", 65L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.maximalSpans(spark, dir, w = 5, minOcc = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // shared prefix (window at pos 1) and shared suffix (pos 9) repeat;
+    // the u/v middle keeps windows 2-8 unique -> two 1-window islands per doc
+    assert(out == Seq((0L, 1L, 1L, 5L), (0L, 9L, 1L, 5L),
+      (1L, 1L, 1L, 5L), (1L, 9L, 1L, 5L)))
+  }
+
   test("decontaminate: train docs sharing w-spans with the benchmark set are flagged with distinct-span counts") {
     // bench = docs 0,1 (identical texts); doc 2 shares five distinct
     // 4-word spans with them, docs 3/4 share none

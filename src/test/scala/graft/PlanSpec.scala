@@ -68,6 +68,18 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side reshuffled before the broadcast join:\n$corpusSide")
   }
 
+  test("maximalSpans: repeated vocab broadcasts; chaining costs one hash shuffle of hits") {
+    val p = plan(graft.operators.Dedup.maximalSpans(spark, sfDir))
+    // the corpus span stream meets the repeated-span set in a broadcast
+    // semi join (never shuffles to learn which windows are duplicated)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+    // hash exchanges: 1 for the span count (building the vocab), 1 by
+    // doc_id for the island window — whose partitioning the final
+    // groupBy(doc_id, grp) must REUSE, not re-shuffle
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${p.take(3000)}")
+  }
+
   test("topFreq sketch partial-aggregates map-side (ObjectHashAggregate x2)") {
     val p = plan(graft.operators.TextAnalytics.langTopWords(spark, sfDir))
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
