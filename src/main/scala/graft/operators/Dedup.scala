@@ -119,18 +119,47 @@ object Dedup {
     * Spark's ArrayIntersect is interpreted and allocates the
     * intersection; measured 10x slower).
     *
-    * Dispatch: prefix pruning is worthless when document frequency is
-    * FLAT (a small hot vocabulary — e.g. this fixture corpus): every kept
-    * shingle is still hot and the candidate join goes quadratic no matter
-    * how short the prefix. Before joining, measure the EXACT candidate
-    * row count the prefix join would emit — Σ_s C(df_prefix(s), 2), one
-    * cheap linear aggregate over the already-built prefix index — and
-    * fall back to the count-join shape (`jaccardPairs`, one codegen'd
-    * join→count pass, measured 0.3× the DuckDB oracle) when it exceeds
-    * `candidateBudget` candidates per document. The probe costs two
-    * linear passes; the join it avoids is quadratic. Both shapes are
-    * exact; the DuckDB oracle computes the unpruned join, so the
-    * correctness gate doubles as a proof the pruning dropped nothing.
+    * Dispatch: two corpus-stat gates, both derived from the df table the
+    * prefix ranking needs anyway — CALIBRATED, not guessed (commit-pinned
+    * CalibrateJaccard run, idle box, five corpus regimes; table below).
+    *
+    * Gate 1 — is the quadratic term worth fighting at all? The
+    * count-join's cost is (linear index scan) + (candidate volume
+    * candFull = Σ_s C(df(s), 2) through ONE codegen'd join→count pass);
+    * the prefix path pays ~3 extra linear passes over the index (df
+    * join, window rank, persist) before it prunes anything. So until
+    * candFull is large IN UNITS OF index rows, the count-join cannot
+    * lose — measured: count-join wins at candFull/indexRows = 14×, 57×,
+    * and 142× (even with 15,000× pruning available!), loses at 423×
+    * (1.1×) and 846× (3×, diverging). `quadBudget = 256` splits the
+    * 142–423 gap; a mis-dispatch near the boundary costs percents while
+    * past it the count-join diverges quadratically. Both stats come from
+    * one aggregate over `dfreq`, so a flat corpus skips building the
+    * prefix index entirely.
+    *
+    * Gate 2 — does the prefix actually prune here? candPrefix =
+    * Σ_s C(df_prefix(s), 2), one aggregate over the built prefix index,
+    * is the EXACT candidate count the prefix join will emit. Each prefix
+    * candidate costs ~3× a count-join candidate (positional filter +
+    * dedup shuffle + verify fetch vs join row + count), so pruning below
+    * `minPruneFactor = 3` cannot pay even with the machinery amortized;
+    * fall back. (candPrefix = 0 — no candidates at all — always takes
+    * the prefix path: 0 · ∞ = NaN compares false.)
+    *
+    * Calibration (sf dirs are the word-salad fixture; zipf = 5k docs,
+    * s=1.1, 30k vocab; boiler = unique tails + corpus-wide stock
+    * phrases, the real-text regime that kills the count-join):
+    *
+    *   regime      candFull  quad(=/idx)  prune    t_prefix  t_count
+    *   sf0.01-flat     368k      14×        18×      2.0 s     0.8 s
+    *   sf0.1-flat     36.5M     142×        13×      3.4 s     2.7 s
+    *   zipf-5k         11M       57×     15429×      2.9 s     1.4 s
+    *   boiler-10k     110M      423×     36670×      3.5 s     3.8 s
+    *   boiler-20k     440M      846×     73334×      5.2 s    15.6 s
+    *
+    * Both shapes are exact; the DuckDB oracle computes the unpruned
+    * join, so the correctness gate doubles as a proof the pruning
+    * dropped nothing.
     *
     * Resource note: the prefix path materializes its candidate set as an
     * eager `localCheckpoint` (blocks freed automatically when the
@@ -138,12 +167,13 @@ object Dedup {
     * holds a MEMORY_AND_DISK cache on the prefix index only WITHIN this
     * call — nothing stays registered in the CacheManager after return. */
   def jaccardPrefixPairs(spark: SparkSession, dir: String, minJ: Double = 0.9,
-                         candidateBudget: Long = 64): DataFrame =
+                         quadBudget: Double = 256.0,
+                         minPruneFactor: Double = 3.0): DataFrame =
     jaccardPrefixPairsOn(Tables.loadWide(spark, dir, "documents"),
-      Tables.load(spark, dir, "documents").count(), minJ, candidateBudget)
+      minJ, quadBudget, minPruneFactor)
 
-  private[graft] def jaccardPrefixPairsOn(docsIn: DataFrame, nDocs: Long,
-      minJ: Double, candidateBudget: Long): DataFrame = {
+  private[graft] def jaccardPrefixPairsOn(docsIn: DataFrame, minJ: Double,
+      quadBudget: Double = 256.0, minPruneFactor: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docsSh = docsIn
       .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
@@ -151,6 +181,19 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
     // global document frequency per shingle: narrow (shingle, 1) shuffle
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // gate 1 stats in one aggregate: the count-join's exact candidate
+    // volume candFull = Σ_s C(df, 2) and the index size Σ_s df. candFull
+    // is Double, not Long: a 100 TB corpus's hot shingles can push the
+    // sum past 2^63; the dispatch is a ratio and needs magnitude only
+    val st = dfreq.agg(
+        coalesce(sum(col("df") * (col("df") - 1L) / lit(2.0)), lit(0.0)),
+        coalesce(sum(col("df")), lit(0L)))
+      .head()
+    val candFull = st.getDouble(0)
+    val indexRows = st.getLong(1)
+    // gate 1: quadratic term too small to beat the prefix machinery —
+    // take the single-pass count-join WITHOUT building the prefix index
+    if (candFull <= quadBudget * indexRows) return jaccardPairsOn(docsIn, minJ)
     // rank shingles within each doc by (df asc, s) and keep the t-prefix;
     // size filter t·|A| ≤ |B| ≤ |A|/t is applied at the candidate join
     // same 1e-9 ceil slack as the join bounds: an overshooting ceil here
@@ -162,15 +205,17 @@ object Dedup {
       .filter(col("rn") <= prefixLen)
       .select(col("doc_id"), col("n_sh"), col("s"), col("rn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // df-profile probe: exact candidate-join output size from the prefix
-    // index (linear), vs a metadata-only row count from the parquet footer
-    val cand = ranked.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    // gate 2 probe: exact candidate-join output size from the prefix
+    // index (linear over the persisted index)
+    val candPrefix = ranked.groupBy(col("s")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(floor(col("c") * (col("c") - 1L) / 2L)).cast(LongType),
         lit(0L)).as("cand"))
       .head().getLong(0)
-    // divide, don't multiply: budget * nDocs overflows Long for large
-    // budgets (e.g. a caller forcing the prefix path with Long.MaxValue)
-    if (cand / math.max(nDocs, 1L) > candidateBudget) {
+    // gate 2: prefix must cut the candidate volume >= minPruneFactor-fold
+    // to pay its per-candidate premium (calibration in the scaladoc).
+    // candPrefix = 0 stays on the (trivially empty) prefix path:
+    // 0 * inf = NaN > x compares false
+    if (candPrefix.toDouble * minPruneFactor > candFull) {
       ranked.unpersist()
       return jaccardPairsOn(docsIn, minJ)
     }

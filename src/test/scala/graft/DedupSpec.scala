@@ -72,7 +72,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("prefix-Jaccard (PPJoin path, forced): equals the count-join shape, keeps the exactly-at-threshold pair") {
-    val viaPrefix = Dedup.jaccardPrefixPairsOn(zipfDocs, 5L, 0.9, candidateBudget = Long.MaxValue)
+    val viaPrefix = Dedup.jaccardPrefixPairsOn(zipfDocs, 0.9,
+        quadBudget = 0.0, minPruneFactor = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val viaCount = Dedup.jaccardPairsOn(zipfDocs, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -100,7 +101,8 @@ class DedupSpec extends AnyFunSuite {
           }
         (i.toLong, rnd.shuffle(base).mkString(" "))
       }.toDF("doc_id", "text")
-      val prefix = Dedup.jaccardPrefixPairsOn(docs, 60L, 0.5, candidateBudget = Long.MaxValue)
+      val prefix = Dedup.jaccardPrefixPairsOn(docs, 0.5,
+          quadBudget = 0.0, minPruneFactor = 0.0)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val count = Dedup.jaccardPairsOn(docs, 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -108,12 +110,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("prefix-Jaccard dispatch: budget 0 falls back to the count-join shape, same result") {
-    val fallback = Dedup.jaccardPrefixPairsOn(zipfDocs, 5L, 0.9, candidateBudget = 0L)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  test("prefix-Jaccard dispatch: both fallback gates yield the count-join result") {
     val direct = Dedup.jaccardPairsOn(zipfDocs, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(fallback == direct && fallback.nonEmpty)
+    // gate 1: the default quadBudget rejects this tiny corpus (candFull
+    // far below 256x the index rows) before any prefix index is built
+    val viaGate1 = Dedup.jaccardPrefixPairsOn(zipfDocs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // gate 2: force past gate 1, then demand infinite pruning
+    val viaGate2 = Dedup.jaccardPrefixPairsOn(zipfDocs, 0.9,
+        quadBudget = 0.0, minPruneFactor = Double.PositiveInfinity)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaGate1 == direct && viaGate2 == direct && direct.nonEmpty)
   }
 
   test("LSH pairs are SOUND on randomized corpora: every reported pair has true J >= minJ (property, seeded)") {
