@@ -127,18 +127,23 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("label"),
         namespace.as("namespace"),
         EmbeddingStore.sanitizeMetadata(metaJson("U")).as("metadata"))
-    val store = EmbeddingStore.upsert(base, updates)
+    // eager localCheckpoint: materialize the last-writer-wins window ONCE
+    // so BOTH the corpus and the query side can read the merged store
+    // (truer to V4 — queries hit the store, not the pre-upsert batch)
+    // without evaluating the window twice inside one action. Blocks are
+    // ContextCleaner-freed when the result DataFrame is GC'd; at scale
+    // this trades one store materialization for window re-evaluation —
+    // the store is the smaller of the two by construction.
+    val store = EmbeddingStore.upsert(base, updates).localCheckpoint(true)
     val corpus = store
       .filter(col("namespace") === ns &&
         element_at(col("metadata"), "type") === typeEq)
       .select(col("vec_id"), col("embedding"),
         element_at(col("metadata"), "schema").as("m_schema"))
-    // query side comes from `base`, not the merged store: the update
-    // wave rewrites only metadata, never embeddings, so reading through
-    // the upsert would evaluate the corpus-wide last-writer-wins window
-    // a SECOND time inside the same action for identical query vectors
+    // update waves rewrite only metadata, never embeddings, so the
+    // query embeddings are identical through the upsert
     val queries = broadcast(
-      base.filter(col("vec_id") < nQueries)
+      store.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
     val scored = corpus.join(queries, col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("q_emb"), col("embedding")))
