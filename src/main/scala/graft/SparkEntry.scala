@@ -78,6 +78,8 @@ object SparkEntry {
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
     "span_dedup_maximal" -> ((s, d) => Dedup.maximalSpans(s, d)),
+    "dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "dedup_keep" -> ((s, d) => Dedup.dedupKeep(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- event-time analytics (SURVEY §2.13) ---
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
@@ -237,6 +239,8 @@ object SparkEntry {
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "span_dedup" -> Dedup.spanDedupSql(),
     "span_dedup_maximal" -> Dedup.maximalSpansSql(),
+    "dup_clusters" -> Dedup.dupClustersSql(),
+    "dedup_keep" -> Dedup.dedupKeepSql(),
     "decontaminate" -> Dedup.decontaminateSql(),
     "events_tumbling" -> Events.tumblingSql,
     "events_stream_tumbling" -> Events.tumblingSql,

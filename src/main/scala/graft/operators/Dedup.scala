@@ -262,18 +262,25 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
-  def jaccardPairsSql(minJ: Double = 0.5): String =
-    s"""WITH d AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+  /** Shared CTE chain ending in `jp(a_id, b_id, jaccard)` — the exact
+    * pair set at threshold `minJ`; reused by the pair query and the
+    * cluster/keep oracles. */
+  private def jaccardPairsCte(minJ: Double): String =
+    s"""d AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
         sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d),
         inv AS (SELECT doc_id, n_sh, unnest(sh) AS s FROM sized),
         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS a_n,
                          b.n_sh AS b_n, count(*) AS inter
                   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2, 3, 4)
-        SELECT a_id, b_id,
-               CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
-        FROM pairs
-        WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= $minJ"""
+                  GROUP BY 1, 2, 3, 4),
+        jp AS (SELECT a_id, b_id,
+                      CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
+               FROM pairs
+               WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= $minJ)"""
+
+  def jaccardPairsSql(minJ: Double = 0.5): String =
+    s"""WITH ${jaccardPairsCte(minJ)}
+        SELECT a_id, b_id, jaccard FROM jp"""
 
   // --- MinHash --------------------------------------------------------
   // h_s(shingle) = (a_s * chash(shingle) + b_s) mod P with a_s = 2s+3,
@@ -668,4 +675,121 @@ object Dedup {
         SELECT t.doc_id, count(*) AS n_shared_spans
         FROM train t JOIN bench b ON t.span = b.span
         GROUP BY 1"""
+
+  /** Connected components over an undirected edge list via the
+    * alternating LARGE-STAR / SMALL-STAR contraction of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC 2014) — the
+    * O(log^2 n)-round algorithm (O(log n) in practice), NOT naive
+    * min-label propagation, whose round count is the graph DIAMETER:
+    * near-dup graphs at 100 TB contain long template-drift chains
+    * (doc_i ~ doc_{i+1} for thousands of i) where propagation needs
+    * thousands of shuffles and star contraction a dozen.
+    *
+    * Each round is two phases over the canonical (u < v, distinct) edge
+    * list, both pure equi-shuffles of (long, long) rows:
+    *   large-star: every node links its LARGER neighbors to its
+    *     neighborhood minimum (cuts tall chains into shallow trees);
+    *   small-star: every node links its SMALLER neighbors and itself to
+    *     the minimum of the smaller set (flattens trees into stars).
+    * Each phase is a groupBy(node).min + an equi-join back onto the edge
+    * stream — no arrays, no driver-side graph. The per-round
+    * `localCheckpoint(true)` is load-bearing twice over: it truncates a
+    * lineage that would otherwise double every round, and it makes the
+    * two convergence actions (count + except) read materialized blocks.
+    * Converged state (proven in the paper): a disjoint union of stars
+    * whose centers are the component minima.
+    *
+    * Output: one row per node that appears in any edge —
+    * (doc_id, cluster_id = min doc_id of its component). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("c"), least(col("u"), col("mn")).as("m"))
+      canon(s.join(mins, col("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("v") < col("u"))
+      val mins = s.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val attach = s.join(mins.withColumnRenamed("u", "c"), col("u") === col("c"))
+        .select(col("v").as("u"), col("m").as("v"))
+      canon(attach.union(mins.select(col("u"), col("m").as("v"))))
+    }
+    var edges = canon(pairs).localCheckpoint(true)
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < 50) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $round rounds")
+    edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
+      .union(edges.select(col("u"), col("u")).distinct()
+        .toDF("doc_id", "cluster_id"))
+  }
+
+  /** Duplicate CLUSTERS from exact near-dup pairs: the step a real
+    * training pipeline needs between pair detection and row dropping —
+    * near-duplication is transitive in effect (A~B, B~C means one
+    * surviving copy of the whole group), so representatives must be
+    * chosen per connected component, not per pair (dropping b_id of
+    * every pair over-deletes: in a triangle {A,B,C} it keeps only A but
+    * also mis-keeps nothing to compare C against once B is gone — and
+    * under a chain it deletes docs whose only duplicate was itself
+    * deleted). Cluster id = min doc_id of the component. */
+  def dupClusters(spark: SparkSession, dir: String, minJ: Double = 0.5): DataFrame =
+    connectedComponents(
+        jaccardPairsOn(Tables.loadWide(spark, dir, "documents"), minJ)
+          .select(col("a_id").as("u"), col("b_id").as("v")))
+      .orderBy(col("doc_id"))
+
+  def dupClustersSql(minJ: Double = 0.5): String =
+    s"""WITH RECURSIVE ${jaccardPairsCte(minJ)},
+        e AS (SELECT a_id AS u, b_id AS v FROM jp
+              UNION SELECT b_id, a_id FROM jp),
+        reach(src, node) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node)
+        SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1"""
+
+  /** Representative selection: keep every document that is not a
+    * non-representative member of a duplicate cluster (the component's
+    * min doc_id survives; untouched documents pass through). The drop
+    * list is ids-only; the anti-join is left to the planner — at scale
+    * the duplicate fraction of a web corpus is large enough that forcing
+    * a broadcast would be wrong, and AQE picks one when the list is
+    * genuinely small. */
+  def dedupKeep(spark: SparkSession, dir: String, minJ: Double = 0.5): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val drops = dupClusters(spark, dir, minJ)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupKeepSql(minJ: Double = 0.5): String =
+    s"""WITH RECURSIVE ${jaccardPairsCte(minJ)},
+        e AS (SELECT a_id AS u, b_id AS v FROM jp
+              UNION SELECT b_id, a_id FROM jp),
+        reach(src, node) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+        comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1)
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM comp c
+                          WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)"""
 }

@@ -278,6 +278,54 @@ class DedupSpec extends AnyFunSuite {
     assert(TextAnalytics.docChunks(spark, dir).count() == 0)
   }
 
+  test("connected components: chain, triangle, pair, and isolated-from-edges node") {
+    // chain 10-11-12-13 (diameter 3), triangle 20-21-22, pair (30, 5),
+    // self-loop (40,40) must vanish, duplicate edge must not double rows
+    val edges = Seq((11L, 10L), (11L, 12L), (13L, 12L), (20L, 21L),
+        (21L, 22L), (22L, 20L), (30L, 5L), (40L, 40L), (10L, 11L))
+      .toDF("u", "v")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 5L -> 5L, 30L -> 5L))
+  }
+
+  test("connected components == local union-find on random graphs (property, seeded)") {
+    for (seed <- Seq(3, 19, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      // sparse random graph: ~1.1 edges/node leaves many components and
+      // (whp) at least one long path — the star-contraction stress case
+      val es = (0 until (n * 11 / 10)).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // local union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = es.flatMap(e => Seq(e._1, e._2)).filter(i => es.exists(e =>
+        (e._1 == i || e._2 == i) && e._1 != e._2)).distinct
+      val expected = touched.map(i => i -> find(i.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(es.toDF("u", "v")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: component labels diverge from union-find")
+    }
+  }
+
+  test("dedupKeep partitions the corpus: kept + dropped cluster members = all docs") {
+    val kept = Dedup.dedupKeep(spark, corpusDir).collect().map(_.getLong(0)).toSet
+    val clusters = Dedup.dupClusters(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val dropped = clusters.filter(p => p._1 != p._2).map(_._1).toSet
+    val all = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(dropped).isEmpty)
+    assert(kept.union(dropped) == all)
+    // every cluster representative survives
+    assert(clusters.map(_._2).toSet.subsetOf(kept))
+  }
+
   test("simhash: identical texts -> hamming 0; banded pairs find them") {
     val sigs = Dedup.simhashSignatures(spark, corpusDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
