@@ -99,6 +99,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamSessionsQuery(s, d)),
     "events_stream_range_join" -> ((s, d) =>
       graft.streaming.StreamOps.streamRangeJoinQuery(s, d)),
+    "events_stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamOps.streamDedupQuery(s, d)),
     // --- the reference's true continuous shape: full 7-stage doc ETL
     //     under Structured Streaming, vs the BATCH pipeline oracle ---
     "pipeline_stream" -> ((s, d) =>
@@ -247,6 +249,8 @@ object SparkEntry {
     "events_stream_sessions" -> Events.sessionsSql,
     // the stream-stream interval join must reproduce the batch range join
     "events_stream_range_join" -> Events.clicksBeforePurchaseSql,
+    // dedup of an at-least-once replay must reproduce the plain table
+    "events_stream_dedup" -> graft.streaming.StreamOps.streamDedupOracleSql,
     "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,

@@ -155,6 +155,30 @@ object StreamOps {
       s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}")
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Oracle-checkable streaming ingest-dedup twin (the `dedupedStream`
+    * operator, SURVEY §2.13): the events fixture replayed at-least-once
+    * — the full stream unioned with a SECOND replay of every 7th event,
+    * byte-identical rows — through `dropDuplicatesWithinWatermark`. The
+    * sink must then contain each event exactly once, so the DuckDB twin
+    * is plain `SELECT .. FROM events`: the query proves exactly-once
+    * output under duplicated at-least-once input, which is the contract
+    * a continuous 100 TB ingest actually needs. Dedup state is bounded
+    * by the 2-hour watermark, not corpus size; duplicates are exact
+    * copies, so which replica survives is immaterial to the hash gate. */
+  def streamDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val dupes = eventsStream(spark, dir).filter(col("event_id") % 7 === 0)
+    val deduped = dedupedStream(eventsStream(spark, dir).union(dupes))
+    runToMemory(spark,
+      deduped.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value")),
+      s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      mode = "append")
+      .orderBy(col("event_id"))
+  }
+
+  def streamDedupOracleSql: String =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
   /** STREAM-STREAM interval join (SURVEY §2.13): clicks joined to
     * purchases of the same user within the preceding hour, both sides
     * live streams. The event-time range condition plus the two
