@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// If a DuckDB JDBC driver jar is already pre-warmed in the local
+// coursier cache, put it on the classpath so the K2 relational sink's
+// real `df.write.jdbc` path is exercisable (no new resolution —
+// COURSIER_MODE=offline is respected; found by glob, not coordinates).
+// Absent jar: everything still compiles and the JDBC spec self-skips.
+Compile / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  val jars = if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get() else Seq.empty
+  jars.take(1).map(Attributed.blank(_))
+}
 Test / fork := true
 run / fork := true
 // Forked program output passes straight to stdout (no "[info]" logger

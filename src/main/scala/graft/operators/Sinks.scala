@@ -15,10 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** K2: the `documents_out` relational sink (FIXTURES.md §B.2 shape).
-    * Parquet here; swap `.parquet` for `.jdbc(url, table, props)` when a
-    * database is reachable — the DataFrame contract is identical. */
-  def writeDocumentsOut(df: DataFrame, outDir: String): Unit =
+  /** The `documents_out` relational row shape (FIXTURES.md §B.2),
+    * shared by the parquet and JDBC write paths. */
+  private def documentsOutRows(df: DataFrame): DataFrame =
     df.select(
       coalesce(col("record_id"), expr("uuid()")).as("id"),
       col("doc_type"),
@@ -27,7 +26,57 @@ object Sinks {
       col("file_url"),
       lit(null).cast("string").as("pinecone_id"),
       col("created_at"))
-      .write.mode("append").parquet(outDir)
+
+  /** K2: the `documents_out` relational sink (FIXTURES.md §B.2 shape),
+    * parquet-backed — the lake-format variant of the same contract. */
+  def writeDocumentsOut(df: DataFrame, outDir: String): Unit =
+    documentsOutRows(df).write.mode("append").parquet(outDir)
+
+  /** K2, real relational path: one distributed `df.write.jdbc` into a
+    * live database (reference: per-document Postgres insert,
+    * supabase_client.py:45-77 — here set-oriented, batched prepared
+    * statements, one connection per partition). Driver-agnostic: any
+    * JDBC driver on the classpath (the test harness uses the DuckDB
+    * driver against a file-backed database; a production deployment
+    * points the url at Postgres and sets `numPartitions` to what the
+    * database's connection pool tolerates — the WRITER side scales with
+    * executors, the database is the bottleneck by design). */
+  def writeDocumentsOutJdbc(df: DataFrame, url: String, table: String,
+                            numPartitions: Int = 1): Unit =
+    writeJdbc(documentsOutRows(df), url, table, numPartitions)
+
+  /** Minimal DuckDB JDBC dialect. Spark 4's first-write table-exists
+    * probe RETHROWS any SQLException the dialect does not classify as
+    * object-not-found (JdbcUtils.tableExists), and DuckDB reports a
+    * missing table as a "Catalog Error" with a null SQLState — so
+    * without a dialect every first write fails on its own existence
+    * probe. Everything else (type mapping, DDL) works on the defaults. */
+  private object DuckDbDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:duckdb:")
+    override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
+      e.getMessage != null && e.getMessage.contains("does not exist")
+  }
+  private lazy val dialectRegistered: Unit =
+    org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
+
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                numPartitions: Int = 1): Unit = {
+    dialectRegistered
+    df.coalesce(numPartitions)
+      .write.mode("overwrite")
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .save()
+  }
+
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame = {
+    dialectRegistered
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .load()
+  }
 
   /** K1: object-storage upload — content-addressed binary store with a
     * deterministic URL (bucket/name), done distributed via the binary

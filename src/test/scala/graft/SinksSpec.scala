@@ -30,6 +30,36 @@ class SinksSpec extends AnyFunSuite {
     assert(out.filter(col("id") === "r1").count() == 2)
   }
 
+  test("K2 JDBC round-trip: documents_out through a live relational database") {
+    // self-skips when no DuckDB JDBC driver jar was found in the local
+    // cache at build time (build.sbt glob) — the parquet K2 test above
+    // still covers the row contract
+    assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
+      "DuckDB JDBC driver not on classpath")
+    val url = s"jdbc:duckdb:${tmp("jdbc")}/sink.db"
+    val rows = Seq(
+      ("r1", "invoice", "text a", """{"amount":1.0}""", "mem://store/a.txt"),
+      ("r2", "receipt", "text b", """{"total":2.5}""", "mem://store/b.txt"),
+      (null.asInstanceOf[String], "other", "text c", null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("record_id", "doc_type", "raw_text", "structured_data", "file_url")
+      .withColumn("created_at", current_timestamp())
+    Sinks.writeDocumentsOutJdbc(rows, url, "documents_out")
+    val back = Sinks.readJdbc(spark, url, "documents_out")
+    assert(back.columns.toSeq == Seq("id", "doc_type", "raw_text",
+      "structured_data", "file_url", "pinecone_id", "created_at"))
+    assert(back.count() == 3)
+    assert(back.filter(col("id").isNull).count() == 0)
+    val byId = back.collect().map(r => r.getAs[String]("doc_type") ->
+      r.getAs[String]("structured_data")).toMap
+    assert(byId("invoice") == """{"amount":1.0}""" && byId("other") == null)
+    // arbitrary DataFrame through the generic path, multiple partitions
+    val nums = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Sinks.writeJdbc(nums, url, "nums", numPartitions = 4)
+    val numsBack = Sinks.readJdbc(spark, url, "nums")
+    assert(numsBack.count() == 100)
+    assert(numsBack.agg(sum(col("k")).cast("long")).head().getLong(0) == 5050L)
+  }
+
   test("K1 uploadBinary: file_url addresses the written object store") {
     val bucket = tmp("bucket")
     val df = Seq(("in/a b.txt", "payload".getBytes("UTF-8")))
