@@ -54,6 +54,7 @@ object SparkEntry {
     "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
     "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
+    "doc_novelty" -> ((s, d) => TextAnalytics.docNovelty(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
     "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
@@ -218,6 +219,7 @@ object SparkEntry {
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,
+    "doc_novelty" -> TextAnalytics.docNoveltySql,
     "doc_chunks" -> TextAnalytics.docChunksSql(),
     "mixture_sample" -> TextAnalytics.mixtureSampleSql,
     "doc_splits" -> TextAnalytics.docSplitsSql,

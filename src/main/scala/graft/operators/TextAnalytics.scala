@@ -440,4 +440,55 @@ object TextAnalytics {
                (n_tokens > 0 AND
                 ((cum - n_tokens) // $cap) <> ((cum - 1) // $cap)) AS crosses
         FROM c"""
+
+  /** Rare-n-gram NOVELTY per document — the corpus-global complement to
+    * the per-doc Gopher repetition signals: a document whose bigrams
+    * mostly appear NOWHERE else in the corpus is gibberish, OCR noise,
+    * or junk templating (unique-shingle rate), while a very LOW mean
+    * document frequency threshold filters the opposite tail. Standard
+    * pretraining-quality signal over corpus statistics.
+    *
+    * Scale shape: the shingle stream is PolyHash'd to int64 BEFORE the
+    * df groupBy and the df join, so both exchanges carry (long, long)
+    * rows — never shingle strings (at 100 TB the bigram text dominates
+    * the shuffle otherwise). Hash collisions merge two bigrams' df
+    * counts: ~(corpus-distinct²/2·1e9+7) expected merges, deterministic,
+    * and IDENTICAL in the oracle, which hashes with the same polynomial.
+    * Aggregates are integer counts; the two ratios are single divisions
+    * of exact integers, so the hash gate holds cross-engine. Documents
+    * with no bigram (< 2 words) drop out on both engines. */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val inv = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+      .select(col("doc_id"), Dedup.chash(col("s")).as("h"))
+    val dfreq = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    inv.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        sum(col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty_frac"),
+        (col("sum_df").cast("double") / col("n_shingles").cast("double"))
+          .as("mean_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docNoveltySql: String =
+    s"""WITH d AS (SELECT doc_id, ${graft.operators.Dedup.shinglesSql("text")} AS sh
+        FROM documents),
+        inv0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+        inv AS (SELECT doc_id, ${graft.operators.Dedup.chashSql("s")} AS h FROM inv0),
+        fr AS (SELECT h, count(*) AS df FROM inv GROUP BY 1),
+        j AS (SELECT inv.doc_id, fr.df FROM inv JOIN fr ON inv.h = fr.h),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                CAST(sum(df) AS BIGINT) AS sum_df
+                FROM j GROUP BY 1)
+        SELECT doc_id, n_shingles, n_unique,
+               CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty_frac,
+               CAST(sum_df AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS mean_df
+        FROM agg"""
 }

@@ -278,6 +278,21 @@ class DedupSpec extends AnyFunSuite {
     assert(TextAnalytics.docChunks(spark, dir).count() == 0)
   }
 
+  test("docNovelty: unique-shingle rate and mean df, hand-computed") {
+    import graft.operators.TextAnalytics
+    val out = TextAnalytics.docNovelty(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // docs 0,1 identical (8 bigrams: 7 shared with doc 2 at df=3, 'lazy
+    // dog' at df=2); doc 2 swaps dog->cat (1 unique bigram); doc 3 all
+    // unique; doc 4 empty -> absent
+    assert(out(0L) == ((8L, 0L, 0.0, 23.0 / 8)))
+    assert(out(1L) == out(0L))
+    assert(out(2L) == ((8L, 1L, 1.0 / 8, 22.0 / 8)))
+    assert(out(3L) == ((5L, 5L, 1.0, 1.0)))
+    assert(!out.contains(4L))
+  }
+
   test("connected components: chain, triangle, pair, and isolated-from-edges node") {
     // chain 10-11-12-13 (diameter 3), triangle 20-21-22, pair (30, 5),
     // self-loop (40,40) must vanish, duplicate edge must not double rows
