@@ -15,11 +15,11 @@ import org.apache.spark.sql.types._
   * Spark-first shape: `binaryFile` source → narrow per-row dispatch.
   * Plain text decodes inline (codegen'd `decode`). PDF/DOCX/OCR are
   * pluggable `Array[Byte] => String` parsers run via mapPartitions (one
-  * parser instance per partition, the S3-S5 posture). PDF and DOCX
-  * default to the REAL JDK-only codecs in [[DocFormats]] (zip + XML for
-  * .docx; object scan + FlateDecode + Tj/TJ for .pdf); OCR stays a
-  * clearly-marked deterministic stub (no tesseract binary in the
-  * container) behind the same swappable seam.
+  * parser instance per partition, the S3-S5 posture). All three default
+  * to REAL JDK-only codecs: [[DocFormats]] (zip + XML for .docx; object
+  * scan + FlateDecode + Tj/TJ for .pdf) and [[GlyphOcr]] (raster decode
+  * + per-cell template matching for images; a Tesseract-backed parser
+  * plugs into the same seam when the binary is available).
   */
 object BinaryIngest {
 
@@ -47,16 +47,6 @@ object BinaryIngest {
     * mapPartitions; must be deterministic for a given byte array. */
   trait BinaryParser extends Serializable {
     def parse(bytes: Array[Byte]): String
-  }
-
-  /** STUB OCR parser (real impl: Tesseract image_to_string,
-    * parsers.py:90-106). Deterministic fake: the fixture's "image"
-    * payloads are text bytes, so the stub "recognizes" exactly that text,
-    * marker-prefixed — faithful to OCR's contract (bytes → the text in
-    * the image) and exactly mirrorable in the DuckDB oracle. */
-  object StubOcrParser extends BinaryParser {
-    def parse(bytes: Array[Byte]): String =
-      "[ocr] " + new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   /** Batch ingest of a directory of files (S1 batch form). */
@@ -90,7 +80,7 @@ object BinaryIngest {
   def ingest(spark: SparkSession, binary: DataFrame,
              pdf: BinaryParser = DocFormats.PdfParser,
              docx: BinaryParser = DocFormats.DocxParser,
-             ocr: BinaryParser = StubOcrParser): DataFrame = {
+             ocr: BinaryParser = GlyphOcr.Parser): DataFrame = {
     import spark.implicits._
     binary
       .withColumn("file_name", sanitizeName(element_at(split(col("path"), "/"), -1)))
@@ -125,16 +115,18 @@ object BinaryIngest {
   /** Oracle-checkable ingest: synthesize a binary corpus from the
     * documents fixture and run the single-pass ingest over it. The
     * extension cycles txt/pdf/docx/png by doc_id — ALL FOUR dispatch
-    * arms; '&' in the name exercises sanitize. PDF and DOCX rows carry
-    * REAL container bytes built by [[DocFormats]] and decoded by the
-    * real parsers: the pdf is two pages (full text; first three words),
-    * the docx is one paragraph (full text), one blank paragraph (the
-    * parser must drop it) and a one-row table of the first three words
-    * (flattened " | ") — structure the DuckDB twin reproduces from the
-    * text alone. `length` is the logical payload size (UTF-8 text
-    * bytes), not the container size, which a SQL oracle could not
-    * recompute from zip/deflate output. Null-text rows are excluded —
-    * a binary source has no null payloads. */
+    * arms; '&' in the name exercises sanitize. PDF, DOCX and PNG rows
+    * carry REAL container bytes built by [[DocFormats]]/[[GlyphOcr]] and
+    * decoded by the real parsers: the pdf is two pages (full text; first
+    * three words), the docx is one paragraph (full text), one blank
+    * paragraph (the parser must drop it) and a one-row table of the
+    * first three words (flattened " | "), the png is the text rasterized
+    * on the glyph grid and recognized back by template matching —
+    * structure the DuckDB twin reproduces from the text alone. `length`
+    * is the logical payload size (UTF-8 text bytes), not the container
+    * size, which a SQL oracle could not recompute from zip/deflate/png
+    * output. Null-text rows are excluded — a binary source has no null
+    * payloads. */
   def binaryIngestQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val exts = Array("txt", "pdf", "docx", "png")
@@ -153,6 +145,7 @@ object BinaryIngest {
           case "docx" =>
             DocFormats.buildDocx(Seq(text, ""),
               if (head3.nonEmpty) Seq(head3) else Nil)
+          case "png" => GlyphOcr.render(text)
           case _ => payload
         }
         (s"mem://in/Doc&$id.$e", content, payload.length.toLong)
@@ -191,7 +184,7 @@ object BinaryIngest {
                 (CASE WHEN trim(text, $ws) <> '' THEN text ELSE '' END) ||
                 (CASE WHEN trim(text, $ws) <> '' AND cells3 <> '' THEN chr(10) ELSE '' END) ||
                 cells3
-              WHEN 'png' THEN '[ocr] ' || text
+              WHEN 'png' THEN ${GlyphOcr.substituteSql("text")}
               ELSE text END AS raw_text
           FROM b2)
         SELECT *,

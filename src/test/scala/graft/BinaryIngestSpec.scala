@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.{BinaryIngest, DocFormats}
+import graft.sources.{BinaryIngest, DocFormats, GlyphOcr}
 
 class BinaryIngestSpec extends AnyFunSuite {
   import TestSession.spark
@@ -18,9 +18,10 @@ class BinaryIngestSpec extends AnyFunSuite {
     put("table.docx", DocFormats.buildDocx(
       Seq("para one", "para two"),
       Seq(Seq("cell a", "cell b"))))
-    putText("scan.png", "fakeimagebytes")
+    put("scan.png", GlyphOcr.render("scanned page 42"))
     putText("empty.txt", "   ") // whitespace-only (binaryFile skips 0-byte files)
     putText("broken.pdf", "this is not a pdf")
+    putText("broken.png", "this is not a png")
     putText("weird name!@#.txt", "sanitized")
     d.toString
   }
@@ -48,8 +49,13 @@ class BinaryIngestSpec extends AnyFunSuite {
     assert(out("table.docx").getString(4) == "para one\npara two\ncell a | cell b")
   }
 
-  test("image routes to OCR parser (S5)") {
-    assert(out("scan.png").getString(4) == "[ocr] fakeimagebytes")
+  test("image routes to OCR parser: real raster decode + template match (S5)") {
+    assert(out("scan.png").getString(4) == "scanned page 42")
+  }
+
+  test("undecodable image bytes -> per-row error, batch survives (P5/S5)") {
+    assert(Option(out("broken.png").getString(5)).exists(_.startsWith("image parse failed")))
+    assert(out("broken.png").getString(4) == null)
   }
 
   test("empty parse -> per-row error, batch survives (P5)") {
