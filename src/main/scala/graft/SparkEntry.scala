@@ -55,6 +55,7 @@ object SparkEntry {
     "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
     "doc_novelty" -> ((s, d) => TextAnalytics.docNovelty(s, d)),
+    "bm25_search" -> ((s, d) => TextAnalytics.bm25Search(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
     "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
@@ -69,6 +70,7 @@ object SparkEntry {
     "vector_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -217,6 +219,7 @@ object SparkEntry {
     // twin checks counts AND rank order
     "lang_top_words" -> TextAnalytics.langTopWordsSql(),
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
+    "bm25_search" -> TextAnalytics.bm25SearchSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,
     "doc_novelty" -> TextAnalytics.docNoveltySql,
@@ -234,6 +237,7 @@ object SparkEntry {
     "vector_ivf_topk" -> Similarity.ivfTopKSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
+    "semantic_dedup" -> Similarity.semanticDedupSql(),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),
     "jaccard_prefix_pairs" -> Dedup.jaccardPairsSql(0.9),

@@ -417,4 +417,49 @@ object Similarity {
         FROM b a JOIN b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ${cosineSql("a.embedding", "b.embedding")} >= $minCos"""
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): treat cosine-near-duplicate EMBEDDINGS as the
+    * same content and keep one representative per duplicate group. The
+    * paper clusters with k-means and prunes within clusters; here the
+    * bucketing is the sign-LSH [[nearDupPairs]] already uses (the
+    * k-means codebook plugs in behind the same pair contract), the
+    * grouping is exact connected components over the near-dup edges
+    * ([[Dedup.connectedComponents]]' large-star/small-star rounds — a
+    * transitively-linked chain is ONE group even when its endpoints'
+    * cosine is below threshold), and the survivor is the group's min
+    * vec_id. Output: the surviving rows, `dedupKeep`'s contract on the
+    * embeddings table.
+    *
+    * Scale shape: pairs come from the bucket hash join (never cross
+    * join); components shuffle (u, v) id pairs only, O(log n) rounds;
+    * the drop list is ids-only and the final anti-join is left to the
+    * planner (AQE broadcasts it when small — same posture as
+    * dedupKeep). */
+  def semanticDedup(spark: SparkSession, dir: String, minCos: Double = 0.4,
+                    bitsOpt: Option[Int] = None): DataFrame = {
+    val pairs = nearDupPairs(spark, dir, minCos, bitsOpt)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val drops = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("drop_id"))
+    Tables.loadWide(spark, dir, "embeddings")
+      .join(drops, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticDedupSql(minCos: Double = 0.4,
+                       bitsOpt: Option[Int] = None): String =
+    s"""WITH RECURSIVE jp AS (${nearDupPairsSql(minCos, bitsOpt)}),
+        e AS (SELECT a_id AS u, b_id AS v FROM jp
+              UNION SELECT b_id, a_id FROM jp),
+        reach(src, node) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+        comp AS (SELECT src AS vid, min(node) AS cluster_id FROM reach GROUP BY 1)
+        SELECT emb.vec_id, emb.label FROM embeddings emb
+        WHERE NOT EXISTS (SELECT 1 FROM comp c
+                          WHERE c.vid = emb.vec_id AND c.vid <> c.cluster_id)"""
 }

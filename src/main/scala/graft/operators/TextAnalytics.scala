@@ -491,4 +491,105 @@ object TextAnalytics {
                CAST(n_unique AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty_frac,
                CAST(sum_df AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS mean_df
         FROM agg"""
+
+  /** BM25 ranked retrieval: score every document against a fixed query
+    * term set with Okapi BM25 (Robertson-Spärck Jones; k1 = 1.2,
+    * b = 0.75) and return the global top-k. The idf factor is the same
+    * LOG-FREE rational surrogate tfidfKeywords uses,
+    * (N − df + 0.5)/(df + 0.5), so all arithmetic is IEEE +,-,*,/ of
+    * values both engines derive from exact integers — ln() is only
+    * within-1-ulp on either engine and would break the driver's value
+    * hash. Per-term contributions sum in fixed literal term order
+    * (left-assoc on both engines); documents matching no query term are
+    * excluded by the exact integer hit count, not by a fp compare.
+    *
+    * Scale shape: tokens explode narrowly; ONE (doc_id, dl, tf...) count
+    * shuffle builds the per-doc profile (map-side combined — the grouped
+    * row carries doc_id plus nTerms+1 longs, never tokens); corpus stats
+    * (total_dl, df per term) reduce that profile to a single broadcast
+    * row; the global top-k is orderBy+limit — TakeOrderedAndProject, a
+    * per-partition heap + driver merge of k rows, never a global sort.
+    * The rank window runs over the k surviving rows only. */
+  def bm25Search(spark: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("vector", "scan", "merge"),
+                 k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = "1.2"
+    val b = "0.75"
+    // both engines parse the SAME decimal literals and fold constants
+    // with the same IEEE ops — never precompute (k1+1) etc. in Scala,
+    // where a differently-associated fold could be one ulp off the SQL
+    val k1c = expr(k1); val bc = expr(b)
+    val n = Tables.load(spark, dir, "documents").count()
+    val tokens = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = terms.indices.map { i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = perDoc.agg(sum(col("dl")).as("total_dl"), dfCols: _*)
+    val nD = lit(n.toDouble)
+    val avgdl = col("total_dl").cast("double") / nD
+    val parts = terms.indices.map { i =>
+      val tfd = col(s"tf$i").cast("double")
+      val dfd = col(s"df$i").cast("double")
+      when(col(s"tf$i") > 0,
+        (((nD - dfd) + lit(0.5)) / (dfd + lit(0.5))) *
+          ((tfd * (k1c + lit(1))) /
+            (tfd + k1c * ((lit(1) - bc) +
+              bc * (col("dl").cast("double") / avgdl)))))
+        .otherwise(lit(0.0))
+    }
+    val hits = terms.indices.map(i => col(s"tf$i")).reduceLeft(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", parts.reduceLeft(_ + _))
+      .filter(hits > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("rnk"))
+  }
+
+  def bm25SearchSql(terms: Seq[String] = Seq("vector", "scan", "merge"),
+                    k: Int = 20): String = {
+    val k1 = "1.2"
+    val b = "0.75"
+    val tfSel = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN word = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+    }.mkString(",\n               ")
+    val dfSel = terms.indices.map { i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(",\n               ")
+    val parts = terms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0 THEN
+             (((n.n - CAST(df$i AS DOUBLE)) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) *
+             ((CAST(tf$i AS DOUBLE) * ($k1 + 1)) /
+               (CAST(tf$i AS DOUBLE) + $k1 * ((1 - $b) +
+                 $b * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / n.n)))))
+           ELSE 0.0 END)"""
+    }.mkString(" + ")
+    val hits = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word
+          FROM documents),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+               $tfSel
+               FROM t WHERE word <> '' GROUP BY 1),
+        st AS (SELECT CAST(sum(dl) AS BIGINT) AS total_dl,
+               $dfSel
+               FROM pd),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (SELECT doc_id, $parts AS score, $hits AS hits
+                   FROM pd CROSS JOIN st CROSS JOIN n),
+        r AS (SELECT doc_id, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+              FROM scored WHERE hits > 0)
+        SELECT rnk, doc_id, score FROM r WHERE rnk <= $k"""
+  }
 }

@@ -261,6 +261,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out((3L, 1)) == "completely" && out((3L, 2)) == "different")
   }
 
+  test("bm25Search: rare term outranks common, ties break by doc_id, no-hit docs absent") {
+    import graft.operators.TextAnalytics
+    val out = TextAnalytics.bm25Search(spark, corpusDir,
+        terms = Seq("dog", "cat", "absent"), k = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // corpus: docs 0,1 have 'dog' (df=2), doc 2 has 'cat' (df=1), doc 3
+    // matches nothing, doc 4 is empty. N=5 docs, dl=9,9,9,6, avgdl=33/5.
+    assert(out.map(_._2).toSeq == Seq(2L, 0L, 1L))
+    // scores strictly ranked; docs 0 and 1 are identical texts -> equal
+    // scores, tie broken by doc_id
+    assert(out(1)._3 == out(2)._3 && out(0)._3 > out(1)._3)
+    // hand-computed BM25 for doc 0 / 'dog': idf=(5-2+0.5)/(2+0.5),
+    // tfpart=(1*2.2)/(1+1.2*(0.25+0.75*(9/6.6)))
+    val expected = (3.5 / 2.5) * (2.2 / (1.0 + 1.2 * (0.25 + 0.75 * (9.0 / (33.0 / 5)))))
+    assert(math.abs(out(1)._3 - expected) < 1e-12)
+  }
+
   test("round-4 operators survive an EMPTY corpus (no div-by-zero, no planner errors)") {
     val dir = java.nio.file.Files.createTempDirectory("empty").toString
     Seq.empty[(Long, String, String, String, Long)]
@@ -276,6 +293,7 @@ class DedupSpec extends AnyFunSuite {
     assert(TextAnalytics.piiScrub(spark, dir).count() == 0)
     assert(TextAnalytics.docSplits(spark, dir).count() == 0)
     assert(TextAnalytics.docChunks(spark, dir).count() == 0)
+    assert(TextAnalytics.bm25Search(spark, dir).count() == 0)
   }
 
   test("docNovelty: unique-shingle rate and mean df, hand-computed") {

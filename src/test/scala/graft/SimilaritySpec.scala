@@ -122,6 +122,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("semanticDedup: kept+dropped partition the corpus, no near-dup pair survives, dropped ids have a smaller survivor") {
+    import spark.implicits._
+    val all = Tables.load(spark, TestSession.sfDir, "embeddings")
+      .select("vec_id").as[Long].collect().toSet
+    val kept = Similarity.semanticDedup(spark, TestSession.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.subsetOf(all))
+    // a direct near-dup pair can never both survive: they share a component
+    Similarity.nearDupPairs(spark, TestSession.sfDir).collect()
+      .foreach(r => assert(!(kept(r.getLong(0)) && kept(r.getLong(1)))))
+    // every dropped id was displaced by a smaller id (the component min)
+    (all -- kept).foreach(d => assert(kept.exists(_ < d)))
+    // an empty near-dup set keeps everything: threshold above max cosine
+    val keptAll = Similarity.semanticDedup(spark, TestSession.sfDir, minCos = 1.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAll == all)
+  }
+
   test("LSH topK results are a subset of the query's bucket and scored identically to brute force") {
     val exact = Similarity.topK(spark, TestSession.sfDir, k = 50, nQueries = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
