@@ -104,6 +104,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamRangeJoinQuery(s, d)),
     "events_stream_dedup" -> ((s, d) =>
       graft.streaming.StreamOps.streamDedupQuery(s, d)),
+    "stream_decontaminate" -> ((s, d) =>
+      graft.streaming.StreamOps.streamDecontaminateQuery(s, d)),
     // --- the reference's true continuous shape: full 7-stage doc ETL
     //     under Structured Streaming, vs the BATCH pipeline oracle ---
     "pipeline_stream" -> ((s, d) =>
@@ -257,6 +259,7 @@ object SparkEntry {
     "events_stream_range_join" -> Events.clicksBeforePurchaseSql,
     // dedup of an at-least-once replay must reproduce the plain table
     "events_stream_dedup" -> graft.streaming.StreamOps.streamDedupOracleSql,
+    "stream_decontaminate" -> Dedup.decontaminateSql(),
     "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,

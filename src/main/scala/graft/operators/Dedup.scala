@@ -537,7 +537,7 @@ object Dedup {
 
   /** (doc_id, span) for every sliding w-word window — the narrow span
     * builder shared by spanDedup and decontaminate. */
-  private[operators] def spanTable(docs: DataFrame, w: Int): DataFrame = {
+  private[graft] def spanTable(docs: DataFrame, w: Int): DataFrame = {
     // filter the tokenizer's phantom '' (whitespace-edged text) BEFORE
     // forming spans, mirrored in the CTE below — the words() contract
     docs.select(col("doc_id"),

@@ -179,6 +179,64 @@ object StreamOps {
   def streamDedupOracleSql: String =
     "SELECT event_id, user_id, event_type, value FROM events"
 
+  /** The documents fixture's file schema (no timestamp conversion
+    * needed). */
+  val documentsFileSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Read the documents fixture as a file stream — same staging shape as
+    * [[eventsStream]]. */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(dir, "documents.parquet")
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("docs_stream")
+        try java.nio.file.Files.createLink(d.resolve("documents.parquet"), src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, d.resolve("documents.parquet")) }
+        d.toString
+      }
+    spark.readStream
+      .schema(documentsFileSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+  }
+
+  /** STREAM-STATIC decontamination (the continuous form of
+    * Dedup.decontaminate): the training corpus arrives as a STREAM, the
+    * benchmark span set is a STATIC batch table broadcast into every
+    * micro-batch. This is the stream-static join surface — the third
+    * Structured Streaming join shape next to the stream-stream interval
+    * join and the stateful dedup — and it is STATELESS: a broadcast hash
+    * join needs no state store and no watermark, so per-batch cost is
+    * pure compute (the right shape for "screen every incoming document
+    * against a fixed benchmark suite" at ingest time). The per-doc
+    * distinct-span rollup runs as a batch pass over the appended sink —
+    * the same post-pass posture as the stream-stream range join's
+    * rollup, keeping the streaming side free of stateful aggregation.
+    * Oracle: the SAME DuckDB SQL as batch decontaminate. */
+  def streamDecontaminateQuery(spark: SparkSession, dir: String, w: Int = 4,
+                               benchBelow: Long = 10): DataFrame = {
+    import graft.operators.Dedup
+    val bench = broadcast(
+      Dedup.spanTable(graft.Tables.loadWide(spark, dir, "documents"), w)
+        .filter(col("doc_id") < benchBelow)
+        .select(col("span").as("b_span")).distinct())
+    val streamSpans = Dedup.spanTable(docsStream(spark, dir), w)
+      .filter(col("doc_id") >= benchBelow)
+    val matched = runToMemory(spark,
+      streamSpans.join(bench, col("span") === col("b_span"))
+        .select(col("doc_id"), col("span")),
+      s"stream_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      mode = "append")
+    matched.groupBy(col("doc_id"))
+      .agg(countDistinct(col("span")).as("n_shared_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   /** STREAM-STREAM interval join (SURVEY §2.13): clicks joined to
     * purchases of the same user within the preceding hour, both sides
     * live streams. The event-time range condition plus the two

@@ -134,6 +134,14 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("stream-static decontaminate equals the batch operator on a replayed stream") {
+    val streamed = StreamOps.streamDecontaminateQuery(spark, TestSession.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Dedup.decontaminate(spark, TestSession.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming sessionization produces bounded session state") {
     val sessions = StreamOps.runToMemory(spark,
       StreamOps.sessionCounts(StreamOps.eventsStream(spark, TestSession.sfDir)),
