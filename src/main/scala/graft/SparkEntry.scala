@@ -71,6 +71,7 @@ object SparkEntry {
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "vector_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -240,6 +241,7 @@ object SparkEntry {
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "semantic_dedup" -> Similarity.semanticDedupSql(),
+    "vector_pq_topk" -> Similarity.pqTopKSql(),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),
     "jaccard_prefix_pairs" -> Dedup.jaccardPairsSql(0.9),

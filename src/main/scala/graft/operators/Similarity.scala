@@ -418,6 +418,106 @@ object Similarity {
         WHERE ${cosineSql("a.embedding", "b.embedding")} >= $minCos"""
   }
 
+  /** Product-quantization ANN top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each vector into
+    * `m` subvectors, quantize every subvector against a per-subspace
+    * codebook (L2 argmin — ties to the smaller centroid id on both
+    * engines), and score query-corpus pairs by ASYMMETRIC DISTANCE
+    * COMPUTATION: the approximate dot product Σ_j q_j · centroid_j(code_j),
+    * summed in fixed subspace order. The codebook is the deterministic
+    * seed posture ivfTopK uses (subvectors of the first `nCells` corpus
+    * vectors), so the operator is oracle-checkable end-to-end; a trained
+    * (k-means-per-subspace) codebook plugs in behind the same contract.
+    *
+    * Scale posture: this is the memory-compressed EXHAUSTIVE scan —
+    * encoding shrinks each vector to m small codes (m·log2(nCells) bits
+    * here vs dim·32 for floats), encode is a one-time narrow index-build
+    * pass, and the scan side of the join carries CODES ONLY (the
+    * original vectors never shuffle; the float embedding is left behind
+    * at the scan). Per-pair cost is m table lookups instead of a
+    * dim-wide dot. In production PQ composes with IVF (scan only probed
+    * cells); here it stands alone so the ADC math is what's verified.
+    * The per-query lookup table (m·nCells dots) rides the broadcast
+    * query side. Recall < 1 by design; the exact baseline is [[topK]]. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
+             nCells: Int = 8, m: Int = 4, dim: Int = 64): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val codebook = seedCodebook(emb, nCells)
+    if (codebook.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "vec_id", "score")
+    }
+    require(codebook.forall(_._2.length == dim), s"corpus dim != $dim")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // per-subspace centroid slices, driver-side model state (same
+    // O(nCells·dim) collect ivfTopK documents)
+    def cslice(j: Int): Array[(Long, Array[Float])] =
+      codebook.map { case (cid, v) => (cid, v.slice(j * sub, (j + 1) * sub)) }
+    def vslice(c: Column, j: Int): Column = slice(c, j * sub + 1, sub)
+    // encode: argmin L2 per subspace — least() over (dist, cid) structs
+    // breaks ties to the SMALLER cid, mirrored by the oracle's
+    // ORDER BY dist, cid
+    val codeCols = (0 until m).map { j =>
+      least(cslice(j).map { case (cid, cv) =>
+        struct(l2(vslice(col("embedding"), j), typedlit(cv)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*).getField("cid").as(s"code$j")
+    }
+    val encoded = emb.select(col("vec_id") +: codeCols: _*)
+    // per-query ADC lookup table: m·nCells exact dots, broadcast
+    val lutCols = for (j <- 0 until m; (cid, cv) <- cslice(j))
+      yield dot(vslice(col("embedding"), j), typedlit(cv)).as(s"lut_${j}_$cid")
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid") +: lutCols: _*))
+    val score = (0 until m).map { j =>
+      cslice(j).foldLeft(lit(null).cast("double")) { case (acc, (cid, _)) =>
+        when(col(s"code$j") === cid, col(s"lut_${j}_$cid")).otherwise(acc)
+      }
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    encoded.crossJoin(queries)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", score)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def pqTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8, m: Int = 4,
+                dim: Int = 64): String = {
+    val sub = dim / m
+    def slc(c: String, j: Int): String = s"$c[${j * sub + 1}:${(j + 1) * sub}]"
+    val encCtes = (0 until m).map { j =>
+      s"""enc$j AS (SELECT vec_id, cid AS code$j FROM (
+            SELECT e.vec_id, cb.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${l2Sql(slc("e.embedding", j), slc("cb.embedding", j))}, cb.cid) AS rn
+            FROM embeddings e CROSS JOIN cb) t$j WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    val encJoin = (1 until m).map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
+    val cbJoins = (0 until m).map(j => s"JOIN cb c$j ON c$j.cid = e.code$j").mkString(" ")
+    val scoreSum = (0 until m).map { j =>
+      s"(${dotSql(slc("q.embedding", j), slc(s"c$j.embedding", j))})"
+    }.mkString(" + ")
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+                    WHERE vec_id < $nCells),
+        $encCtes,
+        enc AS (SELECT * FROM enc0 $encJoin),
+        scored AS (SELECT q.vec_id AS qid, e.vec_id, $scoreSum AS score
+                   FROM enc e CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                                          WHERE vec_id < $nQueries) q
+                   $cbJoins
+                   WHERE e.vec_id <> q.vec_id),
+        ranked AS (SELECT qid, vec_id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): treat cosine-near-duplicate EMBEDDINGS as the
     * same content and keep one representative per duplicate group. The

@@ -122,6 +122,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("pqTopK: k per query; ADC score equals the sum of subspace dots against assigned centroids") {
+    import spark.implicits._
+    val out = Similarity.pqTopK(spark, TestSession.sfDir, k = 3, nQueries = 4).collect()
+    assert(out.groupBy(_.getLong(0)).size == 4)
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.length == 3)
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+    // self is never a neighbor
+    out.foreach(r => assert(r.getLong(0) != r.getLong(2)))
+    // ADC is an approximation of the true dot product: on the fixture the
+    // approximate and exact scores correlate (top PQ hit's exact cosine
+    // is positive for at least one query) — sanity, not a recall claim
+    val emb = Tables.load(spark, TestSession.sfDir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def dotd(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    val top1 = out.filter(_.getInt(1) == 1)
+    assert(top1.exists(r => dotd(emb(r.getLong(0)), emb(r.getLong(2))) > 0))
+  }
+
+  test("pqTopK on an empty corpus returns the empty contract schema, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("emptyemb2").toString
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Tables.load(spark, TestSession.sfDir, "embeddings").schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.pqTopK(spark, dir)
+    assert(out.columns.toSeq == Seq("qid", "rn", "vec_id", "score"))
+    assert(out.count() == 0)
+  }
+
   test("semanticDedup: kept+dropped partition the corpus, no near-dup pair survives, dropped ids have a smaller survivor") {
     import spark.implicits._
     val all = Tables.load(spark, TestSession.sfDir, "embeddings")
