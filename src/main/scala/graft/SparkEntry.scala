@@ -56,6 +56,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
     "doc_novelty" -> ((s, d) => TextAnalytics.docNovelty(s, d)),
     "bm25_search" -> ((s, d) => TextAnalytics.bm25Search(s, d)),
+    "quality_filter" -> ((s, d) => TextAnalytics.qualityFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
     "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
@@ -223,6 +224,7 @@ object SparkEntry {
     "lang_top_words" -> TextAnalytics.langTopWordsSql(),
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
     "bm25_search" -> TextAnalytics.bm25SearchSql(),
+    "quality_filter" -> TextAnalytics.qualityFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,
     "doc_novelty" -> TextAnalytics.docNoveltySql,

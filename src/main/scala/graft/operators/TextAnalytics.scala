@@ -492,6 +492,81 @@ object TextAnalytics {
                CAST(sum_df AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS mean_df
         FROM agg"""
 
+  /** Composite QUALITY FILTER (north star: the Gopher/C4-style rule
+    * pass that decides which documents enter a training corpus — Rae et
+    * al. 2021 §A1.1, Raffel et al. 2020 §2.2): word-count bounds, mean
+    * word length bounds, duplicate-token and top-bigram repetition
+    * caps. Emits the signals, a comma-joined `reasons` string naming
+    * every failed rule (fixed rule order; concat_ws skips the NULL of a
+    * passing rule on both engines), and the `keep` verdict — a real
+    * pipeline filters on `keep` but LOGS the reasons, so both are
+    * first-class columns.
+    *
+    * All thresholds compare doubles that are single IEEE divisions of
+    * exact integer counts — identical cross-engine, so the verdict
+    * hash-matches. Scale shape: composes [[docRepetition]]'s per-doc
+    * aggregates (nothing corpus-global) with one more narrow token-
+    * length fold; the join is doc_id-to-doc_id between two children of
+    * the same scan. */
+  def qualityFilter(spark: SparkSession, dir: String,
+                    minWords: Int = 5, maxWords: Int = 500,
+                    minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                    maxDupFrac: Double = 0.8,
+                    maxTopBigramFrac: Double = 0.2): DataFrame = {
+    val rep = docRepetition(spark, dir)
+    val lens = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id").as("len_doc_id"), words(col("text")).as("ws0"))
+      .select(col("len_doc_id"), expr(
+        "aggregate(filter(ws0, w -> w <> ''), 0L, (a, w) -> a + length(w))"
+      ).as("sum_len"))
+    rep.join(lens, col("doc_id") === col("len_doc_id"))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0,
+          col("sum_len").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("reasons", concat_ws(",",
+        when(col("n_tokens") < minWords, lit("too_few_words")),
+        when(col("n_tokens") > maxWords, lit("too_many_words")),
+        when(col("n_tokens") > 0 &&
+          (col("mean_word_len") < minMeanLen ||
+            col("mean_word_len") > maxMeanLen), lit("word_len")),
+        when(col("dup_token_frac") > maxDupFrac, lit("dup_tokens")),
+        when(col("top_bigram_frac") > maxTopBigramFrac, lit("rep_bigrams"))))
+      .withColumn("keep", col("reasons") === "")
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("dup_token_frac"), col("top_bigram_frac"),
+        col("reasons"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityFilterSql(minWords: Int = 5, maxWords: Int = 500,
+                       minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                       maxDupFrac: Double = 0.8,
+                       maxTopBigramFrac: Double = 0.2): String =
+    s"""WITH rep AS ($docRepetitionSql),
+        lw AS (SELECT doc_id AS len_doc_id,
+               list_filter(${wordsSql("text")}, x -> x <> '') AS ws
+               FROM documents),
+        lens AS (SELECT len_doc_id,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+                   (a, x) -> a + x) AS BIGINT) AS sum_len
+                 FROM lw),
+        j AS (SELECT rep.*, CASE WHEN n_tokens > 0 THEN
+                CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len
+              FROM rep JOIN lens ON rep.doc_id = lens.len_doc_id),
+        r AS (SELECT *, concat_ws(',',
+                CASE WHEN n_tokens < $minWords THEN 'too_few_words' END,
+                CASE WHEN n_tokens > $maxWords THEN 'too_many_words' END,
+                CASE WHEN n_tokens > 0 AND (mean_word_len < $minMeanLen
+                  OR mean_word_len > $maxMeanLen) THEN 'word_len' END,
+                CASE WHEN dup_token_frac > $maxDupFrac THEN 'dup_tokens' END,
+                CASE WHEN top_bigram_frac > $maxTopBigramFrac THEN 'rep_bigrams' END
+              ) AS reasons FROM j)
+        SELECT doc_id, n_tokens, mean_word_len, dup_token_frac,
+               top_bigram_frac, reasons, reasons = '' AS keep FROM r"""
+
   /** BM25 ranked retrieval: score every document against a fixed query
     * term set with Okapi BM25 (Robertson-Spärck Jones; k1 = 1.2,
     * b = 0.75) and return the global top-k. The idf factor is the same

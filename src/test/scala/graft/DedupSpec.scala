@@ -278,6 +278,27 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - expected) < 1e-12)
   }
 
+  test("qualityFilter: rule reasons accumulate in order; clean doc keeps") {
+    import graft.operators.TextAnalytics
+    // corpus docs: 0-2 have 9 tokens, 8 distinct ('the' twice in 0-1,
+    // dup_frac 1/9; doc 2 likewise), doc 3 has 6 unique tokens (mean
+    // word len 45/6 = 7.5), doc 4 empty
+    val out = TextAnalytics.qualityFilter(spark, corpusDir,
+        minWords = 7, maxWords = 8, maxDupFrac = 0.1).collect()
+      .map(r => r.getLong(0) -> ((r.getString(5), r.getBoolean(6)))).toMap
+    // docs 0-2: 9 tokens > maxWords AND dup_frac 1/9 > 0.1 — both fire, in order
+    assert(out(0L) == (("too_many_words,dup_tokens", false)))
+    assert(out(2L) == (("too_many_words,dup_tokens", false)))
+    // doc 3: 6 tokens < 7 -> too_few_words only (all words unique)
+    assert(out(3L) == (("too_few_words", false)))
+    // doc 4: empty -> too_few_words, word_len gated off by n_tokens=0
+    assert(out(4L) == (("too_few_words", false)))
+    // defaults: doc 3 passes every rule
+    val keep = TextAnalytics.qualityFilter(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(keep(3L))
+  }
+
   test("round-4 operators survive an EMPTY corpus (no div-by-zero, no planner errors)") {
     val dir = java.nio.file.Files.createTempDirectory("empty").toString
     Seq.empty[(Long, String, String, String, Long)]
