@@ -23,7 +23,8 @@ object CalibrateJaccard {
       val inv = sh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
       val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       val st = dfreq.agg(
-        coalesce(sum(col("df") * (col("df") - 1L) / lit(2.0)), lit(0.0)),
+        coalesce(sum(col("df").cast("double") *
+          (col("df") - 1L).cast("double") / lit(2.0)), lit(0.0)),
         coalesce(sum(col("df")), lit(0L))).head()
       val candFull = st.getDouble(0)
       val indexRows = st.getLong(1)
@@ -33,19 +34,23 @@ object CalibrateJaccard {
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
         .filter(col("rn") <= prefixLen)
       val candPrefix = ranked.groupBy(col("s")).agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(floor(col("c") * (col("c") - 1L) / 2L)).cast(LongType), lit(0L)))
-        .head().getLong(0)
+        .agg(coalesce(sum(col("c").cast("double") *
+          (col("c") - 1L).cast("double") / lit(2.0)), lit(0.0)))
+        .head().getDouble(0)
+      // both gates forced off: the harness must time the PREFIX path
+      // itself — quadBudget's default would reroute three of the five
+      // regimes to the count-join and time the same plan twice
       def prefixPath() = graft.operators.Dedup
-        .jaccardPrefixPairsOn(docs, minJ, minPruneFactor = 0.0)
+        .jaccardPrefixPairsOn(docs, minJ, quadBudget = 0.0, minPruneFactor = 0.0)
         .write.format("noop").mode("overwrite").save()
       def countPath() = graft.operators.Dedup.jaccardPairsOn(docs, minJ)
         .write.format("noop").mode("overwrite").save()
       prefixPath(); countPath()
       val tPrefix = (1 to 2).map(_ => time(prefixPath())._2).min
       val tCount = (1 to 2).map(_ => time(countPath())._2).min
-      println(f"[calib] $name%-14s candFull=$candFull%14.0f candPrefix=$candPrefix%12d " +
+      println(f"[calib] $name%-14s candFull=$candFull%14.0f candPrefix=$candPrefix%12.0f " +
         f"index=$indexRows%10d quad=${candFull / math.max(indexRows, 1L)}%8.1fx " +
-        f"prune=${candFull / math.max(candPrefix, 1L)}%10.1fx tPrefix=$tPrefix%7.2fs tCount=$tCount%7.2fs")
+        f"prune=${candFull / math.max(candPrefix, 1.0)}%10.1fx tPrefix=$tPrefix%7.2fs tCount=$tCount%7.2fs")
     }
 
     // flat-df corpus: the word-salad fixture

@@ -182,11 +182,15 @@ object Dedup {
     // global document frequency per shingle: narrow (shingle, 1) shuffle
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // gate 1 stats in one aggregate: the count-join's exact candidate
-    // volume candFull = Σ_s C(df, 2) and the index size Σ_s df. candFull
-    // is Double, not Long: a 100 TB corpus's hot shingles can push the
-    // sum past 2^63; the dispatch is a ratio and needs magnitude only
+    // volume candFull = Σ_s C(df, 2) and the index size Σ_s df. The
+    // PER-ROW product must already be Double, not just the sum: a hot
+    // shingle with df ≥ ~3e9 overflows Long in df*(df-1) and wraps the
+    // sum negative — dispatching the quadratic path in exactly the
+    // regime the gate exists to avoid. The dispatch is a ratio and
+    // needs magnitude only
     val st = dfreq.agg(
-        coalesce(sum(col("df") * (col("df") - 1L) / lit(2.0)), lit(0.0)),
+        coalesce(sum(col("df").cast("double") *
+          (col("df") - 1L).cast("double") / lit(2.0)), lit(0.0)),
         coalesce(sum(col("df")), lit(0L)))
       .head()
     val candFull = st.getDouble(0)
@@ -205,17 +209,18 @@ object Dedup {
       .filter(col("rn") <= prefixLen)
       .select(col("doc_id"), col("n_sh"), col("s"), col("rn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // gate 2 probe: exact candidate-join output size from the prefix
-    // index (linear over the persisted index)
+    // gate 2 probe: candidate-join output size from the prefix index
+    // (linear over the persisted index); per-row product in Double for
+    // the same overflow reason as gate 1
     val candPrefix = ranked.groupBy(col("s")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(floor(col("c") * (col("c") - 1L) / 2L)).cast(LongType),
-        lit(0L)).as("cand"))
-      .head().getLong(0)
+      .agg(coalesce(sum(col("c").cast("double") *
+        (col("c") - 1L).cast("double") / lit(2.0)), lit(0.0)).as("cand"))
+      .head().getDouble(0)
     // gate 2: prefix must cut the candidate volume >= minPruneFactor-fold
     // to pay its per-candidate premium (calibration in the scaladoc).
     // candPrefix = 0 stays on the (trivially empty) prefix path:
     // 0 * inf = NaN > x compares false
-    if (candPrefix.toDouble * minPruneFactor > candFull) {
+    if (candPrefix * minPruneFactor > candFull) {
       ranked.unpersist()
       return jaccardPairsOn(docsIn, minJ)
     }

@@ -59,11 +59,16 @@ object Sinks {
   private lazy val dialectRegistered: Unit =
     org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
 
+  /** Mode is APPEND (creating the table on first write): the reference's
+    * relational sink is an INSERT per document (supabase_client.py:60-67)
+    * and the parquet variant of the same K2 contract appends — an
+    * overwrite here would silently destroy prior batches for any caller
+    * treating this as the drop-in relational variant. */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 numPartitions: Int = 1): Unit = {
     dialectRegistered
     df.coalesce(numPartitions)
-      .write.mode("overwrite")
+      .write.mode("append")
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)

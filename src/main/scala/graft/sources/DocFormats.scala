@@ -203,17 +203,23 @@ object DocFormats {
       pages.mkString("\n")
     }
 
-    /** Concatenate Tj / TJ string operands inside BT..ET blocks, in
+    /** Concatenate Tj / TJ string operands across the decoded stream, in
       * order, unescaped. Kerning numbers in TJ arrays are ignored
-      * (pure text extraction — no glyph metrics without a font). */
+      * (pure text extraction — no glyph metrics without a font).
+      * Deliberately NOT segmented into BT..ET blocks first: a lazy
+      * `BT(.*?)ET` pre-pass truncates at 'ET' INSIDE a string literal
+      * (any text containing "BUDGET"/"ET AL" extracts empty), while
+      * show-text operators outside BT..ET are malformed PDF whose
+      * acceptance here is benign. The literal regex itself handles
+      * escaped parens, so operator tokens inside strings can't confuse
+      * it. */
     private def showTextOps(content: String): String = {
       val sb = new StringBuilder
-      val btRe = "(?s)BT(.*?)ET".r
       // a parenthesized string literal followed by Tj, or an array of
       // them followed by TJ; literals may contain escaped parens
       val litRe = "(?s)\\(((?:[^()\\\\]|\\\\.)*)\\)\\s*Tj|\\[((?:[^\\]\\\\]|\\\\.)*)\\]\\s*TJ".r
       val arrLitRe = "(?s)\\(((?:[^()\\\\]|\\\\.)*)\\)".r
-      for (bt <- btRe.findAllMatchIn(content); m <- litRe.findAllMatchIn(bt.group(1))) {
+      for (m <- litRe.findAllMatchIn(content)) {
         if (m.group(1) != null) sb.append(unescape(m.group(1)))
         else for (s <- arrLitRe.findAllMatchIn(m.group(2))) sb.append(unescape(s.group(1)))
       }
@@ -252,7 +258,10 @@ object DocFormats {
         val buf = new Array[Byte](8192)
         while (!inf.finished()) {
           val n = inf.inflate(buf)
-          if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated Flate stream")
+          // needsDictionary (zlib FDICT bit): without the throw the loop
+          // spins forever — n stays 0 with needsInput() false
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            throw new IllegalArgumentException("truncated or FDICT Flate stream")
           out.write(buf, 0, n)
         }
         out.toByteArray

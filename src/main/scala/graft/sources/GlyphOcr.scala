@@ -130,7 +130,12 @@ object GlyphOcr {
   /** Characters the font can draw (everything else renders as '?'). */
   val supported: Set[Char] = atlas.keySet
 
-  private def substitute(c: Char): Char = if (atlas.contains(c)) c else '?'
+  /** Per CODEPOINT, not UTF-16 code unit: a supplementary-plane char is
+    * one unsupported character and must render as ONE '?' cell — the
+    * oracle's regexp_replace substitutes per codepoint, so code-unit
+    * iteration would draw two cells and break the hash on astral input. */
+  private def substitute(cp: Int): Char =
+    if (cp <= 0xFFFF && atlas.contains(cp.toChar)) cp.toChar else '?'
 
   /** Regex char class matching UNSUPPORTED characters — the oracle-side
     * mirror of the renderer's '?' substitution. `-` escaped, `'` left to
@@ -148,7 +153,7 @@ object GlyphOcr {
     * black ink on white, one band of cells per '\n'-separated line,
     * shorter lines padded with blank cells. */
   def render(text: String): Array[Byte] = {
-    val lines = text.split("\n", -1)
+    val lines = text.split("\n", -1).map(_.codePoints().toArray)
     val w = math.max(1, lines.map(_.length).max) * CellW
     val h = lines.length * CellH
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -156,8 +161,8 @@ object GlyphOcr {
     g.setColor(java.awt.Color.WHITE)
     g.fillRect(0, 0, w, h)
     g.dispose()
-    for ((line, li) <- lines.zipWithIndex; (ch, ci) <- line.zipWithIndex) {
-      val rows = glyphRows(substitute(ch))
+    for ((line, li) <- lines.zipWithIndex; (cp, ci) <- line.zipWithIndex) {
+      val rows = glyphRows(substitute(cp))
       val x0 = ci * CellW
       val y0 = li * CellH
       for (r <- 0 until GlyphH; c <- 0 until GlyphW if rows(r)(c) == '#')

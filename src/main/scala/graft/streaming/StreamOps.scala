@@ -30,23 +30,29 @@ object StreamOps {
     * single file, so it is staged (hardlink/copy) into a temp dir once —
     * which is also the natural replay shape (one file per micro-batch).
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val d = java.nio.file.Files.createTempDirectory("events_stream")
-        try java.nio.file.Files.createLink(d.resolve("events.parquet"), src)
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(src, d.resolve("events.parquet")) }
-        d.toString
-      }
+  /** Per-source cache of staged stream dirs: FileStreamSource needs a
+    * DIRECTORY, the fixtures are single files. Cached so every bench
+    * rep / verify run of a streaming query shares one hardlinked temp
+    * dir instead of leaking a fresh one per invocation. */
+  private val stagedStreamDirs =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def stageParquetDir(src: java.nio.file.Path): String =
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else stagedStreamDirs.getOrElseUpdate(src.toString, {
+      val d = java.nio.file.Files.createTempDirectory("graft_stream")
+      try java.nio.file.Files.createLink(d.resolve(src.getFileName), src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, d.resolve(src.getFileName)) }
+      d.toString
+    })
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsFileSchema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
+      .parquet(stageParquetDir(java.nio.file.Paths.get(dir, "events.parquet")))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** Tumbling 1-hour windowed counts + exact-cents value sums with a
     * 2-hour watermark — the streaming twin of Events.tumbling (same
@@ -188,22 +194,11 @@ object StreamOps {
 
   /** Read the documents fixture as a file stream — same staging shape as
     * [[eventsStream]]. */
-  def docsStream(spark: SparkSession, dir: String): DataFrame = {
-    val src = java.nio.file.Paths.get(dir, "documents.parquet")
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val d = java.nio.file.Files.createTempDirectory("docs_stream")
-        try java.nio.file.Files.createLink(d.resolve("documents.parquet"), src)
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(src, d.resolve("documents.parquet")) }
-        d.toString
-      }
+  def docsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(documentsFileSchema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir)
-  }
+      .parquet(stageParquetDir(java.nio.file.Paths.get(dir, "documents.parquet")))
 
   /** STREAM-STATIC decontamination (the continuous form of
     * Dedup.decontaminate): the training corpus arrives as a STREAM, the

@@ -130,6 +130,14 @@ class BinaryIngestSpec extends AnyFunSuite {
     assert(DocFormats.PdfParser.parse(DocFormats.buildPdf(Seq(s))) == s)
   }
 
+  test("pdf: operator tokens INSIDE string literals don't truncate extraction") {
+    // 'ET' inside BUDGET would end a lazy BT(.*?)ET block mid-literal;
+    // 'BT' inside a literal must not open a phantom block either
+    for (s <- Seq("BUDGET report", "COST ET AL", "BT and ET as words"))
+      assert(DocFormats.PdfParser.parse(DocFormats.buildPdf(Seq(s))) == s,
+        s"truncated on: '$s'")
+  }
+
   test("pdf: TJ array show-text concatenates string operands") {
     val content = "BT /F1 12 Tf [(Hel) -30 (lo) 10 ( wor) (ld)] TJ ET"
     val raw = ("%PDF-1.4\n1 0 obj\n<< /Length " + content.length +

@@ -30,6 +30,12 @@ class GlyphOcrSpec extends AnyFunSuite {
     assert(GlyphOcr.Parser.parse(GlyphOcr.render("café — ok")) == "caf? ? ok")
   }
 
+  test("supplementary-plane character is ONE '?' cell (codepoints, not UTF-16 units)") {
+    // U+1D11E musical symbol: two code units, one codepoint — the oracle's
+    // regexp_replace substitutes per codepoint, so render must too
+    assert(GlyphOcr.Parser.parse(GlyphOcr.render("a𝄞b")) == "a?b")
+  }
+
   test("empty text renders a blank cell that reads back empty") {
     assert(GlyphOcr.Parser.parse(GlyphOcr.render("")) == "")
   }

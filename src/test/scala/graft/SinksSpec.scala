@@ -48,6 +48,9 @@ class SinksSpec extends AnyFunSuite {
     assert(back.columns.toSeq == Seq("id", "doc_type", "raw_text",
       "structured_data", "file_url", "pinecone_id", "created_at"))
     assert(back.count() == 3)
+    // K2 is an INSERT sink: a second batch accumulates (parquet parity)
+    Sinks.writeDocumentsOutJdbc(rows.limit(1), url, "documents_out")
+    assert(Sinks.readJdbc(spark, url, "documents_out").count() == 4)
     assert(back.filter(col("id").isNull).count() == 0)
     val byId = back.collect().map(r => r.getAs[String]("doc_type") ->
       r.getAs[String]("structured_data")).toMap
