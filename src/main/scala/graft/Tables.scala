@@ -14,18 +14,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read a fixture table. The `events` fixture stores TIMESTAMP(NANOS)
-    * which Spark's vectorized reader refuses natively; with
-    * `spark.sql.legacy.parquet.nanosAsLong` (set in GraftSession) it
-    * arrives as a LongType of epoch-nanos, converted here with exact
-    * integer division (a double division would lose precision at 1e18). */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case None => df
+  /** Read a fixture table, normalizing event-time columns (below). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Fixture generations differ in how they store event time: earlier
+    * sets wrote TIMESTAMP(NANOS) — which Spark's vectorized reader only
+    * accepts as an epoch-nanos LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong` (set in GraftSession) — the
+    * current set writes TIMESTAMP(MICROS) without timezone, which reads
+    * as TIMESTAMP_NTZ. Both shapes are folded to TimestampType here (the
+    * session runs UTC, so the NTZ cast is a value identity, and the
+    * nanos→µs conversion uses exact integer division — a double division
+    * would lose precision at 1e18) so every downstream operator
+    * (`unix_micros`, watermarks, `window()`) sees ONE timestamp type. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
     }
   }
 

@@ -17,19 +17,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamOps {
 
-  /** The events fixture's file schema under nanosAsLong (ts arrives as
-    * epoch-nanos long; see Tables.load). */
-  val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Read the events fixture as a file stream (one micro-batch per file),
-    * with the same exact ns→µs conversion as the batch path.
-    * FileStreamSource requires a DIRECTORY source; the fixture is a
-    * single file, so it is staged (hardlink/copy) into a temp dir once —
-    * which is also the natural replay shape (one file per micro-batch).
-    */
   /** Per-source cache of staged stream dirs: FileStreamSource needs a
     * DIRECTORY, the fixtures are single files. Cached so every bench
     * rep / verify run of a streaming query shares one hardlinked temp
@@ -47,12 +34,27 @@ object StreamOps {
       d.toString
     })
 
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsFileSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stageParquetDir(java.nio.file.Paths.get(dir, "events.parquet")))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** A file stream needs an explicit schema; take it from the parquet
+    * footer (one driver-side read) instead of hardcoding it, so a
+    * regenerated fixture with a different timestamp physical type
+    * (nanos-as-long vs µs-NTZ — see Tables.normalizeTimestamps) can't
+    * silently desync the streaming twin from the batch path. */
+  private def footerSchema(spark: SparkSession, stagedDir: String): StructType =
+    spark.read.parquet(stagedDir).schema
+
+  /** Read the events fixture as a file stream (one micro-batch per file),
+    * with the same event-time normalization as the batch path.
+    * FileStreamSource requires a DIRECTORY source; the fixture is a
+    * single file, so it is staged (hardlink/copy) into a temp dir once —
+    * which is also the natural replay shape (one file per micro-batch). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageParquetDir(java.nio.file.Paths.get(dir, "events.parquet"))
+    graft.Tables.normalizeTimestamps(
+      spark.readStream
+        .schema(footerSchema(spark, staged))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged))
+  }
 
   /** Tumbling 1-hour windowed counts + exact-cents value sums with a
     * 2-hour watermark — the streaming twin of Events.tumbling (same
@@ -185,20 +187,15 @@ object StreamOps {
   def streamDedupOracleSql: String =
     "SELECT event_id, user_id, event_type, value FROM events"
 
-  /** The documents fixture's file schema (no timestamp conversion
-    * needed). */
-  val documentsFileSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
-  /** Read the documents fixture as a file stream — same staging shape as
-    * [[eventsStream]]. */
-  def docsStream(spark: SparkSession, dir: String): DataFrame =
+  /** Read the documents fixture as a file stream — same staging and
+    * schema-from-footer shape as [[eventsStream]]. */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageParquetDir(java.nio.file.Paths.get(dir, "documents.parquet"))
     spark.readStream
-      .schema(documentsFileSchema)
+      .schema(footerSchema(spark, staged))
       .option("maxFilesPerTrigger", 1)
-      .parquet(stageParquetDir(java.nio.file.Paths.get(dir, "documents.parquet")))
+      .parquet(staged)
+  }
 
   /** STREAM-STATIC decontamination (the continuous form of
     * Dedup.decontaminate): the training corpus arrives as a STREAM, the
