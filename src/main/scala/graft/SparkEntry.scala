@@ -73,6 +73,7 @@ object SparkEntry {
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "vector_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "events_range_join" -> ((s, d) => Events.clicksBeforePurchase(s, d)),
     "events_props" -> ((s, d) => Events.propsExtract(s, d)),
     "events_distinct_kmv" -> ((s, d) => Sketches.distinctUsersKmv(s, d)),
+    "events_kmv_setops" -> ((s, d) => Sketches.kmvSetOps(s, d)),
     // --- JSON repair (SURVEY §2.7 E2-E4) over noisy wrapped props ---
     "json_repair" -> ((s, d) => jsonRepairQuery(s, d)),
     // --- Structured Streaming twin: replayed finite stream must equal
@@ -244,6 +246,7 @@ object SparkEntry {
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "semantic_dedup" -> Similarity.semanticDedupSql(),
     "vector_pq_topk" -> Similarity.pqTopKSql(),
+    "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),
     "jaccard_prefix_pairs" -> Dedup.jaccardPairsSql(0.9),
@@ -271,6 +274,7 @@ object SparkEntry {
     "events_range_join" -> Events.clicksBeforePurchaseSql,
     "events_props" -> Events.propsExtractSql,
     "events_distinct_kmv" -> Sketches.distinctUsersKmvSql(),
+    "events_kmv_setops" -> Sketches.kmvSetOpsSql(),
     "json_repair" -> {
       val wrapped = """'noise {"z":1} ```json' || chr(10) || props || chr(10) || '``` trailing'"""
       s"""SELECT event_id,

@@ -562,4 +562,76 @@ object Similarity {
         SELECT emb.vec_id, emb.label FROM embeddings emb
         WHERE NOT EXISTS (SELECT 1 FROM comp c
                           WHERE c.vid = emb.vec_id AND c.vid <> c.cluster_id)"""
+
+  /** Embedding OUTLIER scoring (curation op): cosine of every vector to
+    * its label's centroid, ranked ascending — the k least-central
+    * vectors per label are the prune candidates (mislabeled or noisy
+    * rows; the "far from cluster center" pruning signal SemDeDup's
+    * cluster pass and CLIP-score filtering both build on).
+    *
+    * Cross-engine determinism: a naive avg() centroid is a
+    * floating-point sum in partition order — unreproducible between any
+    * two engines (or two runs). Coordinates are instead quantized to
+    * fixed-point longs (×2^20; float32 inputs are exact in double, the
+    * scaled sum of a 100 TB corpus stays < 2^63 for |x| < 8e5·2^-20·n⁻¹…
+    * practically any normalized embedding), summed EXACTLY as integers
+    * (order-free), and divided once — both engines then produce
+    * bit-identical float centroids, and cosine reuses the index-ordered
+    * fold contract every other vector query relies on.
+    *
+    * Scale shape: one (label, pos) shuffle of longs for the centroids
+    * (partial-aggregated map-side), centroid table is #labels × dim
+    * (broadcast), scoring is a narrow codegen'd map over the corpus, and
+    * the per-label bottom-k window shuffles (label, vec_id, score)
+    * triples only. */
+  def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 5,
+                        scaleBits: Int = 20): DataFrame = {
+    val q = 1L << scaleBits
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val coords = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        round(col("x").cast(DoubleType) * q).cast(LongType).as("qx"))
+    val cent = coords.groupBy(col("label"), col("pos"))
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("c",
+        (col("sq").cast(DoubleType) / (col("n") * q).cast(DoubleType))
+          .cast(FloatType))
+    val centArr = cent.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("c_label"),
+        expr("transform(pc, s -> s.c)").as("centroid"))
+    val scored = emb.join(broadcast(centArr), col("label") === col("c_label"))
+      .withColumn("cos_centroid", cosine(col("embedding"), col("centroid")))
+      .filter(col("cos_centroid").isNotNull)
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("label"), col("rn"), col("vec_id"), col("cos_centroid"))
+      .orderBy(col("label"), col("rn"))
+  }
+
+  def embeddingOutliersSql(k: Int = 5, scaleBits: Int = 20): String = {
+    val q = 1L << scaleBits
+    s"""WITH coords AS (
+          SELECT label, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * $q) AS BIGINT) AS qx
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        cent AS (SELECT label, pos, CAST(sum(qx) AS BIGINT) AS sq,
+                        count(*) AS n
+                 FROM coords GROUP BY 1, 2),
+        carr AS (SELECT label,
+                        list(CAST(CAST(sq AS DOUBLE) / CAST(n * $q AS DOUBLE) AS FLOAT)
+                             ORDER BY pos) AS centroid
+                 FROM cent GROUP BY 1),
+        scored AS (SELECT e.label, e.vec_id,
+                          ${cosineSql("e.embedding", "c.centroid")} AS cos_centroid
+                   FROM embeddings e JOIN carr c ON e.label = c.label),
+        r AS (SELECT label, vec_id, cos_centroid,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY cos_centroid ASC, vec_id) AS rn
+              FROM scored WHERE cos_centroid IS NOT NULL)
+        SELECT label, rn, vec_id, cos_centroid FROM r WHERE rn <= $k"""
+  }
 }

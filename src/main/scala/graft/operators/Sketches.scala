@@ -69,4 +69,104 @@ object Sketches {
                CASE WHEN nd < $k THEN nd ELSE ${(k - 1).toLong * P} // hk END AS est_users,
                n_exact
         FROM s JOIN e ON s.event_type = e.event_type"""
+
+  /** KMV sketch ALGEBRA (theta-sketch-style set operations): distinct
+    * union and intersection estimates for every event-type pair, from
+    * the per-type k-minimum-values sketches alone.
+    *
+    * The merged sketch of A ∪ B is the k smallest distinct hashes of
+    * S_A ∪ S_B (a merge of two k-long arrays — no re-scan of the data),
+    * so est_union reuses the plain KMV estimator on the merged mins.
+    * For the intersection, the merged sketch is a size-k uniform sample
+    * of A ∪ B below its threshold, so the match fraction
+    * |U ∩ S_A ∩ S_B| / k estimates the Jaccard of the two key sets and
+    * est_intersect = matches · est_union div k — integer arithmetic end
+    * to end, hash-matchable by the oracle.
+    *
+    * Scale posture: the per-type sketches shuffle ≤ k longs per group
+    * (the KmvMins partial aggregate); the pairwise combine runs on a
+    * #types² sketch table — driver-size model state kept IN the plan
+    * (a broadcast nested-loop join over rows of k-long arrays). The
+    * exact columns pin the estimator on this corpus, same posture as
+    * [[distinctUsersKmv]]; a 100 TB run drops them. */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    kmvSetOpsOn(Tables.loadWide(spark, dir, "events"), k)
+
+  /** [[kmvSetOps]] over any (event_type, user_id) frame — the seam the
+    * small-union-regime spec injects through. */
+  def kmvSetOpsOn(ev: DataFrame, k: Int = 64): DataFrame = {
+    val h = (lit(M) * (col("user_id") % lit(P))) % lit(P)
+    val sk = ev.select(col("event_type"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmvMins(col("h"), k).as("mins"))
+    val pairs = sk.select(col("event_type").as("a_type"), col("mins").as("a_mins"))
+      .join(sk.select(col("event_type").as("b_type"), col("mins").as("b_mins")),
+        col("a_type") < col("b_type"))
+    val est = pairs
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("a_mins"), col("b_mins")))), 1, k))
+      .withColumn("est_union",
+        when(size(col("u")) < k, size(col("u")).cast(LongType))
+          .otherwise(expr(s"${(k - 1).toLong * P}L div get(u, ${k - 1})")))
+      .withColumn("n_match",
+        size(array_intersect(array_intersect(col("u"), col("a_mins")), col("b_mins"))))
+      // divide by |U|, not k: below k the merged sketch holds EVERY hash,
+      // est_union = |U|, and the quotient must collapse to the exact
+      // match count instead of under-counting by |U|/k
+      .withColumn("est_intersect",
+        expr("(CAST(n_match AS BIGINT) * est_union) div size(u)"))
+    // exact counterparts: one distinct shuffle keyed (type, user), then a
+    // user-keyed equi-join for the pairwise overlap
+    val tu = ev.select(col("event_type"), col("user_id")).distinct()
+    val cnt = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ix = tu.select(col("event_type").as("ia"), col("user_id"))
+      .join(tu.select(col("event_type").as("ib"), col("user_id").as("u2")),
+        col("user_id") === col("u2") && col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("nx"))
+    est
+      .join(cnt.select(col("event_type").as("ca"), col("n").as("na")),
+        col("a_type") === col("ca"))
+      .join(cnt.select(col("event_type").as("cb"), col("n").as("nb")),
+        col("b_type") === col("cb"))
+      .join(ix, col("a_type") === col("ia") && col("b_type") === col("ib"), "left")
+      .select(col("a_type"), col("b_type"),
+        col("est_union"),
+        (col("na") + col("nb") - coalesce(col("nx"), lit(0L))).as("n_union_exact"),
+        col("est_intersect"),
+        coalesce(col("nx"), lit(0L)).as("n_intersect_exact"))
+      .orderBy(col("a_type"), col("b_type"))
+  }
+
+  def kmvSetOpsSql(k: Int = 64): String =
+    s"""WITH d AS (SELECT DISTINCT event_type, ($M * (user_id % $P)) % $P AS h FROM events),
+        r AS (SELECT event_type, h,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM d),
+        sk AS (SELECT event_type, list(h ORDER BY h) AS mins
+               FROM r WHERE rn <= $k GROUP BY 1),
+        p AS (SELECT a.event_type AS a_type, b.event_type AS b_type,
+                     a.mins AS a_mins, b.mins AS b_mins
+              FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        m AS (SELECT a_type, b_type, a_mins, b_mins,
+                     list_sort(list_distinct(list_concat(a_mins, b_mins)))[1:$k] AS u
+              FROM p),
+        e AS (SELECT a_type, b_type, len(u) AS nu,
+                     CASE WHEN len(u) < $k THEN len(u)
+                          ELSE ${(k - 1).toLong * P} // u[$k] END AS est_union,
+                     len(list_intersect(list_intersect(u, a_mins), b_mins)) AS n_match
+              FROM m),
+        tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        cnt AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+        ix AS (SELECT a.event_type AS ia, b.event_type AS ib, count(*) AS nx
+               FROM tu a JOIN tu b
+                 ON a.user_id = b.user_id AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+        SELECT e.a_type, e.b_type, est_union,
+               ca.n + cb.n - coalesce(nx, 0) AS n_union_exact,
+               (n_match * est_union) // nu AS est_intersect,
+               coalesce(nx, 0) AS n_intersect_exact
+        FROM e
+        JOIN cnt ca ON e.a_type = ca.event_type
+        JOIN cnt cb ON e.b_type = cb.event_type
+        LEFT JOIN ix ON e.a_type = ix.ia AND e.b_type = ix.ib"""
 }

@@ -184,4 +184,28 @@ class SimilaritySpec extends AnyFunSuite {
       exact.get(key).foreach(s => assert(s == r.getDouble(3)))
     }
   }
+
+  test("embeddingOutliers: bottom-k per label, ascending, and BELOW the label's median centrality") {
+    val out = Similarity.embeddingOutliers(spark, TestSession.sfDir, k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val labels = out.map(_._1).distinct
+    assert(labels.length == 10 && out.length == 50)
+    labels.foreach { l =>
+      val rows = out.filter(_._1 == l).sortBy(_._2)
+      assert(rows.map(_._2).toSeq == (1 to 5).toSeq)   // dense ranks
+      val scores = rows.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a <= b })
+      assert(scores.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+    // the flagged rows are genuinely the least central: every outlier
+    // scores <= every rank-(k+1)+ vector of its label (rank contract),
+    // and strictly below the label's max
+    val full = Similarity.embeddingOutliers(spark, TestSession.sfDir, k = 1000)
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    labels.foreach { l =>
+      val flagged = out.filter(_._1 == l).map(_._4).max
+      val labelMax = full.filter(_._1 == l).map(_._2).max
+      assert(flagged < labelMax)
+    }
+  }
 }

@@ -167,6 +167,35 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("kmvSetOps: below-k unions collapse to EXACT set algebra (div-by-|U| regime)") {
+    // two 30-user types overlapping in 10 users: every hash fits the
+    // k=64 sketch, so union AND intersection estimates must be exact
+    val rows = (0L until 30L).map(u => ("click", u)) ++
+      (20L until 50L).map(u => ("purchase", u))
+    val out = Sketches.kmvSetOpsOn(rows.toDF("event_type", "user_id"), 64).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(2) == 50L && r.getLong(3) == 50L) // est_union == exact
+    assert(r.getLong(4) == 10L && r.getLong(5) == 10L) // est_intersect == exact
+  }
+
+  test("kmvSetOps on the fixture: 10 pairs; estimates track exact counts") {
+    val out = Sketches.kmvSetOps(spark, TestSession.sfDir).collect()
+    assert(out.length == 10) // C(5 event types, 2)
+    out.foreach { r =>
+      val (estU, exU) = (r.getLong(2), r.getLong(3))
+      val (estI, exI) = (r.getLong(4), r.getLong(5))
+      assert(exU >= exI && estU >= estI)
+      if (exU < 64) assert(estU == exU)
+      else assert(math.abs(estU - exU).toDouble / exU < 0.5,
+        s"union est $estU vs exact $exU")
+      // intersection carries the union's error times the match-fraction
+      // noise: additive tolerance in units of the union size
+      assert(math.abs(estI - exI).toDouble <= 0.35 * exU + 1,
+        s"intersect est $estI vs exact $exI (union $exU)")
+    }
+  }
+
   test("distinctUsersKmv returns one row per event_type with exact counts alongside") {
     val out = Sketches.distinctUsersKmv(spark, TestSession.sfDir).collect()
     assert(out.nonEmpty)
