@@ -49,7 +49,32 @@ object GraftExtensions {
       new ExpressionInfo(classOf[TopFreq].getName, null, "top_freq",
         "top_freq(item, cap) - aggregate: Misra-Gries frequent-items summary, <= cap (item, cnt) counters, cnt DESC then item ASC", ""),
       (children: Seq[Expression]) =>
-        TopFreq(children(0), intLit(children(1), "top_freq cap"))))
+        TopFreq(children(0), intLit(children(1), "top_freq cap"))),
+    (new FunctionIdentifier("word_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, null, "word_bigrams",
+        "word_bigrams(s) - distinct word-bigram shingles of a text, one pass", ""),
+      (children: Seq[Expression]) => WordBigrams(children.head)),
+    (new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, null, "sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |a ∩ b| of two SORTED distinct string arrays, allocation-free", ""),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (new FunctionIdentifier("pseudo_embed"),
+      new ExpressionInfo(classOf[PseudoEmbed].getName, null, "pseudo_embed",
+        "pseudo_embed(s, dim) - deterministic unit-norm float vector from text (encoder stand-in)", ""),
+      (children: Seq[Expression]) =>
+        PseudoEmbed(children(0), intLit(children(1), "pseudo_embed dim"))),
+    (new FunctionIdentifier("sanitize_metadata"),
+      new ExpressionInfo(classOf[SanitizeMetadata].getName, null, "sanitize_metadata",
+        "sanitize_metadata(json) - flatten metadata: nested objects re-encoded as JSON strings, scalars stringified", ""),
+      (children: Seq[Expression]) => SanitizeMetadata(children.head)),
+    (new FunctionIdentifier("largest_valid_json"),
+      new ExpressionInfo(classOf[LargestValidJsonCandidate].getName, null, "largest_valid_json",
+        "largest_valid_json(s) - largest parseable {...} candidate after fence strip (JSON repair)", ""),
+      (children: Seq[Expression]) => LargestValidJsonCandidate(children.head)),
+    (new FunctionIdentifier("is_valid_json"),
+      new ExpressionInfo(classOf[IsValidJson].getName, null, "is_valid_json",
+        "is_valid_json(s) - true iff s parses as a JSON value", ""),
+      (children: Seq[Expression]) => IsValidJson(children.head)))
 
   /** Install into a live session (tests, notebooks without the conf). */
   def registerAll(spark: SparkSession): Unit =

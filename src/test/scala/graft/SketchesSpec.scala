@@ -55,6 +55,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.9, 0L), (0.9, 1L)))
   }
 
+  test("full native-expression surface is SQL-registered (scalar + repair + embed)") {
+    graft.plans.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT word_bigrams('a b c a b') AS wb,
+                sorted_intersect_count(array('a', 'c', 'e'), array('c', 'd', 'e')) AS ic,
+                size(pseudo_embed('hello', 8)) AS pe,
+                is_valid_json('{"a":1}') AS vj,
+                largest_valid_json('x {"a":1} y {"delta":22} z') AS lj""")
+      .collect()(0)
+    assert(r.getSeq[String](0).toSet == Set("a b", "b c", "c a"))
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 8)
+    assert(r.getBoolean(3))
+    // E3 contract: candidates are the NON-GREEDY {...} spans (a nested
+    // object is cut at its first '}' and fails validation), largest
+    // valid wins — matching /root/reference/src/utils.py:180-198
+    assert(r.getString(4) == """{"delta":22}""")
+  }
+
   test("SQL-first user path: temp views + registered functions reproduce a flagship operator") {
     graft.plans.GraftExtensions.registerAll(spark)
     Tables.registerAll(spark, TestSession.sfDir)
