@@ -91,6 +91,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(3000))
   }
 
+  test("embeddingOutliers: centroids broadcast; the corpus never shuffles its vectors") {
+    val p = plan(Similarity.embeddingOutliers(spark, sfDir))
+    // the #labels x dim centroid table reaches the corpus via broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // hash exchanges: (label,pos) centroid sum + (label) array assembly —
+    // both on the TINY quantized side — and (label) for the bottom-k
+    // window over (label, vec_id, score) triples. No fourth exchange:
+    // the corpus embedding arrays cross no shuffle.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 3, s"expected <= 3 hash exchanges, got $hashEx:\n${p.take(4000)}")
+    // Spark 4 pushes a PARTIAL WindowGroupLimit below the label exchange:
+    // each partition pre-filters to its own top-k before shuffling, so
+    // the exchange moves at most k rows per label per partition — and the
+    // cosine Project sits under it, consuming the arrays pre-shuffle
+    assert(p.contains("WindowGroupLimit"), p.take(4000))
+  }
+
+  test("kmvSetOps: sketch partial-aggregates (ObjectHashAggregate), no cartesian product") {
+    val p = plan(graft.operators.Sketches.kmvSetOps(spark, sfDir))
+    // KmvMins partial+final on the per-type sketches
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    // the pairwise combine over the #types-row sketch table is a
+    // broadcast nested-loop under the a_type < b_type predicate — never
+    // an unconditioned cartesian
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("fused retry pipeline: no InMemoryRelation, no union — a single narrow pass") {
     val df = DocPipeline.extractValidateWithRetry(
       DocPipeline.schemaLookup(spark, DocPipeline.classifyStage(
