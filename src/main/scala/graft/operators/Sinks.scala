@@ -115,4 +115,46 @@ object Sinks {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Range-sorted parquet write — the data-SKIPPING posture: rows are
+    * range-partitioned then sorted on `key`, so each output file owns a
+    * disjoint key interval and its parquet min/max statistics prune it
+    * from any selective scan (a point/range predicate on `key` reads
+    * O(matching files), not the table). This is the write-side twin of
+    * predicate pushdown: pushdown only helps if the file stats are
+    * tight, and an unsorted write scatters every key across every file.
+    * `nFiles` sizes the layout (100 TB posture: total_bytes /
+    * maxPartitionBytes-ish, never one giant file). */
+  def writeRangeSorted(df: DataFrame, outDir: String, key: String,
+                       nFiles: Int = 8): Unit =
+    df.repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Small-file compaction — the other half of layout hygiene at scale:
+    * a streaming/append sink accretes files far smaller than a scan
+    * split (one per micro-batch per partition), and every later query
+    * pays the per-file open/footer cost. Rewrite the directory into
+    * ceil(bytes / targetBytes) files. Coalesce (not repartition): the
+    * point is fewer, bigger files, and a narrow coalesce avoids paying a
+    * shuffle for it; pass a sort key instead when re-establishing
+    * skipping layout is worth that shuffle ([[writeRangeSorted]]). */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    spark.read.parquet(dir)
+      .coalesce(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: the rewrite is complete and durable before the old layout
+    // vanishes (a crash between delete and rename loses nothing that
+    // wasn't already re-written)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    nFiles
+  }
 }

@@ -121,4 +121,44 @@ class SinksSpec extends AnyFunSuite {
     val back = spark.read.json(dir)
     assert(back.count() == 1)
   }
+
+  test("writeRangeSorted: each file owns a disjoint key interval (skipping layout)") {
+    val dir = tmp("rangesorted") + "/docs"
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+    Sinks.writeRangeSorted(docs, dir, "doc_id", nFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.getAbsolutePath)
+    assert(files.length >= 2, s"want a multi-file layout, got ${files.length}")
+    // per-file [min,max] intervals must be pairwise disjoint — the
+    // property parquet stats-based skipping needs
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping file spans: ${spans.mkString(", ")}")
+      case _ =>
+    }
+    // and nothing was lost or reordered within files
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
+  test("compact: many small files rewritten to the target count, content intact") {
+    val dir = tmp("compact") + "/t"
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+    docs.repartition(20).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(parquetFiles == 20)
+    val before = docs.count()
+    val n = Sinks.compact(spark, dir) // fixture bytes << 128 MiB target
+    assert(n == 1L && parquetFiles == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == before)
+    assert(after.agg(sum(col("doc_id"))).collect()(0).getLong(0) ==
+      docs.agg(sum(col("doc_id"))).collect()(0).getLong(0))
+  }
 }
