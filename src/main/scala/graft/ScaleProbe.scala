@@ -85,14 +85,24 @@ object ScaleProbe {
       "lsh_pairs" -> ((s, d) => Dedup.lshPairs(s, d)),
       "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
       "span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
+      "span_dedup_maximal" -> ((s, d) => Dedup.maximalSpans(s, d)),
+      // iterative connected components: growth must track the EDGE set
+      // (~10x here), never rounds x edges blowup
+      "dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+      "dedup_keep" -> ((s, d) => Dedup.dedupKeep(s, d)),
       "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
       "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
       "lang_top_words" -> ((s, d) => TextAnalytics.langTopWords(s, d)),
       "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
+      "doc_novelty" -> ((s, d) => TextAnalytics.docNovelty(s, d)),
+      "bm25_search" -> ((s, d) => TextAnalytics.bm25Search(s, d)),
       // fixed 10-query set over a growing corpus: expect ~linear scan cost
       "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
       "vector_topk_agg" -> ((s, d) => Similarity.topKAgg(s, d)),
-      "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)))
+      "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+      "vector_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+      "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+      "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)))
 
     // warmup both dirs so codegen/JIT is out of the measurement
     probes.foreach { case (_, fn) =>

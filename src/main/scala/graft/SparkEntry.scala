@@ -61,6 +61,8 @@ object SparkEntry {
     "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
     "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
     "seq_packing" -> ((s, d) => TextAnalytics.seqPacking(s, d)),
+    "stratified_sample" -> ((s, d) => TextAnalytics.stratifiedSample(s, d)),
+    "inference_batches" -> ((s, d) => TextAnalytics.inferenceBatches(s, d)),
     // --- vector similarity (SURVEY §2.6 V3/V4 + ANN north star) ---
     "vector_topk" -> ((s, d) => Similarity.topK(s, d)),
     "vector_topk_label" -> ((s, d) => Similarity.topK(s, d, labelEq = Some(3))),
@@ -234,6 +236,8 @@ object SparkEntry {
     "mixture_sample" -> TextAnalytics.mixtureSampleSql,
     "doc_splits" -> TextAnalytics.docSplitsSql,
     "seq_packing" -> TextAnalytics.seqPackingSql(),
+    "stratified_sample" -> TextAnalytics.stratifiedSampleSql(),
+    "inference_batches" -> TextAnalytics.inferenceBatchesSql(),
     "vector_topk" -> Similarity.topKSql(),
     "vector_topk_label" -> Similarity.topKSql(labelEq = Some(3)),
     "vector_topk_meta" -> Similarity.topKMetaSql(),

@@ -667,4 +667,76 @@ object TextAnalytics {
               FROM scored WHERE hits > 0)
         SELECT rnk, doc_id, score FROM r WHERE rnk <= $k"""
   }
+
+  /** Stratified per-group sample: exactly `k` documents per language,
+    * chosen by content-fingerprint rank — the balanced-subset op
+    * (per-domain/per-language eval slices, class-balanced fine-tuning
+    * sets). Fingerprint ordering makes the selection stable under
+    * re-partitioning, re-runs, and corpus append (a new doc displaces at
+    * most one pick per group); doc_id breaks fingerprint ties.
+    *
+    * Scale shape: one window shuffle of (lang, fp, doc_id) triples;
+    * Spark's partial WindowGroupLimit pre-filters each partition to its
+    * own top-k before the exchange. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("fp"), col("doc_id"))
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), fingerprint(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  def stratifiedSampleSql(k: Int = 20): String =
+    s"""WITH f AS (SELECT doc_id, lang, ${fingerprintSql("text")} AS fp
+                   FROM documents),
+        r AS (SELECT lang, doc_id,
+                     CAST(row_number() OVER (PARTITION BY lang
+                                             ORDER BY fp, doc_id) AS INT) AS rn
+              FROM f)
+        SELECT lang, rn, doc_id FROM r WHERE rn <= $k"""
+
+  /** Length-bucketed inference batching: group documents of similar
+    * token count into fixed-size batches so a padded inference batch
+    * wastes little compute (padding cost per batch = batch_max - each
+    * row's length; sorting by length inside width-`bucketWidth` buckets
+    * bounds it). batch_id is dense within a bucket: rank by
+    * (n_tokens, doc_id), then batch = (rank-1) div batchSize and
+    * slot = (rank-1) mod batchSize — pure integer arithmetic.
+    *
+    * Scale shape: one narrow token-count pass, then one window shuffle
+    * of (bucket, n_tokens, doc_id) triples; buckets rank in parallel
+    * (a GLOBAL length sort would serialize through one task). This is
+    * the batch-builder the L1 `mapPartitions` inference operator
+    * (Inference.scala) consumes upstream of a GPU fleet. */
+  def inferenceBatches(spark: SparkSession, dir: String,
+                       bucketWidth: Long = 16, batchSize: Long = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    toks.withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr(s"(rn - 1) div $batchSize").as("batch_id"),
+        expr(s"(rn - 1) % $batchSize").as("slot"))
+      .orderBy(col("doc_id"))
+  }
+
+  def inferenceBatchesSql(bucketWidth: Long = 16, batchSize: Long = 8): String =
+    s"""WITH t AS (SELECT doc_id, CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens
+                   FROM documents),
+        b AS (SELECT doc_id, n_tokens, n_tokens // $bucketWidth AS bucket FROM t),
+        r AS (SELECT doc_id, n_tokens, bucket,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY n_tokens, doc_id) AS rn
+              FROM b)
+        SELECT doc_id, n_tokens, bucket,
+               (rn - 1) // $batchSize AS batch_id,
+               (rn - 1) % $batchSize AS slot
+        FROM r"""
 }

@@ -216,6 +216,48 @@ class DedupSpec extends AnyFunSuite {
     assert(!edge.last.getBoolean(4) && edge.last.getLong(3) == 1L)
   }
 
+  test("stratifiedSample: k per lang, fingerprint-minimal, replay-stable") {
+    import graft.operators.TextAnalytics
+    import graft.functions.TextFunctions.fingerprint
+    val out = TextAnalytics.stratifiedSample(spark, TestSession.sfDir, k = 20)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byLang = out.groupBy(_._1)
+    byLang.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(rows.length <= 20)
+    }
+    // the picks are exactly the k fingerprint-smallest docs of each lang
+    val fps = Tables.load(spark, TestSession.sfDir, "documents")
+      .select(col("lang"), col("doc_id"), fingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    byLang.foreach { case (lang, rows) =>
+      val expect = fps.filter(_._1 == lang).sortBy(t => (t._3, t._2))
+        .take(rows.length).map(_._2).toSet
+      assert(rows.map(_._3).toSet == expect, s"lang $lang picks diverge")
+    }
+    // replay-stable
+    val again = TextAnalytics.stratifiedSample(spark, TestSession.sfDir, k = 20)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("inferenceBatches: bounded batches, dense slots, in-batch length spread < bucket width") {
+    import graft.operators.TextAnalytics
+    val out = TextAnalytics.inferenceBatches(spark, TestSession.sfDir,
+      bucketWidth = 16, batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.get(4).asInstanceOf[Number].longValue()))
+    // every doc appears exactly once
+    assert(out.map(_._1).distinct.length == out.length)
+    out.groupBy(t => (t._3, t._4)).foreach { case ((bucket, _), rows) =>
+      assert(rows.length <= 8)
+      assert(rows.map(_._5).sorted.toSeq == (0L until rows.length).toSeq)
+      val toks = rows.map(_._2)
+      assert(toks.max - toks.min < 16, s"bucket $bucket spread ${toks.max - toks.min}")
+      assert(toks.forall(t => t / 16 == bucket))
+    }
+  }
+
   test("docRepetition: exact dup/top-bigram fractions; empty and short docs get 0") {
     val out = graft.operators.TextAnalytics.docRepetition(spark, corpusDir)
       .collect().map(r => r.getLong(0) ->
