@@ -44,6 +44,7 @@ object SparkEntry {
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
     "multimodal_pixels" -> ((s, d) => Multimodal.pixelStatsQuery(s, d)),
+    "multimodal_audio" -> ((s, d) => Multimodal.audioStatsQuery(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
     "doc_profile" -> ((s, d) => TextAnalytics.docProfile(s, d)),
     "doc_quality" -> ((s, d) => TextAnalytics.docQuality(s, d)),
@@ -218,6 +219,7 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.featuresOracleSql,
     "multimodal_frames" -> Multimodal.framesOracleSql(),
     "multimodal_pixels" -> Multimodal.pixelStatsOracleSql(),
+    "multimodal_audio" -> Multimodal.audioStatsOracleSql,
     "doc_profile" -> TextAnalytics.docProfileSql,
     "doc_quality" -> TextAnalytics.docQualitySql,
     "doc_classify" -> TextAnalytics.docClassifySql,

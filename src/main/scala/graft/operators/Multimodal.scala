@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * [[resize]] re-encodes decodable payloads through `Graphics2D`, and
   * the `multimodal_pixels` oracle query round-trips a real PNG per row
   * (encode → distributed ImageIO decode → integer pixel stats DuckDB
-  * recomputes from the source bytes). Audio/video codecs are not in the
-  * container, so those decode bodies remain DETERMINISTIC STUBS behind
-  * the same pluggable `Decoder` seam; the Spark-side contract — schema,
-  * batch shape, per-partition init, narrow parallelism — is real and
-  * tested either way.
+  * recomputes from the source bytes). AUDIO decode is REAL too
+  * (`javax.sound.sampled`, same JDK module): [[WavDecoder]] /
+  * [[audioStatsQuery]] round-trip 16-bit PCM WAVs the same way. VIDEO
+  * codecs are the one modality the JDK cannot decode, so that body
+  * remains a DETERMINISTIC STUB behind the same pluggable `Decoder`
+  * seam; the Spark-side contract — schema, batch shape, per-partition
+  * init, narrow parallelism — is real and tested either way.
   *
   * Scale posture: media rows are large (MBs); every operator is a narrow
   * mapPartitions (no shuffle of binary payloads, decoder init amortized
@@ -306,4 +308,135 @@ object Multimodal {
         .map { case (chunk, idx) => (m.media_id, idx, chunk.length) }
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
+
+  /** Deterministic 16-bit PCM mono WAV: sample i = (byte(i mod n) − 128)
+    * · 256 — recomputable from the source bytes alone, the same
+    * oracle-checkability trick as [[buildGrayPng]]. Pure JDK: a RIFF
+    * header plus little-endian samples. */
+  def buildPcm16Wav(bytes: Array[Byte], sampleRate: Int = 16000): Array[Byte] = {
+    require(bytes.nonEmpty, "empty payload")
+    val dataLen = bytes.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i < bytes.length) {
+      bb.putShort((((bytes(i) & 0xff) - 128) * 256).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL WAV decode via `javax.sound.sampled` (in the JDK, like
+    * ImageIO): parse the container/format through AudioSystem — NOT a
+    * hand-rolled offset into our own bytes — then read the PCM frames.
+    * Returns the signed 16-bit samples. */
+  def decodeWavSamples(wav: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val data = ais.readAllBytes()
+      val out = new Array[Int](data.length / 2)
+      var i = 0
+      while (i < out.length) {
+        val lo = data(2 * i) & 0xff
+        val hi = data(2 * i + 1).toInt
+        out(i) = (hi << 8) | lo
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** WAV-real audio feature decoder for the [[Decoder]] seam: mean
+    * ABSOLUTE amplitude per time strip (integer sums, one division per
+    * strip — deterministic), normalized to [0,1]. The audio twin of
+    * [[ImageDecoder]]. */
+  object WavDecoder extends Decoder {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val s = decodeWavSamples(payload)
+      require(s.nonEmpty, "no samples")
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var i = 0
+      while (i < s.length) {
+        val strip = math.min(dim - 1, i * dim / s.length)
+        sums(strip) += math.abs(s(i).toLong)
+        counts(strip) += 1
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        out(j) = if (counts(j) == 0) 0f
+                 else (sums(j).toDouble / (counts(j) * 32768.0)).toFloat
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Oracle-checkable REAL audio round trip (the audio twin of
+    * [[pixelStatsQuery]]): audio rows render their text bytes into an
+    * actual PCM WAV, a distributed `AudioSystem` decode reads it back,
+    * and the query emits integer sample statistics — count, sum, min,
+    * max, zero crossings — that DuckDB recomputes from the characters
+    * alone. Narrow map → narrow mapPartitions; the payload never
+    * shuffles and dies before the orderBy. */
+  def audioStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 1 && col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, buildPcm16Wav(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .mapPartitions { rows =>
+        rows.map { case (id, wav) =>
+          val s = decodeWavSamples(wav)
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            sum += s(i)
+            if (s(i) < mn) mn = s(i)
+            if (s(i) > mx) mx = s(i)
+            if (i > 0 && ((s(i - 1) < 0) != (s(i) < 0))) zc += 1
+            i += 1
+          }
+          (id, s.length, sum, mn, mx, zc)
+        }
+      }
+      .toDF("media_id", "n_samples", "s_sum", "s_min", "s_max", "zero_cross")
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin of [[audioStatsQuery]]: sample i = (ord(char i) − 128)
+    * · 256, one sample per character (fixture is ASCII, so byte ==
+    * codepoint — a non-ASCII byte would hash-mismatch the gate). */
+  def audioStatsOracleSql: String =
+    s"""WITH t AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''), c -> (ord(c) - 128) * 256) AS s,
+                 length(text) AS n
+          FROM documents
+          WHERE doc_id % 3 = 1 AND text IS NOT NULL AND length(text) > 0)
+        SELECT doc_id AS media_id,
+               CAST(n AS INT) AS n_samples,
+               CAST(list_sum(s) AS BIGINT) AS s_sum,
+               CAST(list_min(s) AS INT) AS s_min,
+               CAST(list_max(s) AS INT) AS s_max,
+               CAST(len(list_filter(generate_series(2, n),
+                    i -> (s[i-1] < 0) <> (s[i] < 0))) AS BIGINT) AS zero_cross
+        FROM t"""
 }

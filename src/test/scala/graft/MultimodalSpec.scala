@@ -88,4 +88,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(0)).toSet.subsetOf(vids))
     assert(frames.forall(_.getInt(1) % 2 == 0))
   }
+
+  test("WAV round trip: AudioSystem decodes buildPcm16Wav back to the exact samples") {
+    val bytes = "hello WAV".getBytes("US-ASCII")
+    val samples = Multimodal.decodeWavSamples(Multimodal.buildPcm16Wav(bytes))
+    assert(samples.toSeq == bytes.map(b => ((b & 0xff) - 128) * 256).toSeq)
+    // full signed range survives the container: 0 -> -32768, 255 -> 32512
+    val edge = Multimodal.decodeWavSamples(
+      Multimodal.buildPcm16Wav(Array(0.toByte, 255.toByte, 128.toByte)))
+    assert(edge.toSeq == Seq(-32768, 32512, 0))
+  }
+
+  test("WavDecoder: per-strip mean |amplitude|, hand-computed") {
+    // two strips: [-32768, -32768] and [32512, 32512] -> means 1.0 and
+    // 32512/32768 exactly
+    val wav = Multimodal.buildPcm16Wav(
+      Array(0.toByte, 0.toByte, 255.toByte, 255.toByte))
+    val f = Multimodal.WavDecoder.features(wav, 2)
+    assert(f(0) == 1.0f)
+    assert(f(1) == (32512.0 / 32768.0).toFloat)
+  }
+
+  test("audioStatsQuery: real decode stats match a local recompute") {
+    val out = Multimodal.audioStatsQuery(spark, TestSession.sfDir).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.load(spark, TestSession.sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.expr(
+        "doc_id % 3 = 1 AND text IS NOT NULL AND length(text) > 0"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == texts.size)
+    out.take(20).foreach { r =>
+      val s = texts(r.getLong(0)).getBytes("UTF-8").map(b => ((b & 0xff) - 128) * 256)
+      assert(r.getInt(1) == s.length)
+      assert(r.getLong(2) == s.map(_.toLong).sum)
+      assert(r.getInt(3) == s.min && r.getInt(4) == s.max)
+      val zc = s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      assert(r.getLong(5) == zc)
+    }
+  }
 }
