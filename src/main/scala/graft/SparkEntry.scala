@@ -34,6 +34,8 @@ object SparkEntry {
     "pipeline_envelope" -> ((s, d) => DocPipeline.pipelineQuery(s, d)),
     "binary_ingest" -> ((s, d) => graft.sources.BinaryIngest.binaryIngestQuery(s, d)),
     "schema_extract" -> ((s, d) => DocPipeline.schemaExtractQuery(s, d)),
+    "schema_profile" -> ((s, d) => DocPipeline.schemaProfileQuery(s, d)),
+    "pipeline_stats" -> ((s, d) => DocPipeline.pipelineStatsQuery(s, d)),
     "retry_fix" -> ((s, d) => DocPipeline.retryFixQuery(s, d)),
     "pipeline_logs" -> ((s, d) => DocPipeline.pipelineLogsQuery(s, d)),
     "llm_prompts" -> ((s, d) => DocPipeline.promptsQuery(s, d)),
@@ -209,6 +211,8 @@ object SparkEntry {
     "pipeline_envelope" -> DocPipeline.pipelineOracleSql,
     "binary_ingest" -> graft.sources.BinaryIngest.binaryIngestOracleSql,
     "schema_extract" -> DocPipeline.schemaExtractOracleSql,
+    "schema_profile" -> DocPipeline.schemaProfileOracleSql,
+    "pipeline_stats" -> DocPipeline.pipelineStatsOracleSql,
     "retry_fix" -> DocPipeline.retryFixOracleSql,
     "pipeline_logs" -> DocPipeline.pipelineLogsOracleSql,
     "llm_prompts" -> DocPipeline.promptsOracleSql,

@@ -492,6 +492,70 @@ object DocPipeline {
         FROM v1"""
   }
 
+  /** Schema INDUCTION — the reverse of J1's schema retrieval: parse
+    * every persisted `structured_data` JSON back into a map and count,
+    * per doc_type, how often each field actually materialized. This is
+    * how a real deployment discovers what its dynamic jsonb column
+    * (README.md:91-100's `structured_data`) actually contains — the
+    * observed schema, vs the advisory one the prompts requested (E6's
+    * degraded path makes the requested schema unreliable BY DESIGN, so
+    * observation is the only trustworthy source).
+    *
+    * Scale shape: narrow JSON parse + explode of ≤6 keys per row, one
+    * (doc_type, field) count shuffle of tiny rows. */
+  def schemaProfileQuery(spark: SparkSession, dir: String): DataFrame =
+    pipelineOver(spark, enrichedDocs(spark, dir))
+      .filter(col("structured_data").isNotNull)
+      .select(col("doc_type"),
+        explode(map_keys(from_json(col("structured_data"),
+          MapType(StringType, StringType)))).as("field"))
+      .groupBy(col("doc_type"), col("field"))
+      .agg(count(lit(1)).as("n_present"))
+      .orderBy(col("doc_type"), col("field"))
+
+  /** DuckDB twin: recompute key presence from the extraction columns
+    * (structured_data is exactly the non-null x_* fields, P7). */
+  def schemaProfileOracleSql: String =
+    s"""WITH $enrichedCte, ${pipelineOracleCtes("enriched", "text")},
+        k AS (SELECT doc_type,
+                unnest(list_filter([
+                  CASE WHEN x_amount IS NOT NULL THEN 'amount' END,
+                  CASE WHEN x_email IS NOT NULL THEN 'email' END,
+                  CASE WHEN x_date IS NOT NULL THEN 'date' END,
+                  CASE WHEN x_phone IS NOT NULL THEN 'phone' END,
+                  CASE WHEN x_first_token IS NOT NULL THEN 'first_token' END,
+                  CASE WHEN x_n_tokens IS NOT NULL THEN 'n_tokens' END],
+                  x -> x IS NOT NULL)) AS field
+              FROM v1 WHERE success)
+        SELECT doc_type, field, count(*) AS n_present
+        FROM k GROUP BY 1, 2"""
+
+  /** Pipeline observability (the reference's `/stats` endpoint made
+    * real: src/app.py:177-188 returns static env config; ours aggregates
+    * the actual envelopes): per doc_type — document count, success/valid
+    * counts, retry consumption, token volume. */
+  def pipelineStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    respond(persist(pipelineOver(spark, enrichedDocs(spark, dir))))
+      .groupBy(col("doc_type"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("n_success"),
+        sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("retry_count") > 0, 1L).otherwise(0L)).as("n_retried"),
+        sum(coalesce(col("x_n_tokens").cast(LongType), lit(0L))).as("n_tokens_sum"))
+      .orderBy(col("doc_type"))
+
+  def pipelineStatsOracleSql: String =
+    s"""WITH $enrichedCte, ${pipelineOracleCtes("enriched", "text")},
+        resp AS ($pipelineOracleSelect)
+        SELECT doc_type,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE success) AS BIGINT) AS n_success,
+               CAST(count(*) FILTER (WHERE is_valid) AS BIGINT) AS n_valid,
+               CAST(count(*) FILTER (WHERE retry_count > 0) AS BIGINT) AS n_retried,
+               CAST(coalesce(sum(x_n_tokens), 0) AS BIGINT) AS n_tokens_sum
+        FROM resp GROUP BY 1"""
+
   /** Compact fields-map JSON per doc_type (the inner object of
     * schema_json; '{}' for types without a schema record). */
   def fieldsJsonFor(dt: String): String =

@@ -114,4 +114,23 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(fused.length == generic.length && fused.nonEmpty)
     fused.zip(generic).foreach { case (f, g) => assert(f == g) }
   }
+
+  test("schema induction + stats: observed fields subset the envelope; counts reconcile") {
+    val prof = DocPipeline.schemaProfileQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val known = Set("amount", "email", "date", "phone", "first_token", "n_tokens")
+    assert(prof.nonEmpty && prof.forall(p => known(p._2)))
+    val stats = DocPipeline.pipelineStatsQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache() // pipelineStatsQuery persists
+    assert(stats.map(_._2).sum == 500L) // every doc lands in exactly one type
+    stats.foreach { case (_, n, ok, valid, retried) =>
+      assert(ok <= n && valid <= ok && retried <= ok)
+    }
+    // no observed field count can exceed its type's successful docs
+    val okByType = stats.map(s => Option(s._1).getOrElse("") -> s._3).toMap
+    prof.foreach { case (dt, _, cnt) =>
+      assert(cnt <= okByType(Option(dt).getOrElse("")))
+    }
+  }
 }
