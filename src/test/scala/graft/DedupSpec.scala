@@ -357,6 +357,21 @@ class DedupSpec extends AnyFunSuite {
     assert(TextAnalytics.docSplits(spark, dir).count() == 0)
     assert(TextAnalytics.docChunks(spark, dir).count() == 0)
     assert(TextAnalytics.bm25Search(spark, dir).count() == 0)
+    // round-5 additions over documents
+    assert(TextAnalytics.stratifiedSample(spark, dir).count() == 0)
+    assert(TextAnalytics.inferenceBatches(spark, dir).count() == 0)
+    assert(Dedup.dupClusters(spark, dir).count() == 0)
+    assert(Dedup.dedupKeep(spark, dir).count() == 0)
+    assert(graft.operators.Multimodal.audioStatsQuery(spark, dir).count() == 0)
+    // ... and over an empty embeddings table (centroids divide by counts;
+    // the KMV pair join needs both sketch rows)
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(graft.operators.Similarity.embeddingOutliers(spark, dir).count() == 0)
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.operators.Sketches.kmvSetOps(spark, dir).count() == 0)
   }
 
   test("docNovelty: unique-shingle rate and mean df, hand-computed") {
