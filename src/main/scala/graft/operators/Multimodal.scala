@@ -369,7 +369,9 @@ object Multimodal {
       val counts = new Array[Long](dim)
       var i = 0
       while (i < s.length) {
-        val strip = math.min(dim - 1, i * dim / s.length)
+        // long arithmetic: i * dim overflows Int past ~33M samples/dim=64
+        // (a ~35-minute 16 kHz payload — inside this operator's range)
+        val strip = math.min(dim - 1, (i.toLong * dim / s.length).toInt)
         sums(strip) += math.abs(s(i).toLong)
         counts(strip) += 1
         i += 1

@@ -143,9 +143,21 @@ object Sinks {
               targetBytes: Long = 128L << 20): Long = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // refuse hive-partitioned layouts: a flat rewrite would demote the
+    // partition columns to data columns and destroy the directory
+    // structure every pruning reader depends on (compact per-partition
+    // instead)
+    val partitioned = fs.listStatus(path).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"compact: $dir is hive-partitioned; compact each partition directory instead")
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    // sibling tmp built from the RESOLVED path, never by string concat:
+    // a trailing-slash dir would otherwise place the rewrite INSIDE the
+    // directory about to be deleted
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "._compact_tmp")
     spark.read.parquet(dir)
       .coalesce(nFiles.toInt)
       .write.mode("overwrite").parquet(tmp.toString)

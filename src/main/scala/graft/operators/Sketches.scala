@@ -26,6 +26,20 @@ object Sketches {
   /** Knuth multiplicative constant; gcd(M, P) = 1. */
   val M = 2654435761L
 
+  /** The KMV key hash, shared by every sketch entry point. The key is
+    * reduced mod P BEFORE the multiply: M·(P−1) ≈ 2.65e18 fits a Long,
+    * whereas M·key overflows for keys above ~3.47e9. Keys ≥ P fold
+    * (collisions) — fine for a sketch (see distinctUsersKmv scaladoc). */
+  private def kmvHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lit(M) * (key % lit(P))) % lit(P)
+
+  /** The (k−1)·P div h_(k) estimator over a sorted mins array column;
+    * exact pass-through below k. get() (0-based, null on out-of-bounds)
+    * keeps the eagerly-evaluated otherwise-branch safe for small groups. */
+  private def kmvEstimate(mins: String, k: Int): org.apache.spark.sql.Column =
+    when(size(col(mins)) < k, size(col(mins)).cast(LongType))
+      .otherwise(expr(s"${(k - 1).toLong * P}L div get($mins, ${k - 1})"))
+
   /** Per-event-type distinct-user estimate (KMV, k smallest hashes) next
     * to the exact count — the oracle checks BOTH, which also pins the
     * estimator's error behavior on this corpus.
@@ -39,18 +53,12 @@ object Sketches {
     * group, at which point raise P/k. */
   def distinctUsersKmv(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     val ev = Tables.loadWide(spark, dir, "events")
-    val h = (lit(M) * (col("user_id") % lit(P))) % lit(P)
-    // get() in the otherwise-branch (0-based, null on out-of-bounds)
-    // keeps the eagerly-evaluated expression safe for groups with < k
-    // distinct users
-    ev.select(col("event_type"), h.as("h"), col("user_id"))
+    ev.select(col("event_type"), kmvHash(col("user_id")).as("h"), col("user_id"))
       .groupBy(col("event_type"))
       .agg(kmvMins(col("h"), k).as("mins"),
         countDistinct(col("user_id")).as("n_exact"))
       .select(col("event_type"),
-        when(size(col("mins")) < k, size(col("mins")).cast(LongType))
-          .otherwise(expr(s"${(k - 1).toLong * P}L div get(mins, ${k - 1})"))
-          .as("est_users"),
+        kmvEstimate("mins", k).as("est_users"),
         col("n_exact"))
       .orderBy(col("event_type"))
   }
@@ -95,8 +103,7 @@ object Sketches {
   /** [[kmvSetOps]] over any (event_type, user_id) frame — the seam the
     * small-union-regime spec injects through. */
   def kmvSetOpsOn(ev: DataFrame, k: Int = 64): DataFrame = {
-    val h = (lit(M) * (col("user_id") % lit(P))) % lit(P)
-    val sk = ev.select(col("event_type"), h.as("h"))
+    val sk = ev.select(col("event_type"), kmvHash(col("user_id")).as("h"))
       .groupBy(col("event_type"))
       .agg(kmvMins(col("h"), k).as("mins"))
     val pairs = sk.select(col("event_type").as("a_type"), col("mins").as("a_mins"))
@@ -105,9 +112,7 @@ object Sketches {
     val est = pairs
       .withColumn("u",
         slice(array_sort(array_distinct(concat(col("a_mins"), col("b_mins")))), 1, k))
-      .withColumn("est_union",
-        when(size(col("u")) < k, size(col("u")).cast(LongType))
-          .otherwise(expr(s"${(k - 1).toLong * P}L div get(u, ${k - 1})")))
+      .withColumn("est_union", kmvEstimate("u", k))
       .withColumn("n_match",
         size(array_intersect(array_intersect(col("u"), col("a_mins")), col("b_mins"))))
       // divide by |U|, not k: below k the merged sketch holds EVERY hash,

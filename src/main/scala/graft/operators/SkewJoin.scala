@@ -33,6 +33,16 @@ object SkewJoin {
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(nSalts >= 1, "nSalts must be positive")
+    // right/full outer would emit every UNMATCHED right row nSalts times
+    // (one per replicated salt copy) — reject rather than silently
+    // multiply; flip the sides for a right-skewed outer join
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed(joinType.toLowerCase.replace("_", "")) ||
+        allowed(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType")
+    require(!skewed.columns.contains("_salt") && !other.columns.contains("_salt"),
+      "saltedJoin: inputs must not already carry a _salt column")
     val saltExpr: Column =
       pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(nSalts))
     val left = skewed.withColumn("_salt", saltExpr.cast("int"))

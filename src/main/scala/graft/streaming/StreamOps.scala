@@ -38,9 +38,12 @@ object StreamOps {
     * footer (one driver-side read) instead of hardcoding it, so a
     * regenerated fixture with a different timestamp physical type
     * (nanos-as-long vs µs-NTZ — see Tables.normalizeTimestamps) can't
-    * silently desync the streaming twin from the batch path. */
+    * silently desync the streaming twin from the batch path. Cached per
+    * staged dir (immutable) — bench reps re-enter these builders. */
+  private val footerSchemas =
+    new scala.collection.concurrent.TrieMap[String, StructType]()
   private def footerSchema(spark: SparkSession, stagedDir: String): StructType =
-    spark.read.parquet(stagedDir).schema
+    footerSchemas.getOrElseUpdate(stagedDir, spark.read.parquet(stagedDir).schema)
 
   /** Read the events fixture as a file stream (one micro-batch per file),
     * with the same event-time normalization as the batch path.

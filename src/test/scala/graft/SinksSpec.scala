@@ -146,6 +146,21 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == docs.count())
   }
 
+  test("compact: trailing-slash dir compacts safely; partitioned layouts are refused") {
+    // trailing slash: the tmp dir must be a SIBLING, never a child that
+    // the swap then deletes
+    val dir = tmp("compactslash") + "/t"
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+    docs.repartition(5).write.parquet(dir)
+    val n = Sinks.compact(spark, dir + "/")
+    assert(n == 1L && spark.read.parquet(dir).count() == docs.count())
+    // hive-partitioned layout: flat rewrite would destroy pruning — refuse
+    val pdir = tmp("compactpart") + "/p"
+    docs.withColumn("part", col("doc_id") % 3).write.partitionBy("part").parquet(pdir)
+    intercept[IllegalArgumentException] { Sinks.compact(spark, pdir) }
+    assert(spark.read.parquet(pdir).count() == docs.count()) // untouched
+  }
+
   test("compact: many small files rewritten to the target count, content intact") {
     val dir = tmp("compact") + "/t"
     val docs = Tables.load(spark, TestSession.sfDir, "documents")
