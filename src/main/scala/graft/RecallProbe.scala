@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ANN recall probe: recall@k of each approximate index against the
+  * exact brute-force top-k, on the same fixture and query set the bench
+  * uses. Complements ScaleProbe (wall-clock growth) with the quality
+  * axis: an ANN path is only "the scale path" if its candidate pruning
+  * keeps the answers.
+  *
+  * Not part of the correctness gate (the oracle already hash-checks
+  * each operator's OWN contract); run manually:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.RecallProbe"
+  */
+object RecallProbe {
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_RECALL_K", "3").toInt
+    val nQ = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "10").toInt
+    val spark: SparkSession = GraftSession.get("graft-recall-probe")
+    try {
+      import graft.operators.Similarity
+      val exact = resultSet(Similarity.topK(spark, sfDir, k = k, nQueries = nQ))
+      val probes: Seq[(String, () => Set[(Long, Long)])] = Seq(
+        "vector_lsh_topk (adaptive bits)" ->
+          (() => resultSet(Similarity.lshTopK(spark, sfDir, k = k, nQueries = nQ))),
+        "vector_lsh_topk (bits=6)" ->
+          (() => resultSet(Similarity.lshTopK(spark, sfDir, k = k, nQueries = nQ,
+            bitsOpt = Some(6)))),
+        "vector_lsh_topk_mp (multi-probe)" ->
+          (() => resultSet(Similarity.lshTopKMultiProbe(spark, sfDir, k = k, nQueries = nQ))),
+        "vector_ivf_topk" ->
+          (() => resultSet(Similarity.ivfTopK(spark, sfDir, k = k, nQueries = nQ))),
+        "vector_pq_topk (raw ADC)" ->
+          (() => resultSet(Similarity.pqTopK(spark, sfDir, k = k, nQueries = nQ))),
+        "vector_pq_rerank (ADC + exact rerank)" ->
+          (() => resultSet(Similarity.pqRerankTopK(spark, sfDir, k = k, nQueries = nQ))))
+      println(s"| index | recall@$k over $nQ queries |")
+      println("|---|---|")
+      probes.foreach { case (name, fn) =>
+        val got = fn()
+        val recall = (exact & got).size.toDouble / exact.size
+        println(f"| $name | $recall%.3f |")
+      }
+    } finally spark.stop()
+  }
+}

@@ -73,11 +73,13 @@ object SparkEntry {
     "vector_topk_agg" -> ((s, d) => Similarity.topKAgg(s, d)),
     "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "vector_lsh_topk_b6" -> ((s, d) => Similarity.lshTopK(s, d, bitsOpt = Some(6))),
+    "vector_lsh_topk_mp" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "vector_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "vector_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    "vector_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -251,11 +253,13 @@ object SparkEntry {
     "vector_topk_agg" -> Similarity.topKSql(),
     "vector_lsh_topk" -> Similarity.lshTopKSql(),
     "vector_lsh_topk_b6" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
+    "vector_lsh_topk_mp" -> Similarity.lshTopKMultiProbeSql(),
     "vector_ivf_topk" -> Similarity.ivfTopKSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "semantic_dedup" -> Similarity.semanticDedupSql(),
     "vector_pq_topk" -> Similarity.pqTopKSql(),
+    "vector_pq_rerank" -> Similarity.pqRerankTopKSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),

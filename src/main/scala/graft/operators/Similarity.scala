@@ -261,6 +261,69 @@ object Similarity {
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
+  /** MULTI-PROBE sign-LSH top-k: score the query's own bucket PLUS every
+    * bucket at Hamming distance 1 (flip each sign bit) — bits+1 probes.
+    * Single-bucket LSH's recall collapses when true neighbors are not
+    * angularly tight (RecallProbe measured 0.067@3 on the fixture: a
+    * neighbor at cosine ~0.3 crosses each hyperplane with p≈0.4, so
+    * p^bits survives one bucket almost never); probing the Hamming-1
+    * shell recovers every neighbor that disagreed on exactly one plane,
+    * the dominant failure mode (Lv et al., "Multi-Probe LSH", VLDB'07).
+    *
+    * Scale posture unchanged: the corpus is bucketed once and NEVER
+    * shuffles; only the broadcast query side grows bits+1-fold (probes
+    * explode query-side); candidates grow ~(bits+1)/2^bits of the
+    * corpus, still bucket-bounded. A corpus vector lives in exactly one
+    * bucket and probes are distinct, so no candidate dedup is needed. */
+  def lshTopKMultiProbe(spark: SparkSession, dir: String, k: Int = 3,
+                        nQueries: Int = 10, bitsOpt: Option[Int] = None): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val probeArr = array(
+      col("q_bucket") +: (0 until bits).map(i => expr(s"q_bucket ^ ${1 << i}")): _*)
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+          signBucket(col("embedding"), bits).as("q_bucket"))
+        .withColumn("probe", explode(probeArr)))
+    val scored = corpus.join(queries,
+        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .filter(col("score").isNotNull)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def lshTopKMultiProbeSql(k: Int = 3, nQueries: Int = 10,
+                           bitsOpt: Option[Int] = None): String = {
+    val (nbCte, nbFrom, bucketExpr, probeUpper) = bitsOpt match {
+      case Some(b) => ("", "", signBucketSql("embedding", b), b.toString)
+      case None => (s"nb AS (${adaptiveBitsSql("embeddings")}), ", ", nb",
+        signBucketSqlAdaptive("embedding"), "nb.bits")
+    }
+    val probeFrom = bitsOpt match {
+      case Some(_) => ""
+      case None => " nb,"
+    }
+    s"""WITH ${nbCte}c AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings$nbFrom),
+        q AS (SELECT vec_id AS qid, embedding AS q_emb, bucket AS q_bucket FROM c WHERE vec_id < $nQueries),
+        p AS (SELECT qid, q_emb,
+                CASE WHEN i = 0 THEN q_bucket
+                     ELSE xor(q_bucket, (1 << (i - 1))) END AS probe
+              FROM q,$probeFrom unnest(generate_series(0, $probeUpper)) AS t(i)),
+        scored AS (SELECT qid, c.vec_id, ${cosineSql("q_emb", "c.embedding")} AS score
+                   FROM p JOIN c ON c.bucket = p.probe AND c.vec_id <> qid),
+        ranked AS (SELECT qid, vec_id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                   FROM scored WHERE score IS NOT NULL)
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+  }
+
   /** IVF-Flat ANN top-k — the second scale path beside sign-LSH: coarse-
     * quantize the corpus ONCE into `nCells` centroid cells (one narrow
     * assignment pass — argmax cosine against the codebook), then answer
@@ -487,8 +550,9 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  def pqTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8, m: Int = 4,
-                dim: Int = 64): String = {
+  /** The cb → enc → scored → ranked CTE chain shared by the plain-ADC
+    * and rerank forms. */
+  private def pqCtes(nQueries: Int, nCells: Int, m: Int, dim: Int): String = {
     val sub = dim / m
     def slc(c: String, j: Int): String = s"$c[${j * sub + 1}:${(j + 1) * sub}]"
     val encCtes = (0 until m).map { j =>
@@ -503,7 +567,7 @@ object Similarity {
     val scoreSum = (0 until m).map { j =>
       s"(${dotSql(slc("q.embedding", j), slc(s"c$j.embedding", j))})"
     }.mkString(" + ")
-    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+    s"""cb AS (SELECT vec_id AS cid, embedding FROM embeddings
                     WHERE vec_id < $nCells),
         $encCtes,
         enc AS (SELECT * FROM enc0 $encJoin),
@@ -514,9 +578,61 @@ object Similarity {
                    WHERE e.vec_id <> q.vec_id),
         ranked AS (SELECT qid, vec_id, score,
                    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-                   FROM scored)
-        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+                   FROM scored)"""
   }
+
+  def pqTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8, m: Int = 4,
+                dim: Int = 64): String =
+    s"""WITH ${pqCtes(nQueries, nCells, m, dim)}
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+
+  /** PQ + EXACT RERANK: ADC ranks a candidate shortlist (`budget` per
+    * query, compressed-domain scan as in [[pqTopK]]), then the shortlist
+    * alone is re-scored with the exact cosine and the top-k re-ranked.
+    * This is the standard production PQ shape (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 §V): ADC's
+    * quantization error decides only WHICH ~budget candidates surface,
+    * not their final order — RecallProbe: 0.133@3 raw ADC → rerank
+    * recovers what the shortlist retains at ~budget/corpus cost.
+    *
+    * Scale posture: stage 1 is the code-only scan (vectors never move);
+    * stage 2 fetches ONLY budget·nQueries full vectors through an
+    * ids-equi-join against the store — the exact-scoring cost is
+    * decoupled from corpus size. */
+  def pqRerankTopK(spark: SparkSession, dir: String, k: Int = 3,
+                   nQueries: Int = 10, nCells: Int = 8, m: Int = 4,
+                   dim: Int = 64, budget: Int = 32): DataFrame = {
+    val cands = pqTopK(spark, dir, budget, nQueries, nCells, m, dim)
+      .select(col("qid"), col("vec_id"))
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val queries = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q2"), col("embedding").as("q_emb")))
+    val scored = cands
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding")),
+        col("vec_id") === col("c_id"))
+      .join(queries, col("qid") === col("q2"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .filter(col("score").isNotNull)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def pqRerankTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
+                      m: Int = 4, dim: Int = 64, budget: Int = 32): String =
+    s"""WITH ${pqCtes(nQueries, nCells, m, dim)},
+        cand AS (SELECT qid, vec_id FROM ranked WHERE rn <= $budget),
+        ex AS (SELECT cand.qid, cand.vec_id,
+                      ${cosineSql("q.embedding", "e.embedding")} AS score
+               FROM cand
+               JOIN embeddings e ON e.vec_id = cand.vec_id
+               JOIN embeddings q ON q.vec_id = cand.qid),
+        r2 AS (SELECT qid, vec_id, score,
+                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+               FROM ex WHERE score IS NOT NULL)
+        SELECT qid, rn, vec_id, score FROM r2 WHERE rn <= $k"""
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): treat cosine-near-duplicate EMBEDDINGS as the

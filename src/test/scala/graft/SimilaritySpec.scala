@@ -185,6 +185,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH dominates single-bucket: candidates are a superset, k-th score never worse") {
+    val single = Similarity.lshTopK(spark, TestSession.sfDir, k = 3, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    val mp = Similarity.lshTopKMultiProbe(spark, TestSession.sfDir, k = 3, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    val mpByQ = mp.groupBy(_._1)
+    single.groupBy(_._1).foreach { case (qid, sRows) =>
+      val mRows = mpByQ.getOrElse(qid, Array.empty)
+      assert(mRows.length >= sRows.length, s"qid $qid lost candidates under multi-probe")
+      // rank-r score under the superset candidate pool can only improve
+      sRows.foreach { case (_, rn, sScore) =>
+        val mScore = mRows.find(_._2 == rn).get._3
+        assert(mScore >= sScore, s"qid $qid rank $rn: mp $mScore < single $sScore")
+      }
+    }
+  }
+
+  test("pq rerank: results drawn from the ADC shortlist, scored with the exact cosine") {
+    val budget = 16
+    val shortlist = Similarity.pqTopK(spark, TestSession.sfDir, k = budget, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = Similarity.pqRerankTopK(spark, TestSession.sfDir, k = 3, nQueries = 5,
+      budget = budget).collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(rr.nonEmpty)
+    assert(rr.forall { case (pair, _) => shortlist(pair) })
+    // exact scores: identical to brute force for the same pairs
+    val exact = Similarity.topK(spark, TestSession.sfDir, k = 1000, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rr.foreach { case (pair, s) => assert(exact(pair) == s) }
+  }
+
   test("embeddingOutliers: bottom-k per label, ascending, and BELOW the label's median centrality") {
     val out = Similarity.embeddingOutliers(spark, TestSession.sfDir, k = 5)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
