@@ -77,7 +77,9 @@ object SparkEntry {
     "vector_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
+    "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "semantic_dedup_mp" -> ((s, d) => Similarity.semanticDedup(s, d, multiProbe = true)),
     "vector_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "vector_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
@@ -257,7 +259,9 @@ object SparkEntry {
     "vector_ivf_topk" -> Similarity.ivfTopKSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
+    "embedding_neardup_mp" -> Similarity.nearDupPairsMultiProbeSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql(),
+    "semantic_dedup_mp" -> Similarity.semanticDedupSql(multiProbe = true),
     "vector_pq_topk" -> Similarity.pqTopKSql(),
     "vector_pq_rerank" -> Similarity.pqRerankTopKSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),

