@@ -26,6 +26,9 @@ object RecallProbe {
     try {
       import graft.operators.Similarity
       val exact = resultSet(Similarity.topK(spark, sfDir, k = k, nQueries = nQ))
+      require(exact.nonEmpty,
+        s"no exact baseline: topK returned 0 rows for $sfDir (empty corpus " +
+          "or zero-norm query vectors) — recall would be 0/0")
       val probes: Seq[(String, () => Set[(Long, Long)])] = Seq(
         "vector_lsh_topk (adaptive bits)" ->
           (() => resultSet(Similarity.lshTopK(spark, sfDir, k = k, nQueries = nQ))),

@@ -209,14 +209,25 @@ object Similarity {
       s"(CASE WHEN $v[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** ANN top-k: score only candidates in the query's sign bucket.
-    * Candidate set shrinks ~2^bits-fold; recall < 1 by design (the exact
-    * baseline is `topK`). Corpus is bucketed once (narrow), the join key
-    * is (bucket), and only the small query side is broadcast.
-    * `bits = None` sizes the bucket count to the corpus (adaptiveBits) —
-    * a metadata-cheap count() before planning. */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
-              bitsOpt: Option[Int] = None): DataFrame = {
+  /** The query-side probe set: the row's own bucket, plus (when
+    * `multiProbe`) every bucket at Hamming distance 1. Shared by the
+    * top-k and pair operators so a probe-policy change lands once. */
+  private def probeArray(bucketCol: String, bits: Int, multiProbe: Boolean): Column =
+    if (!multiProbe) array(col(bucketCol))
+    else array(col(bucketCol) +:
+      (0 until bits).map(i => expr(s"$bucketCol ^ ${1 << i}")): _*)
+
+  /** ANN top-k: score only candidates in the query's probed sign
+    * bucket(s). Candidate set shrinks ~2^bits-fold (times bits+1 under
+    * multi-probe); recall < 1 by design (the exact baseline is `topK`).
+    * Corpus is bucketed once (narrow), the join key is (bucket), and
+    * only the small query side is broadcast — probes explode THERE, so
+    * the corpus never grows or shuffles. `bits = None` sizes the bucket
+    * count to the corpus (adaptiveBits) — a metadata-cheap count()
+    * before planning. */
+  private def lshTopKImpl(spark: SparkSession, dir: String, k: Int,
+                          nQueries: Int, bitsOpt: Option[Int],
+                          multiProbe: Boolean): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
     val corpus = emb.select(col("vec_id"), col("embedding"),
@@ -224,9 +235,10 @@ object Similarity {
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-          signBucket(col("embedding"), bits).as("q_bucket")))
+          signBucket(col("embedding"), bits).as("q_bucket"))
+        .withColumn("probe", explode(probeArray("q_bucket", bits, multiProbe))))
     val scored = corpus.join(queries,
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("qid"))
+        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("q_emb"), col("embedding")))
       .filter(col("score").isNotNull) // NULL-score contract: see topK
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
@@ -235,6 +247,10 @@ object Similarity {
       .select(col("qid"), col("rn"), col("vec_id"), col("score"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
+              bitsOpt: Option[Int] = None): DataFrame =
+    lshTopKImpl(spark, dir, k, nQueries, bitsOpt, multiProbe = false)
 
   /** Adaptive-width bucket expression for the oracle: unrolls to maxBits
     * terms, each gated on i <= nb.bits (a plain column from the
@@ -269,35 +285,11 @@ object Similarity {
     * p^bits survives one bucket almost never); probing the Hamming-1
     * shell recovers every neighbor that disagreed on exactly one plane,
     * the dominant failure mode (Lv et al., "Multi-Probe LSH", VLDB'07).
-    *
-    * Scale posture unchanged: the corpus is bucketed once and NEVER
-    * shuffles; only the broadcast query side grows bits+1-fold (probes
-    * explode query-side); candidates grow ~(bits+1)/2^bits of the
-    * corpus, still bucket-bounded. A corpus vector lives in exactly one
-    * bucket and probes are distinct, so no candidate dedup is needed. */
+    * Same plan as [[lshTopK]] (shared impl) — only the broadcast query
+    * side grows bits+1-fold. */
   def lshTopKMultiProbe(spark: SparkSession, dir: String, k: Int = 3,
-                        nQueries: Int = 10, bitsOpt: Option[Int] = None): DataFrame = {
-    val emb = Tables.loadWide(spark, dir, "embeddings")
-    val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
-    val corpus = emb.select(col("vec_id"), col("embedding"),
-      signBucket(col("embedding"), bits).as("bucket"))
-    val probeArr = array(
-      col("q_bucket") +: (0 until bits).map(i => expr(s"q_bucket ^ ${1 << i}")): _*)
-    val queries = broadcast(
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
-          signBucket(col("embedding"), bits).as("q_bucket"))
-        .withColumn("probe", explode(probeArr)))
-    val scored = corpus.join(queries,
-        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
-      .withColumn("score", cosine(col("q_emb"), col("embedding")))
-      .filter(col("score").isNotNull)
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
-      .orderBy(col("qid"), col("rn"))
-  }
+                        nQueries: Int = 10, bitsOpt: Option[Int] = None): DataFrame =
+    lshTopKImpl(spark, dir, k, nQueries, bitsOpt, multiProbe = true)
 
   def lshTopKMultiProbeSql(k: Int = 3, nQueries: Int = 10,
                            bitsOpt: Option[Int] = None): String = {
@@ -498,17 +490,25 @@ object Similarity {
                              bitsOpt: Option[Int] = None): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
-    val b = emb.select(col("vec_id"), col("embedding"),
+    val ids = emb.select(col("vec_id"),
       signBucket(col("embedding"), bits).as("bucket"))
-    val probeArr = array(
-      col("a_bucket") +: (0 until bits).map(i => expr(s"a_bucket ^ ${1 << i}")): _*)
-    val a = b.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("bucket").as("a_bucket"))
-      .withColumn("probe", explode(probeArr))
-    a.join(b, col("probe") === col("bucket") && col("a_id") < col("vec_id"))
-      .withColumn("score", cosine(col("a_emb"), col("embedding")))
+    // candidate generation on IDS ONLY (the lsh_pairs device): the
+    // probing side explodes (bits+1)-fold, so letting it carry vectors
+    // would shuffle n·(bits+1) embeddings; ids probe, vectors are
+    // fetched once per SIDE afterwards via id equi-joins
+    val probes = ids.select(col("vec_id").as("a_id"), col("bucket").as("a_bucket"))
+      .withColumn("probe", explode(probeArray("a_bucket", bits, multiProbe = true)))
+    val cand = probes.join(ids,
+        col("probe") === col("bucket") && col("a_id") < col("vec_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"))
+    cand
+      .join(emb.select(col("vec_id").as("av"), col("embedding").as("a_emb")),
+        col("a_id") === col("av"))
+      .join(emb.select(col("vec_id").as("bv"), col("embedding").as("b_emb")),
+        col("b_id") === col("bv"))
+      .withColumn("score", cosine(col("a_emb"), col("b_emb")))
       .filter(col("score") >= minCos)
-      .select(col("a_id"), col("vec_id").as("b_id"), col("score"))
+      .select(col("a_id"), col("b_id"), col("score"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
