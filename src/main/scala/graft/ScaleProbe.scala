@@ -101,6 +101,9 @@ object ScaleProbe {
       "vector_topk_agg" -> ((s, d) => Similarity.topKAgg(s, d)),
       "vector_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
       "vector_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+      "vector_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
+      "vector_lsh_topk_mp" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
+      "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
       "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
       "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)))
 
