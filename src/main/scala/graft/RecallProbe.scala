@@ -42,7 +42,9 @@ object RecallProbe {
         "vector_pq_topk (raw ADC)" ->
           (() => resultSet(Similarity.pqTopK(spark, sfDir, k = k, nQueries = nQ))),
         "vector_pq_rerank (ADC + exact rerank)" ->
-          (() => resultSet(Similarity.pqRerankTopK(spark, sfDir, k = k, nQueries = nQ))))
+          (() => resultSet(Similarity.pqRerankTopK(spark, sfDir, k = k, nQueries = nQ))),
+        "vector_ivfpq_topk (IVFADC)" ->
+          (() => resultSet(Similarity.ivfPqTopK(spark, sfDir, k = k, nQueries = nQ))))
       println(s"| index | recall@$k over $nQ queries |")
       println("|---|---|")
       probes.foreach { case (name, fn) =>

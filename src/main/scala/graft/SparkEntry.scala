@@ -82,6 +82,7 @@ object SparkEntry {
     "semantic_dedup_mp" -> ((s, d) => Similarity.semanticDedup(s, d, multiProbe = true)),
     "vector_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "vector_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
+    "vector_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -264,6 +265,7 @@ object SparkEntry {
     "semantic_dedup_mp" -> Similarity.semanticDedupSql(multiProbe = true),
     "vector_pq_topk" -> Similarity.pqTopKSql(),
     "vector_pq_rerank" -> Similarity.pqRerankTopKSql(),
+    "vector_ivfpq_topk" -> Similarity.ivfPqTopKSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),

@@ -551,6 +551,40 @@ object Similarity {
     * cells); here it stands alone so the ADC math is what's verified.
     * The per-query lookup table (m·nCells dots) rides the broadcast
     * query side. Recall < 1 by design; the exact baseline is [[topK]]. */
+  /** Per-subspace centroid slices of a codebook — the PQ model state. */
+  private def pqSlices(codebook: Array[(Long, Array[Float])], m: Int,
+                       sub: Int): Int => Array[(Long, Array[Float])] =
+    j => codebook.map { case (cid, v) => (cid, v.slice(j * sub, (j + 1) * sub)) }
+
+  private def pqVslice(c: Column, j: Int, sub: Int): Column =
+    slice(c, j * sub + 1, sub)
+
+  /** encode: argmin L2 per subspace — least() over (dist, cid) structs
+    * breaks ties to the SMALLER cid, mirrored by the oracle's
+    * ORDER BY dist, cid. */
+  private def pqCodeCols(cslice: Int => Array[(Long, Array[Float])], m: Int,
+                         sub: Int): Seq[Column] =
+    (0 until m).map { j =>
+      least(cslice(j).map { case (cid, cv) =>
+        struct(l2(pqVslice(col("embedding"), j, sub), typedlit(cv)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*).getField("cid").as(s"code$j")
+    }
+
+  /** per-query ADC lookup table: m·nCells exact dots, broadcast. */
+  private def pqLutCols(cslice: Int => Array[(Long, Array[Float])], m: Int,
+                        sub: Int): Seq[Column] =
+    for (j <- 0 until m; (cid, cv) <- cslice(j))
+      yield dot(pqVslice(col("embedding"), j, sub), typedlit(cv)).as(s"lut_${j}_$cid")
+
+  private def pqAdcScore(cslice: Int => Array[(Long, Array[Float])],
+                         m: Int): Column =
+    (0 until m).map { j =>
+      cslice(j).foldLeft(lit(null).cast("double")) { case (acc, (cid, _)) =>
+        when(col(s"code$j") === cid, col(s"lut_${j}_$cid")).otherwise(acc)
+      }
+    }.reduceLeft(_ + _)
+
   def pqTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
              nCells: Int = 8, m: Int = 4, dim: Int = 64): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
@@ -563,40 +597,110 @@ object Similarity {
     require(codebook.forall(_._2.length == dim), s"corpus dim != $dim")
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // per-subspace centroid slices, driver-side model state (same
-    // O(nCells·dim) collect ivfTopK documents)
-    def cslice(j: Int): Array[(Long, Array[Float])] =
-      codebook.map { case (cid, v) => (cid, v.slice(j * sub, (j + 1) * sub)) }
-    def vslice(c: Column, j: Int): Column = slice(c, j * sub + 1, sub)
-    // encode: argmin L2 per subspace — least() over (dist, cid) structs
-    // breaks ties to the SMALLER cid, mirrored by the oracle's
-    // ORDER BY dist, cid
-    val codeCols = (0 until m).map { j =>
-      least(cslice(j).map { case (cid, cv) =>
-        struct(l2(vslice(col("embedding"), j), typedlit(cv)).as("dist"),
-          lit(cid).as("cid"))
-      }: _*).getField("cid").as(s"code$j")
-    }
-    val encoded = emb.select(col("vec_id") +: codeCols: _*)
-    // per-query ADC lookup table: m·nCells exact dots, broadcast
-    val lutCols = for (j <- 0 until m; (cid, cv) <- cslice(j))
-      yield dot(vslice(col("embedding"), j), typedlit(cv)).as(s"lut_${j}_$cid")
+    val cslice = pqSlices(codebook, m, sub)
+    val encoded = emb.select(col("vec_id") +: pqCodeCols(cslice, m, sub): _*)
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid") +: lutCols: _*))
-    val score = (0 until m).map { j =>
-      cslice(j).foldLeft(lit(null).cast("double")) { case (acc, (cid, _)) =>
-        when(col(s"code$j") === cid, col(s"lut_${j}_$cid")).otherwise(acc)
-      }
-    }.reduceLeft(_ + _)
+        .select(col("vec_id").as("qid") +: pqLutCols(cslice, m, sub): _*))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
     encoded.crossJoin(queries)
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", score)
+      .withColumn("score", pqAdcScore(cslice, m))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), col("score"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** IVF+PQ — the production ANN composition the plain forms document:
+    * the corpus is coarse-quantized into IVF cells AND PQ-encoded, a
+    * query probes its `nProbe` nearest cells, and ONLY the probed
+    * cells' codes are ADC-scored (Jégou et al. 2011 §VI, "IVFADC").
+    * Cell assignment and PQ codes are both narrow columns from the same
+    * seed codebook posture, so the operator stays oracle-checkable;
+    * trained coarse/subspace codebooks plug in behind the contract.
+    *
+    * Scale posture: the scan side carries (cell, m codes) — no floats;
+    * candidates shrink ~nCells/nProbe-fold BEFORE the compressed-domain
+    * scoring, which is what makes the exhaustive-ADC form's memory win
+    * also a compute win. Compose with [[pqRerankTopK]]'s exact-rerank
+    * stage for recall. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = 3,
+                nQueries: Int = 10, nCells: Int = 8, nProbe: Int = 2,
+                m: Int = 4, dim: Int = 64): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val codebook = seedCodebook(emb, nCells)
+    if (codebook.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "vec_id", "score")
+    }
+    require(codebook.forall(_._2.length == dim), s"corpus dim != $dim")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cslice = pqSlices(codebook, m, sub)
+    val assigned = emb.select(
+      col("vec_id") +:
+        greatest(centScores(col("embedding"), codebook): _*).getField("cid").as("cell") +:
+        pqCodeCols(cslice, m, sub): _*)
+    val probeCells = transform(
+      slice(sort_array(array(centScores(col("q_emb"), codebook): _*), asc = false), 1, nProbe),
+      s => s.getField("cid"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid") +: col("embedding").as("q_emb") +:
+          pqLutCols(cslice, m, sub): _*)
+        .withColumn("q_cell", explode(probeCells))
+        .drop("q_emb"))
+    val scored = assigned.join(queries,
+        col("cell") === col("q_cell") && col("vec_id") =!= col("qid"))
+      .withColumn("score", pqAdcScore(cslice, m))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def ivfPqTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
+                   nProbe: Int = 2, m: Int = 4, dim: Int = 64): String = {
+    val sub = dim / m
+    def slc(c: String, j: Int): String = s"$c[${j * sub + 1}:${(j + 1) * sub}]"
+    val encCtes = (0 until m).map { j =>
+      s"""enc$j AS (SELECT vec_id, cid AS code$j FROM (
+            SELECT e.vec_id, cb.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${l2Sql(slc("e.embedding", j), slc("cb.embedding", j))}, cb.cid) AS rn
+            FROM embeddings e CROSS JOIN cb) t$j WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    val encJoin = (1 until m).map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
+    val cbJoins = (0 until m).map(j => s"JOIN cb c$j ON c$j.cid = e.code$j").mkString(" ")
+    val scoreSum = (0 until m).map { j =>
+      s"(${dotSql(slc("q.embedding", j), slc(s"c$j.embedding", j))})"
+    }.mkString(" + ")
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+                    WHERE vec_id < $nCells),
+        $encCtes,
+        enc AS (SELECT * FROM enc0 $encJoin),
+        ca AS (SELECT e.vec_id, cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosineSql("e.embedding", "cb.embedding")} DESC, cid DESC) AS crn
+               FROM embeddings e CROSS JOIN cb),
+        assigned AS (SELECT vec_id, cid AS cell FROM ca WHERE crn = 1),
+        probe AS (SELECT vec_id AS qid, cid AS q_cell
+                  FROM ca WHERE vec_id < $nQueries AND crn <= $nProbe),
+        cand AS (SELECT p.qid, a.vec_id
+                 FROM probe p JOIN assigned a
+                   ON a.cell = p.q_cell AND a.vec_id <> p.qid),
+        scored AS (SELECT cand.qid, e.vec_id, $scoreSum AS score
+                   FROM cand
+                   JOIN enc e ON e.vec_id = cand.vec_id
+                   JOIN embeddings q ON q.vec_id = cand.qid
+                   $cbJoins),
+        ranked AS (SELECT qid, vec_id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                   FROM scored)
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
   /** The cb → enc → scored → ranked CTE chain shared by the plain-ADC

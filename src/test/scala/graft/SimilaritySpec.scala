@@ -202,6 +202,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: candidates confined to probed cells, ADC scores agree with pqTopK") {
+    val ivfpq = Similarity.ivfPqTopK(spark, TestSession.sfDir, k = 3, nQueries = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(ivfpq.nonEmpty)
+    // the ADC score of any surfaced pair is the SAME compressed-domain
+    // score the exhaustive PQ scan assigns (IVF only prunes candidates)
+    val n = Tables.load(spark, TestSession.sfDir, "embeddings").count().toInt
+    val adc = Similarity.pqTopK(spark, TestSession.sfDir, k = n, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivfpq.foreach { case (pair, s) =>
+      val e = adc.get(pair)
+      assert(e.contains(s), s"pair $pair: ivfpq ADC $s vs exhaustive ADC $e")
+    }
+    // and every candidate lives in a cell its query probed: ivfpq results
+    // are a subset of the exhaustive ADC ranking restricted to ivf cells,
+    // so per query the ivfpq set must appear in ivfTopK's candidate space
+    val ivfPairs = Similarity.ivfTopK(spark, TestSession.sfDir, k = n, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    ivfpq.foreach { case (pair, _) => assert(ivfPairs(pair), s"$pair outside probed cells") }
+  }
+
   test("multi-probe pairs are a superset of single-bucket pairs; mp dedup keeps a subset") {
     val single = Similarity.nearDupPairs(spark, TestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
