@@ -370,7 +370,7 @@ object Similarity {
     var codebook = seedCodebook(emb, nCells)
     for (_ <- 1 to iters) {
       val assigned = emb.select(
-        greatest(centScores(col("embedding"), codebook): _*).getField("cid").as("cell"),
+        greatestOf(centScores(col("embedding"), codebook)).getField("cid").as("cell"),
         col("embedding"))
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -401,7 +401,7 @@ object Similarity {
         .toDF("qid", "rn", "vec_id", "score")
     }
     val assigned = emb.select(col("vec_id"), col("embedding"),
-      greatest(centScores(col("embedding"), codebook): _*).getField("cid").as("cell"))
+      greatestOf(centScores(col("embedding"), codebook)).getField("cid").as("cell"))
     val probeCells = transform(
       slice(sort_array(array(centScores(col("q_emb"), codebook): _*), asc = false), 1, nProbe),
       s => s.getField("cid"))
@@ -530,6 +530,48 @@ object Similarity {
         WHERE ${cosineSql("pa.a_emb", "b.embedding")} >= $minCos"""
   }
 
+  /** greatest()/least() require >= 2 arguments in Spark; a 1-centroid
+    * codebook (1-vector corpus, nCells=1) is a legal degenerate model,
+    * so the argmax/argmin helpers collapse to the single expression. */
+  private def greatestOf(cols: Seq[Column]): Column =
+    if (cols.length == 1) cols.head else greatest(cols: _*)
+  private def leastOf(cols: Seq[Column]): Column =
+    if (cols.length == 1) cols.head else least(cols: _*)
+
+  /** Per-subspace centroid slices of a codebook — the PQ model state. */
+  private def pqSlices(codebook: Array[(Long, Array[Float])],
+                       sub: Int): Int => Array[(Long, Array[Float])] =
+    j => codebook.map { case (cid, v) => (cid, v.slice(j * sub, (j + 1) * sub)) }
+
+  private def pqVslice(c: Column, j: Int, sub: Int): Column =
+    slice(c, j * sub + 1, sub)
+
+  /** encode: argmin L2 per subspace — least() over (dist, cid) structs
+    * breaks ties to the SMALLER cid, mirrored by the oracle's
+    * ORDER BY dist, cid. */
+  private def pqCodeCols(cslice: Int => Array[(Long, Array[Float])], m: Int,
+                         sub: Int): Seq[Column] =
+    (0 until m).map { j =>
+      leastOf(cslice(j).map { case (cid, cv) =>
+        struct(l2(pqVslice(col("embedding"), j, sub), typedlit(cv)).as("dist"),
+          lit(cid).as("cid"))
+      }.toSeq).getField("cid").as(s"code$j")
+    }
+
+  /** per-query ADC lookup table: m·nCells exact dots, broadcast. */
+  private def pqLutCols(cslice: Int => Array[(Long, Array[Float])], m: Int,
+                        sub: Int): Seq[Column] =
+    for (j <- 0 until m; (cid, cv) <- cslice(j))
+      yield dot(pqVslice(col("embedding"), j, sub), typedlit(cv)).as(s"lut_${j}_$cid")
+
+  private def pqAdcScore(cslice: Int => Array[(Long, Array[Float])],
+                         m: Int): Column =
+    (0 until m).map { j =>
+      cslice(j).foldLeft(lit(null).cast("double")) { case (acc, (cid, _)) =>
+        when(col(s"code$j") === cid, col(s"lut_${j}_$cid")).otherwise(acc)
+      }
+    }.reduceLeft(_ + _)
+
   /** Product-quantization ANN top-k (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): split each vector into
     * `m` subvectors, quantize every subvector against a per-subspace
@@ -547,44 +589,10 @@ object Similarity {
     * pass, and the scan side of the join carries CODES ONLY (the
     * original vectors never shuffle; the float embedding is left behind
     * at the scan). Per-pair cost is m table lookups instead of a
-    * dim-wide dot. In production PQ composes with IVF (scan only probed
-    * cells); here it stands alone so the ADC math is what's verified.
+    * dim-wide dot. In production PQ composes with IVF ([[ivfPqTopK]]);
+    * here it stands alone so the ADC math is what's verified.
     * The per-query lookup table (m·nCells dots) rides the broadcast
     * query side. Recall < 1 by design; the exact baseline is [[topK]]. */
-  /** Per-subspace centroid slices of a codebook — the PQ model state. */
-  private def pqSlices(codebook: Array[(Long, Array[Float])], m: Int,
-                       sub: Int): Int => Array[(Long, Array[Float])] =
-    j => codebook.map { case (cid, v) => (cid, v.slice(j * sub, (j + 1) * sub)) }
-
-  private def pqVslice(c: Column, j: Int, sub: Int): Column =
-    slice(c, j * sub + 1, sub)
-
-  /** encode: argmin L2 per subspace — least() over (dist, cid) structs
-    * breaks ties to the SMALLER cid, mirrored by the oracle's
-    * ORDER BY dist, cid. */
-  private def pqCodeCols(cslice: Int => Array[(Long, Array[Float])], m: Int,
-                         sub: Int): Seq[Column] =
-    (0 until m).map { j =>
-      least(cslice(j).map { case (cid, cv) =>
-        struct(l2(pqVslice(col("embedding"), j, sub), typedlit(cv)).as("dist"),
-          lit(cid).as("cid"))
-      }: _*).getField("cid").as(s"code$j")
-    }
-
-  /** per-query ADC lookup table: m·nCells exact dots, broadcast. */
-  private def pqLutCols(cslice: Int => Array[(Long, Array[Float])], m: Int,
-                        sub: Int): Seq[Column] =
-    for (j <- 0 until m; (cid, cv) <- cslice(j))
-      yield dot(pqVslice(col("embedding"), j, sub), typedlit(cv)).as(s"lut_${j}_$cid")
-
-  private def pqAdcScore(cslice: Int => Array[(Long, Array[Float])],
-                         m: Int): Column =
-    (0 until m).map { j =>
-      cslice(j).foldLeft(lit(null).cast("double")) { case (acc, (cid, _)) =>
-        when(col(s"code$j") === cid, col(s"lut_${j}_$cid")).otherwise(acc)
-      }
-    }.reduceLeft(_ + _)
-
   def pqTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 10,
              nCells: Int = 8, m: Int = 4, dim: Int = 64): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
@@ -597,7 +605,7 @@ object Similarity {
     require(codebook.forall(_._2.length == dim), s"corpus dim != $dim")
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val cslice = pqSlices(codebook, m, sub)
+    val cslice = pqSlices(codebook, sub)
     val encoded = emb.select(col("vec_id") +: pqCodeCols(cslice, m, sub): _*)
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
@@ -638,10 +646,10 @@ object Similarity {
     require(codebook.forall(_._2.length == dim), s"corpus dim != $dim")
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val cslice = pqSlices(codebook, m, sub)
+    val cslice = pqSlices(codebook, sub)
     val assigned = emb.select(
       col("vec_id") +:
-        greatest(centScores(col("embedding"), codebook): _*).getField("cid").as("cell") +:
+        greatestOf(centScores(col("embedding"), codebook)).getField("cid").as("cell") +:
         pqCodeCols(cslice, m, sub): _*)
     val probeCells = transform(
       slice(sort_array(array(centScores(col("q_emb"), codebook): _*), asc = false), 1, nProbe),
@@ -664,6 +672,10 @@ object Similarity {
 
   def ivfPqTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
                    nProbe: Int = 2, m: Int = 4, dim: Int = 64): String = {
+    // NOTE: the cb/enc/scoreSum builders repeat pqCtes' text because this
+    // form replaces its scored/ranked tail with the cell-probed candidate
+    // chain; a tie-break or slice change must land in BOTH (the engine
+    // side shares one implementation, so a divergence fails the gate)
     val sub = dim / m
     def slc(c: String, j: Int): String = s"$c[${j * sub + 1}:${(j + 1) * sub}]"
     val encCtes = (0 until m).map { j =>
