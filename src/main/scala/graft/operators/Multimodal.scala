@@ -401,6 +401,12 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
+        // the DuckDB oracle derives samples per CHARACTER (ord(c)); the
+        // WAV is built per BYTE — these agree only for ASCII text. Fail
+        // loud here if a regenerated fixture drifts to non-ASCII, rather
+        // than surfacing as an opaque oracle hash mismatch.
+        require(text.forall(_ < 128),
+          s"audioStatsQuery: non-ASCII text in doc $id breaks the per-character oracle")
         (id, buildPcm16Wav(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
       .mapPartitions { rows =>

@@ -161,12 +161,22 @@ object Sinks {
     spark.read.parquet(dir)
       .coalesce(nFiles.toInt)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: the rewrite is complete and durable before the old layout
-    // vanishes (a crash between delete and rename loses nothing that
-    // wasn't already re-written)
-    fs.delete(path, true)
-    if (!fs.rename(tmp, path))
+    // swap via aside-rename so a valid directory exists at every step:
+    // dir -> dir._old, tmp -> dir, delete dir._old. A crash after the
+    // first rename leaves the complete rewrite in ._compact_tmp and the
+    // original in ._compact_old (recover by renaming either back); the
+    // window with NO directory at `dir` that a delete-then-rename swap
+    // has is gone.
+    val old = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "._compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back; the original layout is intact
       throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    }
+    fs.delete(old, true)
     nFiles
   }
 }
