@@ -44,7 +44,9 @@ object SparkEntry {
     "metadata_sanitize" -> ((s, d) => EmbeddingStore.metadataSanitizeQuery(s, d)),
     "doc_embeddings" -> ((s, d) => EmbeddingStore.docEmbeddingsQuery(s, d)),
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
-    "multimodal_frames" -> ((s, d) => Multimodal.framesQuery(s, d)),
+    "multimodal_frames" -> ((s, d) => Multimodal.videoFramesQuery(s, d)),
+    "multimodal_frame_sample" -> ((s, d) => Multimodal.framesQuery(s, d)),
+    "multimodal_video_pixels" -> ((s, d) => Multimodal.videoPixelStatsQuery(s, d)),
     "multimodal_pixels" -> ((s, d) => Multimodal.pixelStatsQuery(s, d)),
     "multimodal_audio" -> ((s, d) => Multimodal.audioStatsQuery(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
@@ -226,7 +228,9 @@ object SparkEntry {
     "metadata_sanitize" -> EmbeddingStore.metadataSanitizeOracleSql,
     "doc_embeddings" -> EmbeddingStore.docEmbeddingsOracleSql(),
     "multimodal_features" -> Multimodal.featuresOracleSql,
-    "multimodal_frames" -> Multimodal.framesOracleSql(),
+    "multimodal_frames" -> Multimodal.videoFramesOracleSql,
+    "multimodal_frame_sample" -> Multimodal.framesOracleSql(),
+    "multimodal_video_pixels" -> Multimodal.videoPixelStatsOracleSql,
     "multimodal_pixels" -> Multimodal.pixelStatsOracleSql(),
     "multimodal_audio" -> Multimodal.audioStatsOracleSql,
     "doc_profile" -> TextAnalytics.docProfileSql,

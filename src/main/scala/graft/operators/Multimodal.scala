@@ -16,10 +16,13 @@ import org.apache.spark.sql.types._
   * recomputes from the source bytes). AUDIO decode is REAL too
   * (`javax.sound.sampled`, same JDK module): [[WavDecoder]] /
   * [[audioStatsQuery]] round-trip 16-bit PCM WAVs the same way. VIDEO
-  * codecs are the one modality the JDK cannot decode, so that body
-  * remains a DETERMINISTIC STUB behind the same pluggable `Decoder`
-  * seam; the Spark-side contract — schema, batch shape, per-partition
-  * init, narrow parallelism — is real and tested either way.
+  * is REAL as of round 6: [[graft.sources.AviCodec]] walks genuine
+  * RIFF/AVI containers and [[VideoDecoder]] decodes MJPEG frames via
+  * `ImageIO` (JPEG ships in the JDK) and uncompressed DIB frames
+  * straight from the buffer — [[videoFramesQuery]] /
+  * [[videoPixelStatsQuery]] round-trip multi-frame files per row.
+  * [[StubDecoder]] remains only as the fallback for OPAQUE payloads
+  * (codecs the JDK lacks, e.g. H.264), keeping the pluggable seam.
   *
   * Scale posture: media rows are large (MBs); every operator is a narrow
   * mapPartitions (no shuffle of binary payloads, decoder init amortized
@@ -49,9 +52,11 @@ object Multimodal {
     def features(payload: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB decoder — real impl would decode pixels/samples via a codec
-    * library. Deterministic fake: derives `dim` floats from a rolling
-    * hash of the payload so tests are hermetic and repeatable. */
+  /** Fallback decoder for OPAQUE payloads — formats no JDK codec
+    * decodes (H.264, …) and the text-bytes fixture. Real decoders:
+    * [[ImageDecoder]], [[WavDecoder]], [[VideoDecoder]]. Deterministic:
+    * derives `dim` floats from a rolling hash of the payload so tests
+    * are hermetic and repeatable. */
   object StubDecoder extends Decoder {
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
       var h = 1125899906842597L
@@ -447,4 +452,229 @@ object Multimodal {
                CAST(len(list_filter(generate_series(2, n),
                     i -> (s[i-1] < 0) <> (s[i] < 0))) AS BIGINT) AS zero_cross
         FROM t"""
+
+  // ---- video: REAL MJPEG / DIB frames in a real AVI container ----
+
+  private def videoDims(id: Long): (Int, Int) =
+    (16 + (id % 4).toInt * 8, 16 + (id % 3).toInt * 8)
+  private def videoPixDims(id: Long): (Int, Int) =
+    (8 + (id % 3).toInt * 4, 4 + (id % 2).toInt * 2)
+  private def videoFrameCount(n: Int): Int = 1 + n % 3
+
+  /** Deterministic grayscale MJPEG-in-AVI: frame f pixel (y,x) = byte
+    * ((f·w·h + y·w + x) mod n) — [[buildGrayPng]]'s recipe continued
+    * across frames — each frame JPEG-encoded (`ImageIO`, in the JDK)
+    * and boxed into a spec-complete RIFF container
+    * ([[graft.sources.AviCodec.buildAvi]]). */
+  def buildMjpegAvi(bytes: Array[Byte], w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    require(bytes.nonEmpty, "empty payload")
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0,
+            bytes(((f * w * h + y * w + x) % bytes.length).toInt) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    graft.sources.AviCodec.buildAvi(frames, w, h, "MJPG")
+  }
+
+  /** Oracle-checkable REAL video round trip, MJPEG flavor: video rows
+    * render their text bytes into an actual multi-frame MJPEG AVI, a
+    * distributed RIFF walk + per-frame `ImageIO.read` (JPEG ships in
+    * the JDK) decodes it back, and the query emits per-frame facts the
+    * decode PROVES — frame count from the container walk, raster
+    * dimensions from the decoded JPEG — that DuckDB recomputes from
+    * doc_id/length alone. JPEG is lossy, so pixel VALUES are checked by
+    * the DIB twin ([[videoPixelStatsQuery]]) and, with tolerance, by
+    * the spec; dims and count are exact. Narrow map (encode) → narrow
+    * mapPartitions (decode); the payload never shuffles. */
+  def videoFramesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2 && col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (w, h) = videoDims(id)
+        (id, buildMjpegAvi(
+          text.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+          w, h, videoFrameCount(text.length)))
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, avi) =>
+          val s = graft.sources.AviCodec.parseAvi(avi)
+          require(s.handler == "MJPG", s"expected MJPG stream, got ${s.handler}")
+          s.frames.iterator.zipWithIndex.map { case (frame, idx) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame))
+            require(img != null, s"frame $idx of doc $id is not decodable JPEG")
+            (id, idx, img.getWidth, img.getHeight)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_w", "frame_h")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** DuckDB twin of [[videoFramesQuery]]: dims and frame count are pure
+    * functions of doc_id and text length. */
+  def videoFramesOracleSql: String =
+    s"""WITH v AS (SELECT doc_id, length(text) AS n FROM documents
+          WHERE doc_id % 3 = 2 AND text IS NOT NULL AND length(text) > 0)
+        SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+          CAST(16 + (doc_id % 4) * 8 AS INT) AS frame_w,
+          CAST(16 + (doc_id % 3) * 8 AS INT) AS frame_h
+        FROM v, unnest(generate_series(0, CAST(1 + n % 3 AS BIGINT) - 1)) t(i)"""
+
+  /** Oracle-checkable REAL video round trip, uncompressed flavor: the
+    * same frames as [[videoFramesQuery]] but stored as bottom-up 24-bit
+    * DIB buffers in `00db` chunks (the classic uncompressed-AVI
+    * layout, `strf.biCompression = BI_RGB`) — LOSSLESS, so the decoded
+    * per-frame pixel statistics are exact integers DuckDB recomputes
+    * from the characters via circular prefix sums. The decoder takes
+    * width/height from the parsed `strf` header, not from the builder's
+    * arguments — the container round trip is load-bearing. */
+  def videoPixelStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2 && col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"videoPixelStatsQuery: non-ASCII text in doc $id breaks the per-character oracle")
+        val (w, h) = videoPixDims(id)
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val frames = (0 until videoFrameCount(text.length)).map { f =>
+          graft.sources.AviCodec.buildDibFrame(w, h,
+            (y, x) => bytes((f * w * h + y * w + x) % bytes.length) & 0xff)
+        }
+        (id, graft.sources.AviCodec.buildAvi(frames, w, h, "DIB "))
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, avi) =>
+          val s = graft.sources.AviCodec.parseAvi(avi)
+          require(s.compression == 0, s"expected BI_RGB stream, got ${s.compression}")
+          s.frames.iterator.zipWithIndex.map { case (frame, idx) =>
+            var sum = 0L; var mn = 256; var mx = -1
+            var y = 0
+            while (y < s.height) {
+              var x = 0
+              while (x < s.width) {
+                val v = graft.sources.AviCodec.dibPixel(frame, s.width, s.height, y, x)
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            (id, idx, s.width, s.height, sum, mn, mx)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_w", "frame_h", "px_sum", "px_min", "px_max")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** DuckDB twin of [[videoPixelStatsQuery]]: frame f covers the
+    * circular byte window [f·w·h, (f+1)·w·h); its sum is a difference
+    * of circular prefix sums F(t) = (t div n)·total + S(t mod n), and
+    * min/max split on whether the window wraps. */
+  def videoPixelStatsOracleSql: String =
+    s"""WITH v AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''), c -> ord(c)) AS codes,
+                 length(text) AS n,
+                 CAST(8 + (doc_id % 3) * 4 AS INT) AS w,
+                 CAST(4 + (doc_id % 2) * 2 AS INT) AS h
+          FROM documents
+          WHERE doc_id % 3 = 2 AND text IS NOT NULL AND length(text) > 0),
+        f AS (
+          SELECT doc_id, codes, n, w, h, w * h AS px, CAST(i AS INT) AS frame_idx,
+                 (i * w * h) % n AS a
+          FROM v, unnest(generate_series(0, CAST(1 + n % 3 AS BIGINT) - 1)) t(i))
+        SELECT doc_id AS media_id, frame_idx, w AS frame_w, h AS frame_h,
+          CAST(((a + px) // n) * list_sum(codes)
+               - coalesce(list_sum(list_slice(codes, 1, a)), 0)
+               + coalesce(list_sum(list_slice(codes, 1, (a + px) % n)), 0)
+               AS BIGINT) AS px_sum,
+          CAST(CASE WHEN px >= n THEN list_min(codes)
+               WHEN a + px <= n THEN list_min(list_slice(codes, a + 1, a + px))
+               ELSE least(list_min(list_slice(codes, a + 1, n)),
+                          list_min(list_slice(codes, 1, (a + px) % n))) END AS INT) AS px_min,
+          CAST(CASE WHEN px >= n THEN list_max(codes)
+               WHEN a + px <= n THEN list_max(list_slice(codes, a + 1, a + px))
+               ELSE greatest(list_max(list_slice(codes, a + 1, n)),
+                             list_max(list_slice(codes, 1, (a + px) % n))) END AS INT) AS px_max
+        FROM f"""
+
+  /** REAL video feature decoder for the [[Decoder]] seam: RIFF-walk the
+    * AVI, decode every frame (MJPEG via `ImageIO`, DIB straight from
+    * the buffer), mean-pool (r+g+b)/(3·255) per vertical strip across
+    * ALL frames — the video twin of [[ImageDecoder]]/[[WavDecoder]].
+    * Integer sums, one division per strip: deterministic. */
+  object VideoDecoder extends Decoder {
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val s = graft.sources.AviCodec.parseAvi(payload)
+      require(s.frames.nonEmpty, "AVI has no frames")
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      for (frame <- s.frames) {
+        if (s.handler == "MJPG") {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+          require(img != null, "undecodable MJPEG frame")
+          // single-band (grayscale) rasters are read raw: getRGB would
+          // push linear gray through an sRGB conversion and shift values
+          val gray = img.getRaster.getNumBands == 1
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val strip = math.min(dim - 1, x * dim / img.getWidth)
+              if (gray) sums(strip) += 3L * img.getRaster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                sums(strip) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              }
+              counts(strip) += 1
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          var y = 0
+          while (y < s.height) {
+            var x = 0
+            while (x < s.width) {
+              val strip = math.min(dim - 1, x * dim / s.width)
+              sums(strip) += 3L * graft.sources.AviCodec.dibPixel(frame, s.width, s.height, y, x)
+              counts(strip) += 1
+              x += 1
+            }
+            y += 1
+          }
+        }
+      }
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        out(j) = if (counts(j) == 0) 0f
+                 else (sums(j).toDouble / (counts(j) * 3.0 * 255.0)).toFloat
+        j += 1
+      }
+      out
+    }
+  }
 }
