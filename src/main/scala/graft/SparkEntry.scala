@@ -61,6 +61,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
     "doc_novelty" -> ((s, d) => TextAnalytics.docNovelty(s, d)),
     "bm25_search" -> ((s, d) => TextAnalytics.bm25Search(s, d)),
+    "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)),
     "quality_filter" -> ((s, d) => TextAnalytics.qualityFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
@@ -243,6 +244,7 @@ object SparkEntry {
     "lang_top_words" -> TextAnalytics.langTopWordsSql(),
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
     "bm25_search" -> TextAnalytics.bm25SearchSql(),
+    "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     "quality_filter" -> TextAnalytics.qualityFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,

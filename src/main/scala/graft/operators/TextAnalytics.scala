@@ -739,4 +739,94 @@ object TextAnalytics {
                (rn - 1) // $batchSize AS batch_id,
                (rn - 1) % $batchSize AS slot
         FROM r"""
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical leg
+    * ([[bm25Search]]) and the cosine semantic leg (pseudo-embedded
+    * query vs pseudo-embedded corpus) over the SAME documents — the
+    * fusion every real retrieval stack runs, and the scaled-out shape
+    * of the reference's lexical-then-semantic cascade
+    * (/root/reference/src/agents.py:104-156, J1).
+    *
+    * RRF stays EXACT across engines by carrying the score as a rational:
+    * with both legs present, 1/(K+r₁) + 1/(K+r₂) =
+    * (2K+r₁+r₂)/((K+r₁)(K+r₂)) — integer numerator/denominator columns;
+    * the ordering key is the one IEEE division num/den both engines
+    * compute bit-identically from the same integers.
+    *
+    * Scale shape: each leg ends in a distributed top-k
+    * (TakeOrderedAndProject), so the fusion joins two ≤k-row sets —
+    * driver-free and broadcast-sized no matter the corpus. */
+  def hybridSearch(spark: SparkSession, dir: String,
+                   terms: Seq[String] = Seq("vector", "scan", "merge"),
+                   k: Int = 20, kRrf: Int = 60, kOut: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val lex = bm25Search(spark, dir, terms, k)
+      .select(col("doc_id"), col("rnk").as("lex_rank"))
+    val qEmb = SchemaRetrieval.pseudoEmbed(lit(terms.mkString(" ")), dim)
+    val sem = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.cosine(
+          qEmb, SchemaRetrieval.pseudoEmbed(col("text"), dim)).as("score"))
+      .filter(col("score").isNotNull) // NULL-score contract (see Similarity.topK)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k) // window below then ranks k rows, not the corpus
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+    val l = col("lex_rank").cast("long")
+    val v = col("vec_rank").cast("long")
+    val both = l.isNotNull && v.isNotNull
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_num", when(both, (l + kRrf) + (v + kRrf)).otherwise(lit(1L)))
+      .withColumn("rrf_den", when(both, (l + kRrf) * (v + kRrf))
+        .otherwise(coalesce(l, v) + kRrf))
+      .withColumn("rrf", col("rrf_num").cast("double") / col("rrf_den").cast("double"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(kOut)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        col("rrf_num"), col("rrf_den"))
+      .orderBy(col("rnk"))
+  }
+
+  /** DuckDB twin of [[hybridSearch]]: the full BM25 SQL rides along as a
+    * nested CTE; the semantic leg hoists the content hash so the
+    * pseudo-embedding is built once per document. */
+  def hybridSearchSql(terms: Seq[String] = Seq("vector", "scan", "merge"),
+                      k: Int = 20, kRrf: Int = 60, kOut: Int = 10): String = {
+    val dim = 64
+    val qLit = "'" + terms.mkString(" ") + "'"
+    def embOf(ph: String) =
+      s"list_transform(generate_series(0, ${dim - 1}), i -> " +
+      s"CAST(($ph * (2*i + 3) + i) % 1021 AS DOUBLE) / 1024.0)"
+    s"""WITH lexq AS (${bm25SearchSql(terms, k)}),
+        lex AS (SELECT doc_id, rnk AS lex_rank FROM lexq),
+        d0 AS (SELECT doc_id, ${Dedup.chashSql("text")} AS ph FROM documents),
+        d AS (SELECT doc_id, ${embOf("ph")} AS emb FROM d0),
+        q AS (SELECT ${embOf(Dedup.chashSql(qLit))} AS q_emb),
+        sem0 AS (SELECT doc_id,
+                 ${graft.functions.VectorFunctions.cosineSql("q_emb", "emb")} AS score
+                 FROM d CROSS JOIN q),
+        semr AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS vec_rank
+                 FROM sem0 WHERE score IS NOT NULL),
+        sem AS (SELECT doc_id, vec_rank FROM semr WHERE vec_rank <= $k),
+        fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, vec_rank
+                  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        sc AS (SELECT doc_id, lex_rank, vec_rank,
+               CAST(CASE WHEN lex_rank IS NOT NULL AND vec_rank IS NOT NULL
+                    THEN (lex_rank + $kRrf) + (vec_rank + $kRrf) ELSE 1 END AS BIGINT) AS rrf_num,
+               CAST(CASE WHEN lex_rank IS NOT NULL AND vec_rank IS NOT NULL
+                    THEN (lex_rank + $kRrf) * (vec_rank + $kRrf)
+                    ELSE coalesce(lex_rank, vec_rank) + $kRrf END AS BIGINT) AS rrf_den
+               FROM fused),
+        r AS (SELECT sc.*, CAST(row_number() OVER (
+                ORDER BY CAST(rrf_num AS DOUBLE) / CAST(rrf_den AS DOUBLE) DESC, doc_id)
+                AS INT) AS rnk
+              FROM sc)
+        SELECT rnk, doc_id, lex_rank, vec_rank, rrf_num, rrf_den
+        FROM r WHERE rnk <= $kOut"""
+  }
 }

@@ -320,6 +320,54 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(out(1)._3 - expected) < 1e-12)
   }
 
+  test("hybridSearch: RRF fuses the two legs exactly; rational score columns consistent") {
+    import graft.operators.{TextAnalytics, SchemaRetrieval}
+    val terms = Seq("dog", "cat", "absent")
+    // k=3 on a 5-doc corpus: the legs only partially overlap, so the
+    // fusion sees both lexical-only and vector-only docs
+    val out = TextAnalytics.hybridSearch(spark, corpusDir, terms,
+        k = 3, kRrf = 60, kOut = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int]),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq == (1 to out.length)) // contiguous ranks
+
+    // independent recompute: lexical ranks from bm25Search, semantic
+    // ranks from a local pseudo-embed + cosine over the corpus
+    val lex = TextAnalytics.bm25Search(spark, corpusDir, terms, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def cos(a: Array[Float], b: Array[Float]): Option[Double] = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) =>
+          (d + x.toDouble * y.toDouble, na + x.toDouble * x.toDouble, nb + y.toDouble * y.toDouble)
+      }
+      if (na == 0.0 || nb == 0.0) None else Some(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val q = SchemaRetrieval.pseudoEmbedLocal(terms.mkString(" "), 64)
+    val vec = docs.flatMap { case (id, t) =>
+        cos(q, SchemaRetrieval.pseudoEmbedLocal(t, 64)).map(id -> _) }
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }
+      .filter(_._2 <= 3).toMap
+    val fusedIds = (lex.keySet ++ vec.keySet).toSeq
+    val expect = fusedIds.map { id =>
+        val (l, v) = (lex.get(id), vec.get(id))
+        val (num, den) = (l, v) match {
+          case (Some(a), Some(b)) => ((a + b + 120).toLong, ((a + 60).toLong * (b + 60)))
+          case _                  => (1L, (l.orElse(v).get + 60).toLong)
+        }
+        (id, l, v, num, den)
+      }.sortBy { case (id, _, _, num, den) => (-num.toDouble / den, id) }
+    assert(out.toSeq == expect.take(out.length).zipWithIndex.map {
+      case ((id, l, v, num, den), i) => (i + 1, id, l, v, num, den) })
+    // both legs contribute: the corpus has lexical-only and vector-only docs
+    assert(out.exists(_._3.isEmpty) && out.exists(_._4.isEmpty))
+  }
+
   test("qualityFilter: rule reasons accumulate in order; clean doc keeps") {
     import graft.operators.TextAnalytics
     // corpus docs: 0-2 have 9 tokens, 8 distinct ('the' twice in 0-1,
