@@ -107,6 +107,7 @@ object SparkEntry {
     "events_asof" -> ((s, d) => Events.asofClickBeforePurchase(s, d)),
     "events_range_join" -> ((s, d) => Events.clicksBeforePurchase(s, d)),
     "events_props" -> ((s, d) => Events.propsExtract(s, d)),
+    "events_props_variant" -> ((s, d) => Events.propsExtractVariant(s, d)),
     "events_distinct_kmv" -> ((s, d) => Sketches.distinctUsersKmv(s, d)),
     "events_kmv_setops" -> ((s, d) => Sketches.kmvSetOps(s, d)),
     // --- JSON repair (SURVEY §2.7 E2-E4) over noisy wrapped props ---
@@ -299,6 +300,7 @@ object SparkEntry {
     "events_asof" -> Events.asofClickBeforePurchaseSql,
     "events_range_join" -> Events.clicksBeforePurchaseSql,
     "events_props" -> Events.propsExtractSql,
+    "events_props_variant" -> Events.propsExtractVariantSql,
     "events_distinct_kmv" -> Sketches.distinctUsersKmvSql(),
     "events_kmv_setops" -> Sketches.kmvSetOpsSql(),
     "json_repair" -> {

@@ -180,4 +180,46 @@ object Events {
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY 1"""
+
+  /** VariantType adoption (SURVEY §1.2 maps the reference's jsonb to
+    * Spark 4 `VariantType`): the dynamic-JSON column is `parse_json`ed
+    * ONCE per row into a variant, then every field access is a
+    * `variant_get` shredded read of the binary encoding — unlike
+    * [[propsExtract]]'s `get_json_object`, which re-parses the JSON
+    * text per extracted field. The fixture's one-key props is enriched
+    * into a nested object in-plan so the query exercises multi-field /
+    * nested-path access. [[graft.VariantProbe]] measures the shapes at
+    * sf0.1: parity at 3 fields of a tiny object (plan floor dominates),
+    * ~1.2× over per-field text re-parse at 8 fields of a 21-field
+    * object, growing with field count and object size. Output is plain
+    * longs, so the DuckDB twin needs no variant support. */
+  def propsExtractVariant(spark: SparkSession, dir: String): DataFrame = {
+    val j = concat(lit("""{"p": """), col("props"),
+      lit(""", "u": """), col("user_id").cast("string"),
+      lit(", \"t\": \""), col("event_type"), lit("\"}"))
+    val v = parse_json(j)
+    Tables.loadWide(spark, dir, "events")
+      .select(col("event_type"), v.as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.p.k", "long").as("k"),
+        variant_get(col("v"), "$.u", "long").as("u"),
+        length(variant_get(col("v"), "$.t", "string")).as("tlen"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("u")).as("sum_u"), sum(col("tlen")).cast(LongType).as("sum_tlen"))
+      .orderBy(col("event_type"))
+  }
+  def propsExtractVariantSql: String =
+    """WITH j AS (SELECT event_type,
+         '{"p": ' || props || ', "u": ' || CAST(user_id AS VARCHAR) ||
+         ', "t": "' || event_type || '"}' AS js
+         FROM events)
+       SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract(js, '$.p.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         min(CAST(json_extract(js, '$.p.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract(js, '$.p.k') AS BIGINT)) AS max_k,
+         CAST(sum(CAST(json_extract(js, '$.u') AS BIGINT)) AS BIGINT) AS sum_u,
+         CAST(sum(length(json_extract_string(js, '$.t'))) AS BIGINT) AS sum_tlen
+       FROM j GROUP BY 1"""
 }
