@@ -65,14 +65,70 @@ object Sinks {
     * overwrite here would silently destroy prior batches for any caller
     * treating this as the drop-in relational variant. */
   def writeJdbc(df: DataFrame, url: String, table: String,
-                numPartitions: Int = 1): Unit = {
+                numPartitions: Int = 1,
+                writeOptions: Map[String, String] = Map.empty): Unit = {
     dialectRegistered
     df.coalesce(numPartitions)
       .write.mode("append")
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
+      .options(writeOptions)
       .save()
+  }
+
+  /** Exactly-once relational sink: stage-and-merge. Plain [[writeJdbc]]
+    * is at-least-once — a task retry after a partial commit (autocommit
+    * drivers, `isolationLevel=NONE`, or a crash between the partition
+    * commit and the task-success registration) duplicates rows. Here the
+    * job appends to a per-batch STAGING table (retries may dupe there —
+    * harmless), then ONE driver-side transaction moves rows into the
+    * target deduplicated by `key` within the stage AND anti-joined
+    * against rows already in the target, then drops the stage. Crash
+    * anywhere → the target is untouched (single transaction) and a
+    * re-run with the same `batchId` first clears the stale stage —
+    * idempotent end to end. `key` must be non-null and unique per
+    * logical row (the reference's document id, supabase_client.py:60).
+    *
+    * 100 TB shape: the stage write scales with executors exactly like
+    * [[writeJdbc]]; the merge is one set-oriented statement INSIDE the
+    * database (no data moves through the driver). */
+  def writeJdbcExactlyOnce(df: DataFrame, url: String, table: String,
+                           key: String, batchId: String,
+                           numPartitions: Int = 1,
+                           writeOptions: Map[String, String] = Map.empty): Unit = {
+    dialectRegistered
+    require(batchId.matches("[A-Za-z0-9_]+"), s"batchId must be [A-Za-z0-9_]+: $batchId")
+    val stage = s"${table}__stage_$batchId"
+    def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    // a crashed prior attempt with this batchId left a stale stage: clear it
+    withConn(_.createStatement().execute(s"DROP TABLE IF EXISTS ${q(stage)}"))
+    df.coalesce(numPartitions)
+      .write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", stage)
+      .options(writeOptions).save()
+    val cols = df.schema.fieldNames.map(q).mkString(", ")
+    withConn { conn =>
+      conn.setAutoCommit(false)
+      try {
+        val st = conn.createStatement()
+        st.execute(
+          s"CREATE TABLE IF NOT EXISTS ${q(table)} AS SELECT * FROM ${q(stage)} LIMIT 0")
+        st.execute(
+          s"""INSERT INTO ${q(table)} ($cols)
+              SELECT $cols FROM (
+                SELECT *, row_number() OVER (PARTITION BY ${q(key)}) AS __rn
+                FROM ${q(stage)}) s
+              WHERE __rn = 1 AND NOT EXISTS (
+                SELECT 1 FROM ${q(table)} t WHERE t.${q(key)} = s.${q(key)})""")
+        st.execute(s"DROP TABLE ${q(stage)}")
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    }
   }
 
   def readJdbc(spark: SparkSession, url: String, table: String): DataFrame = {

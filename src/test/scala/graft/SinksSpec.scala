@@ -63,6 +63,52 @@ class SinksSpec extends AnyFunSuite {
     assert(numsBack.agg(sum(col("k")).cast("long")).head().getLong(0) == 5050L)
   }
 
+  test("exactly-once JDBC: a real task retry dupes the plain append but not the staged merge") {
+    assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
+      "DuckDB JDBC driver not on classpath")
+    import org.apache.spark.TaskContext
+    val url = s"jdbc:duckdb:${tmp("jdbc1x")}/once.db"
+    // partition 0's FIRST attempt dies after yielding 3 of its rows;
+    // local[4, 2] retries it and the retry sees all rows. With
+    // isolationLevel=NONE + batchsize=1 each row commits immediately, so
+    // the failed attempt's rows are durable — the classic dupe scenario.
+    def flaky = spark.range(0, 20, 1, 2).toDF("id").as[Long].mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc.partitionId() == 0 && tc.attemptNumber() == 0)
+        it.zipWithIndex.map { case (v, i) =>
+          if (i == 3) throw new RuntimeException("injected task failure") else v
+        }
+      else it
+    }.toDF("id")
+    val leaky = Map("isolationLevel" -> "NONE", "batchsize" -> "1")
+
+    Sinks.writeJdbc(flaky, url, "plain", numPartitions = 2, writeOptions = leaky)
+    val plainRows = Sinks.readJdbc(spark, url, "plain").count()
+    assert(plainRows > 20, s"expected duplicated rows in plain append, got $plainRows")
+
+    Sinks.writeJdbcExactlyOnce(flaky, url, "target", key = "id",
+      batchId = "b1", numPartitions = 2, writeOptions = leaky)
+    val got = Sinks.readJdbc(spark, url, "target")
+      .selectExpr("CAST(id AS LONG) AS id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 20L), s"exactly-once violated: $got")
+
+    // same batch re-run (driver-level retry): still no dupes
+    Sinks.writeJdbcExactlyOnce(spark.range(0, 20, 1, 2).toDF("id"), url, "target",
+      key = "id", batchId = "b1", numPartitions = 2)
+    assert(Sinks.readJdbc(spark, url, "target").count() == 20)
+    // next batch with fresh ids appends
+    Sinks.writeJdbcExactlyOnce(spark.range(20, 25).toDF("id"), url, "target",
+      key = "id", batchId = "b2")
+    assert(Sinks.readJdbc(spark, url, "target").count() == 25)
+    // no stage tables left behind
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT count(*) FROM information_schema.tables WHERE table_name LIKE '%__stage_%'")
+      rs.next(); assert(rs.getLong(1) == 0L)
+    } finally conn.close()
+  }
+
   test("K1 uploadBinary: file_url addresses the written object store") {
     val bucket = tmp("bucket")
     val df = Seq(("in/a b.txt", "payload".getBytes("UTF-8")))

@@ -7,7 +7,7 @@ object TestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .appName("graft-test")
-      .master("local[4]")
+      .master("local[4, 2]") // 2 task attempts: lets specs exercise task retry
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
