@@ -121,7 +121,9 @@ object BinaryIngest {
     * three words), the docx is one paragraph (full text), one blank
     * paragraph (the parser must drop it) and a one-row table of the
     * first three words (flattened " | "), the png is the text rasterized
-    * on the glyph grid and recognized back by template matching —
+    * SCANNER-GRADE (2x scale, ±1px per-character jitter, salt-and-pepper
+    * noise, seeded by doc_id) and recognized back by best-shift
+    * nearest-glyph template matching —
     * structure the DuckDB twin reproduces from the text alone. `length`
     * is the logical payload size (UTF-8 text bytes), not the container
     * size, which a SQL oracle could not recompute from zip/deflate/png
@@ -145,7 +147,7 @@ object BinaryIngest {
           case "docx" =>
             DocFormats.buildDocx(Seq(text, ""),
               if (head3.nonEmpty) Seq(head3) else Nil)
-          case "png" => GlyphOcr.render(text)
+          case "png" => GlyphOcr.renderNoisy(text, seed = id)
           case _ => payload
         }
         (s"mem://in/Doc&$id.$e", content, payload.length.toLong)

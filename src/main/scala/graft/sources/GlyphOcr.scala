@@ -173,42 +173,191 @@ object GlyphOcr {
     out.toByteArray
   }
 
-  /** The S5 parser: decode the raster, walk the cell grid, match each
-    * 5x7 ink bitmap against the atlas. Cells with unknown ink read as
-    * '?' (noise tolerance a template matcher owes its caller); lines are
-    * right-trimmed and joined with '\n'. Throws on undecodable bytes or
-    * an image that is not on the cell grid. */
+  /** splitmix64 — the pixel/jitter PRNG. Pure function of its input, so
+    * the noisy render is bit-deterministic for a given (text, seed). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Scanner-grade rasterization: `scale`x resolution, each character's
+    * ink jittered by ±1 device pixel (independently per cell, derived
+    * from `seed`), plus salt-and-pepper pixel flips at
+    * `saltPepperPerMille`/1000 density. The glyph ink sits at a 1-device-
+    * pixel inset inside the scaled cell, so jitter never bleeds across
+    * cell boundaries. [[Parser]] reads this back EXACTLY (best-shift
+    * majority-downsample + nearest-glyph Hamming): a flipped device pixel
+    * changes a 2x2 ink block's dark count by one, which the >=half
+    * majority vote absorbs, and the shift search re-aligns the jitter. */
+  def renderNoisy(text: String,
+                  seed: Long,
+                  scale: Int = 2,
+                  saltPepperPerMille: Int = 4): Array[Byte] = {
+    require(scale >= 2 && scale <= 4, "noisy render wants scale in 2..4")
+    val s = scale
+    val lines = text.split("\n", -1).map(_.codePoints().toArray)
+    val w = math.max(1, lines.map(_.length).max) * CellW * s
+    val h = lines.length * CellH * s
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.WHITE)
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    for ((line, li) <- lines.zipWithIndex; (cp, ci) <- line.zipWithIndex) {
+      val rows = glyphRows(substitute(cp))
+      val j = mix64(seed ^ (li.toLong << 32) ^ ci.toLong)
+      val jx = Math.floorMod(j, 3L).toInt - 1          // -1, 0, +1 device pixels
+      val jy = Math.floorMod(j >>> 8, 3L).toInt - 1
+      val x0 = ci * CellW * s + 1 + jx    // 1-px inset keeps jitter in-cell
+      val y0 = li * CellH * s + 1 + jy
+      for (r <- 0 until GlyphH; c <- 0 until GlyphW if rows(r)(c) == '#';
+           dy <- 0 until s; dx <- 0 until s)
+        img.setRGB(x0 + c * s + dx, y0 + r * s + dy, 0x000000)
+    }
+    // salt-and-pepper: flip isolated device pixels, both directions
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (java.lang.Long.remainderUnsigned(
+              mix64(seed ^ 0x5A17AB1EL ^ (y.toLong * w + x)), 1000L)
+            < saltPepperPerMille) {
+          val dark = (img.getRGB(x, y) & 0xFF) < 128
+          img.setRGB(x, y, if (dark) 0xFFFFFF else 0x000000)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Max acceptable device-pixel Hamming distance PER LOGICAL PIXEL AREA
+    * (multiplied by s*s) before a cell reads as '?' — keeps genuine
+    * garbage from aliasing to a glyph. */
+  private val MaxCellDist = 6
+
+  private val atlasSorted: Array[(Char, Seq[String])] =
+    glyphRows.toArray.sortBy(_._1)
+
+  /** The S5 parser: decode the raster, detect the render scale (1x clean
+    * or 2-4x scanner-grade, by whichever grid explains the pixels with
+    * the least total Hamming cost), walk the cell grid, and match each
+    * cell AT DEVICE RESOLUTION against scaled glyph templates rendered
+    * at every jitter offset the renderer can produce. Matching the full
+    * device cell (not a downsampled window) is what makes ±1-device-
+    * pixel jitter unambiguous: a window shifted by a whole logical row
+    * would alias 'P' to 'p' or '_' to ' ', but at device resolution the
+    * ink the wrong reading ignores is still inside the cell and counts
+    * against it. Salt-and-pepper flips cost one bit each, far below the
+    * >= s*s-per-logical-pixel margin between distinct glyphs; at scale 1
+    * the single (0,0) offset makes clean renders byte-identical to exact
+    * template matching. Cells beyond MaxCellDist*s*s read as '?'; lines
+    * are right-trimmed and joined with '\n'. Throws on undecodable bytes
+    * or an image on no supported cell grid. */
   object Parser extends BinaryIngest.BinaryParser {
-    def parse(bytes: Array[Byte]): String = {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null)
-        throw new IllegalArgumentException("undecodable image bytes")
+
+    /** Device-resolution cell bitmap packed row-major into Longs. */
+    private def cellBits(img: BufferedImage, ci: Int, li: Int, s: Int): Array[Long] = {
+      val (cw, ch) = (CellW * s, CellH * s)
+      val bits = new Array[Long]((cw * ch + 63) / 64)
+      val (x0, y0) = (ci * cw, li * ch)
+      var i = 0
+      while (i < cw * ch) {
+        if ((img.getRGB(x0 + i % cw, y0 + i / cw) & 0xFF) < 128)
+          bits(i / 64) |= (1L << (i % 64))
+        i += 1
+      }
+      bits
+    }
+
+    /** Glyph template at scale s drawn at in-cell ink offset (ox, oy):
+      * each ink pixel becomes an s x s block, exactly as the renderers
+      * draw it. Cached per JVM — the atlas is a tiny constant. */
+    private val templateCache =
+      new java.util.concurrent.ConcurrentHashMap[(Char, Int, Int, Int), Array[Long]]()
+
+    private def template(c: Char, s: Int, ox: Int, oy: Int): Array[Long] =
+      templateCache.computeIfAbsent((c, s, ox, oy), { _ =>
+        val (cw, ch) = (CellW * s, CellH * s)
+        val bits = new Array[Long]((cw * ch + 63) / 64)
+        val rows = glyphRows(c)
+        for (r <- 0 until GlyphH; col <- 0 until GlyphW if rows(r)(col) == '#';
+             dy <- 0 until s; dx <- 0 until s) {
+          val i = (oy + r * s + dy) * cw + (ox + col * s + dx)
+          bits(i / 64) |= (1L << (i % 64))
+        }
+        bits
+      })
+
+    private def hamming(a: Array[Long], b: Array[Long]): Int = {
+      var d = 0
+      var i = 0
+      while (i < a.length) { d += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+      d
+    }
+
+    /** (best char, best device distance) for one cell: offsets searched
+      * in centered-out order, glyphs in sorted order — deterministic,
+      * strict improvement wins, exact match short-circuits. */
+    private def bestGlyph(cell: Array[Long], s: Int): (Char, Int) = {
+      val inset = if (s > 1) 1 else 0
+      val offsets =
+        (for (jy <- -inset to inset; jx <- -inset to inset) yield (inset + jx, inset + jy))
+          .sortBy { case (ox, oy) => (math.abs(ox - inset) + math.abs(oy - inset), oy, ox) }
+      var bestC = '?'
+      var bestD = Int.MaxValue
+      for ((ox, oy) <- offsets if bestD > 0) {
+        var gi = 0
+        while (gi < atlasSorted.length && bestD > 0) {
+          val c = atlasSorted(gi)._1
+          val d = hamming(cell, template(c, s, ox, oy))
+          if (d < bestD) { bestD = d; bestC = c }
+          gi += 1
+        }
+      }
+      (bestC, bestD)
+    }
+
+    /** Decode the grid at scale s; returns (text, total device cost). */
+    private def decodeAt(img: BufferedImage, s: Int): (String, Long) = {
       val (w, h) = (img.getWidth, img.getHeight)
-      if (w % CellW != 0 || h % CellH != 0)
-        throw new IllegalArgumentException(
-          s"image ${w}x$h is not on the ${CellW}x$CellH glyph grid")
       val sb = new StringBuilder
+      var cost = 0L
       var li = 0
-      while (li < h / CellH) {
+      while (li < h / (CellH * s)) {
         val line = new StringBuilder
         var ci = 0
-        while (ci < w / CellW) {
-          var mask = 0L
-          var i = 0
-          while (i < GlyphW * GlyphH) {
-            val x = ci * CellW + i % GlyphW
-            val y = li * CellH + i / GlyphW
-            if ((img.getRGB(x, y) & 0xFF) < 128) mask |= (1L << i)
-            i += 1
-          }
-          line.append(reverse.getOrElse(mask, '?'))
+        while (ci < w / (CellW * s)) {
+          val (c, d) = bestGlyph(cellBits(img, ci, li, s), s)
+          line.append(if (d <= MaxCellDist * s * s) c else '?')
+          cost += d
           ci += 1
         }
         if (li > 0) sb.append('\n')
         sb.append(line.toString.replaceAll(" +$", ""))
         li += 1
       }
-      sb.toString
+      (sb.toString, cost)
+    }
+
+    def parse(bytes: Array[Byte]): String = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException("undecodable image bytes")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val scales = (1 to 4).filter(s => w % (CellW * s) == 0 && h % (CellH * s) == 0)
+      if (scales.isEmpty)
+        throw new IllegalArgumentException(
+          s"image ${w}x$h is not on the ${CellW}x$CellH glyph grid")
+      // normalize cost per logical area so scales compete fairly; ties
+      // resolve to the smallest scale (the clean-grid reading)
+      scales.map(s => (decodeAt(img, s), s))
+        .minBy { case ((_, cost), s) => cost.toDouble / (s * s) }._1._1
     }
   }
 }

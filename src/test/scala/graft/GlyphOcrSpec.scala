@@ -52,6 +52,55 @@ class GlyphOcrSpec extends AnyFunSuite {
       GlyphOcr.Parser.parse("not an image".getBytes("UTF-8")))
   }
 
+  test("noisy roundtrip: 2x scale + ±1px jitter + salt-and-pepper decodes exactly") {
+    val cs = GlyphOcr.supported.toVector
+    val rnd = new scala.util.Random(7)
+    var cells = 0L
+    for (trial <- 1 to 200) {
+      val s = Seq.fill(1 + rnd.nextInt(80))(cs(rnd.nextInt(cs.size))).mkString
+      val got = GlyphOcr.Parser.parse(GlyphOcr.renderNoisy(s, seed = trial.toLong))
+      assert(got == s.replaceAll(" +$", ""), s"noisy roundtrip failed for: '$s'")
+      cells += s.length
+    }
+    // recall: every one of the noisy-rendered cells decoded to its true
+    // glyph (the assertion above IS the per-cell recall check)
+    info(s"noisy-render recall: $cells/$cells cells exact (100%)")
+  }
+
+  test("noisy roundtrip at 3x scale") {
+    val text = "Quick brown fox 123!"
+    assert(GlyphOcr.Parser.parse(GlyphOcr.renderNoisy(text, seed = 9L, scale = 3)) == text)
+  }
+
+  test("noisy roundtrip: heavier noise still decodes (per-flip cost is far under the glyph margin)") {
+    val text = "resilient to scanner noise"
+    val got = GlyphOcr.Parser.parse(
+      GlyphOcr.renderNoisy(text, seed = 11L, saltPepperPerMille = 10))
+    assert(got == text)
+  }
+
+  test("noisy multi-line render decodes per band") {
+    val text = "first line\nx\nlonger third line"
+    assert(GlyphOcr.Parser.parse(GlyphOcr.renderNoisy(text, seed = 3L)) == text)
+  }
+
+  test("noisy render is bit-deterministic for a fixed seed") {
+    val a = GlyphOcr.renderNoisy("determinism", seed = 42L)
+    val b = GlyphOcr.renderNoisy("determinism", seed = 42L)
+    assert(java.util.Arrays.equals(a, b))
+    val c = GlyphOcr.renderNoisy("determinism", seed = 43L)
+    assert(!java.util.Arrays.equals(a, c), "different seeds should differ")
+  }
+
+  test("garbage ink beyond the Hamming threshold reads as '?'") {
+    // an on-grid all-black image: every cell is distance >= 35 - maxInk
+    // from every glyph, far beyond the threshold
+    val img = new java.awt.image.BufferedImage(6, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    assert(GlyphOcr.Parser.parse(out.toByteArray) == "?")
+  }
+
   test("substituteSql mirrors the renderer's substitution charset") {
     // the regex class must treat exactly GlyphOcr.supported as supported
     val re = GlyphOcr.unsupportedClass.r
