@@ -316,6 +316,39 @@ object Similarity {
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
   }
 
+  /** Serve sign-LSH top-k from a bucket-PARTITIONED store directory —
+    * the read side of the incrementally-maintained streaming ANN index
+    * (StreamOps.streamLshTopKQuery writes it micro-batch by micro-batch
+    * with `partitionBy(bucket)`). The probe set is collected first —
+    * O(nQueries) ints of QUERY-side metadata, same legitimacy class as
+    * the IVF codebook collect — and pushed as a static partition filter,
+    * so the scan lists and reads ONLY the probed bucket directories: at
+    * 100 TB the index answers a top-k probe touching 1/2^bits of the
+    * store, with no rebuild and no shuffle of the corpus. Results are
+    * byte-identical to [[lshTopK]] at the same `bits` — same buckets,
+    * same cosine, same ranks. */
+  def serveLshTopKFromStore(spark: SparkSession, dir: String, storeDir: String,
+                            k: Int = 3, nQueries: Int = 10,
+                            bits: Int = 6): DataFrame = {
+    val queries = Tables.loadWide(spark, dir, "embeddings")
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        signBucket(col("embedding"), bits).as("probe"))
+    val probes = queries.select(col("probe")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val corpus = spark.read.parquet(storeDir)
+      .where(col("bucket").isin(probes: _*))
+    val scored = corpus.join(broadcast(queries),
+        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .filter(col("score").isNotNull)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** IVF-Flat ANN top-k — the second scale path beside sign-LSH: coarse-
     * quantize the corpus ONCE into `nCells` centroid cells (one narrow
     * assignment pass — argmax cosine against the codebook), then answer

@@ -134,6 +134,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("streaming-maintained LSH index serves the batch vector_lsh_topk ranks") {
+    val served = StreamOps.streamLshTopKQuery(spark, TestSession.sfDir)
+    val batch = graft.operators.Similarity
+      .lshTopK(spark, TestSession.sfDir, bitsOpt = Some(6))
+    assert(served.collect().map(_.toSeq).toSeq ==
+      batch.collect().map(_.toSeq).toSeq)
+    assert(served.count() > 0)
+  }
+
+  test("LSH store serve scan prunes to the probed bucket partitions only") {
+    val served = StreamOps.streamLshTopKQuery(spark, TestSession.sfDir)
+    val scans = served.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.partitionSchema.fieldNames.contains("bucket") => s
+    }
+    assert(scans.nonEmpty, "expected a scan over the bucket-partitioned store")
+    // the partition filter (bucket IN probes) must reach the scan so only
+    // probed bucket directories are listed and read
+    assert(scans.forall(_.partitionFilters.exists(_.references.exists(_.name == "bucket"))),
+      s"partition filters missing: ${scans.map(_.partitionFilters)}")
+    // and the pruned selection must actually be a strict subset of buckets
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected > 0 && selected < (1 << 6),
+      s"expected a pruned partition list, got $selected")
+  }
+
   test("stream-static decontaminate equals the batch operator on a replayed stream") {
     val streamed = StreamOps.streamDecontaminateQuery(spark, TestSession.sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
