@@ -43,6 +43,7 @@ object SparkEntry {
     "embed_upsert" -> ((s, d) => EmbeddingStore.embedUpsertQuery(s, d)),
     "metadata_sanitize" -> ((s, d) => EmbeddingStore.metadataSanitizeQuery(s, d)),
     "doc_embeddings" -> ((s, d) => EmbeddingStore.docEmbeddingsQuery(s, d)),
+    "doc_embeddings_tensor" -> ((s, d) => TensorEncode.docEmbeddingsTensorQuery(s, d)),
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.videoFramesQuery(s, d)),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.framesQuery(s, d)),
@@ -124,6 +125,10 @@ object SparkEntry {
       graft.streaming.StreamOps.streamDedupQuery(s, d)),
     "stream_decontaminate" -> ((s, d) =>
       graft.streaming.StreamOps.streamDecontaminateQuery(s, d)),
+    // incrementally-maintained bucket-partitioned ANN index, served with
+    // partition pruning — must equal the batch vector_lsh_topk_b6 hash
+    "vector_lsh_stream_topk" -> ((s, d) =>
+      graft.streaming.StreamOps.streamLshTopKQuery(s, d)),
     // --- the reference's true continuous shape: full 7-stage doc ETL
     //     under Structured Streaming, vs the BATCH pipeline oracle ---
     "pipeline_stream" -> ((s, d) =>
@@ -229,6 +234,7 @@ object SparkEntry {
     "embed_upsert" -> EmbeddingStore.embedUpsertOracleSql,
     "metadata_sanitize" -> EmbeddingStore.metadataSanitizeOracleSql,
     "doc_embeddings" -> EmbeddingStore.docEmbeddingsOracleSql(),
+    "doc_embeddings_tensor" -> TensorEncode.docEmbeddingsTensorSql(),
     "multimodal_features" -> Multimodal.featuresOracleSql,
     "multimodal_frames" -> Multimodal.videoFramesOracleSql,
     "multimodal_frame_sample" -> Multimodal.framesOracleSql(),
@@ -294,6 +300,8 @@ object SparkEntry {
     // dedup of an at-least-once replay must reproduce the plain table
     "events_stream_dedup" -> graft.streaming.StreamOps.streamDedupOracleSql,
     "stream_decontaminate" -> Dedup.decontaminateSql(),
+    // streaming-maintained index serves the same ranks as the batch query
+    "vector_lsh_stream_topk" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
