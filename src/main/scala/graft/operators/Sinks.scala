@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sinks (SURVEY §2.9 K1-K4): the persistence stage's set-oriented
@@ -185,6 +185,46 @@ object Sinks {
                        nFiles: Int = 8): Unit =
     df.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Morton bit-spread: the low 32 bits of a non-negative long fanned
+    * out to even bit positions (classic magic-mask doubling — 5 shift/
+    * or/mask rounds, all codegen'd integer ops, no UDF). */
+  private def spreadBits(c: Column): Column = {
+    val masks = Seq(
+      (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    masks.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (s, m)) =>
+      (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
+    }
+  }
+
+  /** Z-value of two non-negative integer keys: their bit-streams
+    * interleaved (a in even positions, b in odd). Locality property:
+    * rows close in Z are close in BOTH keys, so a Z-range owns a bounded
+    * sub-rectangle of the (a, b) key plane. */
+  def zValue(a: Column, b: Column): Column =
+    spreadBits(a.cast("long")).bitwiseOR(shiftleft(spreadBits(b.cast("long")), 1))
+
+  /** Z-ORDERED parquet write — two-column data skipping, the multi-key
+    * answer to [[writeRangeSorted]]: a single-key sort gives tight
+    * per-file min/max stats on that key but FULL-RANGE stats on every
+    * other column (no file is ever prunable by the second key). Range-
+    * partitioning and sorting on the interleaved [[zValue]] instead
+    * makes each file own a contiguous Z-run = a bounded rectangle of the
+    * (keyA, keyB) plane, so parquet min/max stats are tight on BOTH
+    * columns and a selective predicate on EITHER key prunes most files
+    * (the Bayer/Markl UB-tree layout; what table formats ship as OPTIMIZE
+    * ZORDER BY). Keys must be non-negative and < 2^32 — rank/bucket
+    * wider domains first. The Z column is layout-only and dropped from
+    * the stored schema. */
+  def writeZOrdered(df: DataFrame, outDir: String, keyA: String, keyB: String,
+                    nFiles: Int = 8): Unit =
+    df.withColumn("_z", zValue(col(keyA), col(keyB)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
       .write.mode("overwrite").parquet(outDir)
 
   /** Small-file compaction — the other half of layout hygiene at scale:

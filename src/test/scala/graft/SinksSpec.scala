@@ -192,6 +192,60 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == docs.count())
   }
 
+  test("writeZOrdered: per-file stats are tight on BOTH keys; a point predicate prunes on either") {
+    val dir = tmp("zorder") + "/docs"
+    // a 16x16 key plane spread over the fixture rows (500 docs ~= 2/cell)
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+      .withColumn("ka", (col("doc_id") % 16).cast("long"))
+      .withColumn("kb", expr("(doc_id div 16) % 16").cast("long"))
+    Sinks.writeZOrdered(docs, dir, "ka", "kb", nFiles = 16)
+    def spans(d: String, key: String): Array[(Long, Long)] =
+      new java.io.File(d).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col(key)), max(col(key))).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+    val aSpans = spans(dir, "ka")
+    val bSpans = spans(dir, "kb")
+    val n = aSpans.length
+    assert(n >= 8, s"want a multi-file layout, got $n")
+    // pruning power of a point predicate = files whose span contains it
+    def hit(s: Array[(Long, Long)], v: Long) = s.count { case (lo, hi) => lo <= v && v <= hi }
+    val aHits = (0L until 16L by 3L).map(hit(aSpans, _)).max
+    val bHits = (0L until 16L by 3L).map(hit(bSpans, _)).max
+    assert(aHits < n, s"ka point predicate must prune some of $n files (hit $aHits)")
+    assert(bHits < n, s"kb point predicate must prune some of $n files (hit $bHits)")
+    // contrast: a single-key range sort on ka leaves kb full-range in
+    // EVERY file — zero pruning on the second key
+    val dir1 = tmp("zorder") + "/docs_single"
+    Sinks.writeRangeSorted(docs, dir1, "ka", nFiles = 16)
+    val bSingle = spans(dir1, "kb")
+    val bSingleHits = (0L until 16L by 3L).map(hit(bSingle, _)).min
+    assert(bSingleHits == bSingle.length,
+      "expected the single-key layout to be unprunable on kb")
+    assert(bHits < bSingle.length, "z-order must beat single-key sort on the second key")
+    // nothing lost
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
+  test("zValue interleaves bits (locality-preserving integer expression)") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (0xFFFFL, 0xAAAAL))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Sinks.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    def interleave(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (z, i) =>
+        z | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1))
+      }
+    rows.foreach { r =>
+      assert(r.getLong(2) == interleave(r.getLong(0), r.getLong(1)),
+        s"z mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("compact: trailing-slash dir compacts safely; partitioned layouts are refused") {
     // trailing slash: the tmp dir must be a SIBLING, never a child that
     // the swap then deletes
