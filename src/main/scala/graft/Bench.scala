@@ -44,8 +44,17 @@ object Bench {
     // (tools/oracle_times.py) — a single co-tenant load phase hitting one
     // query no longer distorts its recorded time
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    // co-tenant-phase guard: when the base reps of a non-trivial query
+    // disagree by >60%, one of them straddled a load spike — keep adding
+    // reps (to a small cap) until the min is corroborated. Cheap queries
+    // (sub-half-second, inside the plan/codegen floor) never re-measure,
+    // so the added wall cost is a few reps on exactly the queries whose
+    // recorded time would otherwise be noise (round-5 pipeline_envelope
+    // lesson: 3.87 s recorded for a 1.36 s-idle query).
+    val maxReps = sys.env.get("SPARK_GRAFT_BENCH_MAX_REPS").map(_.toInt)
+      .getOrElse(math.max(reps, 4))
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         // failures surface as negative time + stderr, never as a silent
         // fake-fast success
@@ -59,7 +68,14 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) t else -1.0
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      var attempts = reps
+      var times = (1 to reps).map(_ => rep()).filter(_ >= 0)
+      while (times.nonEmpty && attempts < maxReps &&
+             times.min > 0.5 && times.max > 1.6 * times.min) {
+        attempts += 1
+        times = (times :+ rep()).filter(_ >= 0)
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
