@@ -64,6 +64,7 @@ object SparkEntry {
     "bm25_search" -> ((s, d) => TextAnalytics.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)),
     "quality_filter" -> ((s, d) => TextAnalytics.qualityFilter(s, d)),
+    "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
     "doc_splits" -> ((s, d) => TextAnalytics.docSplits(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_keep" -> ((s, d) => Dedup.dedupKeep(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     // --- event-time analytics (SURVEY §2.13) ---
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_sliding" -> ((s, d) => Events.sliding(s, d)),
@@ -253,6 +255,7 @@ object SparkEntry {
     "bm25_search" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     "quality_filter" -> TextAnalytics.qualityFilterSql(),
+    "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,
     "doc_novelty" -> TextAnalytics.docNoveltySql,
@@ -292,6 +295,7 @@ object SparkEntry {
     "dup_clusters" -> Dedup.dupClustersSql(),
     "dedup_keep" -> Dedup.dedupKeepSql(),
     "decontaminate" -> Dedup.decontaminateSql(),
+    "paragraph_dedup" -> Dedup.paragraphDedupSql,
     "events_tumbling" -> Events.tumblingSql,
     "events_stream_tumbling" -> Events.tumblingSql,
     "events_stream_sessions" -> Events.sessionsSql,

@@ -681,6 +681,74 @@ object Dedup {
         FROM train t JOIN bench b ON t.span = b.span
         GROUP BY 1"""
 
+  /** PARAGRAPH-LEVEL first-occurrence dedup — the CCNet shape (Wenzek et
+    * al., "CCNet", LREC 2020): split each document into paragraphs,
+    * drop every paragraph whose exact content already appeared earlier
+    * in the corpus (corpus order = (doc_id, paragraph index)), and
+    * reassemble what survives. This is the boilerplate-removal pass of a
+    * web-crawl pipeline — repeated headers/footers/navigation vanish
+    * from all but their first carrier — and is DISTINCT from span dedup
+    * (which drops EVERY duplicated w-gram occurrence regardless of
+    * position and ignores paragraph structure).
+    *
+    * The fixture corpus has no newlines, so the query materializes the
+    * crawl scenario deterministically: every document gains a shared
+    * boilerplate paragraph, and every third document a second one. The
+    * oracle applies the same enrichment.
+    *
+    * Scale shape: ONE hash shuffle of (paragraph, doc_id, idx) for the
+    * first-occurrence window — paragraphs, not documents, are the
+    * shuffle unit, and the reassembly groupBy rides the same doc_id
+    * partitioning. Exact-content partitioning is fine at 100 TB because
+    * a paragraph is bounded (a xxhash64 pre-key drops the shuffle width
+    * further when paragraphs are large; content equality is what CCNet
+    * hashes anyway). Fully-deduplicated documents survive with empty
+    * text (n_kept = 0), never silently disappear. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val boiler1 = "subscribe to our newsletter for updates and follow the project"
+    val boiler2 = "all rights reserved terms of service apply to every page"
+    val enriched = concat(col("text"), lit("\n" + boiler1),
+      when(col("doc_id") % 3 === 0, lit("\n" + boiler2)).otherwise(lit("")))
+    val paras = graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(enriched, "\n")))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumnRenamed("col", "para")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para")).orderBy(col("doc_id"), col("para_idx"))
+    paras.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") === 1,
+            struct(col("para_idx"), col("para"))))),
+          s => s.getField("para")), "\n").as("text_deduped"))
+      .orderBy(col("doc_id"))
+  }
+
+  def paragraphDedupSql: String = {
+    val boiler1 = "subscribe to our newsletter for updates and follow the project"
+    val boiler2 = "all rights reserved terms of service apply to every page"
+    s"""WITH e AS (SELECT doc_id,
+            text || chr(10) || '$boiler1' ||
+            CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$boiler2' ELSE '' END AS t
+          FROM documents WHERE text IS NOT NULL),
+        sp AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM e),
+        p AS (SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, parts[i] AS para
+              FROM sp, unnest(generate_series(1, len(parts))) AS u(i)),
+        r AS (SELECT doc_id, para_idx, para,
+              row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+              FROM p)
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_paras,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+            ORDER BY para_idx), '') AS text_deduped
+        FROM r GROUP BY doc_id"""
+  }
+
   /** Connected components over an undirected edge list via the
     * alternating LARGE-STAR / SMALL-STAR contraction of Kiveris et al.,
     * "Connected Components in MapReduce and Beyond" (SoCC 2014) — the

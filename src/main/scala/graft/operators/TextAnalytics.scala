@@ -567,6 +567,40 @@ object TextAnalytics {
         SELECT doc_id, n_tokens, mean_word_len, dup_token_frac,
                top_bigram_frac, reasons, reasons = '' AS keep FROM r"""
 
+  /** BLOCKLIST (bad-words) filter — the C4 cleaning rule (Raffel et al.,
+    * JMLR 2020: drop any page containing a term from a fixed blocklist):
+    * count each document's tokens that hit the list; keep = zero hits.
+    * Token-level membership (not substring) so "scattering" never trips
+    * a "cat" entry — the same word contract as every other text op here
+    * (TextFunctions.words + '' filter).
+    *
+    * Scale shape: a purely NARROW per-document pass — the list rides
+    * into the lambda as a literal (a real deployment broadcasts it; a
+    * multi-thousand-term list graduates to a Bloom-gated native
+    * expression, same seam). No shuffle, no explode: tokens never leave
+    * their row. */
+  def blocklistFilter(spark: SparkSession, dir: String,
+                      blocked: Seq[String] = Seq("vector", "stream")): DataFrame = {
+    require(blocked.nonEmpty && blocked.forall(_.matches("[a-z0-9]+")),
+      "blocklist terms must be lowercase tokens")
+    val inList = blocked.map(t => s"'$t'").mkString(", ")
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws0"))
+      .select(col("doc_id"),
+        expr(s"size(filter(ws0, t -> t IN ($inList)))").cast("long").as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  def blocklistFilterSql(blocked: Seq[String] = Seq("vector", "stream")): String = {
+    val inList = blocked.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id,
+        CAST(len(list_filter(${wordsSql("text")}, t -> t IN ($inList))) AS BIGINT)
+          AS n_blocked,
+        len(list_filter(${wordsSql("text")}, t -> t IN ($inList))) = 0 AS keep
+        FROM documents"""
+  }
+
   /** BM25 ranked retrieval: score every document against a fixed query
     * term set with Okapi BM25 (Robertson-Spärck Jones; k1 = 1.2,
     * b = 0.75) and return the global top-k. The idf factor is the same

@@ -493,4 +493,40 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.exists(p => p._1 == 0 && p._2 == 1 && p._3 == 0))
   }
+
+  test("blocklistFilter: token-level hits counted; keep iff zero hits") {
+    import graft.operators.TextAnalytics
+    val out = TextAnalytics.blocklistFilter(spark, TestSession.sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val texts = spark.read.parquet(s"${TestSession.sfDir}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val expected = t.trim.toLowerCase.split("\\s+")
+        .count(w => w == "vector" || w == "stream")
+      assert(out(id)._1 == expected, s"doc $id: blocked-count mismatch")
+      assert(out(id)._2 == (expected == 0))
+    }
+    // the filter must actually discriminate on this corpus
+    val kept = out.values.count(_._2)
+    assert(kept > 0 && kept < out.size, s"degenerate filter: $kept/${out.size} kept")
+  }
+
+  test("paragraphDedup: boilerplate survives only in its first carrier; own text always kept") {
+    val out = Dedup.paragraphDedup(spark, TestSession.sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val boiler1 = "subscribe to our newsletter for updates and follow the project"
+    // first doc carries the shared paragraph; everyone else loses it
+    assert(out(0L)._3.contains(boiler1))
+    assert(out.filter(_._1 > 0).forall(!_._2._3.contains(boiler1)),
+      "boilerplate leaked past its first occurrence")
+    // every document keeps its own (unique) first paragraph
+    val texts = spark.read.parquet(s"${TestSession.sfDir}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (nParas, nKept, deduped)) =>
+      assert(nKept >= 1 && nKept <= nParas)
+      if (texts(id) != null) assert(deduped.startsWith(texts(id).split("\n")(0)))
+    }
+  }
 }
