@@ -48,6 +48,7 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) => Multimodal.videoFramesQuery(s, d)),
     "multimodal_frame_sample" -> ((s, d) => Multimodal.framesQuery(s, d)),
     "multimodal_video_pixels" -> ((s, d) => Multimodal.videoPixelStatsQuery(s, d)),
+    "video_keyframes" -> ((s, d) => Multimodal.videoKeyframesQuery(s, d)),
     "multimodal_pixels" -> ((s, d) => Multimodal.pixelStatsQuery(s, d)),
     "multimodal_audio" -> ((s, d) => Multimodal.audioStatsQuery(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
@@ -241,6 +242,7 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.videoFramesOracleSql,
     "multimodal_frame_sample" -> Multimodal.framesOracleSql(),
     "multimodal_video_pixels" -> Multimodal.videoPixelStatsOracleSql,
+    "video_keyframes" -> Multimodal.videoKeyframesOracleSql(),
     "multimodal_pixels" -> Multimodal.pixelStatsOracleSql(),
     "multimodal_audio" -> Multimodal.audioStatsOracleSql,
     "doc_profile" -> TextAnalytics.docProfileSql,

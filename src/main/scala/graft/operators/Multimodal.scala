@@ -620,6 +620,99 @@ object Multimodal {
                              list_max(list_slice(codes, 1, (a + px) % n))) END AS INT) AS px_max
         FROM f"""
 
+  /** KEYFRAME DETECTION over the real DIB video path — the frame-
+    * sampling op a video-LM training pipeline runs (keep scene changes,
+    * drop near-static frames): decode consecutive frames, score each
+    * against its predecessor by SAD (sum of absolute per-pixel
+    * differences — the block-matching metric video codecs themselves
+    * use), and mark a keyframe when mean abs diff exceeds `threshold`
+    * gray levels. Frame 0 is always a keyframe (NULL sad — no
+    * predecessor). All-integer scoring, so the DuckDB twin recomputes
+    * SAD exactly from the characters via the same circular windows.
+    * Narrow map (encode) → narrow mapPartitions (decode + score);
+    * pixels never shuffle. */
+  def videoKeyframesQuery(spark: SparkSession, dir: String,
+                          threshold: Int = 28): DataFrame = {
+    import spark.implicits._
+    graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2 && col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        require(text.forall(_ < 128),
+          s"videoKeyframesQuery: non-ASCII text in doc $id breaks the per-character oracle")
+        val (w, h) = videoPixDims(id)
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val frames = (0 until videoFrameCount(text.length)).map { f =>
+          graft.sources.AviCodec.buildDibFrame(w, h,
+            (y, x) => bytes((f * w * h + y * w + x) % bytes.length) & 0xff)
+        }
+        (id, graft.sources.AviCodec.buildAvi(frames, w, h, "DIB "))
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, avi) =>
+          val s = graft.sources.AviCodec.parseAvi(avi)
+          require(s.compression == 0, s"expected BI_RGB stream, got ${s.compression}")
+          val px = s.width * s.height
+          var prev: Array[Int] = null
+          s.frames.iterator.zipWithIndex.map { case (frame, idx) =>
+            val cur = new Array[Int](px)
+            var y = 0
+            while (y < s.height) {
+              var x = 0
+              while (x < s.width) {
+                cur(y * s.width + x) =
+                  graft.sources.AviCodec.dibPixel(frame, s.width, s.height, y, x)
+                x += 1
+              }
+              y += 1
+            }
+            val sad: java.lang.Long =
+              if (prev == null) null
+              else {
+                var acc = 0L
+                var i = 0
+                while (i < px) { acc += math.abs(cur(i) - prev(i)); i += 1 }
+                java.lang.Long.valueOf(acc)
+              }
+            prev = cur
+            val isKey = sad == null || sad.longValue > threshold.toLong * px
+            (id, idx, sad, isKey)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "sad", "is_keyframe")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** DuckDB twin of [[videoKeyframesQuery]]: frame f's pixel j is
+    * codes[1 + (f·px + j) % n], so SAD(f, f-1) is a per-pixel unnest
+    * (px <= 96 here) summed per frame — exact integers throughout. */
+  def videoKeyframesOracleSql(threshold: Int = 28): String =
+    s"""WITH v AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''), c -> ord(c)) AS codes,
+                 length(text) AS n,
+                 CAST(8 + (doc_id % 3) * 4 AS INT) AS w,
+                 CAST(4 + (doc_id % 2) * 2 AS INT) AS h
+          FROM documents
+          WHERE doc_id % 3 = 2 AND text IS NOT NULL AND length(text) > 0),
+        f AS (
+          SELECT doc_id, codes, n, w * h AS px, CAST(i AS INT) AS frame_idx
+          FROM v, unnest(generate_series(0, CAST(1 + n % 3 AS BIGINT) - 1)) t(i)),
+        sads AS (
+          SELECT doc_id, frame_idx, px,
+            CAST(list_sum(list_transform(generate_series(0, px - 1), j ->
+              abs(codes[1 + (frame_idx * px + j) % n]
+                  - codes[1 + ((frame_idx - 1) * px + j) % n]))) AS BIGINT) AS sad
+          FROM f WHERE frame_idx >= 1),
+        all_frames AS (
+          SELECT f.doc_id, f.frame_idx, f.px, s.sad
+          FROM f LEFT JOIN sads s USING (doc_id, frame_idx))
+        SELECT doc_id AS media_id, frame_idx, sad,
+          (sad IS NULL OR sad > $threshold * px) AS is_keyframe
+        FROM all_frames"""
+
   /** REAL video feature decoder for the [[Decoder]] seam: RIFF-walk the
     * AVI, decode every frame (MJPEG via `ImageIO`, DIB straight from
     * the buffer), mean-pool (r+g+b)/(3·255) per vertical strip across

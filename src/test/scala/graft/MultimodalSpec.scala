@@ -126,4 +126,18 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(5) == zc)
     }
   }
+
+  test("videoKeyframesQuery: frame 0 always keys; SAD threshold discriminates") {
+    val rows = Multimodal.videoKeyframesQuery(spark, TestSession.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getInt(1) == 0).foreach { r =>
+      assert(r.isNullAt(2), "frame 0 has no predecessor, sad must be NULL")
+      assert(r.getBoolean(3), "frame 0 must be a keyframe")
+    }
+    val later = rows.filter(_.getInt(1) > 0)
+    assert(later.forall(!_.isNullAt(2)))
+    val keyed = later.count(_.getBoolean(3))
+    assert(keyed > 0 && keyed < later.length,
+      s"threshold must discriminate: $keyed/${later.length} keyframes")
+  }
 }
