@@ -105,7 +105,13 @@ object ScaleProbe {
       "vector_lsh_topk_mp" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
       "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
       "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
-      "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)))
+      "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+      // round-6 additions: paragraph-hash shuffle, narrow token pass,
+      // batched mapPartitions encode + broadcast top-k, RRF fusion
+      "paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
+      "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
+      "doc_embeddings_tensor" -> ((s, d) => TensorEncode.docEmbeddingsTensorQuery(s, d)),
+      "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)))
 
     // warmup both dirs so codegen/JIT is out of the measurement
     probes.foreach { case (_, fn) =>
