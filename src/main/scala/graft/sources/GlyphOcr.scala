@@ -200,11 +200,10 @@ object GlyphOcr {
     val lines = text.split("\n", -1).map(_.codePoints().toArray)
     val w = math.max(1, lines.map(_.length).max) * CellW * s
     val h = lines.length * CellH * s
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    val g = img.createGraphics()
-    g.setColor(java.awt.Color.WHITE)
-    g.fillRect(0, 0, w, h)
-    g.dispose()
+    // draw into a flat array and blit once: per-pixel setRGB/getRGB go
+    // through the color model on every call and dominate render cost
+    val px = new Array[Int](w * h)
+    java.util.Arrays.fill(px, 0xFFFFFF)
     for ((line, li) <- lines.zipWithIndex; (cp, ci) <- line.zipWithIndex) {
       val rows = glyphRows(substitute(cp))
       val j = mix64(seed ^ (li.toLong << 32) ^ ci.toLong)
@@ -214,23 +213,18 @@ object GlyphOcr {
       val y0 = li * CellH * s + 1 + jy
       for (r <- 0 until GlyphH; c <- 0 until GlyphW if rows(r)(c) == '#';
            dy <- 0 until s; dx <- 0 until s)
-        img.setRGB(x0 + c * s + dx, y0 + r * s + dy, 0x000000)
+        px((y0 + r * s + dy) * w + x0 + c * s + dx) = 0x000000
     }
     // salt-and-pepper: flip isolated device pixels, both directions
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        if (java.lang.Long.remainderUnsigned(
-              mix64(seed ^ 0x5A17AB1EL ^ (y.toLong * w + x)), 1000L)
-            < saltPepperPerMille) {
-          val dark = (img.getRGB(x, y) & 0xFF) < 128
-          img.setRGB(x, y, if (dark) 0xFFFFFF else 0x000000)
-        }
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < w * h) {
+      if (java.lang.Long.remainderUnsigned(
+            mix64(seed ^ 0x5A17AB1EL ^ i.toLong), 1000L) < saltPepperPerMille)
+        px(i) = if ((px(i) & 0xFF) < 128) 0xFFFFFF else 0x000000
+      i += 1
     }
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
@@ -261,71 +255,86 @@ object GlyphOcr {
     * or an image on no supported cell grid. */
   object Parser extends BinaryIngest.BinaryParser {
 
-    /** Device-resolution cell bitmap packed row-major into Longs. */
-    private def cellBits(img: BufferedImage, ci: Int, li: Int, s: Int): Array[Long] = {
+    /** Device-resolution cell bitmap packed row-major into Longs, read
+      * from the image's pixels fetched ONCE per image (bulk `getRGB` —
+      * per-pixel calls go through the color model on every access and
+      * dominated the decode profile). */
+    private def cellBits(px: Array[Int], imgW: Int, ci: Int, li: Int,
+                         s: Int): Array[Long] = {
       val (cw, ch) = (CellW * s, CellH * s)
       val bits = new Array[Long]((cw * ch + 63) / 64)
       val (x0, y0) = (ci * cw, li * ch)
       var i = 0
       while (i < cw * ch) {
-        if ((img.getRGB(x0 + i % cw, y0 + i / cw) & 0xFF) < 128)
+        if ((px((y0 + i / cw) * imgW + x0 + i % cw) & 0xFF) < 128)
           bits(i / 64) |= (1L << (i % 64))
         i += 1
       }
       bits
     }
 
-    /** Glyph template at scale s drawn at in-cell ink offset (ox, oy):
-      * each ink pixel becomes an s x s block, exactly as the renderers
-      * draw it. Cached per JVM — the atlas is a tiny constant. */
-    private val templateCache =
-      new java.util.concurrent.ConcurrentHashMap[(Char, Int, Int, Int), Array[Long]]()
-
-    private def template(c: Char, s: Int, ox: Int, oy: Int): Array[Long] =
-      templateCache.computeIfAbsent((c, s, ox, oy), { _ =>
-        val (cw, ch) = (CellW * s, CellH * s)
-        val bits = new Array[Long]((cw * ch + 63) / 64)
-        val rows = glyphRows(c)
-        for (r <- 0 until GlyphH; col <- 0 until GlyphW if rows(r)(col) == '#';
-             dy <- 0 until s; dx <- 0 until s) {
-          val i = (oy + r * s + dy) * cw + (ox + col * s + dx)
-          bits(i / 64) |= (1L << (i % 64))
+    /** All glyph templates for one scale, flattened to plain arrays so
+      * the per-cell search is array indexing + XOR/popcount only (a
+      * map-keyed cache cost 630 boxed lookups PER CELL and dominated the
+      * decode profile): `masks(offsetIdx)(glyphIdx)` with offsets in
+      * centered-out order, glyphs in sorted order. Each ink pixel
+      * becomes an s x s block, exactly as the renderers draw it. */
+    private final class ScaleTemplates(s: Int) {
+      val chars: Array[Char] = atlasSorted.map(_._1)
+      private val inset = if (s > 1) 1 else 0
+      private val offsets: Array[(Int, Int)] =
+        (for (jy <- -inset to inset; jx <- -inset to inset) yield (inset + jx, inset + jy))
+          .sortBy { case (ox, oy) => (math.abs(ox - inset) + math.abs(oy - inset), oy, ox) }
+          .toArray
+      val nOffsets: Int = offsets.length
+      val words: Int = (CellW * s * CellH * s + 63) / 64
+      val masks: Array[Array[Array[Long]]] = offsets.map { case (ox, oy) =>
+        atlasSorted.map { case (_, rows) =>
+          val cw = CellW * s
+          val bits = new Array[Long](words)
+          for (r <- 0 until GlyphH; col <- 0 until GlyphW if rows(r)(col) == '#';
+               dy <- 0 until s; dx <- 0 until s) {
+            val i = (oy + r * s + dy) * cw + (ox + col * s + dx)
+            bits(i / 64) |= (1L << (i % 64))
+          }
+          bits
         }
-        bits
-      })
-
-    private def hamming(a: Array[Long], b: Array[Long]): Int = {
-      var d = 0
-      var i = 0
-      while (i < a.length) { d += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
-      d
+      }
     }
+
+    private val scaleTemplates = new java.util.concurrent.ConcurrentHashMap[Int, ScaleTemplates]()
+    private def templatesFor(s: Int): ScaleTemplates =
+      scaleTemplates.computeIfAbsent(s, new ScaleTemplates(_))
 
     /** (best char, best device distance) for one cell: offsets searched
       * in centered-out order, glyphs in sorted order — deterministic,
       * strict improvement wins, exact match short-circuits. */
-    private def bestGlyph(cell: Array[Long], s: Int): (Char, Int) = {
-      val inset = if (s > 1) 1 else 0
-      val offsets =
-        (for (jy <- -inset to inset; jx <- -inset to inset) yield (inset + jx, inset + jy))
-          .sortBy { case (ox, oy) => (math.abs(ox - inset) + math.abs(oy - inset), oy, ox) }
+    private def bestGlyph(cell: Array[Long], t: ScaleTemplates): (Char, Int) = {
       var bestC = '?'
       var bestD = Int.MaxValue
-      for ((ox, oy) <- offsets if bestD > 0) {
+      var oi = 0
+      while (oi < t.nOffsets && bestD > 0) {
+        val glyphs = t.masks(oi)
         var gi = 0
-        while (gi < atlasSorted.length && bestD > 0) {
-          val c = atlasSorted(gi)._1
-          val d = hamming(cell, template(c, s, ox, oy))
-          if (d < bestD) { bestD = d; bestC = c }
+        while (gi < glyphs.length && bestD > 0) {
+          val m = glyphs(gi)
+          var d = 0
+          var wi = 0
+          while (wi < t.words && d < bestD) {
+            d += java.lang.Long.bitCount(cell(wi) ^ m(wi))
+            wi += 1
+          }
+          if (d < bestD) { bestD = d; bestC = t.chars(gi) }
           gi += 1
         }
+        oi += 1
       }
       (bestC, bestD)
     }
 
     /** Decode the grid at scale s; returns (text, total device cost). */
-    private def decodeAt(img: BufferedImage, s: Int): (String, Long) = {
-      val (w, h) = (img.getWidth, img.getHeight)
+    private def decodeAt(px: Array[Int], w: Int, h: Int, s: Int): (String, Long) = {
+      val t = templatesFor(s)
       val sb = new StringBuilder
       var cost = 0L
       var li = 0
@@ -333,7 +342,7 @@ object GlyphOcr {
         val line = new StringBuilder
         var ci = 0
         while (ci < w / (CellW * s)) {
-          val (c, d) = bestGlyph(cellBits(img, ci, li, s), s)
+          val (c, d) = bestGlyph(cellBits(px, w, ci, li, s), t)
           line.append(if (d <= MaxCellDist * s * s) c else '?')
           cost += d
           ci += 1
@@ -354,9 +363,10 @@ object GlyphOcr {
       if (scales.isEmpty)
         throw new IllegalArgumentException(
           s"image ${w}x$h is not on the ${CellW}x$CellH glyph grid")
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       // normalize cost per logical area so scales compete fairly; ties
       // resolve to the smallest scale (the clean-grid reading)
-      scales.map(s => (decodeAt(img, s), s))
+      scales.map(s => (decodeAt(px, w, h, s), s))
         .minBy { case ((_, cost), s) => cost.toDouble / (s * s) }._1._1
     }
   }
