@@ -65,6 +65,7 @@ object SparkEntry {
     "bm25_search" -> ((s, d) => TextAnalytics.bm25Search(s, d)),
     "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)),
     "quality_filter" -> ((s, d) => TextAnalytics.qualityFilter(s, d)),
+    "lm_fluency" -> ((s, d) => TextAnalytics.lmFluency(s, d)),
     "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
@@ -257,6 +258,7 @@ object SparkEntry {
     "bm25_search" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     "quality_filter" -> TextAnalytics.qualityFilterSql(),
+    "lm_fluency" -> TextAnalytics.lmFluencySql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,

@@ -863,4 +863,96 @@ object TextAnalytics {
         SELECT rnk, doc_id, lex_rank, vec_rank, rrf_num, rrf_den
         FROM r WHERE rnk <= $kOut"""
   }
+
+  /** Bigram language-model fluency score (north star: the CCNet-style
+    * "train an n-gram LM on the corpus, score every document, drop the
+    * disfluent tail" filter a pretraining pipeline runs at 100 TB;
+    * reference's quality posture is `src/agents.py:60-78` classify —
+    * this is its statistical twin). The model is Laplace-smoothed
+    * bigram conditionals p(w2|w1) = (c12 + 1)/(c1 + V) trained on the
+    * corpus itself; each document scores the ARITHMETIC mean of its
+    * bigram probabilities. (Classic perplexity is the geometric mean,
+    * but ln/exp are within-1-ulp libm calls that break the driver's
+    * value hash — same reasoning as tfidfKeywords' log-free idf. The
+    * arithmetic mean ranks fluency the same direction; a production
+    * caller swaps in log-probs with one line.)
+    *
+    * All arithmetic before the final division is EXACT integers: each
+    * model probability is the integer floor of 1e6·p
+    * (`(1000000*(c12+1)) div (c1+V)`), per-doc totals are Σ n·sc over
+    * BIGINTs (order-free), and the score is one IEEE division of
+    * integer-valued doubles — bit-identical on both engines.
+    *
+    * Scale shape: bigram slots explode narrowly and immediately
+    * pre-aggregate to (doc_id, bigram, n) — ONE map-side-combined
+    * shuffle; the model reduces that to (bigram, c12) with a second
+    * combine, prefix counts c1 reshuffle the MODEL (vocab-bounded, not
+    * corpus-bounded), and V is a 1-row broadcast. The doc⋈model join is
+    * a plain equi-join on the bigram key — the standard shared-nothing
+    * LM-training shape; nothing driver-side, nothing quadratic. */
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws0"))
+      .select(col("doc_id"), expr("filter(ws0, w -> w <> '')").as("ws"))
+    val slots = ws.select(col("doc_id"), explode(expr(
+      "filter(transform(ws, (w, i) -> IF(i < size(ws) - 1, concat(w, ' ', element_at(ws, i + 2)), NULL)), x -> x IS NOT NULL)"
+    )).as("bg"))
+    val docBg = slots.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+    val model0 = docBg.groupBy(col("bg").as("mbg"))
+      .agg(sum(col("n")).as("c12"))
+    val pfx = model0
+      .groupBy(substring_index(col("mbg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = ws.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = model0
+      .join(pfx, substring_index(col("mbg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("mbg"),
+        expr("(1000000 * (c12 + 1)) div (c1 + v)").as("sc"))
+    val perDoc = docBg.join(model, col("bg") === col("mbg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("sc")).as("s"), sum(col("n")).as("nb"))
+    Tables.loadWide(spark, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(col("nb") > 0,
+          col("s").cast("double") / col("nb").cast("double"))
+          .otherwise(lit(0.0)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  def lmFluencySql: String =
+    s"""WITH w AS (SELECT doc_id,
+          list_filter(${wordsSql("text")}, x -> x <> '') AS ws
+          FROM documents),
+        slots AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        docbg AS (SELECT doc_id, bg, count(*) AS n FROM slots GROUP BY 1, 2),
+        model0 AS (SELECT bg, CAST(sum(n) AS BIGINT) AS c12
+                   FROM docbg GROUP BY bg),
+        pfx AS (SELECT split_part(bg, ' ', 1) AS w1,
+                CAST(sum(c12) AS BIGINT) AS c1
+                FROM model0 GROUP BY 1),
+        vocab AS (SELECT CAST(count(DISTINCT t.w) AS BIGINT) AS v
+                  FROM (SELECT unnest(ws) AS w FROM w) t),
+        model AS (SELECT model0.bg,
+                  (1000000 * (c12 + 1)) // (c1 + v) AS sc
+                  FROM model0
+                  JOIN pfx ON split_part(model0.bg, ' ', 1) = pfx.w1
+                  CROSS JOIN vocab),
+        perdoc AS (SELECT docbg.doc_id,
+                   CAST(sum(docbg.n * model.sc) AS BIGINT) AS s,
+                   CAST(sum(docbg.n) AS BIGINT) AS nb
+                   FROM docbg JOIN model ON docbg.bg = model.bg
+                   GROUP BY 1)
+        SELECT d.doc_id, coalesce(perdoc.nb, 0) AS n_bigrams,
+               CASE WHEN perdoc.nb > 0
+                 THEN CAST(perdoc.s AS DOUBLE) / CAST(perdoc.nb AS DOUBLE)
+                 ELSE 0.0 END AS lm_score
+        FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id"""
 }

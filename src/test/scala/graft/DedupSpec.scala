@@ -529,4 +529,33 @@ class DedupSpec extends AnyFunSuite {
       if (texts(id) != null) assert(deduped.startsWith(texts(id).split("\n")(0)))
     }
   }
+
+  test("lmFluency: Laplace bigram scores match a local recompute; dup docs outscore unique; empty doc = 0") {
+    import graft.operators.TextAnalytics
+    val out = TextAnalytics.lmFluency(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val texts = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent local recompute of the smoothed bigram model
+    val toks = texts.view.mapValues(
+      _.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)).toMap
+    val slots = toks.view.mapValues(
+      _.sliding(2).filter(_.length == 2).map(a => a(0) + " " + a(1)).toSeq).toMap
+    val c12 = slots.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    val v = toks.values.flatten.toSet.size.toLong
+    def sc(bg: String): Long = (1000000L * (c12(bg) + 1)) / (c1(bg.split(" ")(0)) + v)
+    texts.keys.foreach { id =>
+      val ss = slots(id)
+      val expected = if (ss.isEmpty) 0.0 else ss.map(sc).sum.toDouble / ss.size
+      assert(out(id)._1 == ss.size.toLong, s"doc $id: bigram count")
+      assert(out(id)._2 == expected, s"doc $id: lm_score")
+    }
+    // identical docs score identically; the corpus-repeated text is more
+    // "fluent" under the corpus-trained model than the one-off doc 3
+    assert(out(0L)._2 == out(1L)._2)
+    assert(out(0L)._2 > out(3L)._2)
+    assert(out(4L) == (0L, 0.0))
+  }
 }
