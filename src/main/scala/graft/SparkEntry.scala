@@ -114,6 +114,7 @@ object SparkEntry {
     "events_props" -> ((s, d) => Events.propsExtract(s, d)),
     "events_props_variant" -> ((s, d) => Events.propsExtractVariant(s, d)),
     "events_distinct_kmv" -> ((s, d) => Sketches.distinctUsersKmv(s, d)),
+    "order_quantiles_sketch" -> ((s, d) => Sketches.orderQuantilesSketch(s, d)),
     "events_kmv_setops" -> ((s, d) => Sketches.kmvSetOps(s, d)),
     // --- JSON repair (SURVEY §2.7 E2-E4) over noisy wrapped props ---
     "json_repair" -> ((s, d) => jsonRepairQuery(s, d)),
@@ -318,6 +319,7 @@ object SparkEntry {
     "events_props" -> Events.propsExtractSql,
     "events_props_variant" -> Events.propsExtractVariantSql,
     "events_distinct_kmv" -> Sketches.distinctUsersKmvSql(),
+    "order_quantiles_sketch" -> Sketches.orderQuantilesSketchSql,
     "events_kmv_setops" -> Sketches.kmvSetOpsSql(),
     "json_repair" -> {
       val wrapped = """'noise {"z":1} ```json' || chr(10) || props || chr(10) || '``` trailing'"""

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.Tables
-import graft.functions.NativeFunctions.kmvMins
+import graft.functions.NativeFunctions.{kmvMins, quantileSketch}
 
 /** Sketch operators (north star: approximate distinct counting that a
   * 100 TB training-data pipeline needs, in a form the DuckDB oracle can
@@ -141,6 +141,57 @@ object Sketches {
         coalesce(col("nx"), lit(0L)).as("n_intersect_exact"))
       .orderBy(col("a_type"), col("b_type"))
   }
+
+  /** Grouped order-price quantiles via the mergeable KLL-style sketch
+    * (graft.plans.QuantileSketch) — the third sketch leg next to KMV
+    * (distinct) and TopFreq (heavy hitters). Prices quantize to exact
+    * integer cents before sketching and divide back ONCE at the end, so
+    * the exact-regime result is bit-identical to a plain SQL type-1
+    * quantile. k = 1 << 18 keeps the fixture groups (≤ ~60k orders at
+    * sf0.1) inside the exact regime — the oracle checks values AND
+    * rank semantics; the compacting regime's error bound is
+    * property-tested in SketchesSpec.
+    *
+    * Scale contrast: an exact grouped percentile sorts every row of the
+    * group; this ships one O(k·log(n/k))-long buffer per group per
+    * partition, map-side combined (ObjectHashAggregate) before the
+    * shuffle — the quantile twin of distinctUsersKmv's posture. */
+  def orderQuantilesSketch(spark: SparkSession, dir: String,
+                           k: Int = 1 << 18): DataFrame = {
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    Tables.loadWide(spark, dir, "orders")
+      .select(col("o_orderpriority"), cents.as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(quantileSketch(col("c"), k, Seq(0.25, 0.5, 0.75)).as("qs"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        (element_at(col("qs"), 1).cast("double") / 100.0).as("p25"),
+        (element_at(col("qs"), 2).cast("double") / 100.0).as("p50"),
+        (element_at(col("qs"), 3).cast("double") / 100.0).as("p75"),
+        col("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Type-1 (lower) quantiles at dyadic probs: floor(q·(n−1)) is exact
+    * IEEE arithmetic on both engines for q ∈ {.25, .5, .75}. */
+  def orderQuantilesSketchSql: String =
+    """WITH o AS (SELECT o_orderpriority AS p,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+       r AS (SELECT p, c,
+         row_number() OVER (PARTITION BY p ORDER BY c) - 1 AS rk,
+         count(*) OVER (PARTITION BY p) AS n FROM o),
+       q AS (SELECT p,
+         max(CASE WHEN rk = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN c END) AS c25,
+         max(CASE WHEN rk = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN c END) AS c50,
+         max(CASE WHEN rk = CAST(floor(0.75 * (n - 1)) AS BIGINT) THEN c END) AS c75,
+         CAST(max(n) AS BIGINT) AS n_orders
+         FROM r GROUP BY p)
+       SELECT p AS o_orderpriority,
+         CAST(c25 AS DOUBLE) / 100.0 AS p25,
+         CAST(c50 AS DOUBLE) / 100.0 AS p50,
+         CAST(c75 AS DOUBLE) / 100.0 AS p75,
+         n_orders
+       FROM q"""
 
   def kmvSetOpsSql(k: Int = 64): String =
     s"""WITH d AS (SELECT DISTINCT event_type, ($M * (user_id % $P)) % $P AS h FROM events),

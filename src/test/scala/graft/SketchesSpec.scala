@@ -226,4 +226,52 @@ class SketchesSpec extends AnyFunSuite {
       else assert(math.abs(est - exact).toDouble / exact < 0.5)
     }
   }
+
+  test("quantileSketch exact regime: type-1 quantiles match a sort, any partitioning") {
+    import graft.functions.NativeFunctions.quantileSketch
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(999)(rnd.nextInt(100000).toLong)
+    val sorted = vals.sorted
+    def t1(q: Double): Long = sorted(math.floor(q * (vals.size - 1)).toInt)
+    Seq(1, 4, 13).foreach { parts =>
+      val out = vals.toDF("v").repartition(parts)
+        .agg(quantileSketch(col("v"), 2048, Seq(0.25, 0.5, 0.75)).as("qs"))
+        .collect()(0).getSeq[Long](0)
+      assert(out == Seq(t1(0.25), t1(0.5), t1(0.75)), s"parts=$parts")
+    }
+  }
+
+  test("quantileSketch compacting regime: rank error small, weight preserved (property, seeded)") {
+    // direct buffer exercise: 100k inserts at k=256 forces many
+    // compactions; the deterministic parity alternation must keep every
+    // quantile's weighted rank within a few percent of truth
+    val rnd = new scala.util.Random(42)
+    Seq(0, 1, 2).foreach { trial =>
+      val n = 100000
+      val vals = Array.fill(n)(rnd.nextLong(1000000000L))
+      val parts = 8
+      val bufs = Array.fill(parts)(new graft.plans.QSketchBuffer(256))
+      vals.zipWithIndex.foreach { case (v, i) => bufs(i % parts).insert(v) }
+      val merged = bufs.reduce { (a, b) => a.mergeIn(b); a }
+      assert(merged.totalWeight == n.toLong, s"trial $trial: weight drift")
+      val sorted = vals.sorted
+      val qs = merged.quantiles(Array(0.1, 0.25, 0.5, 0.75, 0.9))
+      qs.zip(Array(0.1, 0.25, 0.5, 0.75, 0.9)).foreach { case (est, q) =>
+        // realized rank of the estimate vs target rank, relative to n
+        val rank = sorted.count(_ <= est)
+        assert(math.abs(rank - q * n) / n < 0.05,
+          s"trial $trial q=$q: rank $rank vs ${q * n}")
+      }
+    }
+  }
+
+  test("orderQuantilesSketch: fixture groups are in the exact regime; p25<=p50<=p75") {
+    val out = Sketches.orderQuantilesSketch(spark, TestSession.sfDir).collect()
+    assert(out.length >= 1)
+    out.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(r.getLong(4) > 0)
+    }
+  }
 }
