@@ -66,6 +66,7 @@ object SparkEntry {
     "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)),
     "quality_filter" -> ((s, d) => TextAnalytics.qualityFilter(s, d)),
     "lm_fluency" -> ((s, d) => TextAnalytics.lmFluency(s, d)),
+    "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)),
     "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
     "mixture_sample" -> ((s, d) => TextAnalytics.mixtureSample(s, d)),
@@ -260,6 +261,7 @@ object SparkEntry {
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     "quality_filter" -> TextAnalytics.qualityFilterSql(),
     "lm_fluency" -> TextAnalytics.lmFluencySql,
+    "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,
     "doc_repetition" -> TextAnalytics.docRepetitionSql,

@@ -864,6 +864,57 @@ object TextAnalytics {
         FROM r WHERE rnk <= $kOut"""
   }
 
+  /** Unicode text normalization (north star: the first cleanup stage of
+    * any web-scale corpus — decomposed accents, zero-width characters,
+    * and ragged whitespace must canonicalize BEFORE dedup/hashing or
+    * visually-identical documents hash apart). The fixture corpus is
+    * ASCII, so the query first INJECTS the dirt deterministically
+    * (combining acute after every 'e', a zero-width space after every
+    * 'a') and then runs the real cleanup: NFC canonical composition
+    * (graft.plans.NfcNormalize — Spark has no built-in; the JDK and
+    * DuckDB's utf8proc share the Unicode tables), format-character
+    * strip, and whitespace collapse. Lengths count code points on both
+    * engines, so n_injected > n_norm proves composition actually fired.
+    *
+    * Scale shape: purely narrow, whole-stage codegen'd, with an
+    * isNormalized fast path that makes the overwhelmingly-ASCII real
+    * corpus allocation-free. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeFunctions.nfcNormalize
+    val injected = regexp_replace(
+      regexp_replace(col("text"), "e", "e\u0301"), "a", "a\u200B")
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"), col("t"), nfcNormalize(col("t")).as("s"))
+      .select(col("doc_id"),
+        length(col("t")).cast("long").as("n_injected"),
+        trim(regexp_replace(
+          regexp_replace(col("s"), "[\u200B\u200C\u200D\uFEFF]", ""),
+          "\\s+", " ")).as("normalized"))
+      .select(col("doc_id"), col("n_injected"),
+        length(col("normalized")).cast("long").as("n_norm"),
+        col("normalized"))
+      .orderBy(col("doc_id"))
+  }
+
+  def textNormalizeSql: String = {
+    val acute = "\u0301"
+    val zwsp = "\u200B"
+    val fmtClass = "[\u200B\u200C\u200D\uFEFF]"
+    s"""WITH inj AS (SELECT doc_id,
+          regexp_replace(regexp_replace(text, 'e', 'e$acute', 'g'),
+                         'a', 'a$zwsp', 'g') AS t
+          FROM documents),
+        n AS (SELECT doc_id, t, nfc_normalize(t) AS s FROM inj),
+        c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_injected,
+              trim(regexp_replace(regexp_replace(s, '$fmtClass', '', 'g'),
+                   '\\s+', ' ', 'g')) AS normalized
+              FROM n)
+        SELECT doc_id, n_injected,
+               CAST(length(normalized) AS BIGINT) AS n_norm, normalized
+        FROM c"""
+  }
+
   /** Bigram language-model fluency score (north star: the CCNet-style
     * "train an n-gram LM on the corpus, score every document, drop the
     * disfluent tail" filter a pretraining pipeline runs at 100 TB;

@@ -71,6 +71,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[LargestValidJsonCandidate].getName, null, "largest_valid_json",
         "largest_valid_json(s) - largest parseable {...} candidate after fence strip (JSON repair)", ""),
       (children: Seq[Expression]) => LargestValidJsonCandidate(children.head)),
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, null, "nfc_normalize",
+        "nfc_normalize(s) - Unicode canonical composition (NFC)", ""),
+      (children: Seq[Expression]) => NfcNormalize(children.head)),
     (new FunctionIdentifier("is_valid_json"),
       new ExpressionInfo(classOf[IsValidJson].getName, null, "is_valid_json",
         "is_valid_json(s) - true iff s parses as a JSON value", ""),

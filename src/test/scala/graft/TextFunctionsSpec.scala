@@ -97,4 +97,23 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(qualityScore(col("t")).as("q")).as[Double].collect()
     assert(qs.forall(q => q >= 0.0 && q <= 1.0 + 1e-9))
   }
+
+  test("nfcNormalize: composes decomposed accents, idempotent, identity on ASCII, null-safe") {
+    import graft.functions.NativeFunctions.nfcNormalize
+    val rows = Seq(
+      ("e\u0301 cafe\u0301", "\u00e9 caf\u00e9"), // decomposed -> composed
+      ("\u00e9 already", "\u00e9 already"),     // composed unchanged
+      ("plain ascii", "plain ascii"),
+      ("", ""))
+    val out = rows.map(_._1).toDF("t")
+      .select(nfcNormalize(col("t")).as("s")).as[String].collect()
+    assert(out.toSeq == rows.map(_._2))
+    // idempotence: normalizing the output is a no-op
+    val twice = rows.map(_._2).toDF("t")
+      .select(nfcNormalize(nfcNormalize(col("t"))).as("s")).as[String].collect()
+    assert(twice.toSeq == rows.map(_._2))
+    val nulls = Seq[Option[String]](None).toDF("t")
+      .select(nfcNormalize(col("t")).as("s")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
 }
