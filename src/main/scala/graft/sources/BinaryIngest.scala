@@ -41,6 +41,7 @@ object BinaryIngest {
     when(e === "pdf", "pdf")
       .when(e.isin("docx", "doc"), "docx")
       .when(e.isin("png", "jpg", "jpeg", "tiff"), "image")
+      .when(e.isin("html", "htm"), "html")
       .otherwise("text")
 
   /** Pluggable binary parser: one instance per partition via
@@ -80,7 +81,8 @@ object BinaryIngest {
   def ingest(spark: SparkSession, binary: DataFrame,
              pdf: BinaryParser = DocFormats.PdfParser,
              docx: BinaryParser = DocFormats.DocxParser,
-             ocr: BinaryParser = GlyphOcr.Parser): DataFrame = {
+             ocr: BinaryParser = GlyphOcr.Parser,
+             html: BinaryParser = HtmlFormat.Parser): DataFrame = {
     import spark.implicits._
     binary
       .withColumn("file_name", sanitizeName(element_at(split(col("path"), "/"), -1)))
@@ -96,6 +98,7 @@ object BinaryIngest {
                 case "text" => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
                 case "pdf" => pdf.parse(bytes)
                 case "docx" => docx.parse(bytes)
+                case "html" => html.parse(bytes)
                 case _ => ocr.parse(bytes)
               }
               (t, null: String)
@@ -114,8 +117,8 @@ object BinaryIngest {
 
   /** Oracle-checkable ingest: synthesize a binary corpus from the
     * documents fixture and run the single-pass ingest over it. The
-    * extension cycles txt/pdf/docx/png by doc_id — ALL FOUR dispatch
-    * arms; '&' in the name exercises sanitize. PDF, DOCX and PNG rows
+    * extension cycles txt/pdf/docx/png/html by doc_id — ALL FIVE
+    * dispatch arms; '&' in the name exercises sanitize. PDF, DOCX and PNG rows
     * carry REAL container bytes built by [[DocFormats]]/[[GlyphOcr]] and
     * decoded by the real parsers: the pdf is two pages (full text; first
     * three words), the docx is one paragraph (full text), one blank
@@ -123,7 +126,9 @@ object BinaryIngest {
     * first three words (flattened " | "), the png is the text rasterized
     * SCANNER-GRADE (2x scale, ±1px per-character jitter, salt-and-pepper
     * noise, seeded by doc_id) and recognized back by best-shift
-    * nearest-glyph template matching —
+    * nearest-glyph template matching, and the html is a full page
+    * (head/style/script noise, nav boilerplate, h1, entity-escaped
+    * body, entity-bearing footer) extracted back by [[HtmlFormat]] —
     * structure the DuckDB twin reproduces from the text alone. `length`
     * is the logical payload size (UTF-8 text bytes), not the container
     * size, which a SQL oracle could not recompute from zip/deflate/png
@@ -131,13 +136,13 @@ object BinaryIngest {
     * payloads. */
   def binaryIngestQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val exts = Array("txt", "pdf", "docx", "png")
+    val exts = Array("txt", "pdf", "docx", "png", "html")
     val bin = graft.Tables.loadWide(spark, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id").cast(LongType), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val e = exts(((id % 4) + 4).toInt % 4)
+        val e = exts(((id % 5) + 5).toInt % 5)
         val head3 = text.split(' ').filter(_.trim.nonEmpty).take(3).toSeq
         val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val content = e match {
@@ -148,6 +153,7 @@ object BinaryIngest {
             DocFormats.buildDocx(Seq(text, ""),
               if (head3.nonEmpty) Seq(head3) else Nil)
           case "png" => GlyphOcr.renderNoisy(text, seed = id)
+          case "html" => HtmlFormat.buildHtml(id, text, head3.mkString(" "))
           case _ => payload
         }
         (s"mem://in/Doc&$id.$e", content, payload.length.toLong)
@@ -162,8 +168,9 @@ object BinaryIngest {
     val ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     s"""WITH b AS (
           SELECT doc_id, text,
-            CASE doc_id % 4 WHEN 0 THEN 'txt' WHEN 1 THEN 'pdf'
-                            WHEN 2 THEN 'docx' ELSE 'png' END AS e,
+            CASE doc_id % 5 WHEN 0 THEN 'txt' WHEN 1 THEN 'pdf'
+                            WHEN 2 THEN 'docx' WHEN 3 THEN 'png'
+                            ELSE 'html' END AS e,
             list_slice(list_filter(string_split(text, ' '),
               w -> trim(w, $ws) <> ''), 1, 3) AS head3
           FROM documents WHERE text IS NOT NULL),
@@ -177,7 +184,8 @@ object BinaryIngest {
             'mem://in/Doc&' || CAST(doc_id AS VARCHAR) || '.' || e AS file_path,
             regexp_replace('Doc&' || CAST(doc_id AS VARCHAR) || '.' || e,
               '[^\\w\\s\\-.]', '', 'g') AS file_name,
-            CASE e WHEN 'txt' THEN 'text' WHEN 'png' THEN 'image' ELSE e END AS fmt,
+            CASE e WHEN 'txt' THEN 'text' WHEN 'png' THEN 'image'
+                   WHEN 'html' THEN 'html' ELSE e END AS fmt,
             CAST(octet_length(encode(text)) AS BIGINT) AS length,
             CASE e
               WHEN 'pdf' THEN CASE WHEN words3 <> ''
@@ -187,6 +195,13 @@ object BinaryIngest {
                 (CASE WHEN trim(text, $ws) <> '' AND cells3 <> '' THEN chr(10) ELSE '' END) ||
                 cells3
               WHEN 'png' THEN ${GlyphOcr.substituteSql("text")}
+              WHEN 'html' THEN
+                'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || 'home | about' ||
+                (CASE WHEN trim(words3, $ws) <> ''
+                      THEN chr(10) || trim(words3, $ws) ELSE '' END) ||
+                (CASE WHEN trim(text, $ws) <> ''
+                      THEN chr(10) || trim(text, $ws) ELSE '' END) ||
+                chr(10) || chr(169) || ' 2026'
               ELSE text END AS raw_text
           FROM b2)
         SELECT *,

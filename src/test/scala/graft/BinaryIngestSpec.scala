@@ -153,4 +153,53 @@ class BinaryIngestSpec extends AnyFunSuite {
     val d = DocFormats.buildDocx(Seq("same"), Seq(Seq("t")))
     assert(java.util.Arrays.equals(c, d))
   }
+
+  test("html: script/style/comments vanish, blocks split, inline tags don't break words") {
+    import graft.sources.HtmlFormat.htmlToText
+    val html = """<html><head><style>p { color: red }</style>
+      |<script>if (1 < 2) { document.write("<p>evil</p>"); }</script></head>
+      |<body><p>He<b>ll</b>o <i>world</i></p>
+      |<!-- hidden --><div>second   block</div></body></html>""".stripMargin
+    assert(htmlToText(html) == "Hello world\nsecond   block")
+    // SCRIPT with attributes + uppercase close tag still skips wholesale
+    assert(htmlToText("""<SCRIPT type="x">a<b</SCRIPT><p>ok</p>""") == "ok")
+  }
+
+  test("html: entities decode (named, decimal, hex); unknown stay literal; unclosed tag drops tail") {
+    import graft.sources.HtmlFormat.htmlToText
+    assert(htmlToText("<p>&amp;&lt;&gt;&quot;&apos;&copy;</p>") == "&<>\"'©")
+    assert(htmlToText("<p>&#65;&#x42;</p>") == "AB")
+    assert(htmlToText("<p>&bogus; &noschemi</p>") == "&bogus; &noschemi")
+    assert(htmlToText("<p>kept<div unclosed") == "kept")
+  }
+
+  test("html: buildHtml -> htmlToText round-trips arbitrary text (escape property)") {
+    import graft.sources.HtmlFormat
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab <>&\"'c;#x1 \t"
+    (0 until 40).foreach { i =>
+      val text = (0 until rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val words3 = text.split(' ').filter(_.trim.nonEmpty).take(3).mkString(" ")
+      val out = HtmlFormat.htmlToText(
+        new String(HtmlFormat.buildHtml(i.toLong, text, words3), "UTF-8"))
+      val expected = s"Doc $i\nhome | about" +
+        (if (words3.trim.nonEmpty) s"\n${words3.trim}" else "") +
+        (if (text.trim.nonEmpty) s"\n${text.trim}" else "") +
+        "\n© 2026"
+      assert(out == expected, s"i=$i text=${text.map(_.toInt)}")
+    }
+  }
+
+  test("html: .html/.htm route to the html parser end-to-end") {
+    import spark.implicits._
+    val bytes = graft.sources.HtmlFormat.buildHtml(7L, "hello page", "hello page")
+    val bin = Seq(("mem://x/page.HTM", bytes, bytes.length.toLong))
+      .toDF("path", "content", "length")
+    val row = BinaryIngest.ingest(spark, bin).collect()(0)
+    assert(row.getAs[String]("fmt") == "html")
+    assert(row.getAs[String]("raw_text") ==
+      "Doc 7\nhome | about\nhello page\nhello page\n© 2026")
+    assert(row.getAs[String]("error") == null)
+  }
 }
