@@ -112,6 +112,8 @@ object SparkEntry {
     "events_sessions" -> ((s, d) => Events.sessions(s, d)),
     "events_asof" -> ((s, d) => Events.asofClickBeforePurchase(s, d)),
     "events_range_join" -> ((s, d) => Events.clicksBeforePurchase(s, d)),
+    "events_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_props" -> ((s, d) => Events.propsExtract(s, d)),
     "events_props_variant" -> ((s, d) => Events.propsExtractVariant(s, d)),
     "events_distinct_kmv" -> ((s, d) => Sketches.distinctUsersKmv(s, d)),
@@ -318,6 +320,8 @@ object SparkEntry {
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,
     "events_range_join" -> Events.clicksBeforePurchaseSql,
+    "events_funnel" -> Events.funnelSql,
+    "events_retention" -> Events.retentionSql,
     "events_props" -> Events.propsExtractSql,
     "events_props_variant" -> Events.propsExtractVariantSql,
     "events_distinct_kmv" -> Sketches.distinctUsersKmvSql(),

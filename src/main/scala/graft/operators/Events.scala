@@ -222,4 +222,89 @@ object Events {
          CAST(sum(CAST(json_extract(js, '$.u') AS BIGINT)) AS BIGINT) AS sum_u,
          CAST(sum(length(json_extract_string(js, '$.t'))) AS BIGINT) AS sum_tlen
        FROM j GROUP BY 1"""
+
+  /** Ordered conversion funnel view → click → purchase: a user advances
+    * a stage only with an event STRICTLY AFTER the timestamp that
+    * reached the previous stage (the product-analytics primitive —
+    * sessionization's companion in SURVEY §2.13's event-time family).
+    * Emits one row per stage with the surviving-user count.
+    *
+    * Scale shape: three user-keyed aggregations, each preceded by an
+    * equi-join on user_id against the (tiny, one row per surviving user)
+    * previous-stage frame — the per-stage frames are |users|-sized, so
+    * at 100 TB the event table streams through three hash joins against
+    * broadcast/co-partitioned stage tables; no window over the full
+    * event log, no self-join of events to events. Timestamps compare as
+    * exact microseconds. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadWide(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v.select(col("user_id").as("vu"), col("v_ts")),
+        col("user_id") === col("vu") && col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id").as("cu"), col("c_ts")),
+        col("user_id") === col("cu") && col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val row = (df: DataFrame, stage: String, ord: Int) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("stage_ord"), lit(stage).as("stage"), col("n_users"))
+    row(v, "view", 1)
+      .unionAll(row(c, "click_after_view", 2))
+      .unionAll(row(p, "purchase_after_click", 3))
+      .orderBy(col("stage_ord"))
+  }
+
+  def funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+         JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+         WHERE e.event_type = 'click' GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+         JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+         WHERE e.event_type = 'purchase' GROUP BY 1)
+       SELECT 1 AS stage_ord, 'view' AS stage, count(*) AS n_users FROM v
+       UNION ALL
+       SELECT 2, 'click_after_view', count(*) FROM c
+       UNION ALL
+       SELECT 3, 'purchase_after_click', count(*) FROM p"""
+
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event; one row per (cohort week, week offset) with the distinct
+    * users active that week — the classic retention triangle.
+    *
+    * Scale shape: one user-keyed aggregate finds each user's cohort
+    * (map-side combined min), one equi-join tags events with their
+    * user's cohort (users-sized build side), one
+    * (cohort, offset, user) distinct then count — all exact integer /
+    * timestamp arithmetic (both engines truncate weeks to Monday and
+    * difference whole days). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadWide(spark, dir, "events")
+      .select(col("user_id"), col("ts"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    ev.join(cohort.select(col("user_id").as("cu"), col("cohort_week")),
+        col("user_id") === col("cu"))
+      .select(col("user_id"), col("cohort_week"),
+        expr("CAST(datediff(date_trunc('week', ts), cohort_week) div 7 AS INT)")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  def retentionSql: String =
+    """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+         FROM events GROUP BY 1)
+       SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) // 7 AS INT)
+           AS week_offset,
+         count(DISTINCT e.user_id) AS n_users
+       FROM events e JOIN c ON e.user_id = c.user_id
+       GROUP BY 1, 2"""
 }

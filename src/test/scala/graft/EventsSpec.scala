@@ -62,4 +62,55 @@ class EventsSpec extends AnyFunSuite {
     assert(out("click") == 1 + 2 + 4 + 5)
     assert(out("purchase") == 3 + 6)
   }
+
+  test("funnel: stages require STRICT event-time order per user") {
+    val d = java.nio.file.Files.createTempDirectory("funnel").toString
+    Seq(
+      // u1: full ordered funnel
+      (0L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}"),
+      (1L, "2024-01-01 10:05:00", 1L, "click", 0.0, "{}"),
+      (2L, "2024-01-01 10:10:00", 1L, "purchase", 0.0, "{}"),
+      // u2: click BEFORE view, purchase after view but no click after view
+      (3L, "2024-01-01 09:00:00", 2L, "click", 0.0, "{}"),
+      (4L, "2024-01-01 10:00:00", 2L, "view", 0.0, "{}"),
+      (5L, "2024-01-01 11:00:00", 2L, "purchase", 0.0, "{}"),
+      // u3: view + click, purchase exactly AT the click ts (strict: no)
+      (6L, "2024-01-01 08:00:00", 3L, "view", 0.0, "{}"),
+      (7L, "2024-01-01 08:30:00", 3L, "click", 0.0, "{}"),
+      (8L, "2024-01-01 08:30:00", 3L, "purchase", 0.0, "{}"),
+      // u4: never views
+      (9L, "2024-01-01 08:00:00", 4L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = Events.funnel(spark, d).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("view") == 3)                 // u1, u2, u3
+    assert(out("click_after_view") == 2)     // u1, u3 (u2's click precedes its view)
+    assert(out("purchase_after_click") == 1) // u1 only (u3's ties, strict)
+  }
+
+  test("retention: week offsets count whole weeks from the cohort week") {
+    val d = java.nio.file.Files.createTempDirectory("retention").toString
+    Seq(
+      // u1 first active Mon Jan 1 week; active again 2 weeks later
+      (0L, "2024-01-02 10:00:00", 1L, "view", 0.0, "{}"),
+      (1L, "2024-01-16 10:00:00", 1L, "view", 0.0, "{}"),
+      // u2 same cohort week, active only that week (two events, one user)
+      (2L, "2024-01-03 10:00:00", 2L, "view", 0.0, "{}"),
+      (3L, "2024-01-05 10:00:00", 2L, "view", 0.0, "{}"),
+      // u3 cohort the following week
+      (4L, "2024-01-10 10:00:00", 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = Events.retention(spark, d).collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out(("2024-01-01", 0)) == 2) // u1 + u2 in their cohort week
+    assert(out(("2024-01-01", 2)) == 1) // u1 back two weeks on
+    assert(out(("2024-01-08", 0)) == 1) // u3's own cohort
+    assert(out.size == 3)
+  }
 }
