@@ -948,8 +948,15 @@ object TextAnalytics {
     val slots = ws.select(col("doc_id"), explode(expr(
       "filter(transform(ws, (w, i) -> IF(i < size(ws) - 1, concat(w, ' ', element_at(ws, i + 2)), NULL)), x -> x IS NOT NULL)"
     )).as("bg"))
+    // materialize the counted bigrams once: three branches consume them
+    // (model training, prefix counts via the model, the per-doc scoring
+    // join) and would otherwise re-explode the corpus per branch. Eager
+    // localCheckpoint, not persist: lifetime tracks the result frame
+    // (ContextCleaner-freed), and blocks hold (doc_id, bg, n) triples —
+    // the same data a shuffle would spill anyway.
     val docBg = slots.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val model0 = docBg.groupBy(col("bg").as("mbg"))
       .agg(sum(col("n")).as("c12"))
     val pfx = model0
