@@ -113,6 +113,7 @@ object SparkEntry {
     "events_asof" -> ((s, d) => Events.asofClickBeforePurchase(s, d)),
     "events_range_join" -> ((s, d) => Events.clicksBeforePurchase(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "events_anomalies" -> ((s, d) => Events.anomalies(s, d)),
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_props" -> ((s, d) => Events.propsExtract(s, d)),
     "events_props_variant" -> ((s, d) => Events.propsExtractVariant(s, d)),
@@ -321,6 +322,7 @@ object SparkEntry {
     "events_asof" -> Events.asofClickBeforePurchaseSql,
     "events_range_join" -> Events.clicksBeforePurchaseSql,
     "events_funnel" -> Events.funnelSql,
+    "events_anomalies" -> Events.anomaliesSql,
     "events_retention" -> Events.retentionSql,
     "events_props" -> Events.propsExtractSql,
     "events_props_variant" -> Events.propsExtractVariantSql,

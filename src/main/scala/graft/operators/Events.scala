@@ -298,6 +298,53 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Volume-anomaly detection per event type: hourly counts scored by
+    * global z-score, hours beyond |z| > 2 flagged (the monitoring
+    * primitive next to the funnel/retention family).
+    *
+    * Cross-engine float determinism: mean and variance derive from
+    * EXACT integer sums (n, Σc, Σc²) — var = (n·Σc² − (Σc)²)/n²
+    * computed with integer numerator, ONE division, and sqrt (the one
+    * libm call IEEE 754 requires correctly rounded, so both engines
+    * agree bit-for-bit, unlike ln/exp). The z expression divides in the
+    * same order on both engines.
+    *
+    * Scale shape: one (type, hour) count shuffle (map-side combined),
+    * one per-type stats reduce over the SMALL hourly frame, broadcast
+    * back — never a second pass over raw events. */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.loadWide(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("wstart"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("event_type").as("st"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    hourly.join(broadcast(stats), col("event_type") === col("st"))
+      .select(col("event_type"), col("wstart"), col("cnt"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("sd"))
+      .select(col("event_type"), col("wstart"), col("cnt"), col("mean"), col("sd"),
+        ((col("cnt").cast("double") - col("mean")) / col("sd")).as("z"))
+      .filter(abs(col("z")) > 2.0)
+      .orderBy(col("event_type"), col("wstart"))
+  }
+
+  def anomaliesSql: String =
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS wstart,
+         count(*) AS cnt FROM events GROUP BY 1, 2),
+       s AS (SELECT event_type AS st, count(*) AS n,
+         CAST(sum(cnt) AS BIGINT) AS s1,
+         CAST(sum(cnt * cnt) AS BIGINT) AS s2
+         FROM h GROUP BY 1),
+       z AS (SELECT event_type, wstart, cnt,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) AS sd
+         FROM h JOIN s ON h.event_type = s.st)
+       SELECT event_type, wstart, cnt, mean, sd,
+         (CAST(cnt AS DOUBLE) - mean) / sd AS z
+       FROM z WHERE abs((CAST(cnt AS DOUBLE) - mean) / sd) > 2.0"""
+
   def retentionSql: String =
     """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
          FROM events GROUP BY 1)

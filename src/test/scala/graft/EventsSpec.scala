@@ -113,4 +113,25 @@ class EventsSpec extends AnyFunSuite {
     assert(out(("2024-01-08", 0)) == 1) // u3's own cohort
     assert(out.size == 3)
   }
+
+  test("anomalies: an injected hourly spike is flagged with the hand-computed z") {
+    val d = java.nio.file.Files.createTempDirectory("anom").toString
+    // 9 quiet hours at 1 event + one spike hour with 11 events
+    val rows = (0 until 9).map { h =>
+      (h.toLong, f"2024-01-01 $h%02d:15:00", 1L, "click", 0.0, "{}")
+    } ++ (0 until 11).map { i =>
+      (100L + i, s"2024-01-01 09:${10 + i}:00", 1L, "click", 0.0, "{}")
+    }
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = Events.anomalies(spark, d).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-01 09:"))
+    assert(r.getLong(2) == 11L)
+    // n=10, s1=20, s2=130 -> mean 2, var (10*130-400)/100 = 9, sd 3, z = 3
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 3.0 && r.getDouble(5) == 3.0)
+  }
 }
