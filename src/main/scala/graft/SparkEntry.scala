@@ -56,6 +56,7 @@ object SparkEntry {
     "doc_quality" -> ((s, d) => TextAnalytics.docQuality(s, d)),
     "doc_classify" -> ((s, d) => TextAnalytics.docClassify(s, d)),
     "lang_agg" -> ((s, d) => TextAnalytics.langAgg(s, d)),
+    "lang_trigram_id" -> ((s, d) => TextAnalytics.langTrigramClassify(s, d)),
     "doc_tokens" -> ((s, d) => TextAnalytics.docTokens(s, d)),
     "lang_top_words" -> ((s, d) => TextAnalytics.langTopWords(s, d)),
     "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
@@ -255,6 +256,7 @@ object SparkEntry {
     "doc_quality" -> TextAnalytics.docQualitySql,
     "doc_classify" -> TextAnalytics.docClassifySql,
     "lang_agg" -> TextAnalytics.langAggSql,
+    "lang_trigram_id" -> TextAnalytics.langTrigramClassifySql(),
     "doc_tokens" -> TextAnalytics.docTokensSql,
     // sketch is exact on this corpus (vocab < cap) so the exact GROUP BY
     // twin checks counts AND rank order

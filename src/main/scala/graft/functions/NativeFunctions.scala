@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, TopFreq, TopKByScore}
+import graft.plans.{CharTrigrams, CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, TopFreq, TopKByScore}
 
 /** Column builders for graft's native Catalyst expressions — usable on
   * any session (no FunctionRegistry dependency; the SQL names
@@ -24,6 +24,9 @@ object NativeFunctions {
     * ordered (cnt DESC, item ASC); exact while distinct items <= cap. */
   def topFreq(item: Column, cap: Int): Column =
     Bridge.column(TopFreq(Bridge.expression(item), cap).toAggregateExpression())
+  /** All char-trigram slots (non-distinct, code-point windows), one pass. */
+  def charTrigrams(c: Column): Column =
+    Bridge.column(CharTrigrams(Bridge.expression(c)))
   /** Unicode canonical composition (NFC), codegen'd; pass-through fast
     * path for already-normalized text. */
   def nfcNormalize(c: Column): Column =

@@ -915,6 +915,82 @@ object TextAnalytics {
         FROM c"""
   }
 
+  /** N-gram-profile language identification, Cavnar-Trenkle style: train
+    * a top-k character-trigram profile per language from the corpus's
+    * own labels, then classify every document by its trigram-slot
+    * overlap with each profile (argmax, ties to the lexically first
+    * language). This is the TRAINED upgrade of the [[docProfile]]
+    * stopword heuristic — the same train-on-corpus/apply-per-doc shape
+    * as [[lmFluency]]. The fixture's lang labels are synthetic
+    * (uncorrelated with its single-vocabulary text), so the oracle
+    * checks the exact deterministic math; the spec proves real
+    * discrimination on a constructed multilingual corpus — the GlyphOcr
+    * posture.
+    *
+    * Scale shape: trigram slots explode via the native
+    * [[graft.plans.CharTrigrams]] (one code-point walk; the composable
+    * transform/substr form is interpreted and quadratic per doc); ONE
+    * (doc, tg) and ONE (lang, tg) count shuffle, both map-side
+    * combined; the profile is k·n_langs rows — broadcast model state;
+    * scoring is a broadcast hash join + per-doc rollup + a
+    * WindowGroupLimit argmax. */
+  def langTrigramClassify(spark: SparkSession, dir: String,
+                          k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NativeFunctions.charTrigrams
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val slots = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(charTrigrams(col("text"))).as("tg"))
+    val docG = slots.groupBy(col("doc_id"), col("tg"))
+      .agg(count(lit(1)).as("n"))
+    val langG = slots.groupBy(col("lang"), col("tg").as("ptg"))
+      .agg(count(lit(1)).as("c"))
+    val prof = langG
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("ptg"))))
+      .filter(col("rk") <= k)
+      .select(col("lang").as("lang_p"), col("ptg"))
+    val score = docG.join(broadcast(prof), col("tg") === col("ptg"))
+      .groupBy(col("doc_id"), col("lang_p"))
+      .agg(sum(col("n")).as("score"))
+    val best = score
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("lang_p"))))
+      .filter(col("rn") === 1)
+    docs.select(col("doc_id"), col("lang"))
+      .join(best.select(col("doc_id").as("bd"), col("lang_p"), col("score")),
+        col("doc_id") === col("bd"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_p"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  def langTrigramClassifySql(k: Int = 40): String =
+    s"""WITH slots AS (SELECT doc_id, lang,
+          unnest(list_transform(generate_series(1, length(text) - 2),
+            i -> substr(text, i, 3))) AS tg
+          FROM documents WHERE text IS NOT NULL),
+        docg AS (SELECT doc_id, tg, count(*) AS n FROM slots GROUP BY 1, 2),
+        langg AS (SELECT lang, tg, count(*) AS c FROM slots GROUP BY 1, 2),
+        prof AS (SELECT lang AS lang_p, tg FROM (
+            SELECT lang, tg,
+              row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS rk
+            FROM langg) WHERE rk <= $k),
+        score AS (SELECT doc_id, lang_p, CAST(sum(n) AS BIGINT) AS score
+                  FROM docg JOIN prof ON docg.tg = prof.tg GROUP BY 1, 2),
+        best AS (SELECT doc_id, lang_p, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang_p) AS rn
+                 FROM score)
+        SELECT d.doc_id, coalesce(b.lang_p, 'und') AS pred_lang,
+               coalesce(b.score, 0) AS score, d.lang
+        FROM documents d
+        LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1"""
+
   /** Bigram language-model fluency score (north star: the CCNet-style
     * "train an n-gram LM on the corpus, score every document, drop the
     * disfluent tail" filter a pretraining pipeline runs at 100 TB;

@@ -71,6 +71,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[LargestValidJsonCandidate].getName, null, "largest_valid_json",
         "largest_valid_json(s) - largest parseable {...} candidate after fence strip (JSON repair)", ""),
       (children: Seq[Expression]) => LargestValidJsonCandidate(children.head)),
+    (new FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigrams].getName, null, "char_trigrams",
+        "char_trigrams(s) - all character-trigram slots of s, in order", ""),
+      (children: Seq[Expression]) => CharTrigrams(children.head)),
     (new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, null, "nfc_normalize",
         "nfc_normalize(s) - Unicode canonical composition (NFC)", ""),

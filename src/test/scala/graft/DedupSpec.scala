@@ -558,4 +558,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out(0L)._2 > out(3L)._2)
     assert(out(4L) == (0L, 0.0))
   }
+
+  test("langTrigramClassify: trained profiles discriminate scripts; short/null text -> und") {
+    import graft.operators.TextAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("langid").toString
+    val en = Seq("the quick brown fox jumps over the lazy dog and runs through the green fields",
+      "she sells sea shells by the sea shore while the sun shines over the water")
+    val de = Seq("der schnelle braune fuchs springt über den faulen hund und läuft durch die wiese",
+      "sie verkauft muscheln am meeresufer während die sonne über dem wasser scheint")
+    val zh = Seq("敏捷的棕色狐狸跳过懒狗然后跑过绿色的田野", "她在海边卖贝壳阳光照在水面上")
+    val docs = (en.map(("en", _)) ++ de.map(("de", _)) ++ zh.map(("zh", _)))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l, s"s$i", t.length.toLong) } ++
+      Seq((90L, "ab", "en", "s90", 2L), (91L, null: String, "en", "s91", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalytics.langTrigramClassify(spark, dir, k = 60).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    // every full-length doc classifies to its own language's profile
+    (0L to 5L).foreach { id =>
+      assert(out(id)._1 == out(id)._3, s"doc $id: ${out(id)}")
+      assert(out(id)._2 > 0)
+    }
+    // 'ab' has no trigram slot at all -> und with score 0; null -> und
+    assert(out(90L) == ("und", 0L, "en"))
+    assert(out(91L) == ("und", 0L, "en"))
+  }
 }
