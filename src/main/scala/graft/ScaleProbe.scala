@@ -111,7 +111,13 @@ object ScaleProbe {
       "paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
       "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
       "doc_embeddings_tensor" -> ((s, d) => TensorEncode.docEmbeddingsTensorQuery(s, d)),
-      "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)))
+      "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)),
+      // corpus-trained models: bigram LM (model join keyed on bigram)
+      // and trigram language profiles (broadcast model) — growth must
+      // track the token volume, not the model cross product
+      "lm_fluency" -> ((s, d) => TextAnalytics.lmFluency(s, d)),
+      "lang_trigram_id" -> ((s, d) => TextAnalytics.langTrigramClassify(s, d)),
+      "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)))
 
     // warmup both dirs so codegen/JIT is out of the measurement
     probes.foreach { case (_, fn) =>

@@ -139,6 +139,10 @@ object SparkEntry {
     // partition pruning — must equal the batch vector_lsh_topk_b6 hash
     "vector_lsh_stream_topk" -> ((s, d) =>
       graft.streaming.StreamOps.streamLshTopKQuery(s, d)),
+    // batch-trained bigram LM scores a streamed corpus (stream-static
+    // model join) — must equal the batch lm_fluency hash
+    "stream_lm_fluency" -> ((s, d) =>
+      graft.streaming.StreamOps.streamLmFluencyQuery(s, d)),
     // --- the reference's true continuous shape: full 7-stage doc ETL
     //     under Structured Streaming, vs the BATCH pipeline oracle ---
     "pipeline_stream" -> ((s, d) =>
@@ -318,6 +322,7 @@ object SparkEntry {
     "stream_decontaminate" -> Dedup.decontaminateSql(),
     // streaming-maintained index serves the same ranks as the batch query
     "vector_lsh_stream_topk" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
+    "stream_lm_fluency" -> TextAnalytics.lmFluencySql,
     "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,

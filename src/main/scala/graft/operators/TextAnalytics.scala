@@ -1017,22 +1017,20 @@ object TextAnalytics {
     * corpus-bounded), and V is a 1-row broadcast. The doc⋈model join is
     * a plain equi-join on the bigram key — the standard shared-nothing
     * LM-training shape; nothing driver-side, nothing quadratic. */
-  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
-    val ws = Tables.loadWide(spark, dir, "documents")
-      .select(col("doc_id"), words(col("text")).as("ws0"))
+  private def lmWs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws0"))
       .select(col("doc_id"), expr("filter(ws0, w -> w <> '')").as("ws"))
-    val slots = ws.select(col("doc_id"), explode(expr(
+
+  /** All bigram SLOTS of each document (non-distinct), the LM feature
+    * stream — shared by batch training/scoring and the streaming twin. */
+  def lmSlots(docs: DataFrame): DataFrame =
+    lmWs(docs).select(col("doc_id"), explode(expr(
       "filter(transform(ws, (w, i) -> IF(i < size(ws) - 1, concat(w, ' ', element_at(ws, i + 2)), NULL)), x -> x IS NOT NULL)"
     )).as("bg"))
-    // materialize the counted bigrams once: three branches consume them
-    // (model training, prefix counts via the model, the per-doc scoring
-    // join) and would otherwise re-explode the corpus per branch. Eager
-    // localCheckpoint, not persist: lifetime tracks the result frame
-    // (ContextCleaner-freed), and blocks hold (doc_id, bg, n) triples —
-    // the same data a shuffle would spill anyway.
-    val docBg = slots.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+
+  /** Integer-scaled smoothed-probability model (mbg, sc) from counted
+    * bigrams + the tokenized corpus (for V). */
+  private def lmModelFrom(docBg: DataFrame, ws: DataFrame): DataFrame = {
     val model0 = docBg.groupBy(col("bg").as("mbg"))
       .agg(sum(col("n")).as("c12"))
     val pfx = model0
@@ -1040,11 +1038,35 @@ object TextAnalytics {
       .agg(sum(col("c12")).as("c1"))
     val vocab = ws.select(explode(col("ws")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val model = model0
+    model0
       .join(pfx, substring_index(col("mbg"), " ", 1) === col("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("mbg"),
         expr("(1000000 * (c12 + 1)) div (c1 + v)").as("sc"))
+  }
+
+  /** Standalone trained model over a fixture dir — the static side of
+    * the streaming twin ("train once in batch, score the stream"). */
+  def lmModel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val docBg = lmSlots(docs).groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+    lmModelFrom(docBg, lmWs(docs))
+  }
+
+  def lmFluency(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val ws = lmWs(docs)
+    // materialize the counted bigrams once: three branches consume them
+    // (model training, prefix counts via the model, the per-doc scoring
+    // join) and would otherwise re-explode the corpus per branch. Eager
+    // localCheckpoint, not persist: lifetime tracks the result frame
+    // (ContextCleaner-freed), and blocks hold (doc_id, bg, n) triples —
+    // the same data a shuffle would spill anyway.
+    val docBg = lmSlots(docs).groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val model = lmModelFrom(docBg, ws)
     val perDoc = docBg.join(model, col("bg") === col("mbg"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n") * col("sc")).as("s"), sum(col("n")).as("nb"))

@@ -432,4 +432,35 @@ object StreamOps {
     })
     Similarity.serveLshTopKFromStore(spark, dir, storeDir, k, nQueries, bits)
   }
+
+  /** STREAM-STATIC model scoring: the bigram LM trains ONCE in batch
+    * (materialized — a per-micro-batch re-train would silently hide in
+    * a lazy static side) and every streamed document's bigram slots
+    * join it broadcast, stateless, per micro-batch — the "score fresh
+    * crawl against yesterday's model" ingest shape. The per-doc mean is
+    * a batch rollup over the appended sink (same post-pass posture as
+    * the stream-stream range join; a non-windowed groupBy after the
+    * join can't run in append mode). Oracle: the SAME SQL as batch
+    * lm_fluency. */
+  def streamLmFluencyQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalytics
+    val model = broadcast(
+      TextAnalytics.lmModel(spark, dir).localCheckpoint(true))
+    val scored = TextAnalytics.lmSlots(docsStream(spark, dir))
+      .join(model, col("bg") === col("mbg"))
+      .select(col("doc_id"), col("sc"))
+    val sunk = runToMemory(spark, scored,
+      s"stream_lm_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      mode = "append")
+    val perDoc = sunk.groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("s"), count(lit(1)).as("nb"))
+    graft.Tables.loadWide(spark, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(col("nb") > 0,
+          col("s").cast("double") / col("nb").cast("double"))
+          .otherwise(lit(0.0)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
 }
