@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_keep" -> ((s, d) => Dedup.dedupKeep(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    "cdc_dedup" -> ((s, d) => Dedup.cdcDedup(s, d)),
     // --- event-time analytics (SURVEY §2.13) ---
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_sliding" -> ((s, d) => Events.sliding(s, d)),
@@ -312,6 +313,7 @@ object SparkEntry {
     "dedup_keep" -> Dedup.dedupKeepSql(),
     "decontaminate" -> Dedup.decontaminateSql(),
     "paragraph_dedup" -> Dedup.paragraphDedupSql,
+    "cdc_dedup" -> Dedup.cdcDedupSql,
     "events_tumbling" -> Events.tumblingSql,
     "events_stream_tumbling" -> Events.tumblingSql,
     "events_stream_sessions" -> Events.sessionsSql,

@@ -865,4 +865,84 @@ object Dedup {
         SELECT d.doc_id, d.source FROM documents d
         WHERE NOT EXISTS (SELECT 1 FROM comp c
                           WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)"""
+
+  /** Content-defined-chunk dedup (the storage-dedup shape applied to
+    * corpus near-dedup): split every document at Rabin-style rolling-
+    * hash boundaries (graft.plans.CdcChunks — boundaries depend only on
+    * LOCAL content, so chunks re-align after any insertion, where
+    * fixed-offset chunking shifts every boundary downstream of an
+    * edit), then keep each chunk's first occurrence in
+    * (doc_id, position) order. Reports per-document chunk accounting:
+    * duplicated chunks measure how much of the document is redundant
+    * byte-range-wise — finer than paragraph dedup (which needs exact
+    * paragraph boundaries) and cheaper than shingle Jaccard (no pair
+    * join).
+    *
+    * Scale shape: chunking is narrow native codegen; ONE
+    * (chunk → first-occurrence) window shuffle keyed by chunk content
+    * (WindowGroupLimit ships one row per chunk per partition), one
+    * per-doc rollup. At 100 TB you'd key the shuffle on a chunk HASH
+    * rather than the text (swap the window key for poly_hash(chunk));
+    * the fixture keys content directly so the oracle is readable. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val ch = docs.filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(Bridge.column(graft.plans.CdcChunks(
+          Bridge.expression(col("text"))))).as(Seq("idx", "chunk")))
+    val flags = ch.withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))))
+    val perDoc = flags.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_chunks"), lit(0L)) -
+          coalesce(col("n_kept"), lit(0L))).as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle recomputes the w=8 rolling hash as the direct 8-term
+    * polynomial sum (coefficients 31^k mod 1e9+7 as literals; BIGINT-
+    * safe: 8 · 1.1e6 · 5e8 < 2^63). */
+  def cdcDedupSql: String =
+    """WITH t AS (SELECT doc_id, text AS t, length(text) AS n
+         FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       h AS (SELECT doc_id, t, n,
+         CASE WHEN n >= 8 THEN list_filter(list_transform(generate_series(8, n),
+           i -> CASE WHEN (CAST(ord(substr(t, i-7, 1)) AS BIGINT) * 512613922
+                         + CAST(ord(substr(t, i-6, 1)) AS BIGINT) * 887503681
+                         + CAST(ord(substr(t, i-5, 1)) AS BIGINT) * 28629151
+                         + CAST(ord(substr(t, i-4, 1)) AS BIGINT) * 923521
+                         + CAST(ord(substr(t, i-3, 1)) AS BIGINT) * 29791
+                         + CAST(ord(substr(t, i-2, 1)) AS BIGINT) * 961
+                         + CAST(ord(substr(t, i-1, 1)) AS BIGINT) * 31
+                         + CAST(ord(substr(t, i, 1)) AS BIGINT)) % 1000000007 % 64 = 0
+                THEN i END), x -> x IS NOT NULL)
+         ELSE [] END AS b
+         FROM t),
+       cuts AS (SELECT doc_id, t,
+         list_concat(list_concat([0], list_filter(b, x -> x < n)), [n]) AS c
+         FROM h),
+       ex AS (SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(c) - 1),
+           j -> struct_pack(idx := j, ch := substr(t, c[j] + 1, c[j+1] - c[j])))) AS u
+         FROM cuts),
+       flat AS (SELECT doc_id, u.idx AS idx, u.ch AS ch FROM ex),
+       flags AS (SELECT doc_id,
+         row_number() OVER (PARTITION BY ch ORDER BY doc_id, idx) AS rn
+         FROM flat),
+       perdoc AS (SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM flags GROUP BY 1)
+       SELECT d.doc_id,
+         coalesce(p.n_chunks, 0) AS n_chunks,
+         coalesce(p.n_kept, 0) AS n_kept,
+         coalesce(p.n_chunks, 0) - coalesce(p.n_kept, 0) AS n_dup
+       FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id"""
 }

@@ -71,6 +71,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[LargestValidJsonCandidate].getName, null, "largest_valid_json",
         "largest_valid_json(s) - largest parseable {...} candidate after fence strip (JSON repair)", ""),
       (children: Seq[Expression]) => LargestValidJsonCandidate(children.head)),
+    (new FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketch].getName, null, "quantile_sketch",
+        "quantile_sketch(x, k) - aggregate: KLL-style sketch, array of the three quartile values (exact while group <= k)", ""),
+      (children: Seq[Expression]) =>
+        QuantileSketch(children(0), intLit(children(1), "quantile_sketch k"),
+          Seq(0.25, 0.5, 0.75))),
     (new FunctionIdentifier("char_trigrams"),
       new ExpressionInfo(classOf[CharTrigrams].getName, null, "char_trigrams",
         "char_trigrams(s) - all character-trigram slots of s, in order", ""),

@@ -583,4 +583,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out(90L) == ("und", 0L, "en"))
     assert(out(91L) == ("und", 0L, "en"))
   }
+
+  test("cdcChunks: lossless reassembly; boundaries re-align after an insertion") {
+    import graft.plans.CdcChunks
+    def chunksOf(s: String): Seq[String] = {
+      val arr = CdcChunks.chunks(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cs = chunksOf(base)
+    assert(cs.mkString == base)            // lossless
+    assert(cs.length > 10)                  // mask 64 -> ~31 chunks expected
+    // prepend an edit: fixed-offset chunking would shift EVERY boundary;
+    // CDC must re-synchronize and share the vast majority of chunks
+    val edited = "INSERTED PREFIX " + base
+    val cs2 = chunksOf(edited)
+    assert(cs2.mkString == edited)
+    val shared = cs.toSet.intersect(cs2.toSet).size
+    assert(shared >= cs.length - 2, s"only $shared of ${cs.length} chunks survived the edit")
+    // edges: empty -> none; shorter than the window -> one whole-text chunk
+    assert(chunksOf("").isEmpty)
+    assert(chunksOf("short") == Seq("short"))
+  }
+
+  test("cdcDedup: exact duplicate docs share every chunk; accounting is consistent") {
+    val out = Dedup.cdcDedup(spark, corpusDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 is an exact dup of doc 0: every chunk already seen
+    assert(out(1L)._1 > 0 && out(1L)._2 == 0 && out(1L)._3 == out(1L)._1)
+    // doc 0 carries the first occurrences of its own chunks
+    assert(out(0L)._2 == out(0L)._1)
+    // empty doc: zero chunks
+    assert(out(4L) == (0L, 0L, 0L))
+    out.values.foreach { case (n, k, d) => assert(k + d == n && k >= 0 && d >= 0) }
+  }
 }
