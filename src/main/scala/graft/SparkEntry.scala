@@ -60,6 +60,7 @@ object SparkEntry {
     "doc_tokens" -> ((s, d) => TextAnalytics.docTokens(s, d)),
     "lang_top_words" -> ((s, d) => TextAnalytics.langTopWords(s, d)),
     "tfidf_keywords" -> ((s, d) => TextAnalytics.tfidfKeywords(s, d)),
+    "collocations" -> ((s, d) => TextAnalytics.collocations(s, d)),
     "pii_scrub" -> ((s, d) => TextAnalytics.piiScrub(s, d)),
     "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
     "doc_novelty" -> ((s, d) => TextAnalytics.docNovelty(s, d)),
@@ -267,6 +268,7 @@ object SparkEntry {
     // twin checks counts AND rank order
     "lang_top_words" -> TextAnalytics.langTopWordsSql(),
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
+    "collocations" -> TextAnalytics.collocationsSql(),
     "bm25_search" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     "quality_filter" -> TextAnalytics.qualityFilterSql(),

@@ -991,6 +991,67 @@ object TextAnalytics {
         FROM documents d
         LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1"""
 
+  /** Collocation mining: the corpus's top-k word pairs by PMI-style
+    * lift, N·c(w1w2)/(c(w1)·c(w2)) — the association score is the
+    * rational inside classic PMI without the log (monotone, bit-exact
+    * cross-engine; the tfidfKeywords rationale). A min-count floor
+    * drops one-off pairs whose lift is pure noise. The integer-scaled
+    * quotient stays in BIGINT through ~1e5-token corpora per the scale
+    * note below; a 100 TB run swaps in the log form (floats) or 128-bit.
+    *
+    * Scale shape: one unigram and one bigram count shuffle (map-side
+    * combined), two vocab-bounded joins, then TakeOrderedAndProject
+    * top-k — the rank window runs over the k survivors only. */
+  def collocations(spark: SparkSession, dir: String,
+                   k: Int = 20, minCount: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val toks = lmWs(docs).select(explode(col("ws")).as("w"))
+    val n = toks.count()
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val big = lmSlots(docs).groupBy(col("bg"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val scored = big
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("w").as("u1"), col("cu").as("cu1")),
+        col("w1") === col("u1"))
+      .join(uni.select(col("w").as("u2"), col("cu").as("cu2")),
+        col("w2") === col("u2"))
+      .select(col("bg"), col("c12"),
+        expr(s"(1000000 * ${n}L * c12) div (cu1 * cu2)").as("lift_scaled"))
+      .orderBy(col("lift_scaled").desc, col("bg")).limit(k)
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("lift_scaled").desc, col("bg"))))
+      .select(col("rnk"), col("bg").as("bigram"), col("c12"), col("lift_scaled"))
+      .orderBy(col("rnk"))
+  }
+
+  def collocationsSql(k: Int = 20, minCount: Int = 5): String =
+    s"""WITH w AS (SELECT doc_id,
+          list_filter(${wordsSql("text")}, x -> x <> '') AS ws
+          FROM documents),
+        toks AS (SELECT unnest(ws) AS w FROM w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1),
+        slots AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        big AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+                FROM slots GROUP BY bg HAVING count(*) >= $minCount),
+        sc AS (SELECT bg, c12,
+               (1000000 * nt * c12) // (u1.cu * u2.cu) AS lift_scaled
+               FROM big CROSS JOIN n
+               JOIN uni u1 ON split_part(big.bg, ' ', 1) = u1.w
+               JOIN uni u2 ON split_part(big.bg, ' ', 2) = u2.w),
+        r AS (SELECT bg AS bigram, c12, lift_scaled,
+              CAST(row_number() OVER (ORDER BY lift_scaled DESC, bg) AS INT) AS rnk
+              FROM sc)
+        SELECT rnk, bigram, c12, lift_scaled FROM r WHERE rnk <= $k"""
+
   /** Bigram language-model fluency score (north star: the CCNet-style
     * "train an n-gram LM on the corpus, score every document, drop the
     * disfluent tail" filter a pretraining pipeline runs at 100 TB;

@@ -420,6 +420,20 @@ class DedupSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(graft.operators.Sketches.kmvSetOps(spark, dir).count() == 0)
+    // round-6 additions: trained models over nothing, empty event log
+    assert(TextAnalytics.lmFluency(spark, dir).count() == 0)
+    assert(TextAnalytics.langTrigramClassify(spark, dir).count() == 0)
+    assert(TextAnalytics.textNormalize(spark, dir).count() == 0)
+    assert(Dedup.cdcDedup(spark, dir).count() == 0)
+    assert(graft.operators.Events.funnel(spark, dir)
+      .collect().forall(_.getLong(2) == 0L)) // three stage rows, all zero
+    assert(graft.operators.Events.retention(spark, dir).count() == 0)
+    assert(graft.operators.Events.anomalies(spark, dir).count() == 0)
+    Seq.empty[(Long, java.sql.Timestamp, Long, Double, String, String, Long)]
+      .toDF("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice",
+        "o_orderpriority", "o_comment", "o_shippriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(graft.operators.Sketches.orderQuantilesSketch(spark, dir).count() == 0)
   }
 
   test("docNovelty: unique-shingle rate and mean df, hand-computed") {
@@ -606,6 +620,27 @@ class DedupSpec extends AnyFunSuite {
     // edges: empty -> none; shorter than the window -> one whole-text chunk
     assert(chunksOf("").isEmpty)
     assert(chunksOf("short") == Seq("short"))
+  }
+
+  test("collocations: an always-together pair outranks frequent generic neighbors") {
+    import graft.operators.TextAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("colloc").toString
+    // 'san francisco' co-occur exclusively; 'the data' co-occur often but
+    // both words roam: lift must rank the exclusive pair first
+    val docs = (0 until 10).map { i =>
+      (i.toLong,
+        "san francisco the data the word the data more word data things " +
+          "the data san francisco more things",
+        "en", s"s$i", 100L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalytics.collocations(spark, dir, k = 5, minCount = 5).collect()
+    assert(out.head.getString(1) == "san francisco")
+    // ranks are 1..k, descending lift
+    assert(out.map(_.getInt(0)).toSeq == (1 to out.length))
+    val lifts = out.map(_.getLong(3))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
   }
 
   test("cdcDedup: exact duplicate docs share every chunk; accounting is consistent") {
