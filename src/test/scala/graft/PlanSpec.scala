@@ -128,4 +128,40 @@ class PlanSpec extends AnyFunSuite {
     // broadcast join against the schema table is the only wide op
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
+
+  test("lang_trigram_id: profiles broadcast into the scoring join; argmax is WindowGroupLimit") {
+    val p = plan(graft.operators.TextAnalytics.langTrigramClassify(spark, sfDir))
+    // the model (k·n_langs rows) must build-side broadcast, never shuffle
+    // the corpus against it
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // per-doc argmax and per-lang profile top-k both pre-filter below the
+    // exchange (at most k rows per partition per key cross the wire)
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("cdc_dedup: first-occurrence scan is one chunk-keyed window, no self-join") {
+    val p = plan(graft.operators.Dedup.cdcDedup(spark, sfDir))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin LeftOuter, ((doc_id"), p.take(3000))
+    // chunking itself is codegen'd (native expression, not an interpreted lambda)
+    assert(p.contains("cdc_chunks"), p.take(3000))
+  }
+
+  test("collocations: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan(graft.operators.TextAnalytics.collocations(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("funnel: stage frames join user-keyed; no events self-join window") {
+    val p = plan(Events.funnel(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // three stage aggregations are partial before their shuffles
+    assert(p.contains("partial_min"), p.take(3000))
+  }
+
+  test("anomalies: stats broadcast back over the hourly frame (no second raw-events pass)") {
+    val p = plan(Events.anomalies(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
