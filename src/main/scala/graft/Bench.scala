@@ -53,6 +53,36 @@ object Bench {
     // lesson: 3.87 s recorded for a 1.36 s-idle query).
     val maxReps = sys.env.get("SPARK_GRAFT_BENCH_MAX_REPS").map(_.toInt)
       .getOrElse(math.max(reps, 4))
+    // Contention probe: a fixed 32-way CPU burn whose wall time directly
+    // measures the cores THIS JVM can actually get. The 1-min loadavg
+    // cannot play this role — our own 32-thread queries dominate it —
+    // but the probe is ours alone: at idle it runs in ~baseline; when
+    // the co-tenant phase owns the box it stretches 2-5x. Needed because
+    // min-of-N with a disagreement guard still records garbage when ALL
+    // reps fall inside one sustained phase and agree with each other
+    // (round-6 lesson: lang_top_words 47 s recorded for a 2 s query).
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L, 1, 32).selectExpr("sum(id * 3 + 1)")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probe() // codegen warm
+    val probeBase = (1 to 3).map(_ => probe()).min
+    // shared calm-wait budget for the whole run: bounded stall even if
+    // the co-tenant never yields (then behavior degrades to min-of-N)
+    var calmBudgetNs = sys.env.get("SPARK_GRAFT_BENCH_CALM_BUDGET_S")
+      .map(_.toLong).getOrElse(600L) * 1000000000L
+    def contended(): Boolean = probe() > 1.5 * probeBase
+    def waitForCalm(): Unit = {
+      var p = probe()
+      while (p > 1.5 * probeBase && calmBudgetNs > 0) {
+        val t0 = System.nanoTime()
+        Thread.sleep(5000)
+        calmBudgetNs -= (System.nanoTime() - t0)
+        p = probe()
+      }
+    }
     val results = selected.map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -70,9 +100,19 @@ object Bench {
       }
       var attempts = reps
       var times = (1 to reps).map(_ => rep()).filter(_ >= 0)
+      // guard 1: reps disagree -> one straddled a spike, corroborate
       while (times.nonEmpty && attempts < maxReps &&
              times.min > 0.5 && times.max > 1.6 * times.min) {
         attempts += 1
+        times = (times :+ rep()).filter(_ >= 0)
+      }
+      // guard 2: reps AGREE but the box is contended right now -> the
+      // whole measurement sat inside a phase; wait it out (bounded by
+      // the shared budget) and re-measure. The extra rep runs even with
+      // the budget exhausted — one more time-spaced sample can still
+      // land in a gap, and min() never gets worse.
+      if (times.nonEmpty && times.min > 0.5 && contended()) {
+        waitForCalm()
         times = (times :+ rep()).filter(_ >= 0)
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
