@@ -77,6 +77,10 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
 
     import graft.operators._
+    // optional subset for targeted re-measures (co-tenant phases can
+    // poison single cells of a 20-minute run)
+    val onlySet = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
       "jaccard_pairs" -> ((s, d) => Dedup.jaccardPairs(s, d)),
@@ -117,10 +121,16 @@ object ScaleProbe {
       // track the token volume, not the model cross product
       "lm_fluency" -> ((s, d) => TextAnalytics.lmFluency(s, d)),
       "lang_trigram_id" -> ((s, d) => TextAnalytics.langTrigramClassify(s, d)),
-      "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)))
+      "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)),
+      "cdc_dedup" -> ((s, d) => Dedup.cdcDedup(s, d)),
+      "collocations" -> ((s, d) => TextAnalytics.collocations(s, d)))
 
+    val selected = onlySet match {
+      case Some(set) => probes.filter { case (k, _) => set(k) }
+      case None => probes
+    }
     // warmup both dirs so codegen/JIT is out of the measurement
-    probes.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -128,7 +138,7 @@ object ScaleProbe {
 
     println(f"| operator | 1x s | ${copies}x s | growth |")
     println("|---|---|---|---|")
-    probes.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       val t1 = math.min(time(fn(spark, sfDir)), time(fn(spark, sfDir)))
       spark.catalog.clearCache()
       val tN = math.min(time(fn(spark, bigDir)), time(fn(spark, bigDir)))
