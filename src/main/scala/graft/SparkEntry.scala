@@ -145,6 +145,10 @@ object SparkEntry {
     // model join) — must equal the batch lm_fluency hash
     "stream_lm_fluency" -> ((s, d) =>
       graft.streaming.StreamOps.streamLmFluencyQuery(s, d)),
+    // per-user funnel state machine under flatMapGroupsWithState — must
+    // equal the batch funnel's stage counts
+    "stream_funnel" -> ((s, d) =>
+      graft.streaming.StreamOps.streamFunnelQuery(s, d)),
     // --- the reference's true continuous shape: full 7-stage doc ETL
     //     under Structured Streaming, vs the BATCH pipeline oracle ---
     "pipeline_stream" -> ((s, d) =>
@@ -327,6 +331,7 @@ object SparkEntry {
     // streaming-maintained index serves the same ranks as the batch query
     "vector_lsh_stream_topk" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "stream_lm_fluency" -> TextAnalytics.lmFluencySql,
+    "stream_funnel" -> Events.funnelSql,
     "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,

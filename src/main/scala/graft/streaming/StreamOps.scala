@@ -433,6 +433,78 @@ object StreamOps {
     Similarity.serveLshTopKFromStore(spark, dir, storeDir, k, nQueries, bits)
   }
 
+  /** Per-user funnel progress: (v, c, p) are the stage-reaching
+    * timestamps, None = stage not reached. */
+  case class FunnelState(v: Option[java.sql.Timestamp],
+                         c: Option[java.sql.Timestamp],
+                         p: Option[java.sql.Timestamp])
+
+  /** STREAMING FUNNEL via flatMapGroupsWithState: the ordered
+    * view→click→purchase conversion funnel as a per-user state machine.
+    * Each user's state holds the timestamps that reached each stage; a
+    * stage advances only on an event STRICTLY after the previous
+    * stage's timestamp — Events.funnel's exact semantics, incremental.
+    * The greedy update is correct because events arrive in event-time
+    * order (the fixture replay preserves it; rows within a micro-batch
+    * are sorted here) — the first view IS the min view, the first
+    * qualifying click IS the min click after it. Ties at the same
+    * timestamp can never advance a stage in either processing order
+    * (strict >), so sort order within a tie is immaterial.
+    *
+    * Emits each user's current stage per micro-batch (append); the
+    * 3-row stage rollup is a batch pass over the sink's per-user MAX
+    * stage (monotone, so late rows never regress it). Oracle: the SAME
+    * SQL as the batch funnel.
+    *
+    * Scale posture: state is 3 optional timestamps per user — O(users),
+    * the floor for any per-entity funnel; no watermark needed for the
+    * fixture replay, and a production deployment adds
+    * GroupStateTimeout.EventTimeTimeout to bound dormant users. */
+  def streamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updates = eventsStream(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) => {
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          // full-precision ordering: getTime is millis and would let a
+          // same-millisecond view/click pair sort wrong (micros matter
+          // under the strict-> stage conditions)
+          rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0).foreach { case (_, et, ts) =>
+            et match {
+              case "view" if s.v.isEmpty => s = s.copy(v = Some(ts))
+              case "click" if s.c.isEmpty &&
+                s.v.exists(v => ts.compareTo(v) > 0) => s = s.copy(c = Some(ts))
+              case "purchase" if s.p.isEmpty &&
+                s.c.exists(c => ts.compareTo(c) > 0) => s = s.copy(p = Some(ts))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val stage =
+            if (s.p.nonEmpty) 3 else if (s.c.nonEmpty) 2 else if (s.v.nonEmpty) 1 else 0
+          Iterator.single((user, stage))
+        })
+      .toDF("user_id", "stage")
+    val sunk = runToMemory(spark, updates,
+      s"stream_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      mode = "append")
+    val perUser = sunk.groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+    val row = (ord: Int, label: String) =>
+      perUser.filter(col("stage") >= ord)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("stage_ord"), lit(label).as("stage"), col("n_users"))
+    row(1, "view")
+      .unionAll(row(2, "click_after_view"))
+      .unionAll(row(3, "purchase_after_click"))
+      .orderBy(col("stage_ord"))
+  }
+
   /** STREAM-STATIC model scoring: the bigram LM trains ONCE in batch
     * (materialized — a per-micro-batch re-train would silently hide in
     * a lazy static side) and every streamed document's bigram slots

@@ -178,4 +178,43 @@ class StreamOpsSpec extends AnyFunSuite {
       .filter(col("count") > 1).count()
     assert(dup == 0)
   }
+
+  test("streaming funnel state machine equals the batch funnel on the fixture") {
+    import graft.operators.Events
+    val streamed = StreamOps.streamFunnelQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = Events.funnel(spark, TestSession.sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    // stage counts must be monotone non-increasing down the funnel
+    val ns = streamed.sortBy(_._1).map(_._3)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("streaming funnel: strict order enforced across micro-batches (crafted log)") {
+    import graft.operators.Events
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sfunnel").toString
+    Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}"),
+      (1L, "2024-01-01 10:05:00", 1L, "click", 0.0, "{}"),
+      (2L, "2024-01-01 10:10:00", 1L, "purchase", 0.0, "{}"),
+      // u2's click precedes its view: must stall at stage 1
+      (3L, "2024-01-01 09:00:00", 2L, "click", 0.0, "{}"),
+      (4L, "2024-01-01 10:00:00", 2L, "view", 0.0, "{}"),
+      (5L, "2024-01-01 11:00:00", 2L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = StreamOps.streamFunnelQuery(spark, d).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("view") == 2)
+    assert(out("click_after_view") == 1)
+    assert(out("purchase_after_click") == 1)
+    // and it agrees with the batch operator on the same crafted log
+    val batch = Events.funnel(spark, d).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == batch)
+  }
 }
