@@ -117,6 +117,7 @@ object SparkEntry {
     "events_range_join" -> ((s, d) => Events.clicksBeforePurchase(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_anomalies" -> ((s, d) => Events.anomalies(s, d)),
+    "funnel_latency" -> ((s, d) => Events.funnelLatency(s, d)),
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_props" -> ((s, d) => Events.propsExtract(s, d)),
     "events_props_variant" -> ((s, d) => Events.propsExtractVariant(s, d)),
@@ -339,6 +340,7 @@ object SparkEntry {
     "events_range_join" -> Events.clicksBeforePurchaseSql,
     "events_funnel" -> Events.funnelSql,
     "events_anomalies" -> Events.anomaliesSql,
+    "funnel_latency" -> Events.funnelLatencySql,
     "events_retention" -> Events.retentionSql,
     "events_props" -> Events.propsExtractSql,
     "events_props_variant" -> Events.propsExtractVariantSql,

@@ -345,6 +345,58 @@ object Events {
          (CAST(cnt AS DOUBLE) - mean) / sd AS z
        FROM z WHERE abs((CAST(cnt AS DOUBLE) - mean) / sd) > 2.0"""
 
+  /** Conversion-latency quantiles: for users who complete the funnel,
+    * the view→purchase duration's quartiles via the mergeable
+    * quantile sketch (composing [[funnel]]'s stage frames with
+    * graft.plans.QuantileSketch — exact regime on the fixture, type-1
+    * quantiles in the oracle). Durations are exact integer
+    * microseconds; the single division to seconds is one IEEE op. */
+  def funnelLatency(spark: SparkSession, dir: String,
+                    k: Int = 1 << 18): DataFrame = {
+    import graft.functions.NativeFunctions.quantileSketch
+    val ev = Tables.loadWide(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v.select(col("user_id").as("vu"), col("v_ts")),
+        col("user_id") === col("vu") && col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"), first(col("v_ts")).as("v_ts0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id").as("cu"), col("c_ts"), col("v_ts0")),
+        col("user_id") === col("cu") && col("ts") > col("c_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("p_ts"), first(col("v_ts0")).as("v_ts1"))
+    p.select((unix_micros(col("p_ts")) - unix_micros(col("v_ts1"))).as("lat_us"))
+      .agg(quantileSketch(col("lat_us"), k, Seq(0.25, 0.5, 0.75)).as("qs"),
+        count(lit(1)).as("n_converted"))
+      .select(
+        (element_at(col("qs"), 1).cast("double") / 1000000.0).as("p25_s"),
+        (element_at(col("qs"), 2).cast("double") / 1000000.0).as("p50_s"),
+        (element_at(col("qs"), 3).cast("double") / 1000000.0).as("p75_s"),
+        col("n_converted"))
+  }
+
+  def funnelLatencySql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       c AS (SELECT e.user_id, min(e.ts) AS c_ts, min(v.v_ts) AS v_ts0
+         FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+         WHERE e.event_type = 'click' GROUP BY 1),
+       p AS (SELECT e.user_id, min(e.ts) AS p_ts, min(c.v_ts0) AS v_ts1
+         FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+         WHERE e.event_type = 'purchase' GROUP BY 1),
+       lat AS (SELECT epoch_us(p_ts) - epoch_us(v_ts1) AS lat_us FROM p),
+       r AS (SELECT lat_us,
+         row_number() OVER (ORDER BY lat_us) - 1 AS rk,
+         count(*) OVER () AS n FROM lat)
+       SELECT
+         CAST(max(CASE WHEN rk = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0 AS p25_s,
+         CAST(max(CASE WHEN rk = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0 AS p50_s,
+         CAST(max(CASE WHEN rk = CAST(floor(0.75 * (n - 1)) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0 AS p75_s,
+         CAST(max(n) AS BIGINT) AS n_converted
+       FROM r"""
+
   def retentionSql: String =
     """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
          FROM events GROUP BY 1)
