@@ -194,26 +194,49 @@ class StreamOpsSpec extends AnyFunSuite {
   test("streaming funnel: strict order enforced across micro-batches (crafted log)") {
     import graft.operators.Events
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("sfunnel").toString
-    Seq(
+    import java.nio.file.{Files, Paths}
+    // FileStreamSource replays files in MODIFICATION-TIME order (ties
+    // arbitrary — the earlier form of this test wrote one multi-part
+    // parquet dir and flaked on tie order). Write each micro-batch as
+    // its own single part file with an explicit, strictly increasing
+    // mtime so the replay order is pinned — and cross-batch state carry
+    // (u1's view in batch 1 enabling its click in batch 2) is actually
+    // exercised.
+    val base = Files.createTempDirectory("sfunnel")
+    val streamDir = Files.createDirectory(base.resolve("events.parquet"))
+    def writeBatch(rows: Seq[(Long, String, Long, String, Double, String)],
+                   name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("sfunnel_part").toString
+      rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeBatch(Seq(
       (0L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}"),
+      // u2's click precedes its view: must stall at stage 1
+      (3L, "2024-01-01 09:00:00", 2L, "click", 0.0, "{}")),
+      "b1.parquet", 1000000L)
+    writeBatch(Seq(
       (1L, "2024-01-01 10:05:00", 1L, "click", 0.0, "{}"),
       (2L, "2024-01-01 10:10:00", 1L, "purchase", 0.0, "{}"),
-      // u2's click precedes its view: must stall at stage 1
-      (3L, "2024-01-01 09:00:00", 2L, "click", 0.0, "{}"),
       (4L, "2024-01-01 10:00:00", 2L, "view", 0.0, "{}"),
-      (5L, "2024-01-01 11:00:00", 2L, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
-      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(s"$d/events.parquet")
-    val out = StreamOps.streamFunnelQuery(spark, d).collect()
+      (5L, "2024-01-01 11:00:00", 2L, "purchase", 0.0, "{}")),
+      "b2.parquet", 2000000L)
+    val out = StreamOps.streamFunnelQuery(spark, base.toString).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out("view") == 2)
-    assert(out("click_after_view") == 1)
-    assert(out("purchase_after_click") == 1)
+    assert(out("click_after_view") == 1)     // u1 only, via cross-batch state
+    assert(out("purchase_after_click") == 1) // u2's purchase lacks a click after view
     // and it agrees with the batch operator on the same crafted log
-    val batch = Events.funnel(spark, d).collect()
+    val batch = Events.funnel(spark, base.toString).collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out == batch)
   }
