@@ -150,6 +150,8 @@ object SparkEntry {
     // equal the batch funnel's stage counts
     "stream_funnel" -> ((s, d) =>
       graft.streaming.StreamOps.streamFunnelQuery(s, d)),
+    "stream_retention" -> ((s, d) =>
+      graft.streaming.StreamOps.streamRetentionQuery(s, d)),
     // --- the reference's true continuous shape: full 7-stage doc ETL
     //     under Structured Streaming, vs the BATCH pipeline oracle ---
     "pipeline_stream" -> ((s, d) =>
@@ -333,6 +335,7 @@ object SparkEntry {
     "vector_lsh_stream_topk" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "stream_lm_fluency" -> TextAnalytics.lmFluencySql,
     "stream_funnel" -> Events.funnelSql,
+    "stream_retention" -> Events.retentionSql,
     "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,

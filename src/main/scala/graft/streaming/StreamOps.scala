@@ -505,6 +505,53 @@ object StreamOps {
       .orderBy(col("stage_ord"))
   }
 
+  /** STREAMING RETENTION: each user's cohort week is keyed state (set
+    * by their first event — correct under the replay's event-time
+    * order, same assumption as the funnel and min-tracked so a late
+    * first event can only move the cohort EARLIER, matching the batch
+    * min(ts)); every event emits its (user, cohort week, week offset)
+    * tagged from state, and the triangle is a batch distinct-count over
+    * the appended sink. State is one timestamp per user. Oracle: the
+    * SAME SQL as batch retention. */
+  def streamRetentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val tagged = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[java.sql.Timestamp]) => {
+          val rs = rows.toSeq
+          val batchMin = rs.map(_._2).min(Ordering.fromLessThan[java.sql.Timestamp](
+            (a, b) => a.compareTo(b) < 0))
+          val first = state.getOption match {
+            case Some(f) if f.compareTo(batchMin) <= 0 => f
+            case _ => batchMin
+          }
+          state.update(first)
+          rs.iterator.map { case (_, ts) => (user, first, ts) }
+        })
+      .toDF("user_id", "first_ts", "ts")
+    val sunk = runToMemory(spark, tagged,
+      s"stream_retention_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      mode = "append")
+    // a user's cohort is their FINAL (earliest) first_ts — rows tagged
+    // before an earlier first event arrived would carry a later cohort,
+    // so re-derive the per-user min before bucketing
+    val cohort = sunk.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("first_ts"))).as("cohort_week"))
+    sunk.join(cohort.select(col("user_id").as("cu"), col("cohort_week")),
+        col("user_id") === col("cu"))
+      .select(col("user_id"), col("cohort_week"),
+        expr("CAST(datediff(date_trunc('week', ts), cohort_week) div 7 AS INT)")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** STREAM-STATIC model scoring: the bigram LM trains ONCE in batch
     * (materialized — a per-micro-batch re-train would silently hide in
     * a lazy static side) and every streamed document's bigram slots

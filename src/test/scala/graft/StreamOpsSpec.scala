@@ -240,4 +240,15 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out == batch)
   }
+
+  test("streaming retention equals the batch triangle on the fixture") {
+    import graft.operators.Events
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2))
+    val streamed = StreamOps.streamRetentionQuery(spark, TestSession.sfDir)
+      .collect().map(key).toSeq
+    val batch = Events.retention(spark, TestSession.sfDir)
+      .collect().map(key).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
