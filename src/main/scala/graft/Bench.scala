@@ -61,14 +61,22 @@ object Bench {
     // min-of-N with a disagreement guard still records garbage when ALL
     // reps fall inside one sustained phase and agree with each other
     // (round-6 lesson: lang_top_words 47 s recorded for a 2 s query).
+    // probeBase is a RUNNING MINIMUM over every probe() observation, not
+    // a once-at-startup sample: if the whole startup window sits inside a
+    // sustained co-tenant phase, a frozen baseline is inflated 2-5x and
+    // contended() never fires for the entire run. Tracking the min lets
+    // the baseline self-correct the first time any calm window is seen.
+    var probeBase = Double.MaxValue
     def probe(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 200000000L, 1, 32).selectExpr("sum(id * 3 + 1)")
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      if (t < probeBase) probeBase = t
+      t
     }
     probe() // codegen warm
-    val probeBase = (1 to 3).map(_ => probe()).min
+    (1 to 3).foreach(_ => probe()) // seed the baseline
     // shared calm-wait budget for the whole run: bounded stall even if
     // the co-tenant never yields (then behavior degrades to min-of-N)
     var calmBudgetNs = sys.env.get("SPARK_GRAFT_BENCH_CALM_BUDGET_S")

@@ -156,6 +156,10 @@ object SparkEntry {
     //     under Structured Streaming, vs the BATCH pipeline oracle ---
     "pipeline_stream" -> ((s, d) =>
       graft.streaming.StreamOps.streamPipelineQuery(s, d)),
+    // at-least-once stream into the exactly-once relational sink (epoch-
+    // keyed stage-and-merge); reps replay the same epochs idempotently
+    "stream_sink_jdbc" -> ((s, d) =>
+      graft.streaming.StreamOps.streamSinkJdbcQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -337,6 +341,8 @@ object SparkEntry {
     "stream_funnel" -> Events.funnelSql,
     "stream_retention" -> Events.retentionSql,
     "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
+    // exactly-once relational sink: the sunk table IS the event stream
+    "stream_sink_jdbc" -> graft.streaming.StreamOps.streamSinkJdbcOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

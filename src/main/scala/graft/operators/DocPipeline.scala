@@ -139,12 +139,19 @@ object DocPipeline {
       .withColumn("schema_description",
         coalesce(col("schema_description"),
           concat(lit("Default schema for "), coalesce(col("doc_type"), lit("unknown")), lit(" documents"))))
-      // E5 schema unwrap (src/agents.py:170-171): parse the JSON-encoded
-      // schema once; downstream extraction gates on this map
+      // E5 schema unwrap (src/agents.py:170-171) through VariantType
+      // (SURVEY §1.2 maps the reference's jsonb to variant): the schema
+      // document is parse_json'ed ONCE into the shredded binary
+      // encoding, and every downstream field gate (want(), the
+      // explicit-amount validation check) reads the fields object out
+      // of the variant — the dynamic-JSON posture of the doc pipeline's
+      // J1→E1 edge, same access pattern as events_props_variant. The
+      // map target type is the bridge: variant_get pulls the `fields`
+      // object as the same map from_json produced, so hashes are
+      // unchanged while the plan carries variant.
+      .withColumn("schema_variant", parse_json(col("schema_json")))
       .withColumn("schema_fields",
-        from_json(col("schema_json"), StructType(Seq(
-          StructField("fields", MapType(StringType, StringType)),
-          StructField("description", StringType)))).getField("fields"))
+        try_variant_get(col("schema_variant"), "$.fields", "map<string,string>"))
       .drop("schema_doc_type")
 
   /** Does this row's retrieved schema request `field`? Advisory mode

@@ -367,13 +367,15 @@ object Events {
         col("user_id") === col("cu") && col("ts") > col("c_ts"))
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("p_ts"), first(col("v_ts0")).as("v_ts1"))
+    // zero-conversion guard: the sketch returns 0 on an empty buffer but
+    // the oracle's aggregate over an empty frame yields NULL quantiles —
+    // emit NULL on both engines (the oracle COALESCEs only n_converted)
+    def qAt(i: Int) = when(col("n_converted") > 0,
+      element_at(col("qs"), i).cast("double") / 1000000.0)
     p.select((unix_micros(col("p_ts")) - unix_micros(col("v_ts1"))).as("lat_us"))
       .agg(quantileSketch(col("lat_us"), k, Seq(0.25, 0.5, 0.75)).as("qs"),
         count(lit(1)).as("n_converted"))
-      .select(
-        (element_at(col("qs"), 1).cast("double") / 1000000.0).as("p25_s"),
-        (element_at(col("qs"), 2).cast("double") / 1000000.0).as("p50_s"),
-        (element_at(col("qs"), 3).cast("double") / 1000000.0).as("p75_s"),
+      .select(qAt(1).as("p25_s"), qAt(2).as("p50_s"), qAt(3).as("p75_s"),
         col("n_converted"))
   }
 
@@ -394,7 +396,7 @@ object Events {
          CAST(max(CASE WHEN rk = CAST(floor(0.25 * (n - 1)) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0 AS p25_s,
          CAST(max(CASE WHEN rk = CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0 AS p50_s,
          CAST(max(CASE WHEN rk = CAST(floor(0.75 * (n - 1)) AS BIGINT) THEN lat_us END) AS DOUBLE) / 1000000.0 AS p75_s,
-         CAST(max(n) AS BIGINT) AS n_converted
+         CAST(coalesce(max(n), 0) AS BIGINT) AS n_converted
        FROM r"""
 
   def retentionSql: String =

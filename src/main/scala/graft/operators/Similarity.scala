@@ -478,8 +478,12 @@ object Similarity {
     * (north-star embedding-cosine near-dup). Pairs are (a < b) so each is
     * reported once. The bucket equi-join keeps this a hash join — never a
     * cross join — at any scale; skewed buckets fall to AQE skew handling. */
-  def nearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.4,
-                   bitsOpt: Option[Int] = None): DataFrame = {
+  /** Unsorted pair set — the form downstream set-oriented consumers
+    * (connected components in [[semanticDedup]]) take: the public
+    * query's global ORDER BY is a range-partition exchange that a CC
+    * input would pay for nothing. */
+  private def nearDupPairsRaw(spark: SparkSession, dir: String, minCos: Double,
+                              bitsOpt: Option[Int]): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
     val b = emb.select(col("vec_id"), col("embedding"),
@@ -490,8 +494,12 @@ object Similarity {
       .withColumn("score", cosine(col("a_emb"), col("embedding")))
       .filter(col("score") >= minCos)
       .select(col("a_id"), col("vec_id").as("b_id"), col("score"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  def nearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.4,
+                   bitsOpt: Option[Int] = None): DataFrame =
+    nearDupPairsRaw(spark, dir, minCos, bitsOpt)
+      .orderBy(col("a_id"), col("b_id"))
 
   def nearDupPairsSql(minCos: Double = 0.4, bitsOpt: Option[Int] = None): String = {
     val (nbCte, nbFrom, bucketExpr) = bitsOpt match {
@@ -518,9 +526,9 @@ object Similarity {
     * probing. Still a hash join on the bucket key — candidates grow
     * (bits+1)-fold on the probing side only, never toward a cross
     * join. */
-  def nearDupPairsMultiProbe(spark: SparkSession, dir: String,
-                             minCos: Double = 0.4,
-                             bitsOpt: Option[Int] = None): DataFrame = {
+  private def nearDupPairsMultiProbeRaw(spark: SparkSession, dir: String,
+                                        minCos: Double,
+                                        bitsOpt: Option[Int]): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
     val ids = emb.select(col("vec_id"),
@@ -542,8 +550,13 @@ object Similarity {
       .withColumn("score", cosine(col("a_emb"), col("b_emb")))
       .filter(col("score") >= minCos)
       .select(col("a_id"), col("b_id"), col("score"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  def nearDupPairsMultiProbe(spark: SparkSession, dir: String,
+                             minCos: Double = 0.4,
+                             bitsOpt: Option[Int] = None): DataFrame =
+    nearDupPairsMultiProbeRaw(spark, dir, minCos, bitsOpt)
+      .orderBy(col("a_id"), col("b_id"))
 
   def nearDupPairsMultiProbeSql(minCos: Double = 0.4,
                                 bitsOpt: Option[Int] = None): String = {
@@ -853,8 +866,8 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String, minCos: Double = 0.4,
                     bitsOpt: Option[Int] = None,
                     multiProbe: Boolean = false): DataFrame = {
-    val pairGen = if (multiProbe) nearDupPairsMultiProbe(spark, dir, minCos, bitsOpt)
-                  else nearDupPairs(spark, dir, minCos, bitsOpt)
+    val pairGen = if (multiProbe) nearDupPairsMultiProbeRaw(spark, dir, minCos, bitsOpt)
+                  else nearDupPairsRaw(spark, dir, minCos, bitsOpt)
     val pairs = pairGen.select(col("a_id").as("u"), col("b_id").as("v"))
     val drops = Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))

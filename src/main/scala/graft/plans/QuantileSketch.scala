@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -129,6 +130,13 @@ case class QuantileSketch(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // without this, a non-long child (quantile_sketch(int_col, ...) via the
+  // SQL registry) passes analysis and ClassCastExceptions in update()
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quantile_sketch requires BIGINT input, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): QSketchBuffer = new QSketchBuffer(k)
 

@@ -230,6 +230,41 @@ object GlyphOcr {
     out.toByteArray
   }
 
+  /** Scanner-misfeed rasterization: the noisy render rotated by
+    * `angleDeg` about the page center (nearest-neighbor, white fill —
+    * what a skewed sheet produces on the platen). Same canvas size, so
+    * callers keep ink clear of the corners (pad with blank cells) the
+    * way a real page keeps its margins. */
+  def renderRotated(text: String, seed: Long, angleDeg: Double,
+                    scale: Int = 2, saltPepperPerMille: Int = 4): Array[Byte] = {
+    val img = ImageIO.read(
+      new ByteArrayInputStream(renderNoisy(text, seed, scale, saltPepperPerMille)))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val src = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Int](w * h)
+    val cx = w / 2.0; val cy = h / 2.0
+    val a = math.toRadians(angleDeg)
+    val (sin, cos) = (math.sin(a), math.cos(a))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // inverse map: rotated pixel (x,y) samples the upright page
+        val u = (cx + (x - cx) * cos + (y - cy) * sin).round.toInt
+        val v = (cy - (x - cx) * sin + (y - cy) * cos).round.toInt
+        out(y * w + x) =
+          if (u >= 0 && u < w && v >= 0 && v < h) src(v * w + u) else 0xFFFFFF
+        x += 1
+      }
+      y += 1
+    }
+    val res = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    res.setRGB(0, 0, w, h, out, 0, w)
+    val bout = new ByteArrayOutputStream()
+    ImageIO.write(res, "png", bout)
+    bout.toByteArray
+  }
+
   /** Max acceptable device-pixel Hamming distance PER LOGICAL PIXEL AREA
     * (multiplied by s*s) before a cell reads as '?' — keeps genuine
     * garbage from aliasing to a glyph. */
@@ -279,11 +314,17 @@ object GlyphOcr {
       * decode profile): `masks(offsetIdx)(glyphIdx)` with offsets in
       * centered-out order, glyphs in sorted order. Each ink pixel
       * becomes an s x s block, exactly as the renderers draw it. */
-    private final class ScaleTemplates(s: Int) {
+    private final class ScaleTemplates(s: Int, radius: Int) {
       val chars: Array[Char] = atlasSorted.map(_._1)
       private val inset = if (s > 1) 1 else 0
+      // radius 1 covers the renderer's ±1 jitter; radius 2 additionally
+      // covers the ±1 resampling displacement a deskewed (rotated-back)
+      // page carries on top of the jitter. Offsets beyond the inset clip
+      // at the cell edge — the out-of-cell ink is simply absent from
+      // that template.
       private val offsets: Array[(Int, Int)] =
-        (for (jy <- -inset to inset; jx <- -inset to inset) yield (inset + jx, inset + jy))
+        (for (jy <- -radius to radius; jx <- -radius to radius)
+          yield (inset + jx, inset + jy))
           .sortBy { case (ox, oy) => (math.abs(ox - inset) + math.abs(oy - inset), oy, ox) }
           .toArray
       val nOffsets: Int = offsets.length
@@ -291,20 +332,27 @@ object GlyphOcr {
       val masks: Array[Array[Array[Long]]] = offsets.map { case (ox, oy) =>
         atlasSorted.map { case (_, rows) =>
           val cw = CellW * s
+          val ch = CellH * s
           val bits = new Array[Long](words)
           for (r <- 0 until GlyphH; col <- 0 until GlyphW if rows(r)(col) == '#';
                dy <- 0 until s; dx <- 0 until s) {
-            val i = (oy + r * s + dy) * cw + (ox + col * s + dx)
-            bits(i / 64) |= (1L << (i % 64))
+            val y = oy + r * s + dy
+            val x = ox + col * s + dx
+            if (y >= 0 && y < ch && x >= 0 && x < cw) {
+              val i = y * cw + x
+              bits(i / 64) |= (1L << (i % 64))
+            }
           }
           bits
         }
       }
     }
 
-    private val scaleTemplates = new java.util.concurrent.ConcurrentHashMap[Int, ScaleTemplates]()
-    private def templatesFor(s: Int): ScaleTemplates =
-      scaleTemplates.computeIfAbsent(s, new ScaleTemplates(_))
+    private val scaleTemplates =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), ScaleTemplates]()
+    private def templatesFor(s: Int, radius: Int): ScaleTemplates =
+      scaleTemplates.computeIfAbsent((s, radius),
+        { case (sc, r) => new ScaleTemplates(sc, r) })
 
     /** (best char, best device distance) for one cell: offsets searched
       * in centered-out order, glyphs in sorted order — deterministic,
@@ -332,18 +380,27 @@ object GlyphOcr {
       (bestC, bestD)
     }
 
-    /** Decode the grid at scale s; returns (text, total device cost). */
-    private def decodeAt(px: Array[Int], w: Int, h: Int, s: Int): (String, Long) = {
-      val t = templatesFor(s)
+    /** One decoded reading of the grid at scale s: the text, the total
+      * device Hamming cost, and the count of cells past the '?'
+      * threshold (the "this page does not read cleanly" signal). */
+    private final case class Reading(text: String, cost: Long, nBad: Int, s: Int) {
+      def normCost: Double = cost.toDouble / (s * s)
+    }
+
+    private def decodeAt(px: Array[Int], w: Int, h: Int, s: Int,
+                         radius: Int = 1): Reading = {
+      val t = templatesFor(s, radius)
       val sb = new StringBuilder
       var cost = 0L
+      var nBad = 0
       var li = 0
       while (li < h / (CellH * s)) {
         val line = new StringBuilder
         var ci = 0
         while (ci < w / (CellW * s)) {
           val (c, d) = bestGlyph(cellBits(px, w, ci, li, s), t)
-          line.append(if (d <= MaxCellDist * s * s) c else '?')
+          if (d <= MaxCellDist * s * s) line.append(c)
+          else { line.append('?'); nBad += 1 }
           cost += d
           ci += 1
         }
@@ -351,7 +408,82 @@ object GlyphOcr {
         sb.append(line.toString.replaceAll(" +$", ""))
         li += 1
       }
-      (sb.toString, cost)
+      Reading(sb.toString, cost, nBad, s)
+    }
+
+    /** Estimate the page rotation by PROJECTION-PROFILE deskew (the
+      * classic scanner-misfeed corrector): for each candidate angle,
+      * project every dark pixel onto the de-rotated row axis and score
+      * the histogram's variance — text lines give maximally-banded
+      * profiles exactly at the true angle. Deterministic: fixed
+      * candidate ladder, strict improvement, candidates ordered
+      * smallest-|angle|-first so ties keep the least correction. */
+    private def estimateSkew(px: Array[Int], w: Int, h: Int,
+                             maxDeg: Double, stepDeg: Double): Double = {
+      val cx = w / 2.0; val cy = h / 2.0
+      val xs = new ArrayBufferInt(); val ys = new ArrayBufferInt()
+      var i = 0
+      while (i < w * h) {
+        if ((px(i) & 0xFF) < 128) { xs += i % w; ys += i / w }
+        i += 1
+      }
+      if (xs.length == 0) return 0.0
+      val steps = math.round(maxDeg / stepDeg).toInt
+      val candidates = (0 to steps).flatMap(k =>
+        if (k == 0) Seq(0.0) else Seq(-k * stepDeg, k * stepDeg))
+      var bestA = 0.0
+      var bestScore = Double.MinValue
+      candidates.foreach { deg =>
+        val a = math.toRadians(deg)
+        val (sin, cos) = (math.sin(a), math.cos(a))
+        // v̂ = (y-cy)·cos − (x-cx)·sin recovers the pre-rotation row
+        val hist = new Array[Long](h + 2 * w + 2)
+        val off = w + 1
+        var j = 0
+        while (j < xs.length) {
+          val v = (ys(j) - cy) * cos - (xs(j) - cx) * sin
+          hist((v + off).toInt) += 1
+          j += 1
+        }
+        var s1 = 0.0; var s2 = 0.0
+        hist.foreach { c => s1 += c; s2 += c.toDouble * c }
+        val n = hist.length
+        val score = s2 / n - (s1 / n) * (s1 / n)
+        if (score > bestScore) { bestScore = score; bestA = a }
+      }
+      bestA
+    }
+
+    /** Rotate the page back by `-a` about its center (nearest-neighbor,
+      * white outside) — same canvas, so the glyph grid is restored. */
+    private def derotate(px: Array[Int], w: Int, h: Int, a: Double): Array[Int] = {
+      val out = new Array[Int](w * h)
+      val cx = w / 2.0; val cy = h / 2.0
+      val (sin, cos) = (math.sin(a), math.cos(a))
+      var v = 0
+      while (v < h) {
+        var u = 0
+        while (u < w) {
+          // forward map of the renderer: (u,v) -> rotated (x,y)
+          val x = (cx + (u - cx) * cos - (v - cy) * sin).round.toInt
+          val y = (cy + (u - cx) * sin + (v - cy) * cos).round.toInt
+          out(v * w + u) =
+            if (x >= 0 && x < w && y >= 0 && y < h) px(y * w + x) else 0xFFFFFF
+          u += 1
+        }
+        v += 1
+      }
+      out
+    }
+
+    private final class ArrayBufferInt {
+      private var arr = new Array[Int](1 << 12)
+      var length = 0
+      def +=(v: Int): Unit = {
+        if (length == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        arr(length) = v; length += 1
+      }
+      def apply(i: Int): Int = arr(i)
     }
 
     def parse(bytes: Array[Byte]): String = {
@@ -366,8 +498,35 @@ object GlyphOcr {
       val px = img.getRGB(0, 0, w, h, null, 0, w)
       // normalize cost per logical area so scales compete fairly; ties
       // resolve to the smallest scale (the clean-grid reading)
-      scales.map(s => (decodeAt(px, w, h, s), s))
-        .minBy { case ((_, cost), s) => cost.toDouble / (s * s) }._1._1
+      def bestReading(p: Array[Int], radius: Int = 1): Reading =
+        scales.map(s => decodeAt(p, w, h, s, radius)).minBy(_.normCost)
+      val direct = bestReading(px)
+      // deskew triggers on ANY over-threshold cell: a mean-cost trigger
+      // dilutes on margin-heavy pages (blank cells decode near 0), and a
+      // straight page's only '?' cells are genuinely-unsupported glyphs
+      // which match the '?' TEMPLATE cheaply, never the threshold
+      if (direct.nBad == 0) direct.text
+      else {
+        // misfeed candidate: estimate the rotation (±3°, 0.1°
+        // projection-profile ladder), then refine by minimizing the
+        // ACTUAL decode cost on a 0.025° ladder around it — the coarse
+        // ladder's ±0.05° residual displaces page-edge cells (|x−cx| of
+        // hundreds of device px) past the offset search. Each candidate
+        // decode is a few ms, and the pass only runs on pages that
+        // already read badly. radius-2 offset search: a deskewed page
+        // carries ±1 device px of nearest-neighbor resampling
+        // displacement per cell on top of the renderer's ±1 jitter.
+        val coarse = estimateSkew(px, w, h, maxDeg = 3.0, stepDeg = 0.1)
+        val deskewed = (-4 to 4).map { k =>
+          val a = coarse + math.toRadians(k * 0.025)
+          bestReading(derotate(px, w, h, a), radius = 2)
+        }.minBy(r => (r.nBad, r.normCost))
+        // keep whichever reading explains the page better (a genuinely-
+        // noisy-but-straight page keeps its direct reading)
+        val better = deskewed.nBad < direct.nBad ||
+          (deskewed.nBad == direct.nBad && deskewed.normCost < direct.normCost)
+        if (better) deskewed.text else direct.text
+      }
     }
   }
 }

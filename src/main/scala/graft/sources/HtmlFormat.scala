@@ -64,17 +64,34 @@ object HtmlFormat {
     page.getBytes(StandardCharsets.UTF_8)
   }
 
+  /** ASCII-only lowercase: same LENGTH as the input, always. Unicode
+    * case mappings can change string length ('İ' lowercases to two
+    * chars), and the parser reuses indices found in the lowered copy
+    * against the original — a length-changing mapping before a
+    * script/style close tag would slice the wrong range. Tag names are
+    * ASCII, so ASCII folding finds every real close tag. */
+  private def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
   /** Lowercased tag name right after `<` or `</`. */
   private def tagNameAt(s: String, i: Int): String = {
     var j = i
     if (j < s.length && s.charAt(j) == '/') j += 1
     val start = j
     while (j < s.length && (s.charAt(j).isLetter || s.charAt(j).isDigit)) j += 1
-    s.substring(start, j).toLowerCase
+    asciiLower(s.substring(start, j))
   }
 
   def htmlToText(html: String): String = {
-    val lower = html.toLowerCase
+    val lower = asciiLower(html)
     val blocks = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     def flush(): Unit = {

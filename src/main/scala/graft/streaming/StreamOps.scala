@@ -94,30 +94,58 @@ object StreamOps {
     * flatMapGroupsWithState — the escape hatch for stateful logic the
     * built-in window/dedup operators can't express. Emits one updated
     * (user_id, n_events, total_value_cents, last_seen) row per user per
-    * micro-batch; state is GroupState-managed and survives batches. */
+    * micro-batch; state is GroupState-managed and survives batches.
+    *
+    * State is EVICTED once the event-time watermark passes the user's
+    * last event plus `idleGapMs` — without the timeout, a true unbounded
+    * stream accumulates one state row for every user EVER seen, the
+    * scale-killer for a continuous 100 TB ingest. The documented trade:
+    * a user reappearing after the idle horizon restarts their totals
+    * (the totals become idle-bounded sessions — the same shape every
+    * production running-counter carries). */
   case class UserState(n: Long, cents: Long, lastSeen: java.sql.Timestamp)
   case class UserUpdate(user_id: Long, n_events: Long, total_cents: Long,
                         last_seen: java.sql.Timestamp)
 
-  def runningUserTotals(events: DataFrame): Dataset[UserUpdate] = {
+  /** Default state-expiry horizon: 30 days of event-time inactivity.
+    * Far beyond any fixture's span (hashes unchanged on the replays);
+    * the knob a deployment tunes to its dormancy SLA. */
+  val DefaultIdleGapMs: Long = 30L * 24 * 3600 * 1000
+
+  /** Timeout timestamp for a user last seen at `lastMs`: their idle
+    * horizon, clamped above the current watermark (setTimeoutTimestamp
+    * rejects timestamps at or below it — reachable when a user's only
+    * events in a batch are older than the already-advanced watermark). */
+  private def idleTimeoutMs(lastMs: Long, idleGapMs: Long,
+                            watermarkMs: Long): Long =
+    math.max(lastMs + idleGapMs, watermarkMs + 1)
+
+  def runningUserTotals(events: DataFrame,
+                        idleGapMs: Long = DefaultIdleGapMs): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events
       .selectExpr("user_id", "ts", "CAST(round(value * 100) AS LONG) AS cents")
+      .withWatermark("ts", "2 hours")
       .as[(Long, java.sql.Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
          state: GroupState[UserState]) => {
-          val prev = state.getOption.getOrElse(
-            UserState(0L, 0L, new java.sql.Timestamp(0L)))
-          var n = prev.n; var cents = prev.cents; var last = prev.lastSeen
-          rows.foreach { case (_, ts, c) =>
-            n += 1; cents += c
-            if (ts.after(last)) last = ts
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.getOrElse(
+              UserState(0L, 0L, new java.sql.Timestamp(0L)))
+            var n = prev.n; var cents = prev.cents; var last = prev.lastSeen
+            rows.foreach { case (_, ts, c) =>
+              n += 1; cents += c
+              if (ts.after(last)) last = ts
+            }
+            state.update(UserState(n, cents, last))
+            state.setTimeoutTimestamp(idleTimeoutMs(last.getTime, idleGapMs,
+              state.getCurrentWatermarkMs()))
+            Iterator.single(UserUpdate(user, n, cents, last))
           }
-          state.update(UserState(n, cents, last))
-          Iterator.single(UserUpdate(user, n, cents, last))
         })
   }
 
@@ -456,41 +484,57 @@ object StreamOps {
     * stage (monotone, so late rows never regress it). Oracle: the SAME
     * SQL as the batch funnel.
     *
-    * Scale posture: state is 3 optional timestamps per user — O(users),
-    * the floor for any per-entity funnel; no watermark needed for the
-    * fixture replay, and a production deployment adds
-    * GroupStateTimeout.EventTimeTimeout to bound dormant users. */
-  def streamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    * Scale posture: state is 3 optional timestamps per user — O(ACTIVE
+    * users in the idle horizon, not all users ever: once the event-time
+    * watermark passes a user's last event + `idleGapMs`, their state is
+    * evicted (EventTimeTimeout). Eviction is sound for the funnel
+    * because the sink rollup takes the per-user MAX stage — a user
+    * reappearing past the horizon restarts at stage 0 and can only
+    * re-emit lower-or-equal rows, never regress the rollup. */
+  def funnelUpdates(events: DataFrame,
+                    idleGapMs: Long = DefaultIdleGapMs): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val updates = eventsStream(spark, dir)
+    events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "2 hours")
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
          state: GroupState[FunnelState]) => {
-          var s = state.getOption.getOrElse(FunnelState(None, None, None))
-          // full-precision ordering: getTime is millis and would let a
-          // same-millisecond view/click pair sort wrong (micros matter
-          // under the strict-> stage conditions)
-          rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0).foreach { case (_, et, ts) =>
-            et match {
-              case "view" if s.v.isEmpty => s = s.copy(v = Some(ts))
-              case "click" if s.c.isEmpty &&
-                s.v.exists(v => ts.compareTo(v) > 0) => s = s.copy(c = Some(ts))
-              case "purchase" if s.p.isEmpty &&
-                s.c.exists(c => ts.compareTo(c) > 0) => s = s.copy(p = Some(ts))
-              case _ => ()
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(FunnelState(None, None, None))
+            // full-precision ordering: getTime is millis and would let a
+            // same-millisecond view/click pair sort wrong (micros matter
+            // under the strict-> stage conditions)
+            val rs = rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0)
+            rs.foreach { case (_, et, ts) =>
+              et match {
+                case "view" if s.v.isEmpty => s = s.copy(v = Some(ts))
+                case "click" if s.c.isEmpty &&
+                  s.v.exists(v => ts.compareTo(v) > 0) => s = s.copy(c = Some(ts))
+                case "purchase" if s.p.isEmpty &&
+                  s.c.exists(c => ts.compareTo(c) > 0) => s = s.copy(p = Some(ts))
+                case _ => ()
+              }
             }
+            state.update(s)
+            state.setTimeoutTimestamp(idleTimeoutMs(rs.last._3.getTime, idleGapMs,
+              state.getCurrentWatermarkMs()))
+            val stage =
+              if (s.p.nonEmpty) 3 else if (s.c.nonEmpty) 2 else if (s.v.nonEmpty) 1 else 0
+            Iterator.single((user, stage))
           }
-          state.update(s)
-          val stage =
-            if (s.p.nonEmpty) 3 else if (s.c.nonEmpty) 2 else if (s.v.nonEmpty) 1 else 0
-          Iterator.single((user, stage))
         })
       .toDF("user_id", "stage")
+  }
+
+  def streamFunnelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val updates = funnelUpdates(eventsStream(spark, dir))
     val sunk = runToMemory(spark, updates,
       s"stream_funnel_${java.util.UUID.randomUUID().toString.replace("-", "")}",
       mode = "append")
@@ -511,29 +555,47 @@ object StreamOps {
     * first event can only move the cohort EARLIER, matching the batch
     * min(ts)); every event emits its (user, cohort week, week offset)
     * tagged from state, and the triangle is a batch distinct-count over
-    * the appended sink. State is one timestamp per user. Oracle: the
-    * SAME SQL as batch retention. */
-  def streamRetentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    * the appended sink. State is one timestamp per user, EVICTED once
+    * the watermark passes the user's last event + `idleGapMs`
+    * (EventTimeTimeout): a user reappearing past the horizon re-seeds a
+    * LATER first_ts, which the sink rollup's per-user min(first_ts)
+    * ignores — the cohort stays the true earliest — so eviction trades
+    * no correctness on the triangle, only bounds state to users active
+    * within the horizon. Oracle: the SAME SQL as batch retention. */
+  def retentionTagged(events: DataFrame,
+                      idleGapMs: Long = DefaultIdleGapMs): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val tagged = eventsStream(spark, dir)
+    events
       .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "2 hours")
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
          state: GroupState[java.sql.Timestamp]) => {
-          val rs = rows.toSeq
-          val batchMin = rs.map(_._2).min(Ordering.fromLessThan[java.sql.Timestamp](
-            (a, b) => a.compareTo(b) < 0))
-          val first = state.getOption match {
-            case Some(f) if f.compareTo(batchMin) <= 0 => f
-            case _ => batchMin
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rs = rows.toSeq
+            val ord = Ordering.fromLessThan[java.sql.Timestamp](
+              (a, b) => a.compareTo(b) < 0)
+            val batchMin = rs.map(_._2).min(ord)
+            val first = state.getOption match {
+              case Some(f) if f.compareTo(batchMin) <= 0 => f
+              case _ => batchMin
+            }
+            state.update(first)
+            state.setTimeoutTimestamp(idleTimeoutMs(rs.map(_._2).max(ord).getTime,
+              idleGapMs, state.getCurrentWatermarkMs()))
+            rs.iterator.map { case (_, ts) => (user, first, ts) }
           }
-          state.update(first)
-          rs.iterator.map { case (_, ts) => (user, first, ts) }
         })
       .toDF("user_id", "first_ts", "ts")
+  }
+
+  def streamRetentionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = retentionTagged(eventsStream(spark, dir))
     val sunk = runToMemory(spark, tagged,
       s"stream_retention_${java.util.UUID.randomUUID().toString.replace("-", "")}",
       mode = "append")
@@ -568,11 +630,29 @@ object StreamOps {
     val scored = TextAnalytics.lmSlots(docsStream(spark, dir))
       .join(model, col("bg") === col("mbg"))
       .select(col("doc_id"), col("sc"))
-    val sunk = runToMemory(spark, scored,
-      s"stream_lm_${java.util.UUID.randomUUID().toString.replace("-", "")}",
-      mode = "append")
-    val perDoc = sunk.groupBy(col("doc_id"))
-      .agg(sum(col("sc")).as("s"), count(lit(1)).as("nb"))
+    // PARTIAL-AGGREGATE inside each micro-batch (foreachBatch), then
+    // merge partials: the earlier memory-sink shape appended every
+    // matched bigram SLOT row — O(corpus tokens) rows through the
+    // driver's sink — where the per-doc (sum, count) partials are
+    // O(docs per batch) and merge exactly (integer sc). This is the
+    // streaming twin of map-side combine, and most of the
+    // stream-vs-batch fixed-cost gap was that sink volume.
+    val partDir = java.nio.file.Files.createTempDirectory("lm_parts").toString
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = scored.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("doc_id"))
+            .agg(sum(col("sc")).as("s"), count(lit(1)).as("nb"))
+            .coalesce(1).write.mode("append").parquet(partDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
+    val perDoc = spark.read.parquet(partDir).groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("s"), sum(col("nb")).as("nb"))
     graft.Tables.loadWide(spark, dir, "documents").select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -582,4 +662,55 @@ object StreamOps {
           .otherwise(lit(0.0)).as("lm_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** STREAMING EXACTLY-ONCE RELATIONAL SINK: [[graft.operators.Sinks
+    * .writeJdbcExactlyOnce]] wired into foreachBatch with the EPOCH id
+    * as the batch id. Structured Streaming's foreachBatch contract is
+    * at-least-once — after a crash between the sink write and the
+    * checkpoint commit, the SAME epoch re-runs with the SAME epochId —
+    * and the stage-and-merge keyed on epochId absorbs exactly that
+    * replay: the re-run's stage merges zero new rows. This is the true
+    * end-to-end form of the reference's continuous ingest + Postgres
+    * persist (supabase_client.py:45-77): at-least-once source, exactly-
+    * once relational state. Blocks until the (finite) stream drains. */
+  def streamJdbcExactlyOnce(updates: DataFrame, url: String, table: String,
+                            key: String,
+                            checkpointDir: Option[String] = None): Unit = {
+    val w = updates.writeStream.outputMode("append")
+    val w2 = checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
+    val q = w2.foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.operators.Sinks.writeJdbcExactlyOnce(
+          batch, url, table, key, s"epoch_$epochId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One sunk DuckDB file per fixture dir per JVM: bench reps and
+    * Verify re-enter this builder, and each re-entry REPLAYS the whole
+    * stream into the SAME database with the same epoch ids — the
+    * exactly-once merge absorbs the duplicate epochs, which is the
+    * idempotence claim itself, exercised on every rep. */
+  private val jdbcSinkDbs = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Oracle-checkable streaming exactly-once sink twin: the events
+    * fixture streamed micro-batch-wise through [[streamJdbcExactlyOnce]]
+    * into a relational table, read back. The DuckDB twin is plain
+    * `SELECT .. FROM events` — exact row set, no dupes, across replays.
+    */
+  def streamSinkJdbcQuery(spark: SparkSession, dir: String): DataFrame = {
+    val url = jdbcSinkDbs.getOrElseUpdate(dir,
+      s"jdbc:duckdb:${java.nio.file.Files.createTempDirectory("jdbc_sink")}/sink.db")
+    val rows = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    streamJdbcExactlyOnce(rows, url, "events_sunk", key = "event_id")
+    graft.operators.Sinks.readJdbc(spark, url, "events_sunk")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value").cast("double").as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  def streamSinkJdbcOracleSql: String =
+    "SELECT event_id, user_id, event_type, value FROM events"
 }

@@ -115,6 +115,22 @@ class DocPipelineSpec extends AnyFunSuite {
     fused.zip(generic).foreach { case (f, g) => assert(f == g) }
   }
 
+  test("schema lookup carries VariantType on the J1→E1 edge (jsonb posture)") {
+    import org.apache.spark.sql.types.{VariantType, MapType, StringType}
+    val docs = Seq((0L, "INVOICE amount due 9.99")).toDF("doc_id", "text")
+    val staged = DocPipeline.schemaLookup(spark,
+      DocPipeline.classifyStage(DocPipeline.clean(DocPipeline.ingest(docs))))
+    // the schema document is parsed ONCE into a variant column and the
+    // fields map downstream gates read is derived FROM the variant
+    assert(staged.schema("schema_variant").dataType == VariantType)
+    assert(staged.schema("schema_fields").dataType ==
+      MapType(StringType, StringType))
+    val row = staged.filter(col("doc_type") === "invoice")
+      .select(col("schema_fields")).head()
+    val fields = row.getMap[String, String](0)
+    assert(fields.contains("amount"), s"variant-derived fields map: $fields")
+  }
+
   test("schema induction + stats: observed fields subset the envelope; counts reconcile") {
     val prof = DocPipeline.schemaProfileQuery(spark, TestSession.sfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -101,6 +101,44 @@ class GlyphOcrSpec extends AnyFunSuite {
     assert(GlyphOcr.Parser.parse(out.toByteArray) == "?")
   }
 
+  /** Pad a page the way a real sheet carries margins: blank cells around
+    * the text keep rotated ink inside the canvas. Decoded output keeps
+    * the leading blank cells/lines (lines right-trim only). */
+  private def pagePad(text: String, cells: Int = 6, lines: Int = 2): String = {
+    val body = text.split("\n", -1)
+    val width = body.map(_.length).max + 2 * cells
+    val blank = " " * width
+    val padded = body.map(l => (" " * cells) + l)
+    (Seq.fill(lines)(blank) ++ padded ++ Seq.fill(lines)(blank)).mkString("\n")
+  }
+  private def expectPage(text: String, cells: Int = 6, lines: Int = 2): String =
+    pagePad(text, cells, lines).split("\n", -1)
+      .map(_.replaceAll(" +$", "")).mkString("\n")
+
+  test("rotated page (scanner misfeed): deskew recovers the text at ±2-3 degrees") {
+    val text = "skewed sheet on the platen\nsecond line 123"
+    for (angle <- Seq(-3.0, -2.0, 1.5, 2.0, 3.0)) {
+      val bytes = GlyphOcr.renderRotated(pagePad(text), seed = 5L, angleDeg = angle)
+      val got = GlyphOcr.Parser.parse(bytes)
+      assert(got == expectPage(text), s"deskew failed at $angle°: '$got'")
+    }
+  }
+
+  test("rotated page with noise: jitter + salt-and-pepper + 2° skew still decodes") {
+    val text = "noise AND rotation together"
+    val bytes = GlyphOcr.renderRotated(pagePad(text), seed = 17L, angleDeg = 2.0,
+      saltPepperPerMille = 6)
+    assert(GlyphOcr.Parser.parse(bytes) == expectPage(text))
+  }
+
+  test("deskew never fires on straight pages (clean and noisy paths unchanged)") {
+    // a straight page decodes below the deskew trigger, so the direct
+    // reading is returned untouched — same outputs as ever
+    val text = "straight page stays straight"
+    assert(GlyphOcr.Parser.parse(GlyphOcr.render(text)) == text)
+    assert(GlyphOcr.Parser.parse(GlyphOcr.renderNoisy(text, seed = 1L)) == text)
+  }
+
   test("substituteSql mirrors the renderer's substitution charset") {
     // the regex class must treat exactly GlyphOcr.supported as supported
     val re = GlyphOcr.unsupportedClass.r

@@ -261,6 +261,35 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(pdir).count() == docs.count()) // untouched
   }
 
+  test("compactPartitioned: each partition compacts in place, structure and pruning intact") {
+    val pdir = tmp("compactpart2") + "/p"
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+    // 5 small files per partition — the accretion shape of a streaming
+    // foreachBatch sink
+    docs.withColumn("part", col("doc_id") % 3)
+      .repartition(5).write.partitionBy("part").parquet(pdir)
+    def leafFiles(part: Long) = new java.io.File(s"$pdir/part=$part").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert((0L until 3L).forall(leafFiles(_) == 5))
+    val n = Sinks.compactPartitioned(spark, pdir)
+    assert(n == 3L, s"expected one file per partition, got $n")
+    assert((0L until 3L).forall(leafFiles(_) == 1))
+    // content intact, partition column still derived from the directory
+    val back = spark.read.parquet(pdir)
+    assert(back.count() == docs.count())
+    assert(back.columns.contains("part"))
+    assert(back.agg(sum(col("doc_id"))).collect()(0).getLong(0) ==
+      docs.agg(sum(col("doc_id"))).collect()(0).getLong(0))
+    // partition pruning still works: a part predicate scans one directory
+    val pruned = back.filter(col("part") === 1)
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+    assert(pruned.count() == docs.filter(col("doc_id") % 3 === 1).count())
+  }
+
   test("compact: many small files rewritten to the target count, content intact") {
     val dir = tmp("compact") + "/t"
     val docs = Tables.load(spark, TestSession.sfDir, "documents")

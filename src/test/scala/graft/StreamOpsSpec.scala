@@ -241,6 +241,137 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out == batch)
   }
 
+  test("event-time timeout evicts dormant per-user state (bounded streaming state)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // Two micro-batches. Batch 1 carries u1 (early) and u9 (60 days
+    // later — its max ts advances the watermark for batch 2). Batch 2
+    // carries u3. With a 1-day idle gap, u1's timeout (day 2) is far
+    // below batch 2's watermark (day 60 - 2h), so u1's state must be
+    // REMOVED during batch 2 — state tracks users active within the
+    // horizon, not all users ever seen.
+    val base = Files.createTempDirectory("sevict")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    def writeBatch(rows: Seq[(Long, String, String)], name: String,
+                   mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("sevict_part").toString
+      rows.toDF("user_id", "event_type", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("user_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeBatch(Seq(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (9L, "view", "2024-03-01 10:00:00")), "b1.parquet", 1000000L)
+    writeBatch(Seq(
+      (3L, "view", "2024-03-01 12:00:00")), "b2.parquet", 2000000L)
+    val events = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    val q = StreamOps.funnelUpdates(events, idleGapMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("evict_funnel")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally { q.stop(); spark.conf.set(key, prev) }
+    val stateRows = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .lastOption.map(_.numRowsTotal)
+    // u9 and u3 live inside the horizon; u1 evicted -> exactly 2 rows
+    assert(stateRows.contains(2L),
+      s"expected 2 live state rows after eviction, got $stateRows")
+    // every user still emitted its stage-1 row before/while being tracked
+    val emitted = spark.table("evict_funnel")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(emitted == Set(1L, 9L, 3L))
+  }
+
+  test("streaming exactly-once JDBC sink: a replayed epoch writes no dupes") {
+    assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
+      "DuckDB JDBC driver not on classpath")
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // Two-file stream, checkpointed. The first run's foreachBatch body
+    // CRASHES AFTER the exactly-once write of epoch 0 commits but before
+    // the streaming checkpoint records the epoch — the at-least-once
+    // window. The restarted run replays epoch 0 with the same epochId;
+    // the epoch-keyed stage-and-merge must absorb it.
+    val base = Files.createTempDirectory("sjdbc")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    def writeBatch(ids: Seq[Long], name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("sjdbc_part").toString
+      ids.toDF("event_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeBatch(0L until 10L, "b1.parquet", 1000000L)
+    writeBatch(10L until 15L, "b2.parquet", 2000000L)
+    val url = s"jdbc:duckdb:$base/sink.db"
+    val chk = s"$base/chk"
+    def source = spark.readStream.schema("event_id LONG")
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    // run 1: write epoch 0 via the sink, then die before the checkpoint
+    // commit can record it
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = source.writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+          graft.operators.Sinks.writeJdbcExactlyOnce(
+            batch, url, "events_sunk", "event_id", s"epoch_$epochId")
+          if (epochId == 0) throw new RuntimeException("injected crash after sink write")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(crashed.getMessage.contains("injected crash"))
+    // the crashed epoch's rows ARE durable (the sink committed)
+    assert(graft.operators.Sinks.readJdbc(spark, url, "events_sunk").count() == 10)
+    // run 2, same checkpoint: epoch 0 REPLAYS with the same epochId,
+    // then epoch 1 proceeds — exactly 15 rows, no dupes
+    val q2 = source.writeStream.outputMode("append")
+      .option("checkpointLocation", chk)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        graft.operators.Sinks.writeJdbcExactlyOnce(
+          batch, url, "events_sunk", "event_id", s"epoch_$epochId")
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = graft.operators.Sinks.readJdbc(spark, url, "events_sunk")
+      .select(col("event_id").cast("long")).as[Long].collect().sorted.toSeq
+    assert(got == (0L until 15L), s"exactly-once violated across replay: $got")
+  }
+
+  test("stream_sink_jdbc twin: sunk table equals the event stream, reps idempotent") {
+    assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
+      "DuckDB JDBC driver not on classpath")
+    val once = StreamOps.streamSinkJdbcQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.load(spark, TestSession.sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(once == batch && once.nonEmpty)
+    // a second full replay into the same database must not duplicate
+    val again = StreamOps.streamSinkJdbcQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(again == batch)
+  }
+
   test("streaming retention equals the batch triangle on the fixture") {
     import graft.operators.Events
     val key = (r: org.apache.spark.sql.Row) =>
