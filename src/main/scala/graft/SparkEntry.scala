@@ -104,6 +104,12 @@ object SparkEntry {
     "simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "span_dedup" -> ((s, d) => Dedup.spanDedup(s, d)),
     "span_dedup_maximal" -> ((s, d) => Dedup.maximalSpans(s, d)),
+    // dedup-by-masking: duplicated spans removed, documents kept
+    "span_mask" -> ((s, d) => Dedup.spanMask(s, d)),
+    // two-stage near-dup: LSH candidates verified by exact edit distance
+    "editdist_verify" -> ((s, d) => Dedup.editDistVerify(s, d)),
+    // per-domain cap sampling (anti-monoculture guard)
+    "domain_cap" -> ((s, d) => TextAnalytics.domainCap(s, d)),
     "dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_keep" -> ((s, d) => Dedup.dedupKeep(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
@@ -322,6 +328,9 @@ object SparkEntry {
     "simhash_pairs" -> Dedup.simhashPairsSql(),
     "span_dedup" -> Dedup.spanDedupSql(),
     "span_dedup_maximal" -> Dedup.maximalSpansSql(),
+    "span_mask" -> Dedup.spanMaskSql(),
+    "editdist_verify" -> Dedup.editDistVerifySql(),
+    "domain_cap" -> TextAnalytics.domainCapSql(),
     "dup_clusters" -> Dedup.dupClustersSql(),
     "dedup_keep" -> Dedup.dedupKeepSql(),
     "decontaminate" -> Dedup.decontaminateSql(),

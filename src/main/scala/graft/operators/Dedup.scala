@@ -945,4 +945,120 @@ object Dedup {
          coalesce(p.n_kept, 0) AS n_kept,
          coalesce(p.n_chunks, 0) - coalesce(p.n_kept, 0) AS n_dup
        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id"""
+
+  // --- Candidate→exact-verify (LSH + edit distance) -------------------
+
+  /** Two-stage near-dup pairs — the production record-linkage shape:
+    * banded MinHash-LSH PROPOSES candidates (minJ = 0: every band
+    * collision), char-level Levenshtein on the raw text CONFIRMS. LSH
+    * alone mistakes bag-of-shingles overlap for textual closeness; edit
+    * distance is the order-sensitive ground truth but is quadratic per
+    * pair — so it runs on candidates only, never all pairs (Gravano et
+    * al., VLDB 2001: approximate string joins = cheap filter + exact
+    * verify). A pair survives when dist ≤ relPct% of the LONGER text —
+    * cross-multiplied integers, no fp threshold. Both engines compute
+    * classic Levenshtein over an all-ASCII corpus: exact agreement.
+    *
+    * Scale shape: candidate generation is [[lshPairs]]' ids-only band
+    * join; texts are fetched per SIDE by id equi-joins (each text moves
+    * once); the verify is a narrow codegen'd map over candidate rows
+    * whose count the banding bounds. */
+  def editDistVerify(spark: SparkSession, dir: String, k: Int = 8, r: Int = 2,
+                     relPct: Int = 25): DataFrame = {
+    val cands = lshPairs(spark, dir, k, r, minJ = 0.0)
+      .select(col("a_id"), col("b_id"))
+    val t = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    cands
+      .join(t.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+      .withColumn("dist", levenshtein(col("a_text"), col("b_text")))
+      .filter(col("dist") * 100 <=
+        greatest(length(col("a_text")), length(col("b_text"))) * relPct)
+      .select(col("a_id"), col("b_id"), col("dist").cast(LongType).as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def editDistVerifySql(k: Int = 8, r: Int = 2, relPct: Int = 25): String =
+    s"""WITH pairs AS (${lshPairsSql(k, r, minJ = 0.0)})
+        SELECT p.a_id, p.b_id,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM pairs p
+        JOIN documents a ON a.doc_id = p.a_id
+        JOIN documents b ON b.doc_id = p.b_id
+        WHERE levenshtein(a.text, b.text) * 100 <=
+              greatest(length(a.text), length(b.text)) * $relPct"""
+
+  // --- Span masking (dedup by removal, not by dropping docs) ----------
+
+  /** SPAN-MASK dedup — remove the duplicated SUBSTRINGS, keep the
+    * documents (Lee et al. 2022's remediation: dropping whole docs for
+    * one boilerplate paragraph wastes the unique remainder). Contract:
+    * a w-word window is duplicated when its text occurs ≥ 2 times
+    * corpus-wide; the FIRST occurrence in (doc_id, pos) order is the
+    * keeper; every token covered by at least one NON-keeper duplicated
+    * window is masked out. Output per document: token counts and the
+    * surviving text (tokens joined by ' ' in original order).
+    *
+    * Scale shape: one span-keyed shuffle ranks occurrences (the same
+    * shuffle [[spanDedup]] pays; at 100 TB the span key would be a
+    * 64-bit hash — text keys here keep the oracle exact); covered
+    * indices are the rare hits only; the rebuild is one doc_id-keyed
+    * aggregation over the corpus's token stream — never quadratic, no
+    * driver-side text. */
+  def spanMask(spark: SparkSession, dir: String, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.words(col("text")).as("words0"))
+      .select(col("doc_id"), expr("filter(words0, x -> x <> '')").as("words"))
+    val nonKeeper = spanTablePos(docs, w)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("span")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") > 1)
+    val covered = nonKeeper
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("idx"))
+      .distinct()
+    val tokenRows = toks
+      .select(col("doc_id"), posexplode(col("words")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("idx"), col("tok"))
+    val kept = tokenRows.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(idx, tok))), s -> s.tok)"),
+          " ").as("masked_text"))
+    toks.select(col("doc_id"), size(col("words")).cast(LongType).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_masked"),
+        coalesce(col("masked_text"), lit("")).as("masked_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanMaskSql(w: Int = 5): String =
+    s"""WITH d AS (SELECT doc_id,
+          list_filter(${graft.functions.TextFunctions.wordsSql("text")}, x -> x <> '') AS words
+        FROM documents),
+        sp AS (SELECT doc_id, i AS pos, array_to_string(words[i:i+${w - 1}], ' ') AS span
+               FROM d, unnest(generate_series(1, len(words) - ${w - 1})) AS t(i)
+               WHERE len(words) >= $w),
+        nk AS (SELECT doc_id, pos FROM (
+                 SELECT doc_id, pos,
+                        row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+                 FROM sp) r WHERE rn > 1),
+        cov AS (SELECT DISTINCT doc_id, idx
+                FROM nk, unnest(generate_series(pos, pos + ${w - 1})) AS t(idx)),
+        tok AS (SELECT doc_id, i AS idx, words[i] AS tk
+                FROM d, unnest(generate_series(1, len(words))) AS t(i)),
+        kept AS (SELECT t.doc_id, t.idx, t.tk
+                 FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+                 WHERE c.idx IS NULL),
+        perdoc AS (SELECT doc_id, count(*) AS n_kept,
+                          string_agg(tk, ' ' ORDER BY idx) AS masked_text
+                   FROM kept GROUP BY 1)
+        SELECT d.doc_id, CAST(len(d.words) AS BIGINT) AS n_tokens,
+               CAST(len(d.words) AS BIGINT) - coalesce(p.n_kept, 0) AS n_masked,
+               coalesce(p.masked_text, '') AS masked_text
+        FROM d LEFT JOIN perdoc p ON d.doc_id = p.doc_id"""
 }

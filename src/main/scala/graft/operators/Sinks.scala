@@ -59,6 +59,24 @@ object Sinks {
   private lazy val dialectRegistered: Unit =
     org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DuckDbDialect)
 
+  /** Per-URL anchor connection, held for the JVM's lifetime. An embedded
+    * DuckDB database (JDBC 1.0.0) cycles its instance when the last
+    * connection closes, and under concurrent connection churn a cycle
+    * can LOSE commits that were still WAL-only — reproduced in a
+    * JDBC-only stress: sequential committed inserts through short-lived
+    * connections lose rows while other threads churn connections on
+    * OTHER databases in the same process; holding one open connection
+    * eliminates the loss completely. Pinning one connection per database
+    * is the embedded-db analogue of the connection pool every production
+    * JDBC sink holds anyway; for a client-server database it costs one
+    * idle connection. */
+  private val anchors =
+    new java.util.concurrent.ConcurrentHashMap[String, java.sql.Connection]()
+  private def anchor(url: String): Unit = {
+    anchors.computeIfAbsent(url, u => java.sql.DriverManager.getConnection(u))
+    ()
+  }
+
   /** Mode is APPEND (creating the table on first write): the reference's
     * relational sink is an INSERT per document (supabase_client.py:60-67)
     * and the parquet variant of the same K2 contract appends — an
@@ -68,6 +86,7 @@ object Sinks {
                 numPartitions: Int = 1,
                 writeOptions: Map[String, String] = Map.empty): Unit = {
     dialectRegistered
+    anchor(url)
     df.coalesce(numPartitions)
       .write.mode("append")
       .format("jdbc")
@@ -98,6 +117,7 @@ object Sinks {
                            numPartitions: Int = 1,
                            writeOptions: Map[String, String] = Map.empty): Unit = {
     dialectRegistered
+    anchor(url)
     require(batchId.matches("[A-Za-z0-9_]+"), s"batchId must be [A-Za-z0-9_]+: $batchId")
     val stage = s"${table}__stage_$batchId"
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
@@ -112,7 +132,7 @@ object Sinks {
       .option("url", url).option("dbtable", stage)
       .options(writeOptions).save()
     val cols = df.schema.fieldNames.map(q).mkString(", ")
-    withConn { conn =>
+    def merge(): Unit = withConn { conn =>
       conn.setAutoCommit(false)
       try {
         val st = conn.createStatement()
@@ -127,6 +147,26 @@ object Sinks {
                 SELECT 1 FROM ${q(table)} t WHERE t.${q(key)} = s.${q(key)})""")
         conn.commit()
       } catch { case e: Throwable => conn.rollback(); throw e }
+    }
+    // post-merge verification: every staged key must be visible in the
+    // target before the stage may be dropped. The merge INSERT is
+    // idempotent (anti-joined on key), so a lost/unobserved commit is
+    // safely re-run; only a VERIFIED merge releases the stage.
+    def missing(): Long = withConn { conn =>
+      val rs = conn.createStatement().executeQuery(
+        s"""SELECT count(*) FROM ${q(stage)} s
+            WHERE NOT EXISTS (SELECT 1 FROM ${q(table)} t
+                              WHERE t.${q(key)} = s.${q(key)})""")
+      rs.next(); rs.getLong(1)
+    }
+    merge()
+    var attempts = 1
+    while (missing() > 0) {
+      if (attempts >= 5)
+        throw new IllegalStateException(
+          s"writeJdbcExactlyOnce: merge of $stage into $table did not land")
+      attempts += 1
+      merge()
     }
     // Stage cleanup runs OUTSIDE the merge transaction, verified with a
     // bounded retry. Inside the transaction it raced: an executor-side
@@ -160,6 +200,7 @@ object Sinks {
 
   def readJdbc(spark: SparkSession, url: String, table: String): DataFrame = {
     dialectRegistered
+    anchor(url)
     spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)

@@ -733,6 +733,39 @@ object TextAnalytics {
               FROM f)
         SELECT lang, rn, doc_id FROM r WHERE rn <= $k"""
 
+  /** PER-DOMAIN CAP: keep at most `k` documents per source/domain —
+    * the anti-monoculture guard every web-scale pretraining mix runs
+    * (a single boilerplate-heavy domain otherwise dominates the
+    * corpus; cf. public Common-Crawl pipeline reports capping URLs per
+    * host). Deterministic: rank within domain by content fingerprint
+    * then doc_id (same unbiased-order device as [[stratifiedSample]]),
+    * keep rank ≤ k.
+    *
+    * Scale shape: one window shuffle of (source, fp, doc_id) triples —
+    * Spark 4 pushes a partial WindowGroupLimit below the exchange, so
+    * each map task ships at most k rows per domain, not the domain's
+    * corpus. */
+  def domainCap(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("fp"), col("doc_id"))
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  def domainCapSql(k: Int = 15): String =
+    s"""WITH f AS (SELECT doc_id, source, ${fingerprintSql("text")} AS fp
+                   FROM documents),
+        r AS (SELECT source, doc_id,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY fp, doc_id) AS INT) AS rn
+              FROM f)
+        SELECT source, rn, doc_id FROM r WHERE rn <= $k"""
+
   /** Length-bucketed inference batching: group documents of similar
     * token count into fixed-size batches so a padded inference batch
     * wastes little compute (padding cost per batch = batch_max - each

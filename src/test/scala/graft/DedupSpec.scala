@@ -192,6 +192,32 @@ class DedupSpec extends AnyFunSuite {
       (1L, 1L, 1L, 5L), (1L, 9L, 1L, 5L)))
   }
 
+  test("spanMask: first occurrence keeps its text, later occurrences mask the shared tokens") {
+    val out = Dedup.spanMask(spark, corpusDir, w = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      .sortBy(_._1)
+    // doc 0 is the global first occurrence of every duplicated window:
+    // fully kept. doc 1 (exact dup) masks all 9 tokens. doc 2 shares
+    // windows 1-4 with doc 0 -> tokens 1-8 masked, 'cat' survives.
+    assert(out(0) == ((0L, 9L, 0L, "the quick brown fox jumps over the lazy dog")))
+    assert(out(1) == ((1L, 9L, 9L, "")))
+    assert(out(2) == ((2L, 9L, 8L, "cat")))
+    // unique doc untouched; empty doc is 0/0/''
+    assert(out(3)._3 == 0L && out(3)._4.nonEmpty)
+    assert(out(4) == ((4L, 0L, 0L, "")))
+    // masking never removes tokens from a doc with no duplicated window
+    assert(out.forall { case (_, n, m, _) => m <= n })
+  }
+
+  test("editDistVerify: exact dup at dist 0, near dup within 25%, unrelated absent") {
+    val out = Dedup.editDistVerify(spark, corpusDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((0L, 1L)) == 0L)                  // exact duplicate
+    assert(out.get((0L, 2L)).exists(d => d > 0 && d <= 10)) // dog->cat edit
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+  }
+
   test("decontaminate: train docs sharing w-spans with the benchmark set are flagged with distinct-span counts") {
     // bench = docs 0,1 (identical texts); doc 2 shares five distinct
     // 4-word spans with them, docs 3/4 share none
@@ -239,6 +265,23 @@ class DedupSpec extends AnyFunSuite {
     val again = TextAnalytics.stratifiedSample(spark, TestSession.sfDir, k = 20)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
+  }
+
+  test("domainCap: at most k docs per source, and it actually caps the fixture") {
+    import graft.operators.TextAnalytics
+    val k = 15
+    val out = TextAnalytics.domainCap(spark, TestSession.sfDir, k = k)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val bySource = out.groupBy(_._1)
+    bySource.foreach { case (_, rows) =>
+      assert(rows.length <= k)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // every fixture source holds > k docs, so the cap must bind everywhere
+    val total = Tables.load(spark, TestSession.sfDir, "documents").count()
+    assert(out.length < total, "cap did not drop anything — fixture too small for k")
+    // kept ids are unique (a doc belongs to one domain slot)
+    assert(out.map(_._3).distinct.length == out.length)
   }
 
   test("inferenceBatches: bounded batches, dense slots, in-batch length spread < bucket width") {

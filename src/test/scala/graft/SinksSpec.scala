@@ -109,6 +109,63 @@ class SinksSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("anchor connection: committed rows survive connection churn (duckdb instance cycling)") {
+    // Root cause of the round-6 exactly-once flake: DuckDB JDBC 1.0.0
+    // cycles an embedded file-db instance when its last connection
+    // closes, and under concurrent churn a cycle loses WAL-only commits
+    // (reproduced: a plain JDBC insert loop through short-lived
+    // connections DROPS rows while other threads churn connections on
+    // other dbs). The sink pins one anchor connection per URL; this
+    // spec drives the same churn through the sink-registered URL and
+    // must see zero loss.
+    assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
+      "DuckDB JDBC driver not on classpath")
+    val dir = tmp("anchor")
+    val url = s"jdbc:duckdb:$dir/main.db"
+    // first touch through the sink registers the anchor for this URL
+    Sinks.writeJdbc(Seq((0L, "seed")).toDF("k", "v"), url, "target")
+    @volatile var stop = false
+    // throttled: every open/close cycles a whole embedded instance
+    // (worker threads included) — unthrottled churn exhausts pthreads
+    val churners = (1 to 2).map { t =>
+      val th = new Thread(() => {
+        val u = s"jdbc:duckdb:$dir/other_$t.db"
+        var i = 0
+        while (!stop) {
+          val c = java.sql.DriverManager.getConnection(u)
+          try {
+            val st = c.createStatement()
+            st.execute("CREATE TABLE IF NOT EXISTS t (x BIGINT)")
+            st.execute(s"INSERT INTO t VALUES ($i)")
+          } finally c.close()
+          i += 1
+          Thread.sleep(2)
+        }
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    try {
+      var lost = 0
+      for (i <- 1 to 200) {
+        withConn { c =>
+          c.setAutoCommit(false)
+          c.createStatement().execute(s"INSERT INTO target VALUES ($i, 'r')")
+          c.commit()
+        }
+        val n = withConn { c =>
+          val rs = c.createStatement().executeQuery("SELECT count(*) FROM target")
+          rs.next(); rs.getLong(1)
+        }
+        if (n != i + 1) lost += 1
+      }
+      assert(lost == 0, s"committed rows vanished $lost times despite the anchor")
+    } finally { stop = true; churners.foreach(_.join(2000)) }
+  }
+
   test("K1 uploadBinary: file_url addresses the written object store") {
     val bucket = tmp("bucket")
     val df = Seq(("in/a b.txt", "payload".getBytes("UTF-8")))
