@@ -123,7 +123,12 @@ object ScaleProbe {
       "lang_trigram_id" -> ((s, d) => TextAnalytics.langTrigramClassify(s, d)),
       "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)),
       "cdc_dedup" -> ((s, d) => Dedup.cdcDedup(s, d)),
-      "collocations" -> ((s, d) => TextAnalytics.collocations(s, d)))
+      "collocations" -> ((s, d) => TextAnalytics.collocations(s, d)),
+      // round-7 additions: span-keyed rank + token rebuild, LSH
+      // candidates + narrow Levenshtein verify, one window shuffle
+      "span_mask" -> ((s, d) => Dedup.spanMask(s, d)),
+      "editdist_verify" -> ((s, d) => Dedup.editDistVerify(s, d)),
+      "domain_cap" -> ((s, d) => TextAnalytics.domainCap(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }
