@@ -166,6 +166,9 @@ object SparkEntry {
     // keyed stage-and-merge); reps replay the same epochs idempotently
     "stream_sink_jdbc" -> ((s, d) =>
       graft.streaming.StreamOps.streamSinkJdbcQuery(s, d)),
+    // unbounded-history ingest dedup against a persistent seen-store
+    "stream_exact_dedup_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamExactDedupStoreQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -352,6 +355,8 @@ object SparkEntry {
     "pipeline_stream" -> graft.streaming.StreamOps.streamPipelineOracleSql,
     // exactly-once relational sink: the sunk table IS the event stream
     "stream_sink_jdbc" -> graft.streaming.StreamOps.streamSinkJdbcOracleSql,
+    "stream_exact_dedup_store" ->
+      graft.streaming.StreamOps.streamExactDedupStoreOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

@@ -372,6 +372,36 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(again == batch)
   }
 
+  test("store-backed exact dedup: later batches drop content admitted by earlier ones") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.functions.TextFunctions.fingerprint
+    val base = Files.createTempDirectory("sdedupstore")
+    val streamDir = Files.createDirectory(base.resolve("documents.parquet"))
+    def writeBatch(rows: Seq[(Long, String)], name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("sdedup_part").toString
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // batch 1: two copies of A (within-batch collapse -> min id 0), one B
+    writeBatch(Seq((0L, "alpha beta"), (1L, "alpha beta"), (2L, "gamma")),
+      "b1.parquet", 1000000L)
+    // batch 2: another copy of A (cross-batch drop) and new content C
+    writeBatch(Seq((3L, "alpha beta"), (4L, "delta")), "b2.parquet", 2000000L)
+    val got = StreamOps.streamExactDedupStoreQuery(spark, base.toString)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 2L, 4L), s"store dedup survivors: $got")
+  }
+
   test("streaming retention equals the batch triangle on the fixture") {
     import graft.operators.Events
     val key = (r: org.apache.spark.sql.Row) =>
