@@ -342,8 +342,13 @@ object Dedup {
     * candidates, then verify with exact Jaccard >= minJ. The band join is
     * the only wide op and its key space grows with corpus size — no
     * quadratic blowup for non-similar docs. */
-  def lshPairs(spark: SparkSession, dir: String, k: Int = 8, r: Int = 2,
-               minJ: Double = 0.5): DataFrame = {
+  /** Ids-only banded-LSH candidate pairs: every (a_id < b_id) band-hash
+    * collision, deduplicated across bands. The cheap-filter half of the
+    * filter-and-verify shape — [[lshPairs]] verifies with shingle
+    * Jaccard, [[editDistVerify]] with edit distance; neither verifier's
+    * payload rides through the band explode or the self-join shuffle. */
+  private def lshCandidateIds(spark: SparkSession, dir: String,
+                              k: Int, r: Int): DataFrame = {
     require(k % r == 0, "bands must tile the signature")
     val nBands = k / r
     val sig = sigTable(spark, dir, k).persist()
@@ -356,20 +361,25 @@ object Dedup {
     def bandHash(band: Int): Column =
       (0 until r).map(i => col(s"mh_${band * r + i}"))
         .foldLeft(lit(0L): Column)((acc, h) => (acc * lit(131L) + h) % lit(P))
-    // candidate generation on IDS ONLY — the shingle arrays would
-    // otherwise ride through the band explode (x nBands), the self-join
-    // shuffle (both sides) and the dedup shuffle; fetching them back by
-    // a post-dedup equi-join moves each array exactly once
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until nBands).map(bandHash): _*)).as(Seq("band", "bh")))
     val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("b_id"),
       col("band").as("band_b"), col("bh").as("bh_b"))
-    val candIds = a.join(b,
+    a.join(b,
         col("band") === col("band_b") && col("bh") === col("bh_b") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+  }
+
+  def lshPairs(spark: SparkSession, dir: String, k: Int = 8, r: Int = 2,
+               minJ: Double = 0.5): DataFrame = {
+    // candidate generation on IDS ONLY — the shingle arrays would
+    // otherwise ride through the band explode (x nBands), the self-join
+    // shuffle (both sides) and the dedup shuffle; fetching them back by
+    // a post-dedup equi-join moves each array exactly once
+    val candIds = lshCandidateIds(spark, dir, k, r)
     // shingle arrays for verification come straight off the scan (narrow,
     // native expression) — never through an aggregate or the band join.
     // Sorted per document so the intersect count is a native two-pointer
@@ -959,22 +969,31 @@ object Dedup {
     * cross-multiplied integers, no fp threshold. Both engines compute
     * classic Levenshtein over an all-ASCII corpus: exact agreement.
     *
-    * Scale shape: candidate generation is [[lshPairs]]' ids-only band
-    * join; texts are fetched per SIDE by id equi-joins (each text moves
-    * once); the verify is a narrow codegen'd map over candidate rows
-    * whose count the banding bounds. */
+    * Scale shape: candidate generation is [[lshCandidateIds]]' ids-only
+    * band join (the Jaccard verify would be pure waste here — edit
+    * distance IS the verifier); texts are fetched per SIDE by id
+    * equi-joins (each text moves once). The verify itself is banded:
+    * the per-pair acceptance bound `dist ≤ ⌊maxLen·relPct/100⌋` is
+    * passed to Levenshtein as its THRESHOLD, so each pair costs
+    * O(minLen·bound) cells with early exit instead of the full
+    * O(m·n) table — any pair the bound would reject is rejected
+    * without finishing the table (Spark's threshold form returns -1).
+    * A |lenA−lenB| > bound prefilter rejects for free what the DP
+    * cannot accept (edit distance ≥ length difference). */
   def editDistVerify(spark: SparkSession, dir: String, k: Int = 8, r: Int = 2,
                      relPct: Int = 25): DataFrame = {
-    val cands = lshPairs(spark, dir, k, r, minJ = 0.0)
-      .select(col("a_id"), col("b_id"))
+    val cands = lshCandidateIds(spark, dir, k, r)
     val t = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     cands
       .join(t.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
       .join(t.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text")))
-      .filter(col("dist") * 100 <=
-        greatest(length(col("a_text")), length(col("b_text"))) * relPct)
+      // integer bound: dist*100 <= maxLen*relPct  <=>  dist <= floor(maxLen*relPct/100)
+      .withColumn("__bound", (greatest(length(col("a_text")), length(col("b_text")))
+        * lit(relPct)).divide(lit(100)).cast("int"))
+      .filter(abs(length(col("a_text")) - length(col("b_text"))) <= col("__bound"))
+      .withColumn("dist", expr("levenshtein(a_text, b_text, __bound)"))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist").cast(LongType).as("dist"))
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -109,9 +109,19 @@ object Sinks {
     * idempotent end to end. `key` must be non-null and unique per
     * logical row (the reference's document id, supabase_client.py:60).
     *
+    * A committed-batch LEDGER (`__graft_commits`, one row per
+    * (table, batch id), written in the SAME transaction as the merge)
+    * makes a replay of an already-committed batch a no-op: the re-run
+    * skips the stage write entirely instead of re-staging every row for
+    * a merge that inserts nothing. This is the transaction-id pattern of
+    * every production exactly-once sink (Flink's two-phase-commit sink,
+    * Delta's `txn` appId/version) — on a replayed micro-batch the ledger
+    * probe is one indexed lookup, not a full re-write of the batch.
+    *
     * 100 TB shape: the stage write scales with executors exactly like
     * [[writeJdbc]]; the merge is one set-oriented statement INSIDE the
-    * database (no data moves through the driver). */
+    * database (no data moves through the driver); a replay costs one
+    * ledger lookup. */
   def writeJdbcExactlyOnce(df: DataFrame, url: String, table: String,
                            key: String, batchId: String,
                            numPartitions: Int = 1,
@@ -121,9 +131,27 @@ object Sinks {
     require(batchId.matches("[A-Za-z0-9_]+"), s"batchId must be [A-Za-z0-9_]+: $batchId")
     val stage = s"${table}__stage_$batchId"
     def q(id: String) = "\"" + id.replace("\"", "\"\"") + "\""
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
     def withConn[A](f: java.sql.Connection => A): A = {
       val c = java.sql.DriverManager.getConnection(url)
       try f(c) finally c.close()
+    }
+    val ledgerWhere =
+      s"table_name = ${lit(table)} AND batch_id = ${lit(batchId)}"
+    val alreadyCommitted = withConn { conn =>
+      conn.createStatement().execute(
+        "CREATE TABLE IF NOT EXISTS __graft_commits (" +
+          "table_name VARCHAR NOT NULL, batch_id VARCHAR NOT NULL)")
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT count(*) FROM __graft_commits WHERE $ledgerWhere")
+      rs.next(); rs.getLong(1) > 0
+    }
+    if (alreadyCommitted) {
+      // this (table, batchId) merged and verified in a prior run; the
+      // only possible residue is a stale stage from a crash between the
+      // ledger commit and the stage drop
+      withConn(_.createStatement().execute(s"DROP TABLE IF EXISTS ${q(stage)}"))
+      return
     }
     // a crashed prior attempt with this batchId left a stale stage: clear it
     withConn(_.createStatement().execute(s"DROP TABLE IF EXISTS ${q(stage)}"))
@@ -145,6 +173,11 @@ object Sinks {
                 FROM ${q(stage)}) s
               WHERE __rn = 1 AND NOT EXISTS (
                 SELECT 1 FROM ${q(table)} t WHERE t.${q(key)} = s.${q(key)})""")
+        st.execute(
+          s"""INSERT INTO __graft_commits (table_name, batch_id)
+              SELECT ${lit(table)}, ${lit(batchId)}
+              WHERE NOT EXISTS (
+                SELECT 1 FROM __graft_commits WHERE $ledgerWhere)""")
         conn.commit()
       } catch { case e: Throwable => conn.rollback(); throw e }
     }

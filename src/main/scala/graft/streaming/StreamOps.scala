@@ -675,12 +675,14 @@ object StreamOps {
     * once relational state. Blocks until the (finite) stream drains. */
   def streamJdbcExactlyOnce(updates: DataFrame, url: String, table: String,
                             key: String,
-                            checkpointDir: Option[String] = None): Unit = {
+                            checkpointDir: Option[String] = None,
+                            writeOptions: Map[String, String] = Map.empty): Unit = {
     val w = updates.writeStream.outputMode("append")
     val w2 = checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
     val q = w2.foreachBatch { (batch: DataFrame, epochId: Long) =>
         graft.operators.Sinks.writeJdbcExactlyOnce(
-          batch, url, table, key, s"epoch_$epochId")
+          batch, url, table, key, s"epoch_$epochId",
+          writeOptions = writeOptions)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -703,7 +705,10 @@ object StreamOps {
       s"jdbc:duckdb:${java.nio.file.Files.createTempDirectory("jdbc_sink")}/sink.db")
     val rows = eventsStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    streamJdbcExactlyOnce(rows, url, "events_sunk", key = "event_id")
+    // 10k-row prepared-statement batches: the default 1000 spends the
+    // sink's wall time on JDBC round-trip overhead at 100k rows/epoch
+    streamJdbcExactlyOnce(rows, url, "events_sunk", key = "event_id",
+      writeOptions = Map("batchsize" -> "10000"))
     graft.operators.Sinks.readJdbc(spark, url, "events_sunk")
       .select(col("event_id").cast("long").as("event_id"),
         col("user_id").cast("long").as("user_id"),

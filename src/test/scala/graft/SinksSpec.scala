@@ -109,6 +109,31 @@ class SinksSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("exactly-once JDBC: the commit ledger makes a replayed batch id a no-op") {
+    assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
+      "DuckDB JDBC driver not on classpath")
+    val url = s"jdbc:duckdb:${tmp("jdbcledger")}/ledger.db"
+    Sinks.writeJdbcExactlyOnce(spark.range(0, 10).toDF("id"), url, "t",
+      key = "id", batchId = "e1")
+    // Structured Streaming's contract: the same epoch id always carries
+    // the same rows. The ledger therefore skips a committed batch id
+    // ENTIRELY — no stage write, no merge — so even rows the key
+    // anti-join would admit must not land under a replayed id...
+    Sinks.writeJdbcExactlyOnce(spark.range(100, 110).toDF("id"), url, "t",
+      key = "id", batchId = "e1")
+    assert(Sinks.readJdbc(spark, url, "t").count() == 10)
+    // ...while a fresh batch id takes the full stage-and-merge path
+    Sinks.writeJdbcExactlyOnce(spark.range(100, 110).toDF("id"), url, "t",
+      key = "id", batchId = "e2")
+    assert(Sinks.readJdbc(spark, url, "t").count() == 20)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT count(*) FROM __graft_commits WHERE table_name = 't'")
+      rs.next(); assert(rs.getLong(1) == 2L)
+    } finally conn.close()
+  }
+
   test("anchor connection: committed rows survive connection churn (duckdb instance cycling)") {
     // Root cause of the round-6 exactly-once flake: DuckDB JDBC 1.0.0
     // cycles an embedded file-db instance when its last connection
