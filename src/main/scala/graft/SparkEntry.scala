@@ -113,6 +113,7 @@ object SparkEntry {
     "dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "dedup_keep" -> ((s, d) => Dedup.dedupKeep(s, d)),
     "decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
     "paragraph_dedup" -> ((s, d) => Dedup.paragraphDedup(s, d)),
     "cdc_dedup" -> ((s, d) => Dedup.cdcDedup(s, d)),
     // --- event-time analytics (SURVEY §2.13) ---
@@ -169,6 +170,9 @@ object SparkEntry {
     // unbounded-history ingest dedup against a persistent seen-store
     "stream_exact_dedup_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamExactDedupStoreQuery(s, d)),
+    // streaming-maintained MinHash signature store, LSH keep at serve
+    "stream_neardup_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamNearDupStoreQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -337,6 +341,8 @@ object SparkEntry {
     "dup_clusters" -> Dedup.dupClustersSql(),
     "dedup_keep" -> Dedup.dedupKeepSql(),
     "decontaminate" -> Dedup.decontaminateSql(),
+    // Bloom prefilter + exact verify == the exact decontamination result
+    "bloom_decontaminate" -> Dedup.decontaminateSql(),
     "paragraph_dedup" -> Dedup.paragraphDedupSql,
     "cdc_dedup" -> Dedup.cdcDedupSql,
     "events_tumbling" -> Events.tumblingSql,
@@ -357,6 +363,8 @@ object SparkEntry {
     "stream_sink_jdbc" -> graft.streaming.StreamOps.streamSinkJdbcOracleSql,
     "stream_exact_dedup_store" ->
       graft.streaming.StreamOps.streamExactDedupStoreOracleSql,
+    "stream_neardup_store" ->
+      graft.streaming.StreamOps.streamNearDupStoreOracleSql,
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

@@ -307,8 +307,15 @@ object Dedup {
     * signature cost. Consumers that need the arrays re-derive them
     * narrowly from the scan (the native expression is cheaper than
     * shuffling them). */
-  private[operators] def sigTable(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val ex = Tables.loadWide(spark, dir, "documents")
+  private[operators] def sigTable(spark: SparkSession, dir: String, k: Int): DataFrame =
+    sigTableFrom(Tables.loadWide(spark, dir, "documents"), k)
+
+  /** Signature pass over any (doc_id, text) frame — the streaming
+    * sig-store twin computes each arriving batch's signatures through
+    * exactly this plan, so store-served and in-plan signatures are
+    * bit-identical by construction. */
+  private[graft] def sigTableFrom(docs: DataFrame, k: Int): DataFrame = {
+    val ex = docs
       .select(col("doc_id"), explode_outer(shingles(col("text"))).as("s"))
       .withColumn("fp", chash(col("s")))
     val aggs = (0 until k).map { s =>
@@ -347,16 +354,12 @@ object Dedup {
     * filter-and-verify shape — [[lshPairs]] verifies with shingle
     * Jaccard, [[editDistVerify]] with edit distance; neither verifier's
     * payload rides through the band explode or the self-join shuffle. */
-  private def lshCandidateIds(spark: SparkSession, dir: String,
-                              k: Int, r: Int): DataFrame = {
+  /** The band self-join over a prepared (doc_id, mh_0..mh_{k-1})
+    * signature frame — shared by the in-plan path and the streaming
+    * sig-store serving path. */
+  private[graft] def bandJoinCandidates(sig: DataFrame, k: Int, r: Int): DataFrame = {
     require(k % r == 0, "bands must tile the signature")
     val nBands = k / r
-    val sig = sigTable(spark, dir, k).persist()
-    // eager materialization: both sides of the band self-join scan this
-    // cache; built lazily inside one action, each side races to compute
-    // the uncached partitions and the whole signature pass runs twice
-    // (measured 2x the operator). 5000 rows - the count is free.
-    sig.count()
     // band hash = polynomial combine of the band's minhashes mod P
     def bandHash(band: Int): Column =
       (0 until r).map(i => col(s"mh_${band * r + i}"))
@@ -373,6 +376,17 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
   }
 
+  private def lshCandidateIds(spark: SparkSession, dir: String,
+                              k: Int, r: Int): DataFrame = {
+    val sig = sigTable(spark, dir, k).persist()
+    // eager materialization: both sides of the band self-join scan this
+    // cache; built lazily inside one action, each side races to compute
+    // the uncached partitions and the whole signature pass runs twice
+    // (measured 2x the operator). 5000 rows - the count is free.
+    sig.count()
+    bandJoinCandidates(sig, k, r)
+  }
+
   def lshPairs(spark: SparkSession, dir: String, k: Int = 8, r: Int = 2,
                minJ: Double = 0.5): DataFrame = {
     // candidate generation on IDS ONLY — the shingle arrays would
@@ -380,24 +394,66 @@ object Dedup {
     // shuffle (both sides) and the dedup shuffle; fetching them back by
     // a post-dedup equi-join moves each array exactly once
     val candIds = lshCandidateIds(spark, dir, k, r)
-    // shingle arrays for verification come straight off the scan (narrow,
-    // native expression) — never through an aggregate or the band join.
-    // Sorted per document so the intersect count is a native two-pointer
-    // pass (ArrayIntersect is interpreted + allocating: measured 10x the
-    // candidate join on a millions-of-candidates corpus).
+    verifyJaccard(spark, dir, candIds, minJ)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Exact-Jaccard verification of an (a_id, b_id) candidate frame.
+    * Shingle arrays for verification come straight off the scan (narrow,
+    * native expression) — never through an aggregate or the band join.
+    * Sorted per document so the intersect count is a native two-pointer
+    * pass (ArrayIntersect is interpreted + allocating: measured 10x the
+    * candidate join on a millions-of-candidates corpus). */
+  private def verifyJaccard(spark: SparkSession, dir: String,
+                            candIds: DataFrame, minJ: Double): DataFrame = {
     val docsSh = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
-    val cand = candIds
+    candIds
       .join(docsSh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(docsSh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-    cand
       .withColumn("inter", sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= minJ)
       .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** LSH pairs served from a PREPARED signature frame (the streaming
+    * sig-store: signatures computed once on arrival, band-joined at
+    * serve time), verified with exact Jaccard like [[lshPairs]]. */
+  private[graft] def lshPairsFromSigs(spark: SparkSession, dir: String,
+                                      sig: DataFrame, k: Int = 8, r: Int = 2,
+                                      minJ: Double = 0.5): DataFrame =
+    verifyJaccard(spark, dir, bandJoinCandidates(sig, k, r), minJ)
+
+  /** Representative keep over an arbitrary verified near-dup pair frame:
+    * connected components, drop every non-minimum member. */
+  private[graft] def keepFromPairs(spark: SparkSession, dir: String,
+                                   pairs: DataFrame): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val drops = connectedComponents(
+        pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of LSH-pairs → connected components → representative
+    * keep — the serving contract of the streaming signature store. */
+  def lshDedupKeepSql(k: Int = 8, r: Int = 2, minJ: Double = 0.5): String =
+    s"""WITH RECURSIVE ${lshPairsCte(k, r, minJ)},
+        e AS (SELECT a_id AS u, b_id AS v FROM ljp
+              UNION SELECT b_id, a_id FROM ljp),
+        reach(src, node) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node),
+        comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1)
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM comp c
+                          WHERE c.doc_id = d.doc_id AND c.doc_id <> c.cluster_id)"""
 
   /** Native |A∩B| over per-document sorted shingle arrays. */
   private def sortedIntersectCount(a: Column, b: Column): Column =
@@ -405,14 +461,20 @@ object Dedup {
       graft.plans.SortedIntersectCount(
         org.apache.spark.sql.graftbridge.Bridge.expression(a),
         org.apache.spark.sql.graftbridge.Bridge.expression(b)))
-  def lshPairsSql(k: Int = 8, r: Int = 2, minJ: Double = 0.5): String = {
+  def lshPairsSql(k: Int = 8, r: Int = 2, minJ: Double = 0.5): String =
+    s"""WITH ${lshPairsCte(k, r, minJ)}
+        SELECT a_id, b_id, jaccard FROM ljp"""
+
+  /** The [[lshPairsSql]] pipeline as a CTE chain ending in `ljp`, so
+    * composites (the streaming sig-store keep) can extend it. */
+  private def lshPairsCte(k: Int, r: Int, minJ: Double): String = {
     val nBands = k / r
     val sigs = (0 until k).map(s => minhashOneSql("fps", s)).mkString("[", ", ", "]")
     val bandHashes = (0 until nBands).map { band =>
       (0 until r).map(i => s"sig[${band * r + i + 1}]")
         .foldLeft("CAST(0 AS BIGINT)")((acc, h) => s"(($acc) * 131 + $h) % $P")
     }.mkString("[", ", ", "]")
-    s"""WITH d AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+    s"""d AS (SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
         f AS (SELECT doc_id, sh, list_transform(sh, s -> ${chashSql("s")}) AS fps FROM d),
         sig AS (SELECT doc_id, sh, $sigs AS sig FROM f),
         banded AS (SELECT doc_id, sh, CAST(i - 1 AS INT) AS band, bhs[i] AS bh
@@ -425,8 +487,8 @@ object Dedup {
         scored AS (SELECT a_id, b_id,
                    CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE) /
                    CAST(len(a_sh) + len(b_sh) - len(list_intersect(a_sh, b_sh)) AS DOUBLE) AS jaccard
-                   FROM cand)
-        SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= $minJ"""
+                   FROM cand),
+        ljp AS (SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= $minJ)"""
   }
 
   // --- SimHash --------------------------------------------------------
@@ -690,6 +752,53 @@ object Dedup {
         SELECT t.doc_id, count(*) AS n_shared_spans
         FROM train t JOIN bench b ON t.span = b.span
         GROUP BY 1"""
+
+  /** Bloom-pruned decontamination — [[decontaminate]]'s exact result via
+    * a compact-sketch prefilter. [[decontaminate]] broadcasts the bench
+    * side's DISTINCT SPANS; that works while the benchmark suite is
+    * small, but a full eval-suite union (hundreds of millions of spans)
+    * outgrows an exact broadcast set long before it outgrows a Bloom
+    * filter: m bits cover n keys at fp ≈ (1−e^{−kn/m})^k, so ~1.2 GB of
+    * bits screens a BILLION bench spans at fp ≈ 1% — still broadcastable.
+    *
+    * Shape: [[graft.plans.BloomAgg]] folds the bench spans' xxhash64
+    * keys into one binary row (map-side-combined OR-merge); the corpus
+    * span stream probes it with the codegen'd
+    * [[graft.plans.BloomContains]] DURING ITS SCAN (broadcast nested
+    * loop of a 1-row side — no shuffle, no join machinery); only the
+    * hits — true matches plus the fp-rate's false positives — continue
+    * to the exact verify join, which keeps the result EXACT: Bloom has
+    * no false negatives, and false positives die in the verify. The
+    * oracle is therefore [[decontaminateSql]] verbatim.
+    *
+    * 100 TB: the corpus-side span stream never shuffles (same plan
+    * property PlanSpec asserts for [[decontaminate]]); what changed is
+    * the broadcast payload — bits instead of strings — and the verify
+    * join's input, now |hits| instead of |corpus spans|. */
+  def bloomDecontaminate(spark: SparkSession, dir: String, w: Int = 4,
+                         benchBelow: Long = 10, mBits: Int = 1 << 20,
+                         k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def bloomAgg(c: Column): Column =
+      Bridge.column(graft.plans.BloomAgg(Bridge.expression(c), mBits, k)
+        .toAggregateExpression())
+    def bloomContains(bits: Column, h: Column): Column =
+      Bridge.column(graft.plans.BloomContains(
+        Bridge.expression(bits), Bridge.expression(h), k))
+    val spans = spanTable(Tables.loadWide(spark, dir, "documents"), w)
+    val bench = spans.filter(col("doc_id") < benchBelow)
+    val bits = bench.agg(bloomAgg(xxhash64(col("span"))).as("bits"))
+    val hits = spans.filter(col("doc_id") >= benchBelow)
+      .crossJoin(broadcast(bits))
+      .filter(bloomContains(col("bits"), xxhash64(col("span"))))
+    val benchSpans = broadcast(
+      bench.select(col("span").as("b_span")).distinct())
+    hits
+      .join(benchSpans, col("span") === col("b_span"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("span")).as("n_shared_spans"))
+      .orderBy(col("doc_id"))
+  }
 
   /** PARAGRAPH-LEVEL first-occurrence dedup — the CCNet shape (Wenzek et
     * al., "CCNet", LREC 2020): split each document into paragraphs,

@@ -88,7 +88,19 @@ object GraftExtensions {
     (new FunctionIdentifier("is_valid_json"),
       new ExpressionInfo(classOf[IsValidJson].getName, null, "is_valid_json",
         "is_valid_json(s) - true iff s parses as a JSON value", ""),
-      (children: Seq[Expression]) => IsValidJson(children.head)))
+      (children: Seq[Expression]) => IsValidJson(children.head)),
+    (new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, null, "bloom_agg",
+        "bloom_agg(h, m_bits, k) - aggregate: m-bit Bloom filter over bigint keys, as binary", ""),
+      (children: Seq[Expression]) =>
+        BloomAgg(children(0), intLit(children(1), "bloom_agg m_bits"),
+          intLit(children(2), "bloom_agg k"))),
+    (new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, null, "bloom_contains",
+        "bloom_contains(bits, h, k) - membership probe against bloom_agg bits (no false negatives)", ""),
+      (children: Seq[Expression]) =>
+        BloomContains(children(0), children(1),
+          intLit(children(2), "bloom_contains k"))))
 
   /** Install into a live session (tests, notebooks without the conf). */
   def registerAll(spark: SparkSession): Unit =

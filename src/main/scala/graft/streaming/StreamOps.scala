@@ -771,4 +771,56 @@ object StreamOps {
     s"""SELECT min(doc_id) AS doc_id FROM documents
         GROUP BY ${graft.functions.TextFunctions.fingerprintSql("text")}
         ORDER BY 1"""
+
+  /** One signature store per fixture dir per JVM (same memoization
+    * contract as [[dedupStores]]: replays anti-join on doc_id, so
+    * nothing re-appends). */
+  private val neardupSigStores = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** STREAMING-MAINTAINED NEAR-DUP INDEX: the MinHash-LSH analogue of
+    * the store-backed exact dedup above, and the text-side sibling of
+    * the streaming ANN index. Each micro-batch pays the per-document
+    * cost ONCE on arrival — shingle → hash → k minhash aggregates,
+    * through the very plan the batch path uses (Dedup.sigTableFrom) —
+    * and appends the 8-long signature row to a persistent store. The
+    * heavy text never re-tokenizes on replay or re-serve.
+    *
+    * Serving is [[graft.operators.Dedup]]'s band join + exact-Jaccard
+    * verify + connected components + representative keep, reading
+    * signatures from the store instead of recomputing them — so the
+    * continuously-ingesting corpus gets batch-identical near-dedup
+    * (oracle: the full LSH keep in SQL) at the cost of band-joining
+    * 8 longs per document.
+    *
+    * 100 TB: the store accretes ids+longs (a few hundred GB per
+    * TRILLION documents), partitionable by band at write time like the
+    * ANN bucket store; the arriving batch's signature pass is the only
+    * text-touching work. */
+  def streamNearDupStoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val store = neardupSigStores.getOrElseUpdate(dir, {
+      val storeDir = java.nio.file.Files.createTempDirectory("neardup_sigs").toString
+      val q = docsStream(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val sigs = graft.operators.Dedup.sigTableFrom(batch, k = 8)
+          val fresh =
+            if (new java.io.File(storeDir).list() == null ||
+                new java.io.File(storeDir).list().isEmpty) sigs
+            else sigs.join(
+              sp.read.parquet(storeDir).select(col("doc_id").as("seen_id")),
+              col("doc_id") === col("seen_id"), "left_anti")
+          fresh.write.mode("append").parquet(storeDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      storeDir
+    })
+    val sig = spark.read.parquet(store)
+    graft.operators.Dedup.keepFromPairs(spark, dir,
+      graft.operators.Dedup.lshPairsFromSigs(spark, dir, sig))
+  }
+
+  def streamNearDupStoreOracleSql: String = graft.operators.Dedup.lshDedupKeepSql()
 }

@@ -226,6 +226,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((2L, 5L)))
   }
 
+  test("bloomDecontaminate: exact decontamination result, even under heavy false positives") {
+    val exact = Dedup.decontaminate(spark, corpusDir, w = 4, benchBelow = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // generous filter: fp-rate near zero, pruning does the work
+    val big = Dedup.bloomDecontaminate(spark, corpusDir, w = 4, benchBelow = 2,
+      mBits = 1 << 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(big == exact)
+    // pathological filter: 64 bits for every bench span — most probes
+    // are false positives, and every one must die in the exact verify
+    val tiny = Dedup.bloomDecontaminate(spark, corpusDir, w = 4, benchBelow = 2,
+      mBits = 64, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tiny == exact)
+    // the SQL registry surface: bloom_agg bits round-trip through
+    // bloom_contains with no false negatives
+    graft.plans.GraftExtensions.registerAll(spark)
+    val hit = spark.sql(
+      """SELECT bloom_contains(bits, 42L, 3) AS h1,
+                bloom_contains(bits, 43L, 3) AS h2
+         FROM (SELECT bloom_agg(x, 1024, 3) AS bits
+               FROM VALUES (42L), (7L) AS t(x))""").head()
+    assert(hit.getBoolean(0))
+  }
+
   test("seqPacking: offsets are exact prefix sums within a shard; chunk boundaries flagged") {
     val out = graft.operators.TextAnalytics.seqPacking(spark, corpusDir,
       cap = 10, shardSize = 1000).collect()

@@ -402,6 +402,46 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Seq(0L, 2L, 4L), s"store dedup survivors: $got")
   }
 
+  test("store-backed near-dup: cross-batch signatures feed the LSH keep, matching batch") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("sneardupstore")
+    val streamDir = Files.createDirectory(base.resolve("documents.parquet"))
+    def writeBatch(rows: Seq[(Long, String)], name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("sneardup_part").toString
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // batch 1 admits the representative; batch 2 carries a NEAR dup of
+    // it (one word changed) — detecting that pair requires the batch-1
+    // signatures to still be in the store when batch 2 is served
+    writeBatch(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different words entirely unrelated text")),
+      "b1.parquet", 1000000L)
+    writeBatch(Seq(
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "another separate topic about nothing shared here")),
+      "b2.parquet", 2000000L)
+    val streamed = StreamOps.streamNearDupStoreQuery(spark, base.toString)
+      .collect().map(_.getLong(0)).toSeq
+    val batch = graft.operators.Dedup.keepFromPairs(spark, base.toString,
+        graft.operators.Dedup.lshPairs(spark, base.toString))
+      .collect().map(_.getLong(0)).toSeq
+    assert(streamed == batch, s"store-served $streamed != batch $batch")
+    // the cross-batch near dup was dropped, its batch-1 representative kept
+    assert(streamed.contains(0L) && !streamed.contains(2L), s"survivors: $streamed")
+  }
+
   test("streaming retention equals the batch triangle on the fixture") {
     import graft.operators.Events
     val key = (r: org.apache.spark.sql.Row) =>
