@@ -128,7 +128,10 @@ object ScaleProbe {
       // candidates + narrow Levenshtein verify, one window shuffle
       "span_mask" -> ((s, d) => Dedup.spanMask(s, d)),
       "editdist_verify" -> ((s, d) => Dedup.editDistVerify(s, d)),
-      "domain_cap" -> ((s, d) => TextAnalytics.domainCap(s, d)))
+      "domain_cap" -> ((s, d) => TextAnalytics.domainCap(s, d)),
+      // Bloom prefilter: growth must track the corpus span stream (the
+      // probe is scan-side); the bits build is bench-side-bounded
+      "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }

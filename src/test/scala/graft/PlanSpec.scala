@@ -68,6 +68,25 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side reshuffled before the broadcast join:\n$corpusSide")
   }
 
+  test("bloomDecontaminate: corpus probes the bits during its scan — no shuffle, codegen'd probe") {
+    val p = plan(graft.operators.Dedup.bloomDecontaminate(spark, sfDir))
+    // the 1-row bits side arrives by broadcast (nested-loop of a
+    // singleton); the corpus span stream must reach the bloom_contains
+    // filter with NO hash exchange — the whole point of the sketch
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    val probeAt = p.indexOf("bloom_contains")
+    assert(probeAt >= 0, s"bloom_contains not in plan:\n${p.take(2000)}")
+    // the corpus child renders between the probe join and the bits
+    // side's BroadcastExchange; a hash exchange there would mean the
+    // corpus shuffled before probing
+    val joinAt = p.indexOf("BroadcastNestedLoopJoin")
+    assert(joinAt >= 0, s"probe join not in plan:\n${p.take(2000)}")
+    val corpusSide = p.substring(joinAt, p.indexOf("BroadcastExchange", joinAt))
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the bloom probe:\n$corpusSide")
+  }
+
   test("maximalSpans: repeated vocab broadcasts; chaining costs one hash shuffle of hits") {
     val p = plan(graft.operators.Dedup.maximalSpans(spark, sfDir))
     // the corpus span stream meets the repeated-span set in a broadcast
