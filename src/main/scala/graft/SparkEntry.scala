@@ -145,6 +145,9 @@ object SparkEntry {
       graft.streaming.StreamOps.streamDedupQuery(s, d)),
     "stream_decontaminate" -> ((s, d) =>
       graft.streaming.StreamOps.streamDecontaminateQuery(s, d)),
+    // Bloom bits as a plan literal; scan-side probe, exact verify on hits
+    "stream_bloom_decontaminate" -> ((s, d) =>
+      graft.streaming.StreamOps.streamBloomDecontaminateQuery(s, d)),
     // incrementally-maintained bucket-partitioned ANN index, served with
     // partition pruning — must equal the batch vector_lsh_topk_b6 hash
     "vector_lsh_stream_topk" -> ((s, d) =>
@@ -353,6 +356,7 @@ object SparkEntry {
     // dedup of an at-least-once replay must reproduce the plain table
     "events_stream_dedup" -> graft.streaming.StreamOps.streamDedupOracleSql,
     "stream_decontaminate" -> Dedup.decontaminateSql(),
+    "stream_bloom_decontaminate" -> Dedup.decontaminateSql(),
     // streaming-maintained index serves the same ranks as the batch query
     "vector_lsh_stream_topk" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "stream_lm_fluency" -> TextAnalytics.lmFluencySql,

@@ -775,16 +775,36 @@ object Dedup {
     * property PlanSpec asserts for [[decontaminate]]); what changed is
     * the broadcast payload — bits instead of strings — and the verify
     * join's input, now |hits| instead of |corpus spans|. */
+  private[graft] def bloomAggCol(c: Column, mBits: Int, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.BloomAgg(Bridge.expression(c), mBits, k)
+      .toAggregateExpression())
+  }
+  private[graft] def bloomContainsCol(bits: Column, h: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.BloomContains(
+      Bridge.expression(bits), Bridge.expression(h), k))
+  }
+
+  /** The bench side's Bloom bits as driver-held model state (the same
+    * O(model)-collect contract as the ANN codebooks): mBits/8 bytes
+    * regardless of bench size, for embedding into a STREAMING plan as a
+    * literal — a stream can't re-aggregate a static side per batch, and
+    * bits-as-literal is exactly how a production job ships a
+    * pre-built filter with the plan. */
+  private[graft] def bloomBitsFor(spark: SparkSession, dir: String, w: Int,
+                                  benchBelow: Long, mBits: Int, k: Int): Array[Byte] =
+    spanTable(Tables.loadWide(spark, dir, "documents"), w)
+      .filter(col("doc_id") < benchBelow)
+      .agg(bloomAggCol(xxhash64(col("span")), mBits, k).as("bits"))
+      .head().getAs[Array[Byte]](0)
+
   def bloomDecontaminate(spark: SparkSession, dir: String, w: Int = 4,
                          benchBelow: Long = 10, mBits: Int = 1 << 20,
                          k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    def bloomAgg(c: Column): Column =
-      Bridge.column(graft.plans.BloomAgg(Bridge.expression(c), mBits, k)
-        .toAggregateExpression())
+    def bloomAgg(c: Column): Column = bloomAggCol(c, mBits, k)
     def bloomContains(bits: Column, h: Column): Column =
-      Bridge.column(graft.plans.BloomContains(
-        Bridge.expression(bits), Bridge.expression(h), k))
+      bloomContainsCol(bits, h, k)
     val spans = spanTable(Tables.loadWide(spark, dir, "documents"), w)
     val bench = spans.filter(col("doc_id") < benchBelow)
     val bits = bench.agg(bloomAgg(xxhash64(col("span"))).as("bits"))

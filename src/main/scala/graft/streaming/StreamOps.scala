@@ -260,6 +260,39 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING BLOOM DECONTAMINATION: [[streamDecontaminateQuery]] with
+    * the broadcast exact bench-span set replaced by
+    * [[graft.operators.Dedup]]'s Bloom bits, embedded in the streaming
+    * plan as a LITERAL — the shape that survives a bench suite too
+    * large to broadcast exactly: the arriving span stream probes the
+    * bits scan-side (codegen'd, stateless, no join machinery), only
+    * Bloom hits reach the sink, and the exact verify join runs over
+    * that small hit set in the batch rollup. Result — and oracle — are
+    * exactly the exact-join decontamination's (no false negatives;
+    * false positives die in the verify). */
+  def streamBloomDecontaminateQuery(spark: SparkSession, dir: String,
+                                    w: Int = 4, benchBelow: Long = 10,
+                                    mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    import graft.operators.Dedup
+    val bits = Dedup.bloomBitsFor(spark, dir, w, benchBelow, mBits, k)
+    val streamSpans = Dedup.spanTable(docsStream(spark, dir), w)
+      .filter(col("doc_id") >= benchBelow)
+    val hits = streamSpans
+      .filter(Dedup.bloomContainsCol(lit(bits), xxhash64(col("span")), k))
+    val matched = runToMemory(spark,
+      hits.select(col("doc_id"), col("span")),
+      s"stream_bloom_decon_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      mode = "append")
+    val bench = broadcast(
+      Dedup.spanTable(graft.Tables.loadWide(spark, dir, "documents"), w)
+        .filter(col("doc_id") < benchBelow)
+        .select(col("span").as("b_span")).distinct())
+    matched.join(bench, col("span") === col("b_span"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("span")).as("n_shared_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   /** STREAM-STREAM interval join (SURVEY §2.13): clicks joined to
     * purchases of the same user within the preceding hour, both sides
     * live streams. The event-time range condition plus the two

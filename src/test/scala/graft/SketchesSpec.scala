@@ -17,6 +17,35 @@ class SketchesSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("BloomHash: no false negatives ever; fp rate near the (1-e^-kn/m)^k bound") {
+    val rnd = new scala.util.Random(42)
+    val m = 1 << 14 // 16384 bits
+    val k = 5
+    val n = 1000
+    val members = Array.fill(n)(rnd.nextLong())
+    val bits = new Array[Long](m / 64)
+    members.foreach(v => graft.plans.BloomHash.set(bits, v, k))
+    val bytes = graft.plans.BloomHash.toBytes(bits)
+    // zero false negatives, by construction — every inserted key probes true
+    assert(members.forall(v => graft.plans.BloomHash.contains(bytes, v, k)))
+    // fp rate on 100k disjoint keys stays near theory (~0.9% here);
+    // 3x headroom keeps the assertion seed-robust
+    val memberSet = members.toSet
+    val probes = Iterator.continually(rnd.nextLong())
+      .filterNot(memberSet).take(100000).toArray
+    val fp = probes.count(v => graft.plans.BloomHash.contains(bytes, v, k))
+    val bound = math.pow(1 - math.exp(-k.toDouble * n / m), k)
+    assert(fp.toDouble / probes.length < 3 * bound,
+      s"fp rate ${fp.toDouble / probes.length} vs theoretical $bound")
+    // OR-merge == building from the union (the partial-aggregate contract)
+    val half1 = new Array[Long](m / 64)
+    val half2 = new Array[Long](m / 64)
+    members.take(n / 2).foreach(v => graft.plans.BloomHash.set(half1, v, k))
+    members.drop(n / 2).foreach(v => graft.plans.BloomHash.set(half2, v, k))
+    val merged = half1.zip(half2).map { case (a, b) => a | b }
+    assert(java.util.Arrays.equals(merged, bits))
+  }
+
   test("kmvMins with fewer than k distinct values returns them all") {
     val out = Seq(5L, 5L, 2L).toDF("v")
       .agg(kmvMins(col("v"), 8).as("mins"))

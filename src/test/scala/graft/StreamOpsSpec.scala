@@ -402,6 +402,14 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Seq(0L, 2L, 4L), s"store dedup survivors: $got")
   }
 
+  test("streaming bloom decontamination equals the exact-broadcast batch result") {
+    val bloom = StreamOps.streamBloomDecontaminateQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = graft.operators.Dedup.decontaminate(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom == exact && bloom.nonEmpty)
+  }
+
   test("store-backed near-dup: cross-batch signatures feed the LSH keep, matching batch") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
