@@ -152,7 +152,10 @@ object BinaryIngest {
           case "docx" =>
             DocFormats.buildDocx(Seq(text, ""),
               if (head3.nonEmpty) Seq(head3) else Nil)
-          case "png" => GlyphOcr.renderNoisy(text, seed = id)
+          // every third page is set in the bold family: the parser must
+          // classify the font per page (by decode cost) to read it
+          case "png" => GlyphOcr.renderNoisy(text, seed = id,
+            font = if (id % 3 == 0) GlyphOcr.FontBold else GlyphOcr.FontRegular)
           case "html" => HtmlFormat.buildHtml(id, text, head3.mkString(" "))
           case _ => payload
         }

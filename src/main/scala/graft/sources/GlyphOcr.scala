@@ -127,6 +127,34 @@ object GlyphOcr {
   private[sources] val reverse: Map[Long, Char] = atlas.map(_.swap)
   require(reverse.size == atlas.size, "glyph atlas must be injective")
 
+  /** Synthetic BOLD family — classic bitmap emboldening: each row's ink
+    * ORed with itself shifted one column right (how bitmap-font renderers
+    * have derived bold since the dot-matrix era). A page set in bold has
+    * every glyph's ink pattern differ from regular, so a single-font
+    * parser reads garbage off it; the Parser's per-page font selection
+    * (decode cost IS the classifier) exists for exactly this. */
+  private val boldGlyphRows: Map[Char, Seq[String]] =
+    glyphRows.map { case (c, rows) =>
+      c -> rows.map { r =>
+        (0 until GlyphW).map { i =>
+          if (r(i) == '#' || (i > 0 && r(i - 1) == '#')) '#' else '.'
+        }.mkString
+      }
+    }
+
+  val FontRegular = "regular"
+  val FontBold = "bold"
+  /** Regular first: on a cost tie (e.g. an all-blank page) the parser
+    * keeps the regular reading deterministically. */
+  private[sources] val fontOrder: Array[String] = Array(FontRegular, FontBold)
+  private val fontGlyphs: Map[String, Map[Char, Seq[String]]] =
+    Map(FontRegular -> glyphRows, FontBold -> boldGlyphRows)
+  // each family must be injective on its own (font CHOICE is per page,
+  // so cross-family collisions are fine; within-family ones are not)
+  fontGlyphs.foreach { case (f, g) =>
+    require(g.values.map(toMask).toSet.size == g.size, s"$f atlas must be injective")
+  }
+
   /** Characters the font can draw (everything else renders as '?'). */
   val supported: Set[Char] = atlas.keySet
 
@@ -152,7 +180,8 @@ object GlyphOcr {
   /** Rasterize `text` to a PNG on the glyph grid: one 6x8 cell per char,
     * black ink on white, one band of cells per '\n'-separated line,
     * shorter lines padded with blank cells. */
-  def render(text: String): Array[Byte] = {
+  def render(text: String, font: String = FontRegular): Array[Byte] = {
+    val glyphs = fontGlyphs(font)
     val lines = text.split("\n", -1).map(_.codePoints().toArray)
     val w = math.max(1, lines.map(_.length).max) * CellW
     val h = lines.length * CellH
@@ -162,7 +191,7 @@ object GlyphOcr {
     g.fillRect(0, 0, w, h)
     g.dispose()
     for ((line, li) <- lines.zipWithIndex; (cp, ci) <- line.zipWithIndex) {
-      val rows = glyphRows(substitute(cp))
+      val rows = glyphs(substitute(cp))
       val x0 = ci * CellW
       val y0 = li * CellH
       for (r <- 0 until GlyphH; c <- 0 until GlyphW if rows(r)(c) == '#')
@@ -194,8 +223,10 @@ object GlyphOcr {
   def renderNoisy(text: String,
                   seed: Long,
                   scale: Int = 2,
-                  saltPepperPerMille: Int = 4): Array[Byte] = {
+                  saltPepperPerMille: Int = 4,
+                  font: String = FontRegular): Array[Byte] = {
     require(scale >= 2 && scale <= 4, "noisy render wants scale in 2..4")
+    val glyphs = fontGlyphs(font)
     val s = scale
     val lines = text.split("\n", -1).map(_.codePoints().toArray)
     val w = math.max(1, lines.map(_.length).max) * CellW * s
@@ -205,7 +236,7 @@ object GlyphOcr {
     val px = new Array[Int](w * h)
     java.util.Arrays.fill(px, 0xFFFFFF)
     for ((line, li) <- lines.zipWithIndex; (cp, ci) <- line.zipWithIndex) {
-      val rows = glyphRows(substitute(cp))
+      val rows = glyphs(substitute(cp))
       val j = mix64(seed ^ (li.toLong << 32) ^ ci.toLong)
       val jx = Math.floorMod(j, 3L).toInt - 1          // -1, 0, +1 device pixels
       val jy = Math.floorMod(j >>> 8, 3L).toInt - 1
@@ -236,9 +267,10 @@ object GlyphOcr {
     * callers keep ink clear of the corners (pad with blank cells) the
     * way a real page keeps its margins. */
   def renderRotated(text: String, seed: Long, angleDeg: Double,
-                    scale: Int = 2, saltPepperPerMille: Int = 4): Array[Byte] = {
+                    scale: Int = 2, saltPepperPerMille: Int = 4,
+                    font: String = FontRegular): Array[Byte] = {
     val img = ImageIO.read(
-      new ByteArrayInputStream(renderNoisy(text, seed, scale, saltPepperPerMille)))
+      new ByteArrayInputStream(renderNoisy(text, seed, scale, saltPepperPerMille, font)))
     val (w, h) = (img.getWidth, img.getHeight)
     val src = img.getRGB(0, 0, w, h, null, 0, w)
     val out = new Array[Int](w * h)
@@ -270,8 +302,8 @@ object GlyphOcr {
     * garbage from aliasing to a glyph. */
   private val MaxCellDist = 6
 
-  private val atlasSorted: Array[(Char, Seq[String])] =
-    glyphRows.toArray.sortBy(_._1)
+  private val atlasSortedByFont: Map[String, Array[(Char, Seq[String])]] =
+    fontGlyphs.map { case (f, g) => f -> g.toArray.sortBy(_._1) }
 
   /** The S5 parser: decode the raster, detect the render scale (1x clean
     * or 2-4x scanner-grade, by whichever grid explains the pixels with
@@ -314,7 +346,8 @@ object GlyphOcr {
       * decode profile): `masks(offsetIdx)(glyphIdx)` with offsets in
       * centered-out order, glyphs in sorted order. Each ink pixel
       * becomes an s x s block, exactly as the renderers draw it. */
-    private final class ScaleTemplates(s: Int, radius: Int) {
+    private final class ScaleTemplates(font: String, s: Int, radius: Int) {
+      private val atlasSorted = atlasSortedByFont(font)
       val chars: Array[Char] = atlasSorted.map(_._1)
       private val inset = if (s > 1) 1 else 0
       // radius 1 covers the renderer's ±1 jitter; radius 2 additionally
@@ -349,10 +382,10 @@ object GlyphOcr {
     }
 
     private val scaleTemplates =
-      new java.util.concurrent.ConcurrentHashMap[(Int, Int), ScaleTemplates]()
-    private def templatesFor(s: Int, radius: Int): ScaleTemplates =
-      scaleTemplates.computeIfAbsent((s, radius),
-        { case (sc, r) => new ScaleTemplates(sc, r) })
+      new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), ScaleTemplates]()
+    private def templatesFor(font: String, s: Int, radius: Int): ScaleTemplates =
+      scaleTemplates.computeIfAbsent((font, s, radius),
+        { case (f, sc, r) => new ScaleTemplates(f, sc, r) })
 
     /** (best char, best device distance) for one cell: offsets searched
       * in centered-out order, glyphs in sorted order — deterministic,
@@ -388,8 +421,8 @@ object GlyphOcr {
     }
 
     private def decodeAt(px: Array[Int], w: Int, h: Int, s: Int,
-                         radius: Int = 1): Reading = {
-      val t = templatesFor(s, radius)
+                         radius: Int = 1, font: String = FontRegular): Reading = {
+      val t = templatesFor(font, s, radius)
       val sb = new StringBuilder
       var cost = 0L
       var nBad = 0
@@ -496,10 +529,15 @@ object GlyphOcr {
         throw new IllegalArgumentException(
           s"image ${w}x$h is not on the ${CellW}x$CellH glyph grid")
       val px = img.getRGB(0, 0, w, h, null, 0, w)
-      // normalize cost per logical area so scales compete fairly; ties
-      // resolve to the smallest scale (the clean-grid reading)
+      // normalize cost per logical area so scales and FONTS compete
+      // fairly; decode cost is also the font classifier — a bold page
+      // read with regular templates pays the dilation ink per cell,
+      // while the right family explains the pixels at noise cost. Ties
+      // resolve to the FIRST candidate: regular font, smallest scale
+      // (the clean-grid reading).
       def bestReading(p: Array[Int], radius: Int = 1): Reading =
-        scales.map(s => decodeAt(p, w, h, s, radius)).minBy(_.normCost)
+        (for (f <- fontOrder.toSeq; s <- scales)
+          yield decodeAt(p, w, h, s, radius, f)).minBy(_.normCost)
       val direct = bestReading(px)
       // deskew triggers on ANY over-threshold cell: a mean-cost trigger
       // dilutes on margin-heavy pages (blank cells decode near 0), and a

@@ -147,4 +147,36 @@ class GlyphOcrSpec extends AnyFunSuite {
     for (c <- "é—;=[]{}@#$%^&*+<>/\\\"~`\n\t")
       assert(re.findFirstIn(c.toString).isDefined, s"unsupported '$c' missed by class")
   }
+
+  test("bold family: clean and noisy bold pages decode via per-page font selection") {
+    val all = "The Quick Brown Fox 0123456789 (jumps, over)? the lazy dog!"
+    assert(GlyphOcr.Parser.parse(
+      GlyphOcr.render(all, font = GlyphOcr.FontBold)) == all)
+    for (trial <- 0 to 4) {
+      val s = s"bold scan trial $trial"
+      assert(GlyphOcr.Parser.parse(GlyphOcr.renderNoisy(
+        s, seed = trial.toLong, font = GlyphOcr.FontBold)) == s)
+    }
+  }
+
+  test("bold + rotation: deskew and font selection compose") {
+    val text = "bold skewed sheet 42"
+    val bytes = GlyphOcr.renderRotated(pagePad(text), seed = 7L, angleDeg = 2.0,
+      font = GlyphOcr.FontBold)
+    assert(GlyphOcr.Parser.parse(bytes) == expectPage(text))
+  }
+
+  test("mixed-font corpus: each page classifies independently; regular pages unchanged") {
+    val texts = Seq("alpha page", "beta page", "gamma page")
+    val decoded = texts.zipWithIndex.map { case (t, i) =>
+      val font = if (i % 2 == 0) GlyphOcr.FontBold else GlyphOcr.FontRegular
+      GlyphOcr.Parser.parse(GlyphOcr.renderNoisy(t, seed = i.toLong, font = font))
+    }
+    assert(decoded == texts)
+  }
+
+  test("bold unsupported chars substitute to the bold '?' and still read") {
+    assert(GlyphOcr.Parser.parse(
+      GlyphOcr.render("café — ok", font = GlyphOcr.FontBold)) == "caf? ? ok")
+  }
 }
