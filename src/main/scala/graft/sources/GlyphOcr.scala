@@ -202,6 +202,81 @@ object GlyphOcr {
     out.toByteArray
   }
 
+  // --- Proportional pitch -------------------------------------------
+  // Trimmed glyph bitmaps: each non-space glyph's ink columns only
+  // (verified: no glyph has an internal all-blank column, so a glyph is
+  // one contiguous ink run and blank columns are pure separators).
+  private[sources] final case class TrimmedGlyph(c: Char, width: Int, rows: Seq[String])
+  private def trimGlyph(c: Char, rows: Seq[String]): Option[TrimmedGlyph] = {
+    val inked = (0 until GlyphW).map(col => rows.exists(r => r(col) == '#'))
+    val first = inked.indexOf(true)
+    if (first < 0) None
+    else {
+      val last = inked.lastIndexOf(true)
+      Some(TrimmedGlyph(c, last - first + 1,
+        rows.map(_.substring(first, last + 1))))
+    }
+  }
+  private val trimmedByFont: Map[String, Seq[TrimmedGlyph]] =
+    fontGlyphs.map { case (f, g) =>
+      f -> g.toSeq.sortBy(_._1).flatMap { case (c, rows) => trimGlyph(c, rows) }
+    }
+  // pitch geometry: 1 blank column between glyphs, 4 columns of advance
+  // per space character — so a gap of width g encodes (g-1)/4 spaces
+  // between glyphs (and g/4 at line start, where no inter-glyph column
+  // precedes)
+  private val GapCols = 1
+  private val SpaceAdvance = 4
+  // proportional matching must be unambiguous among same-width glyphs
+  trimmedByFont.foreach { case (f, ts) =>
+    require(ts.map(t => (t.width, t.rows)).toSet.size == ts.size,
+      s"$f trimmed atlas must be injective per width")
+  }
+
+  /** Rasterize in PROPORTIONAL PITCH: each glyph advances by its own
+    * trimmed ink width (+1 separator column); spaces advance 4 columns.
+    * The monospace grid disappears — cell-walk parsers read nothing
+    * here; [[Parser.parseProportional]] segments ink runs instead. */
+  def renderProportional(text: String, font: String = FontRegular): Array[Byte] = {
+    val glyphs = fontGlyphs(font)
+    val lines = text.split("\n", -1).map(_.codePoints().toArray)
+    def lineWidth(line: Array[Int]): Int = {
+      var x = 0
+      line.foreach { cp =>
+        val ch = substitute(cp)
+        if (ch == ' ') x += SpaceAdvance
+        else trimGlyph(ch, glyphs(ch)).foreach { t =>
+          if (x > 0) x += GapCols
+          x += t.width
+        }
+      }
+      x
+    }
+    val w = math.max(1, lines.map(lineWidth).max)
+    val h = lines.length * CellH
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.WHITE)
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    for ((line, li) <- lines.zipWithIndex) {
+      var x = 0
+      line.foreach { cp =>
+        val ch = substitute(cp)
+        if (ch == ' ') x += SpaceAdvance
+        else trimGlyph(ch, glyphs(ch)).foreach { t =>
+          if (x > 0) x += GapCols
+          for (r <- 0 until GlyphH; c <- 0 until t.width if t.rows(r)(c) == '#')
+            img.setRGB(x + c, li * CellH + r, 0x000000)
+          x += t.width
+        }
+      }
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** splitmix64 — the pixel/jitter PRNG. Pure function of its input, so
     * the noisy render is bit-deterministic for a given (text, seed). */
   private def mix64(z0: Long): Long = {
@@ -519,15 +594,86 @@ object GlyphOcr {
       def apply(i: Int): Int = arr(i)
     }
 
+    /** Exact width-keyed trimmed-template lookup per font. */
+    private val trimmedLookup: Map[String, Map[(Int, Seq[String]), Char]] =
+      trimmedByFont.map { case (f, ts) =>
+        f -> ts.map(t => (t.width, t.rows) -> t.c).toMap
+      }
+
+    /** Decode a PROPORTIONAL-PITCH page: the monospace grid is gone, so
+      * segmentation replaces the cell walk — within each CellH-row line
+      * band, contiguous ink-column runs are glyphs (sound because no
+      * glyph has an internal all-blank column), matched exactly against
+      * the trimmed atlas; a gap of g blank columns between runs encodes
+      * (g-1)/4 spaces. Font is chosen per page like the grid path: the
+      * family with the fewest unmatched runs wins, regular on ties.
+      * Clean rasters only — the scanner-noise path stays monospace
+      * (segmentation under salt-and-pepper needs run-bridging, a
+      * documented non-goal this round). */
+    def parseProportional(bytes: Array[Byte]): String =
+      parseProportionalCounted(bytes)._1
+
+    private[sources] def parseProportionalCounted(bytes: Array[Byte]): (String, Int) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException("undecodable image bytes")
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (h % CellH != 0)
+        throw new IllegalArgumentException(
+          s"image height $h is not on the $CellH-row line grid")
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      def decodeFont(font: String): (String, Int) = {
+        val lookup = trimmedLookup(font)
+        var nBad = 0
+        val out = (0 until h / CellH).map { li =>
+          val y0 = li * CellH
+          def colInk(x: Int): Boolean =
+            (0 until GlyphH).exists(r => (px((y0 + r) * w + x) & 0xFF) < 128)
+          val sb = new StringBuilder
+          var x = 0
+          var prevEnd = 0 // exclusive end of the previous run (0 at line start)
+          while (x < w) {
+            if (colInk(x)) {
+              var end = x
+              while (end < w && colInk(end)) end += 1
+              val gap = x - prevEnd
+              if (gap >= GapCols + SpaceAdvance)
+                sb.append(" " * ((gap - GapCols) / SpaceAdvance))
+              val width = end - x
+              val rows = (0 until GlyphH).map { r =>
+                (x until end).map(c =>
+                  if ((px((y0 + r) * w + c) & 0xFF) < 128) '#' else '.').mkString
+              }
+              lookup.get((width, rows)) match {
+                case Some(c) => sb.append(c)
+                case None => sb.append('?'); nBad += 1
+              }
+              prevEnd = end
+              x = end
+            } else x += 1
+          }
+          sb.toString
+        }
+        (out.mkString("\n"), nBad)
+      }
+      var best: (String, Int) = null
+      var fi = 0
+      while (fi < fontOrder.length && (best == null || best._2 > 0)) {
+        val r = decodeFont(fontOrder(fi))
+        if (best == null || r._2 < best._2) best = r
+        fi += 1
+      }
+      best
+    }
+
     def parse(bytes: Array[Byte]): String = {
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
       if (img == null)
         throw new IllegalArgumentException("undecodable image bytes")
       val (w, h) = (img.getWidth, img.getHeight)
       val scales = (1 to 4).filter(s => w % (CellW * s) == 0 && h % (CellH * s) == 0)
-      if (scales.isEmpty)
-        throw new IllegalArgumentException(
-          s"image ${w}x$h is not on the ${CellW}x$CellH glyph grid")
+      // off the monospace grid entirely -> the page is proportional-pitch
+      if (scales.isEmpty) return parseProportional(bytes)
       val px = img.getRGB(0, 0, w, h, null, 0, w)
       // normalize cost per logical area so scales and FONTS compete
       // fairly; decode cost is also the font classifier — a bold page
@@ -563,7 +709,16 @@ object GlyphOcr {
         // noisy-but-straight page keeps its direct reading)
         val better = deskewed.nBad < direct.nBad ||
           (deskewed.nBad == direct.nBad && deskewed.normCost < direct.normCost)
-        if (better) deskewed.text else direct.text
+        val grid = if (better) deskewed else direct
+        if (grid.nBad == 0) grid.text
+        else {
+          // still unreadable as a grid: a proportional-pitch page whose
+          // width happens to land on the cell grid decodes here instead
+          scala.util.Try(parseProportionalCounted(bytes)).toOption match {
+            case Some((text, nBad)) if nBad < grid.nBad => text
+            case _ => grid.text
+          }
+        }
       }
     }
   }

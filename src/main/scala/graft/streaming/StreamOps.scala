@@ -460,6 +460,9 @@ object StreamOps {
     * stream replays the same fixture, so rebuilding it per call would
     * duplicate rows AND pay the streaming fixed cost every rep. */
   private val lshStores = new scala.collection.concurrent.TrieMap[(String, Int), String]()
+  /** The materialized store dir (tests: layout-hygiene composition). */
+  private[graft] def lshStoreDirFor(dir: String, bits: Int): Option[String] =
+    lshStores.get((dir, bits))
 
   /** STREAMING ANN INDEX MAINTENANCE (SURVEY §2.13 + V3's serve path):
     * embeddings arrive as a stream; each micro-batch is sign-LSH-

@@ -40,11 +40,18 @@ class GlyphOcrSpec extends AnyFunSuite {
     assert(GlyphOcr.Parser.parse(GlyphOcr.render("")) == "")
   }
 
-  test("off-grid image rejected") {
+  test("off-grid width routes to the proportional decoder; off-grid height rejected") {
+    // 7px wide: not on the 6px cell grid -> proportional path (an
+    // all-black 7x8 'page' is one unmatchable ink run)
     val img = new java.awt.image.BufferedImage(7, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
-    assertThrows[IllegalArgumentException](GlyphOcr.Parser.parse(out.toByteArray))
+    assert(GlyphOcr.Parser.parse(out.toByteArray) == "?")
+    // height off the 8-row line grid has no reading in either pitch
+    val bad = new java.awt.image.BufferedImage(7, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bad, "png", out2)
+    assertThrows[IllegalArgumentException](GlyphOcr.Parser.parse(out2.toByteArray))
   }
 
   test("undecodable bytes rejected") {
@@ -178,5 +185,38 @@ class GlyphOcrSpec extends AnyFunSuite {
   test("bold unsupported chars substitute to the bold '?' and still read") {
     assert(GlyphOcr.Parser.parse(
       GlyphOcr.render("café — ok", font = GlyphOcr.FontBold)) == "caf? ? ok")
+  }
+
+  test("proportional pitch: clean render round-trips through run segmentation") {
+    val text = "The Quick Brown Fox jumps over 0123456789 (all, of-it)? yes!"
+    assert(GlyphOcr.Parser.parseProportional(
+      GlyphOcr.renderProportional(text)) == text)
+  }
+
+  test("proportional pitch: runs of spaces, leading indent, and multi-line survive") {
+    val text = "a  b   c\n  indented line\nplain"
+    assert(GlyphOcr.Parser.parseProportional(
+      GlyphOcr.renderProportional(text)) == text)
+  }
+
+  test("proportional pitch: bold family round-trips and classifies per page") {
+    val text = "Bold proportional 42"
+    assert(GlyphOcr.Parser.parseProportional(
+      GlyphOcr.renderProportional(text, font = GlyphOcr.FontBold)) == text)
+  }
+
+  test("parse() dispatches off-grid images to the proportional path") {
+    val text = "dispatch me properly"
+    val bytes = GlyphOcr.renderProportional(text)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // a proportional page is (almost always) off the 6px cell grid; if
+    // this text ever lands on it, parse()'s bad-grid fallback still
+    // routes to the proportional decoder — either way the text reads
+    assert(GlyphOcr.Parser.parse(bytes) == text, s"width=${img.getWidth}")
+  }
+
+  test("proportional pitch: unsupported chars become '?' and still segment") {
+    assert(GlyphOcr.Parser.parseProportional(
+      GlyphOcr.renderProportional("café page")) == "caf? page")
   }
 }

@@ -402,6 +402,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Seq(0L, 2L, 4L), s"store dedup survivors: $got")
   }
 
+  test("streaming ANN store: per-bucket compaction preserves serving results") {
+    // the store accretes one file per micro-batch per bucket — the
+    // layout-hygiene composition a continuously-ingesting store runs:
+    // compactPartitioned per bucket dir, serving unchanged after
+    val before = StreamOps.streamLshTopKQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val store = StreamOps.lshStoreDirFor(TestSession.sfDir, 6).get
+    val rewritten = graft.operators.Sinks.compactPartitioned(spark, store,
+      targetBytes = 1L << 30)
+    assert(rewritten > 0, "expected the store's buckets to compact")
+    // bucket=* structure intact: hive partition dirs survive the rewrite
+    val buckets = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty)
+    // each compacted bucket holds ONE parquet part (fixture-sized data)
+    buckets.foreach { b =>
+      val parts = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${b.getName}: ${parts.length} parts")
+    }
+    val after = StreamOps.streamLshTopKQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
   test("streaming bloom decontamination equals the exact-broadcast batch result") {
     val bloom = StreamOps.streamBloomDecontaminateQuery(spark, TestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
