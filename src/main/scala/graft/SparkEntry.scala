@@ -148,6 +148,9 @@ object SparkEntry {
     // Bloom bits as a plan literal; scan-side probe, exact verify on hits
     "stream_bloom_decontaminate" -> ((s, d) =>
       graft.streaming.StreamOps.streamBloomDecontaminateQuery(s, d)),
+    // batch-trained baseline scores the stream's closing hourly windows
+    "stream_anomalies" -> ((s, d) =>
+      graft.streaming.StreamOps.streamAnomaliesQuery(s, d)),
     // incrementally-maintained bucket-partitioned ANN index, served with
     // partition pruning — must equal the batch vector_lsh_topk_b6 hash
     "vector_lsh_stream_topk" -> ((s, d) =>
@@ -357,6 +360,7 @@ object SparkEntry {
     "events_stream_dedup" -> graft.streaming.StreamOps.streamDedupOracleSql,
     "stream_decontaminate" -> Dedup.decontaminateSql(),
     "stream_bloom_decontaminate" -> Dedup.decontaminateSql(),
+    "stream_anomalies" -> Events.anomaliesSql,
     // streaming-maintained index serves the same ranks as the batch query
     "vector_lsh_stream_topk" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "stream_lm_fluency" -> TextAnalytics.lmFluencySql,

@@ -312,13 +312,15 @@ object Events {
     * Scale shape: one (type, hour) count shuffle (map-side combined),
     * one per-type stats reduce over the SMALL hourly frame, broadcast
     * back — never a second pass over raw events. */
-  def anomalies(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.loadWide(spark, dir, "events")
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("wstart"))
-      .agg(count(lit(1)).as("cnt"))
-    val stats = hourly.groupBy(col("event_type").as("st"))
+  private[graft] def anomalyStats(hourly: DataFrame): DataFrame =
+    hourly.groupBy(col("event_type").as("st"))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
         sum(col("cnt") * col("cnt")).as("s2"))
+
+  /** Score an (event_type, wstart, cnt) hourly frame against per-type
+    * count statistics — exact integer sums feed one correctly-rounded
+    * sqrt, so batch and streaming callers hash-match. */
+  private[graft] def scoreAnomalies(hourly: DataFrame, stats: DataFrame): DataFrame =
     hourly.join(broadcast(stats), col("event_type") === col("st"))
       .select(col("event_type"), col("wstart"), col("cnt"),
         (col("s1").cast("double") / col("n").cast("double")).as("mean"),
@@ -328,6 +330,12 @@ object Events {
         ((col("cnt").cast("double") - col("mean")) / col("sd")).as("z"))
       .filter(abs(col("z")) > 2.0)
       .orderBy(col("event_type"), col("wstart"))
+
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.loadWide(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("wstart"))
+      .agg(count(lit(1)).as("cnt"))
+    scoreAnomalies(hourly, anomalyStats(hourly))
   }
 
   def anomaliesSql: String =

@@ -293,6 +293,32 @@ object StreamOps {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAM-SCORED VOLUME ANOMALIES against a BATCH-TRAINED baseline —
+    * the online-anomaly-detection shape (train offline, score the live
+    * stream): per-type hourly count statistics come from one batch pass
+    * (exact integer sums), the stream aggregates tumbling hourly counts
+    * under a watermark, and each window is z-scored against the
+    * broadcast baseline as it closes. Same exact-integer + one-sqrt
+    * arithmetic as the batch twin, so the oracle hash matches. On a
+    * true deployment the baseline would be yesterday's corpus; the
+    * fixture trains and scores on the same replayed window so the
+    * DuckDB twin can check every row. */
+  def streamAnomaliesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Events
+    val batchHourly = graft.Tables.loadWide(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("wstart"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = Events.anomalyStats(batchHourly).localCheckpoint(true)
+    val hourlyStream = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("window.start").as("wstart"), col("cnt"))
+    val hourly = runToMemory(spark, hourlyStream,
+      s"stream_anomalies_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    Events.scoreAnomalies(hourly, stats)
+  }
+
   /** STREAM-STREAM interval join (SURVEY §2.13): clicks joined to
     * purchases of the same user within the preceding hour, both sides
     * live streams. The event-time range condition plus the two

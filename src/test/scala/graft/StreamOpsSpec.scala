@@ -402,6 +402,16 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Seq(0L, 2L, 4L), s"store dedup survivors: $got")
   }
 
+  test("stream-scored anomalies equal the batch z-scores on the fixture") {
+    import graft.operators.Events
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.toList
+    val streamed = StreamOps.streamAnomaliesQuery(spark, TestSession.sfDir)
+      .collect().map(key).toSeq
+    val batch = Events.anomalies(spark, TestSession.sfDir)
+      .collect().map(key).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming ANN store: per-bucket compaction preserves serving results") {
     // the store accretes one file per micro-batch per bucket — the
     // layout-hygiene composition a continuously-ingesting store runs:
