@@ -245,14 +245,28 @@ object Sinks {
     * writer (no driver-side byte shuffling). */
   def uploadBinary(df: DataFrame, bucketDir: String): DataFrame = {
     // file_url addresses the store the bytes were actually written to
-    // (the _objects parquet prefix), keyed by basename
+    // (the _objects parquet prefix), keyed by CONTENT hash + basename:
+    // a task retry or an epoch replay re-PUTs byte-identical rows at
+    // the SAME address, so the upload is idempotent the way a real
+    // content-addressed object PUT is — no transaction needed; the
+    // read side collapses by address ([[readObjects]]). Distinct
+    // content under one basename gets distinct addresses (no
+    // lost-update between same-named files).
     val url = concat(lit(s"$bucketDir/_objects/"),
+      lower(hex(xxhash64(col("content")))), lit("/"),
       element_at(split(col("file_path"), "/"), -1))
     df.select(col("file_path"), col("content"))
       .withColumn("file_url", url)
       .write.mode("append").parquet(s"$bucketDir/_objects")
     df.withColumn("file_url", url)
   }
+
+  /** The object store's logical contents: one row per address. Appends
+    * from retried/replayed uploads are byte-identical rows at the same
+    * address — exactly-once THROUGH idempotence, resolved at read. */
+  def readObjects(spark: SparkSession, bucketDir: String): DataFrame =
+    spark.read.parquet(s"$bucketDir/_objects")
+      .dropDuplicates("file_url")
 
   /** K4: JSON export of extraction results. */
   def exportJson(df: DataFrame, outDir: String): Unit =

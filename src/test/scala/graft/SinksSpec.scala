@@ -191,18 +191,28 @@ class SinksSpec extends AnyFunSuite {
     } finally { stop = true; churners.foreach(_.join(2000)) }
   }
 
-  test("K1 uploadBinary: file_url addresses the written object store") {
+  test("K1 uploadBinary: content-addressed urls; replayed uploads are idempotent") {
     val bucket = tmp("bucket")
     val df = Seq(("in/a b.txt", "payload".getBytes("UTF-8")))
       .toDF("file_path", "content")
     val out = Sinks.uploadBinary(df, bucket).collect()(0)
     val url = out.getAs[String]("file_url")
-    assert(url == s"$bucket/_objects/a b.txt")
-    // the store really holds the bytes under that prefix
-    val stored = spark.read.parquet(s"$bucket/_objects")
-    val row = stored.filter(col("file_url") === url).collect()
+    // address = content hash + basename
+    assert(url.startsWith(s"$bucket/_objects/") && url.endsWith("/a b.txt"))
+    // the store really holds the bytes under that address
+    val row = Sinks.readObjects(spark, bucket)
+      .filter(col("file_url") === url).collect()
     assert(row.length == 1 &&
       new String(row(0).getAs[Array[Byte]]("content"), "UTF-8") == "payload")
+    // a replayed upload (task retry / epoch re-run) re-PUTs at the same
+    // address; the logical store is unchanged
+    Sinks.uploadBinary(df, bucket)
+    assert(Sinks.readObjects(spark, bucket).count() == 1)
+    // same basename, different bytes -> distinct address, both kept
+    Sinks.uploadBinary(
+      Seq(("other/a b.txt", "different".getBytes("UTF-8")))
+        .toDF("file_path", "content"), bucket)
+    assert(Sinks.readObjects(spark, bucket).count() == 2)
   }
 
   private def dropBucketTable(name: String): Unit = {
