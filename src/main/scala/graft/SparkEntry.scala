@@ -131,6 +131,7 @@ object SparkEntry {
     "events_distinct_kmv" -> ((s, d) => Sketches.distinctUsersKmv(s, d)),
     "order_quantiles_sketch" -> ((s, d) => Sketches.orderQuantilesSketch(s, d)),
     "events_kmv_setops" -> ((s, d) => Sketches.kmvSetOps(s, d)),
+    "events_cms_counts" -> ((s, d) => Sketches.eventsCmsCounts(s, d)),
     // --- JSON repair (SURVEY §2.7 E2-E4) over noisy wrapped props ---
     "json_repair" -> ((s, d) => jsonRepairQuery(s, d)),
     // --- Structured Streaming twin: replayed finite stream must equal
@@ -386,6 +387,7 @@ object SparkEntry {
     "events_distinct_kmv" -> Sketches.distinctUsersKmvSql(),
     "order_quantiles_sketch" -> Sketches.orderQuantilesSketchSql,
     "events_kmv_setops" -> Sketches.kmvSetOpsSql(),
+    "events_cms_counts" -> Sketches.eventsCmsCountsSql(),
     "json_repair" -> {
       val wrapped = """'noise {"z":1} ```json' || chr(10) || props || chr(10) || '``` trailing'"""
       s"""SELECT event_id,

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{CharTrigrams, CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, TopFreq, TopKByScore}
+import graft.plans.{CharTrigrams, CmsAgg, CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, TopFreq, TopKByScore}
 
 /** Column builders for graft's native Catalyst expressions — usable on
   * any session (no FunctionRegistry dependency; the SQL names
@@ -35,4 +35,9 @@ object NativeFunctions {
     * values at `probs`, exact while the group fits in k. */
   def quantileSketch(c: Column, k: Int, probs: Seq[Double]): Column =
     Bridge.column(QuantileSketch(Bridge.expression(c), k, probs).toAggregateExpression())
+  /** Count-Min sketch aggregate: depth×width counter matrix over bigint
+    * keys, flattened row-major. Probe with [[graft.operators.Sketches
+    * .cmsEstimate]] (min over rows — never an under-count). */
+  def cmsAgg(c: Column, depth: Int, width: Int): Column =
+    Bridge.column(CmsAgg(Bridge.expression(c), depth, width).toAggregateExpression())
 }

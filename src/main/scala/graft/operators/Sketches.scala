@@ -1,10 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.Tables
-import graft.functions.NativeFunctions.{kmvMins, quantileSketch}
+import graft.functions.NativeFunctions.{cmsAgg, kmvMins, quantileSketch}
+import graft.plans.CmsHash
 
 /** Sketch operators (north star: approximate distinct counting that a
   * 100 TB training-data pipeline needs, in a form the DuckDB oracle can
@@ -192,6 +194,74 @@ object Sketches {
          CAST(c75 AS DOUBLE) / 100.0 AS p75,
          n_orders
        FROM q"""
+
+  /** Count-Min point-frequency probe over a flattened depth×width
+    * matrix column ([[graft.plans.CmsAgg]]): min over the depth rows of
+    * the key's bucket counter. Pure Column integer arithmetic — the
+    * same formula the oracle runs — so estimates are engine-exact. */
+  def cmsEstimate(matrix: Column, key: Column, depth: Int, width: Int): Column = {
+    val x = pmod(key, lit(CmsHash.P))
+    val reads = (0 until depth).map { d =>
+      val bucket =
+        ((lit(CmsHash.a(d)) * x + lit(CmsHash.b(d))) % lit(CmsHash.P)) % lit(width.toLong)
+      element_at(matrix, (lit(d.toLong * width) + bucket + lit(1L)).cast("int"))
+    }
+    if (reads.size == 1) reads.head else least(reads: _*)
+  }
+
+  /** Per-event-type Count-Min sketch of user activity, probed at the
+    * type's top-3 most-active users (exact counts pin the estimator,
+    * same posture as [[distinctUsersKmv]]). n_cms ≥ n_exact always;
+    * over-counts only when a key collides in ALL depth rows — and since
+    * the ORACLE recomputes the identical bucket matrix (the CMS hash
+    * family is plain integer arithmetic, see [[graft.plans.CmsHash]]),
+    * the comparison is exact even in the collision regime.
+    *
+    * Scale contrast: the exact probe side is a (type, user) count
+    * shuffle, but the SKETCH side ships one 4×8192-long matrix per
+    * type per partition (map-side combined) — at 100 TB the matrix
+    * answers any point query without re-scanning, the Misra-Gries
+    * complement (TopFreq names the heavy hitters; the CMS counts
+    * arbitrary named keys). */
+  def eventsCmsCounts(spark: SparkSession, dir: String,
+                      depth: Int = 4, width: Int = 8192): DataFrame = {
+    val ev = Tables.loadWide(spark, dir, "events")
+    val sk = ev.groupBy(col("event_type"))
+      .agg(cmsAgg(col("user_id"), depth, width).as("cms"))
+    val exact = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+    val probes = exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    probes.join(sk, Seq("event_type"))
+      .select(col("event_type"), col("user_id"), col("n_exact"),
+        cmsEstimate(col("cms"), col("user_id"), depth, width).as("n_cms"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  def eventsCmsCountsSql(depth: Int = 4, width: Int = 8192): String =
+    s"""WITH ds AS (SELECT * FROM range(0, $depth) t(d)),
+        mat AS (
+          SELECT event_type, d,
+                 (((2654435761 + 104729 * d) % $P) * (user_id % $P)
+                  + (12582917 * (d + 1)) % $P) % $P % $width AS bucket,
+                 count(*) AS c
+          FROM events CROSS JOIN ds
+          GROUP BY 1, 2, 3),
+        exact AS (SELECT event_type, user_id, count(*) AS n_exact
+                  FROM events GROUP BY 1, 2),
+        probes AS (SELECT event_type, user_id, n_exact FROM (
+          SELECT event_type, user_id, n_exact,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n_exact DESC, user_id) AS rn
+          FROM exact) WHERE rn <= 3)
+        SELECT p.event_type, p.user_id, p.n_exact, min(m.c) AS n_cms
+        FROM probes p CROSS JOIN ds
+        JOIN mat m ON m.event_type = p.event_type AND m.d = ds.d
+          AND m.bucket = (((2654435761 + 104729 * ds.d) % $P) * (p.user_id % $P)
+                          + (12582917 * (ds.d + 1)) % $P) % $P % $width
+        GROUP BY 1, 2, 3"""
 
   def kmvSetOpsSql(k: Int = 64): String =
     s"""WITH d AS (SELECT DISTINCT event_type, ($M * (user_id % $P)) % $P AS h FROM events),

@@ -95,6 +95,12 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         BloomAgg(children(0), intLit(children(1), "bloom_agg m_bits"),
           intLit(children(2), "bloom_agg k"))),
+    (new FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CmsAgg].getName, null, "cms_agg",
+        "cms_agg(h, depth, width) - aggregate: Count-Min depth x width counter matrix over bigint keys, flattened row-major", ""),
+      (children: Seq[Expression]) =>
+        CmsAgg(children(0), intLit(children(1), "cms_agg depth"),
+          intLit(children(2), "cms_agg width"))),
     (new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, null, "bloom_contains",
         "bloom_contains(bits, h, k) - membership probe against bloom_agg bits (no false negatives)", ""),

@@ -294,6 +294,38 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("CmsAgg: estimates never under-count, are exact without collisions, and merge across partitions") {
+    import graft.functions.NativeFunctions.cmsAgg
+    // known multiplicities: key i occurs i+1 times, 50 keys
+    val rows = (0 until 50).flatMap(i => Seq.fill(i + 1)(i.toLong))
+    val depth = 4
+    val width = 512
+    val mat = rows.toDF("k").repartition(8)
+      .agg(cmsAgg(col("k"), depth, width).as("cms"))
+    val est = (0 until 50).map { i =>
+      mat.select(Sketches.cmsEstimate(col("cms"), lit(i.toLong), depth, width))
+        .collect()(0).getLong(0)
+    }
+    // never an under-count
+    (0 until 50).foreach(i => assert(est(i) >= i + 1))
+    // 50 keys into 512 buckets x 4 rows: all-rows collision is
+    // overwhelmingly unlikely with this fixed hash family — exact here
+    (0 until 50).foreach(i => assert(est(i) == i + 1, s"key $i: ${est(i)}"))
+    // matrix total = depth * n rows (each row counted once per depth row)
+    val total = mat.select(aggregate(col("cms"), lit(0L), (a, x) => a + x))
+      .collect()(0).getLong(0)
+    assert(total == depth.toLong * rows.length)
+  }
+
+  test("eventsCmsCounts: probe estimates bound the exact counts on the fixture") {
+    val out = Sketches.eventsCmsCounts(spark, TestSession.sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2),
+        s"CMS under-counted ${r.getString(0)}/${r.getLong(1)}")
+    }
+  }
+
   test("orderQuantilesSketch: fixture groups are in the exact regime; p25<=p50<=p75") {
     val out = Sketches.orderQuantilesSketch(spark, TestSession.sfDir).collect()
     assert(out.length >= 1)
