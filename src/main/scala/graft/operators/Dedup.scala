@@ -357,15 +357,30 @@ object Dedup {
   /** The band self-join over a prepared (doc_id, mh_0..mh_{k-1})
     * signature frame — shared by the in-plan path and the streaming
     * sig-store serving path. */
-  private[graft] def bandJoinCandidates(sig: DataFrame, k: Int, r: Int): DataFrame = {
+  private[graft] def bandJoinCandidates(sig: DataFrame, k: Int, r: Int): DataFrame =
+    bandJoinCandidatesFromBanded(bandedRows(sig, k, r))
+
+  /** (doc_id, band, bh) rows from a (doc_id, mh_0..mh_{k-1}) signature
+    * frame — the banded form is ALSO the streaming signature store's
+    * at-rest layout (partitioned by `band`), so store-served and in-plan
+    * band joins share one hash definition. */
+  private[graft] def bandedRows(sig: DataFrame, k: Int, r: Int): DataFrame = {
     require(k % r == 0, "bands must tile the signature")
     val nBands = k / r
     // band hash = polynomial combine of the band's minhashes mod P
     def bandHash(band: Int): Column =
       (0 until r).map(i => col(s"mh_${band * r + i}"))
         .foldLeft(lit(0L): Column)((acc, h) => (acc * lit(131L) + h) % lit(P))
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array((0 until nBands).map(bandHash): _*)).as(Seq("band", "bh")))
+  }
+
+  /** The band-collision self-join over prepared (doc_id, band, bh) rows:
+    * every (a_id < b_id) band-hash collision, deduplicated across
+    * bands. Taking the BANDED frame (not the signature frame) lets the
+    * streaming store serve candidates straight off its band-partitioned
+    * layout without reconstituting mh columns. */
+  private[graft] def bandJoinCandidatesFromBanded(banded: DataFrame): DataFrame = {
     val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("b_id"),
       col("band").as("band_b"), col("bh").as("bh_b"))
@@ -425,6 +440,15 @@ object Dedup {
                                       sig: DataFrame, k: Int = 8, r: Int = 2,
                                       minJ: Double = 0.5): DataFrame =
     verifyJaccard(spark, dir, bandJoinCandidates(sig, k, r), minJ)
+
+  /** LSH pairs served from a PREPARED BANDED frame — the band-partitioned
+    * streaming signature store's serving path: candidates come from the
+    * store's own (doc_id, band, bh) layout, verification fetches shingles
+    * narrowly like [[lshPairs]]. */
+  private[graft] def lshPairsFromBanded(spark: SparkSession, dir: String,
+                                        banded: DataFrame,
+                                        minJ: Double = 0.5): DataFrame =
+    verifyJaccard(spark, dir, bandJoinCandidatesFromBanded(banded), minJ)
 
   /** Representative keep over an arbitrary verified near-dup pair frame:
     * connected components, drop every non-minimum member. */

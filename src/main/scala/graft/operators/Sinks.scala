@@ -252,8 +252,12 @@ object Sinks {
     // read side collapses by address ([[readObjects]]). Distinct
     // content under one basename gets distinct addresses (no
     // lost-update between same-named files).
+    // Cryptographic digest (SHA-256), not a 64-bit hash: a real
+    // content-addressed store must make address collision between
+    // DISTINCT contents negligible, or a same-named pair colliding in
+    // 64 bits silently aliases to one address (lost update at read).
     val url = concat(lit(s"$bucketDir/_objects/"),
-      lower(hex(xxhash64(col("content")))), lit("/"),
+      sha2(col("content"), 256), lit("/"),
       element_at(split(col("file_path"), "/"), -1))
     df.select(col("file_path"), col("content"))
       .withColumn("file_url", url)

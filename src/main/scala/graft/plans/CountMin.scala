@@ -44,7 +44,11 @@ object CmsHash {
   * bounded depth·width matrix per group per partition, merged by
   * elementwise add (map-side combine via ObjectHashAggregate). At
   * 100 TB the matrix is the only thing that moves; the keys never
-  * shuffle. Buffer is depth·width longs (default 4×2048 = 64 KiB).
+  * shuffle. Buffer is depth·width longs, sized by the CALLER — the
+  * shipped events query (Sketches.eventsCmsCounts, depth=4 width=8192)
+  * serializes 256 KiB per group per partition into the merge shuffle;
+  * budget width against that payload, not against the error bound
+  * alone.
   */
 case class CmsAgg(
     child: Expression,

@@ -544,9 +544,15 @@ object GlyphOcr {
       candidates.foreach { deg =>
         val a = math.toRadians(deg)
         val (sin, cos) = (math.sin(a), math.cos(a))
-        // v̂ = (y-cy)·cos − (x-cx)·sin recovers the pre-rotation row
-        val hist = new Array[Long](h + 2 * w + 2)
-        val off = w + 1
+        // v̂ = (y-cy)·cos − (x-cx)·sin recovers the pre-rotation row.
+        // |v̂| ≤ h/2 + (w/2)·|sin| ≤ (h+w)/2, so the histogram is sized
+        // and offset from that bound (a w-based offset under-allocates
+        // when h > ~2w — many-short-lines pages — and threw on index).
+        // The candidate ordering is unaffected by the bin count: for a
+        // fixed page, s1 and the per-bin counts are angle-set-invariant,
+        // so argmax-by-variance reduces to argmax over s2 alone.
+        val hist = new Array[Long](h + w + 4)
+        val off = (h + w) / 2 + 2
         var j = 0
         while (j < xs.length) {
           val v = (ys(j) - cy) * cos - (xs(j) - cx) * sin

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -20,7 +20,16 @@ object StreamOps {
   /** Per-source cache of staged stream dirs: FileStreamSource needs a
     * DIRECTORY, the fixtures are single files. Cached so every bench
     * rep / verify run of a streaming query shares one hardlinked temp
-    * dir instead of leaking a fresh one per invocation. */
+    * dir instead of leaking a fresh one per invocation.
+    *
+    * SINGLE-FILE REPLAY CONTRACT: one file ⇒ one micro-batch ⇒ the
+    * event-time watermark never advances MID-data, so no fixture row is
+    * ever late and the streaming twins land exactly on their batch
+    * oracles. On a genuine multi-batch out-of-order replay the
+    * watermarked operators DROP rows arriving more than the watermark
+    * delay behind the max seen event time — the intended production
+    * semantics, pinned by StreamOpsSpec's "late rows behind the
+    * watermark are dropped" test, NOT an accident of the fixtures. */
   private val stagedStreamDirs =
     new scala.collection.concurrent.TrieMap[String, String]()
 
@@ -120,6 +129,21 @@ object StreamOps {
                             watermarkMs: Long): Long =
     math.max(lastMs + idleGapMs, watermarkMs + 1)
 
+  /** Drop rows whose event time is behind the current watermark.
+    * flatMapGroupsWithState does NOT filter late input itself (verified
+    * empirically on 4.1: numRowsDroppedByWatermark stays 0 with an
+    * advanced watermark), so without this a row arriving after its
+    * user's state was EVICTED by EventTimeTimeout would silently re-seed
+    * fresh state with reset totals — worse than dropping. Enforced
+    * in-operator: late-by-more-than-the-delay rows are discarded, the
+    * same contract the built-in watermarked aggregations carry. On the
+    * single-file fixture replays the watermark is still the epoch when
+    * the only data batch runs, so nothing is dropped and the batch
+    * oracles hold exactly. */
+  private def dropLate[T](rows: Iterator[T], tsOf: T => java.sql.Timestamp,
+                          watermarkMs: Long): Seq[T] =
+    rows.filter(r => tsOf(r).getTime >= watermarkMs).toSeq
+
   def runningUserTotals(events: DataFrame,
                         idleGapMs: Long = DefaultIdleGapMs): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._
@@ -134,17 +158,22 @@ object StreamOps {
          state: GroupState[UserState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val prev = state.getOption.getOrElse(
-              UserState(0L, 0L, new java.sql.Timestamp(0L)))
-            var n = prev.n; var cents = prev.cents; var last = prev.lastSeen
-            rows.foreach { case (_, ts, c) =>
-              n += 1; cents += c
-              if (ts.after(last)) last = ts
+            val live = dropLate[(Long, java.sql.Timestamp, Long)](
+              rows, _._2, state.getCurrentWatermarkMs())
+            if (live.isEmpty) Iterator.empty // all late: leave state as-is
+            else {
+              val prev = state.getOption.getOrElse(
+                UserState(0L, 0L, new java.sql.Timestamp(0L)))
+              var n = prev.n; var cents = prev.cents; var last = prev.lastSeen
+              live.foreach { case (_, ts, c) =>
+                n += 1; cents += c
+                if (ts.after(last)) last = ts
+              }
+              state.update(UserState(n, cents, last))
+              state.setTimeoutTimestamp(idleTimeoutMs(last.getTime, idleGapMs,
+                state.getCurrentWatermarkMs()))
+              Iterator.single(UserUpdate(user, n, cents, last))
             }
-            state.update(UserState(n, cents, last))
-            state.setTimeoutTimestamp(idleTimeoutMs(last.getTime, idleGapMs,
-              state.getCurrentWatermarkMs()))
-            Iterator.single(UserUpdate(user, n, cents, last))
           }
         })
   }
@@ -573,23 +602,28 @@ object StreamOps {
             // full-precision ordering: getTime is millis and would let a
             // same-millisecond view/click pair sort wrong (micros matter
             // under the strict-> stage conditions)
-            val rs = rows.toSeq.sortWith((a, b) => a._3.compareTo(b._3) < 0)
-            rs.foreach { case (_, et, ts) =>
-              et match {
-                case "view" if s.v.isEmpty => s = s.copy(v = Some(ts))
-                case "click" if s.c.isEmpty &&
-                  s.v.exists(v => ts.compareTo(v) > 0) => s = s.copy(c = Some(ts))
-                case "purchase" if s.p.isEmpty &&
-                  s.c.exists(c => ts.compareTo(c) > 0) => s = s.copy(p = Some(ts))
-                case _ => ()
+            val rs = dropLate[(Long, String, java.sql.Timestamp)](
+              rows, _._3, state.getCurrentWatermarkMs())
+              .sortWith((a, b) => a._3.compareTo(b._3) < 0)
+            if (rs.isEmpty) Iterator.empty // all late: leave state as-is
+            else {
+              rs.foreach { case (_, et, ts) =>
+                et match {
+                  case "view" if s.v.isEmpty => s = s.copy(v = Some(ts))
+                  case "click" if s.c.isEmpty &&
+                    s.v.exists(v => ts.compareTo(v) > 0) => s = s.copy(c = Some(ts))
+                  case "purchase" if s.p.isEmpty &&
+                    s.c.exists(c => ts.compareTo(c) > 0) => s = s.copy(p = Some(ts))
+                  case _ => ()
+                }
               }
+              state.update(s)
+              state.setTimeoutTimestamp(idleTimeoutMs(rs.last._3.getTime, idleGapMs,
+                state.getCurrentWatermarkMs()))
+              val stage =
+                if (s.p.nonEmpty) 3 else if (s.c.nonEmpty) 2 else if (s.v.nonEmpty) 1 else 0
+              Iterator.single((user, stage))
             }
-            state.update(s)
-            state.setTimeoutTimestamp(idleTimeoutMs(rs.last._3.getTime, idleGapMs,
-              state.getCurrentWatermarkMs()))
-            val stage =
-              if (s.p.nonEmpty) 3 else if (s.c.nonEmpty) 2 else if (s.v.nonEmpty) 1 else 0
-            Iterator.single((user, stage))
           }
         })
       .toDF("user_id", "stage")
@@ -639,18 +673,22 @@ object StreamOps {
          state: GroupState[java.sql.Timestamp]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rs = rows.toSeq
-            val ord = Ordering.fromLessThan[java.sql.Timestamp](
-              (a, b) => a.compareTo(b) < 0)
-            val batchMin = rs.map(_._2).min(ord)
-            val first = state.getOption match {
-              case Some(f) if f.compareTo(batchMin) <= 0 => f
-              case _ => batchMin
+            val rs = dropLate[(Long, java.sql.Timestamp)](
+              rows, _._2, state.getCurrentWatermarkMs())
+            if (rs.isEmpty) Iterator.empty // all late: leave state as-is
+            else {
+              val ord = Ordering.fromLessThan[java.sql.Timestamp](
+                (a, b) => a.compareTo(b) < 0)
+              val batchMin = rs.map(_._2).min(ord)
+              val first = state.getOption match {
+                case Some(f) if f.compareTo(batchMin) <= 0 => f
+                case _ => batchMin
+              }
+              state.update(first)
+              state.setTimeoutTimestamp(idleTimeoutMs(rs.map(_._2).max(ord).getTime,
+                idleGapMs, state.getCurrentWatermarkMs()))
+              rs.iterator.map { case (_, ts) => (user, first, ts) }
             }
-            state.update(first)
-            state.setTimeoutTimestamp(idleTimeoutMs(rs.map(_._2).max(ord).getTime,
-              idleGapMs, state.getCurrentWatermarkMs()))
-            rs.iterator.map { case (_, ts) => (user, first, ts) }
           }
         })
       .toDF("user_id", "first_ts", "ts")
@@ -787,6 +825,28 @@ object StreamOps {
     * per call would pay the streaming fixed cost each rep). */
   private val dedupStores = new scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Fingerprint-store partition fan-out: fp-prefix buckets, the
+    * partition key of the at-rest layout. 64 suits the fixtures; a
+    * 100 TB deployment raises it (the serve contract below is
+    * bucket-count-agnostic — it's baked into the layout, so changing it
+    * means rewriting the store, like any partitioned table). */
+  private[graft] val DedupStoreBuckets = 64
+
+  private[graft] def fpBucket(fp: Column): Column =
+    pmod(fp, lit(DedupStoreBuckets.toLong)).cast("int")
+
+  /** The seen-side of the per-micro-batch anti-join, PRUNED to the
+    * buckets the arriving batch touches: `bucket` is the store's
+    * partition column, so the static isin filter prunes directory
+    * listings before any bytes are read — per-batch cost tracks the
+    * batch's bucket fan-out, not the store's total history (the same
+    * probe-pruning shape as [[graft.operators.Similarity.serveLshTopKFromStore]]). */
+  private[graft] def prunedSeenFps(spark: SparkSession, storeDir: String,
+                                   buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(storeDir)
+      .where(col("bucket").isin(buckets: _*))
+      .select(col("fp").as("seen_fp"))
+
   /** STORE-BACKED streaming exact dedup — UNBOUNDED-HISTORY ingest
     * dedup: each micro-batch collapses its own duplicates (min doc_id
     * per content fingerprint), anti-joins the persistent seen-store,
@@ -800,7 +860,14 @@ object StreamOps {
     * per batch. Survivor = min doc_id per fingerprint (batches arrive
     * in doc order, within-batch collapse takes the min) — the same
     * keeper contract as batch exact_dedup, so the oracle is one GROUP
-    * BY over the static table. */
+    * BY over the static table.
+    *
+    * The store is PARTITIONED by fp-prefix bucket and each batch's
+    * anti-join reads only the buckets it touches ([[prunedSeenFps]]), so
+    * per-batch serve cost is O(touched buckets' rows), not O(entire
+    * history). The touched-bucket collect is bounded by
+    * [[DedupStoreBuckets]] ints — model-state-sized, like the IVF
+    * codebook — never by batch or store size. */
   def streamExactDedupStoreQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.fingerprint
     val store = dedupStores.getOrElseUpdate(dir, {
@@ -812,14 +879,19 @@ object StreamOps {
           val sp = batch.sparkSession
           val batchMin = batch.groupBy(col("fp"))
             .agg(min(col("doc_id")).as("doc_id"))
-          val fresh =
-            if (new java.io.File(storeDir).listFiles() == null ||
-                new java.io.File(storeDir).list().isEmpty) batchMin
-            else batchMin.join(
-              sp.read.parquet(storeDir).select(col("fp").as("seen_fp")),
-              col("fp") === col("seen_fp"), "left_anti")
-          fresh.select(col("fp"), col("doc_id"))
-            .write.mode("append").parquet(storeDir)
+            .withColumn("bucket", fpBucket(col("fp")))
+            .persist() // two consumers: the bucket-set probe + the join
+          try {
+            val touched = batchMin.select(col("bucket")).distinct()
+              .collect().map(_.getInt(0)).toSeq.sorted
+            val fresh =
+              if (new java.io.File(storeDir).listFiles() == null ||
+                  new java.io.File(storeDir).list().isEmpty) batchMin
+              else batchMin.join(prunedSeenFps(sp, storeDir, touched),
+                col("fp") === col("seen_fp"), "left_anti")
+            fresh.select(col("fp"), col("doc_id"), col("bucket"))
+              .write.mode("append").partitionBy("bucket").parquet(storeDir)
+          } finally batchMin.unpersist()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -855,9 +927,13 @@ object StreamOps {
     * 8 longs per document.
     *
     * 100 TB: the store accretes ids+longs (a few hundred GB per
-    * TRILLION documents), partitionable by band at write time like the
-    * ANN bucket store; the arriving batch's signature pass is the only
-    * text-touching work. */
+    * TRILLION documents) PARTITIONED BY BAND at write time like the ANN
+    * bucket store — the at-rest rows are the already-banded
+    * (doc_id, band, bh) form ([[graft.operators.Dedup.bandedRows]]), so
+    * serving band-joins the store's own layout with no mh
+    * reconstitution, and the replay-membership check reads ONE band
+    * partition ([[storeDocIds]]); the arriving batch's signature pass is
+    * the only text-touching work. */
   def streamNearDupStoreQuery(spark: SparkSession, dir: String): DataFrame = {
     val store = neardupSigStores.getOrElseUpdate(dir, {
       val storeDir = java.nio.file.Files.createTempDirectory("neardup_sigs").toString
@@ -870,19 +946,28 @@ object StreamOps {
           val fresh =
             if (new java.io.File(storeDir).list() == null ||
                 new java.io.File(storeDir).list().isEmpty) sigs
-            else sigs.join(
-              sp.read.parquet(storeDir).select(col("doc_id").as("seen_id")),
+            else sigs.join(storeDocIds(sp, storeDir),
               col("doc_id") === col("seen_id"), "left_anti")
-          fresh.write.mode("append").parquet(storeDir)
+          graft.operators.Dedup.bandedRows(fresh, k = 8, r = 2)
+            .write.mode("append").partitionBy("band").parquet(storeDir)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
       storeDir
     })
-    val sig = spark.read.parquet(store)
     graft.operators.Dedup.keepFromPairs(spark, dir,
-      graft.operators.Dedup.lshPairsFromSigs(spark, dir, sig))
+      graft.operators.Dedup.lshPairsFromBanded(spark, dir,
+        spark.read.parquet(store)))
   }
+
+  /** Replay-membership read over the band-partitioned signature store:
+    * every document has exactly ONE band-0 row, so membership needs only
+    * the `band=0` partition — the anti-join's seen side is
+    * partition-pruned to 1/nBands of the store. */
+  private[graft] def storeDocIds(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .where(col("band") === 0)
+      .select(col("doc_id").as("seen_id"))
 
   def streamNearDupStoreOracleSql: String = graft.operators.Dedup.lshDedupKeepSql()
 }

@@ -183,4 +183,39 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Events.anomalies(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  /** The PartitionFilters segment of the (single) file scan in `p`. */
+  private def partitionFilters(p: String): String =
+    p.linesIterator.filter(_.contains("PartitionFilters:")).mkString("\n")
+
+  test("dedup fingerprint store: per-batch anti-join seen side prunes to touched buckets") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("planspec_fpstore").toString
+    spark.range(0, 1000)
+      .select(col("id").as("fp"), col("id").as("doc_id"),
+        graft.streaming.StreamOps.fpBucket(col("id")).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(store)
+    val pruned = graft.streaming.StreamOps.prunedSeenFps(spark, store, Seq(3, 17))
+    val pf = partitionFilters(plan(pruned))
+    // the isin filter must land in PartitionFilters (directory pruning),
+    // not in the data Filter — that's the O(touched)-not-O(history) claim
+    assert(pf.contains("bucket") && !pf.matches(".*PartitionFilters: \\[\\s*\\].*"), pf)
+    val expected = (0 until 1000).count(i =>
+      Set(3, 17)(i % graft.streaming.StreamOps.DedupStoreBuckets))
+    assert(pruned.count() == expected)
+  }
+
+  test("neardup signature store: replay-membership read prunes to the band=0 partition") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("planspec_sigstore").toString
+    spark.range(0, 100)
+      .select(col("id").as("doc_id"),
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("band"),
+        (col("id") * 131).as("bh"))
+      .write.mode("overwrite").partitionBy("band").parquet(store)
+    val ids = graft.streaming.StreamOps.storeDocIds(spark, store)
+    val pf = partitionFilters(plan(ids))
+    assert(pf.contains("band"), pf)
+    assert(ids.count() == 100)
+  }
 }

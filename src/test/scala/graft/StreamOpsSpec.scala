@@ -296,6 +296,64 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(emitted == Set(1L, 9L, 3L))
   }
 
+  test("multi-batch out-of-order replay: late rows behind the watermark are dropped") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    // Pins the INTENDED late-data semantics the single-file fixtures
+    // never exercise (one file = one micro-batch, watermark can't
+    // advance mid-data — see StreamOps.stagedStreamDirs): once batch 1's
+    // max event time pushes the watermark past a row's timestamp plus
+    // the 2 h delay, that row arriving in batch 2 is DROPPED — it
+    // neither resurrects evicted state nor perturbs emitted totals.
+    val base = Files.createTempDirectory("slate")
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    def writeBatch(rows: Seq[(Long, String, Double)], name: String,
+                   mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("slate_part").toString
+      rows.toDF("user_id", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select("user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // batch 1: u1 early; u9 ten days later (advances the watermark to
+    // Jan 11 08:00 for batch 2)
+    writeBatch(Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (9L, "2024-01-11 10:00:00", 1.0)), "b1.parquet", 1000000L)
+    // batch 2: u1 again at Jan 1 11:00 — 10 days behind the watermark,
+    // must be dropped; u3 is fresh and must be counted
+    writeBatch(Seq(
+      (1L, "2024-01-01 11:00:00", 5.0),
+      (3L, "2024-01-11 12:00:00", 2.0)), "b2.parquet", 2000000L)
+    val events = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    val q = StreamOps.runningUserTotals(events).toDF()
+      .writeStream.format("memory").queryName("late_totals")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally { q.stop(); spark.conf.set(key, prev) }
+    val perUser = spark.table("late_totals")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+      .selectExpr("user_id", "m.n_events AS n", "m.total_cents AS c")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // u1's late 5.00 row vanished: still one event, 100 cents
+    assert(perUser(1L) == (1L, 100L), s"late row leaked into $perUser")
+    assert(perUser(3L) == (1L, 200L) && perUser(9L) == (1L, 100L), perUser.toString)
+  }
+
   test("streaming exactly-once JDBC sink: a replayed epoch writes no dupes") {
     assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
       "DuckDB JDBC driver not on classpath")
