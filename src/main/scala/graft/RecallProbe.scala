@@ -39,12 +39,16 @@ object RecallProbe {
           (() => resultSet(Similarity.lshTopKMultiProbe(spark, sfDir, k = k, nQueries = nQ))),
         "vector_ivf_topk" ->
           (() => resultSet(Similarity.ivfTopK(spark, sfDir, k = k, nQueries = nQ))),
+        "vector_ivf_trained (exact k-means, 1 iter, nProbe=3)" ->
+          (() => resultSet(Similarity.ivfTrainedTopK(spark, sfDir, k = k, nQueries = nQ))),
         "vector_pq_topk (raw ADC)" ->
           (() => resultSet(Similarity.pqTopK(spark, sfDir, k = k, nQueries = nQ))),
         "vector_pq_rerank (ADC + exact rerank)" ->
           (() => resultSet(Similarity.pqRerankTopK(spark, sfDir, k = k, nQueries = nQ))),
         "vector_ivfpq_topk (IVFADC)" ->
-          (() => resultSet(Similarity.ivfPqTopK(spark, sfDir, k = k, nQueries = nQ))))
+          (() => resultSet(Similarity.ivfPqTopK(spark, sfDir, k = k, nQueries = nQ))),
+        "vector_ivfpq_rerank (IVFADC + exact rerank)" ->
+          (() => resultSet(Similarity.ivfPqRerankTopK(spark, sfDir, k = k, nQueries = nQ))))
       println(s"| index | recall@$k over $nQ queries |")
       println("|---|---|")
       probes.foreach { case (name, fn) =>

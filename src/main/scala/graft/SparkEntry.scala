@@ -85,14 +85,18 @@ object SparkEntry {
     "vector_lsh_topk_b6" -> ((s, d) => Similarity.lshTopK(s, d, bitsOpt = Some(6))),
     "vector_lsh_topk_mp" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "vector_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "vector_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
+    "embedding_neardup_mp2" -> ((s, d) =>
+      Similarity.nearDupPairsMultiProbe(s, d, radius = 2)),
     "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "semantic_dedup_mp" -> ((s, d) => Similarity.semanticDedup(s, d, multiProbe = true)),
     "vector_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     "vector_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "vector_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "vector_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerankTopK(s, d)),
     "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -324,14 +328,17 @@ object SparkEntry {
     "vector_lsh_topk_b6" -> Similarity.lshTopKSql(bitsOpt = Some(6)),
     "vector_lsh_topk_mp" -> Similarity.lshTopKMultiProbeSql(),
     "vector_ivf_topk" -> Similarity.ivfTopKSql(),
+    "vector_ivf_trained" -> Similarity.ivfTrainedTopKSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "embedding_neardup_mp" -> Similarity.nearDupPairsMultiProbeSql(),
+    "embedding_neardup_mp2" -> Similarity.nearDupPairsMultiProbeSql(radius = 2),
     "semantic_dedup" -> Similarity.semanticDedupSql(),
     "semantic_dedup_mp" -> Similarity.semanticDedupSql(multiProbe = true),
     "vector_pq_topk" -> Similarity.pqTopKSql(),
     "vector_pq_rerank" -> Similarity.pqRerankTopKSql(),
     "vector_ivfpq_topk" -> Similarity.ivfPqTopKSql(),
+    "vector_ivfpq_rerank" -> Similarity.ivfPqRerankTopKSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),

@@ -238,6 +238,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(keptMp.subsetOf(kept))
   }
 
+  test("radius-2 probes dominate radius-1: pair set is a superset, masks are distinct") {
+    val mp1 = Similarity.nearDupPairsMultiProbe(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mp2 = Similarity.nearDupPairsMultiProbe(spark, TestSession.sfDir, radius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp1.subsetOf(mp2))
+    // every emitted pair is a true near-dup (exact cosine verified in-plan)
+    // so widening the probe radius can only ADD true pairs
+    assert(mp2.size >= mp1.size)
+    // mask sets: distinct, sized 1 + bits + C(bits,2), Hamming weight <= 2
+    for (bits <- Seq(4, 6, 8)) {
+      val masks = Similarity.probeMasks(bits, 2)
+      assert(masks.distinct.size == masks.size)
+      assert(masks.size == 1 + bits + bits * (bits - 1) / 2)
+      assert(masks.forall(m => Integer.bitCount(m) <= 2 && m < (1 << bits)))
+    }
+  }
+
+  test("exact k-means codebook: deterministic across runs, improves assignment, oracle-protocol floats") {
+    val emb = Tables.load(spark, TestSession.sfDir, "embeddings")
+    val a = Similarity.kmeansCodebookExact(emb, 4, iters = 1)
+    val b = Similarity.kmeansCodebookExact(emb.repartition(7), 4, iters = 1)
+    // exact integer sums: identical centroids regardless of partitioning
+    assert(a.zip(b).forall { case (x, y) =>
+      x._1 == y._1 && x._2.sameElements(y._2) })
+    // Lloyd step must not worsen mean assignment cosine
+    val seed = Similarity.seedCodebook(emb, 4)
+    def meanAssignScore(cb: Array[(Long, Array[Float])]): Double = {
+      val scored = cb.map { case (_, cv) =>
+        org.apache.spark.sql.functions.struct(
+          cosine(col("embedding"), typedlit(cv)).as("score"))
+      }
+      emb.select(greatest(scored: _*).getField("score").as("s"))
+        .agg(avg(col("s"))).as[Double].collect()(0)
+    }
+    assert(meanAssignScore(a) >= meanAssignScore(seed) - 1e-9)
+    // the shipped query contract: k rows per query, exact cosine scores
+    val out = Similarity.ivfTrainedTopK(spark, TestSession.sfDir, k = 3,
+      nQueries = 3, nCells = 4).collect()
+    assert(out.groupBy(_.getLong(0)).size == 3)
+    val exact = Similarity.topK(spark, TestSession.sfDir, k = 50, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
+  test("ivfPq rerank: results drawn from the IVFADC shortlist, scored with the exact cosine") {
+    val budget = 16
+    val shortlist = Similarity.ivfPqTopK(spark, TestSession.sfDir, k = budget,
+      nQueries = 5).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = Similarity.ivfPqRerankTopK(spark, TestSession.sfDir, k = 3,
+      nQueries = 5, budget = budget)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    assert(rr.nonEmpty)
+    assert(rr.forall { case (pair, _) => shortlist(pair) })
+    val n = Tables.load(spark, TestSession.sfDir, "embeddings").count().toInt
+    val exact = Similarity.topK(spark, TestSession.sfDir, k = n, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rr.foreach { case (pair, s) =>
+      val e = exact.get(pair)
+      assert(e.contains(s), s"pair $pair: rerank score $s vs exact $e")
+    }
+  }
+
   test("pq rerank: results drawn from the ADC shortlist, scored with the exact cosine") {
     val budget = 16
     val shortlist = Similarity.pqTopK(spark, TestSession.sfDir, k = budget, nQueries = 5)
