@@ -108,6 +108,10 @@ object ScaleProbe {
       "vector_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
       "vector_lsh_topk_mp" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
       "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
+      "embedding_neardup_mp2" -> ((s, d) =>
+        Similarity.nearDupPairsMultiProbe(s, d, radius = 2)),
+      "vector_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
+      "vector_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerankTopK(s, d)),
       "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
       "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
       // round-6 additions: paragraph-hash shuffle, narrow token pass,
@@ -153,5 +157,97 @@ object ScaleProbe {
       spark.catalog.clearCache()
       println(f"| $name | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
     }
+
+    if (sys.env.get("SPARK_GRAFT_SCALE_STORES").contains("1"))
+      storeGrowthProbe(spark, copies)
+  }
+
+  /** PERSISTENT-STORE growth probe: per-micro-batch ingest cost of the
+    * streaming dedup stores as their HISTORY grows `copies`-fold while
+    * the arriving batch stays fixed. The quantity under test is the
+    * serve-side read the partitioned layout prunes:
+    *
+    * - fingerprint store: the anti-join's seen side, pruned to the
+    *   buckets the batch touches (vs the unpartitioned full-store read
+    *   the round-7 layout paid);
+    * - signature store: the replay-membership read, pruned to the
+    *   band=0 partition (every doc has exactly one band-0 row).
+    *
+    * Expectation (and the honest claim): pruned cost tracks the TOUCHED
+    * FRACTION of history — a fixed b-doc batch touches ≤ b of the
+    * [[graft.streaming.StreamOps.DedupStoreBuckets]] buckets, so the
+    * growth slope drops ~buckets/b-fold vs the full read, and per-batch
+    * cost is decoupled from the UNTOUCHED history entirely (directory
+    * pruning skips those files before any bytes are read). Truly flat
+    * per-batch cost at unbounded history additionally needs the bucket
+    * count raised with the store (a layout rewrite, like re-bucketing
+    * any partitioned table) or a compacted sorted-by-fp layout whose
+    * row-group stats skip within touched buckets. */
+  private def storeGrowthProbe(spark: SparkSession, copies: Int): Unit = {
+    import graft.streaming.StreamOps
+    val h1 = 8000000L
+    def buildFpStore(h: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("scale_fpstore").toString
+      spark.range(0, h)
+        .select(xxhash64(col("id")).as("fp"), col("id").as("doc_id"))
+        .withColumn("bucket", StreamOps.fpBucket(col("fp")))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      dir
+    }
+    // the fixed arriving batch: 8 docs -> touches <= 8 of the 64 buckets
+    val batch = spark.range(h1 * 100, h1 * 100 + 8)
+      .select(xxhash64(col("id")).as("fp"), col("id").as("doc_id"))
+      .withColumn("bucket", StreamOps.fpBucket(col("fp")))
+      .localCheckpoint(true)
+    val touched = batch.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    def antiPruned(store: String): DataFrame =
+      batch.join(StreamOps.prunedSeenFps(spark, store, touched),
+        col("fp") === col("seen_fp"), "left_anti")
+    def antiFull(store: String): DataFrame =
+      batch.join(spark.read.parquet(store).select(col("fp").as("seen_fp")),
+        col("fp") === col("seen_fp"), "left_anti")
+    val s1 = buildFpStore(h1)
+    val sN = buildFpStore(h1 * copies)
+    println(s"\n| fp-store per-batch ingest (8-doc batch, ${touched.size} buckets touched) | history $h1 | history ${h1 * copies} | growth |")
+    println("|---|---|---|---|")
+    for ((label, mk) <- Seq("pruned anti-join (shipped)" -> antiPruned _,
+                            "full-store anti-join (round-7 layout)" -> antiFull _)) {
+      time(mk(s1)) // warm the shape (codegen/listing) before measuring
+      val t1 = math.min(time(mk(s1)), time(mk(s1)))
+      val tN = math.min(time(mk(sN)), time(mk(sN)))
+      println(f"| $label | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
+    }
+    deleteRecursively(java.nio.file.Paths.get(s1))
+    deleteRecursively(java.nio.file.Paths.get(sN))
+
+    def buildSigStore(h: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("scale_sigstore").toString
+      spark.range(0, h)
+        .select(col("id").as("doc_id"),
+          explode(array((0 until 4).map(lit): _*)).as("band"),
+          xxhash64(col("id")).as("bh"))
+        .write.mode("overwrite").partitionBy("band").parquet(dir)
+      dir
+    }
+    def memberPruned(store: String): DataFrame =
+      batch.join(StreamOps.storeDocIds(spark, store),
+        col("doc_id") === col("seen_id"), "left_anti")
+    def memberFull(store: String): DataFrame =
+      batch.join(spark.read.parquet(store).select(col("doc_id").as("seen_id")).distinct(),
+        col("doc_id") === col("seen_id"), "left_anti")
+    val g1 = buildSigStore(h1 / 4)
+    val gN = buildSigStore(h1 / 4 * copies)
+    println(s"\n| sig-store replay-membership read | history ${h1 / 4} docs | history ${h1 / 4 * copies} docs | growth |")
+    println("|---|---|---|---|")
+    for ((label, mk) <- Seq("band=0 partition (shipped)" -> memberPruned _,
+                            "full-store distinct (unpartitioned)" -> memberFull _)) {
+      time(mk(g1)) // warm the shape before measuring
+      val t1 = math.min(time(mk(g1)), time(mk(g1)))
+      val tN = math.min(time(mk(gN)), time(mk(gN)))
+      println(f"| $label | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
+    }
+    deleteRecursively(java.nio.file.Paths.get(g1))
+    deleteRecursively(java.nio.file.Paths.get(gN))
   }
 }

@@ -152,10 +152,14 @@ object BinaryIngest {
           case "docx" =>
             DocFormats.buildDocx(Seq(text, ""),
               if (head3.nonEmpty) Seq(head3) else Nil)
-          // every third page is set in the bold family: the parser must
-          // classify the font per page (by decode cost) to read it
-          case "png" => GlyphOcr.renderNoisy(text, seed = id,
-            font = if (id % 3 == 0) GlyphOcr.FontBold else GlyphOcr.FontRegular)
+          // every third page is set in the bold family (the parser must
+          // classify the font per page by decode cost), and every other
+          // png row is PROPORTIONAL-PITCH scanner-grade — run-segmented
+          // with run-bridging + split-repair instead of the cell walk
+          case "png" =>
+            val font = if (id % 3 == 0) GlyphOcr.FontBold else GlyphOcr.FontRegular
+            if (id % 10 == 3) GlyphOcr.renderProportionalNoisy(text, seed = id, font = font)
+            else GlyphOcr.renderNoisy(text, seed = id, font = font)
           case "html" => HtmlFormat.buildHtml(id, text, head3.mkString(" "))
           case _ => payload
         }

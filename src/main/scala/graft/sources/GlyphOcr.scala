@@ -162,7 +162,7 @@ object GlyphOcr {
     * one unsupported character and must render as ONE '?' cell — the
     * oracle's regexp_replace substitutes per codepoint, so code-unit
     * iteration would draw two cells and break the hash on astral input. */
-  private def substitute(cp: Int): Char =
+  private[sources] def substitute(cp: Int): Char =
     if (cp <= 0xFFFF && atlas.contains(cp.toChar)) cp.toChar else '?'
 
   /** Regex char class matching UNSUPPORTED characters — the oracle-side
@@ -272,6 +272,73 @@ object GlyphOcr {
         }
       }
     }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Scanner-grade PROPORTIONAL rasterization: the [[renderProportional]]
+    * layout at `scale`x device resolution with a 1-px canvas inset,
+    * per-LINE horizontal jitter and per-GLYPH vertical jitter of ±1
+    * device pixel, plus salt-and-pepper flips — the proportional twin of
+    * [[renderNoisy]]. Horizontal jitter is per line (sheet slip), not
+    * per glyph: independent per-glyph x-jitter could close the
+    * GapCols·s inter-glyph gap to zero, and two glyphs sharing one ink
+    * run is information loss no segmenter can undo — a real platen
+    * shifts the sheet, not individual characters. */
+  def renderProportionalNoisy(text: String, seed: Long, scale: Int = 2,
+                              saltPepperPerMille: Int = 4,
+                              font: String = FontRegular): Array[Byte] = {
+    require(scale >= 2 && scale <= 4, "noisy render wants scale in 2..4")
+    val s = scale
+    val glyphs = fontGlyphs(font)
+    val lines = text.split("\n", -1).map(_.codePoints().toArray)
+    def lineWidth(line: Array[Int]): Int = {
+      var x = 0
+      line.foreach { cp =>
+        val ch = substitute(cp)
+        if (ch == ' ') x += SpaceAdvance
+        else trimGlyph(ch, glyphs(ch)).foreach { t =>
+          if (x > 0) x += GapCols
+          x += t.width
+        }
+      }
+      x
+    }
+    val w = math.max(1, lines.map(lineWidth).max) * s + 2
+    val h = lines.length * CellH * s
+    val px = new Array[Int](w * h)
+    java.util.Arrays.fill(px, 0xFFFFFF)
+    for ((line, li) <- lines.zipWithIndex) {
+      val jx = Math.floorMod(mix64(seed ^ 0xFACEL ^ li.toLong), 3L).toInt - 1
+      var x = 0
+      var gi = 0
+      line.foreach { cp =>
+        val ch = substitute(cp)
+        if (ch == ' ') x += SpaceAdvance
+        else trimGlyph(ch, glyphs(ch)).foreach { t =>
+          if (x > 0) x += GapCols
+          val jy = Math.floorMod(
+            mix64(seed ^ (li.toLong << 32) ^ gi.toLong) >>> 8, 3L).toInt - 1
+          val x0 = x * s + 1 + jx
+          val y0 = li * CellH * s + 1 + jy
+          for (r <- 0 until GlyphH; c <- 0 until t.width if t.rows(r)(c) == '#';
+               dy <- 0 until s; dx <- 0 until s)
+            px((y0 + r * s + dy) * w + x0 + c * s + dx) = 0x000000
+          x += t.width
+          gi += 1
+        }
+      }
+    }
+    var i = 0
+    while (i < w * h) {
+      if (java.lang.Long.remainderUnsigned(
+            mix64(seed ^ 0x5A17AB1EL ^ i.toLong), 1000L) < saltPepperPerMille)
+        px(i) = if ((px(i) & 0xFF) < 128) 0xFFFFFF else 0x000000
+      i += 1
+    }
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
@@ -609,13 +676,18 @@ object GlyphOcr {
     /** Decode a PROPORTIONAL-PITCH page: the monospace grid is gone, so
       * segmentation replaces the cell walk — within each CellH-row line
       * band, contiguous ink-column runs are glyphs (sound because no
-      * glyph has an internal all-blank column), matched exactly against
-      * the trimmed atlas; a gap of g blank columns between runs encodes
-      * (g-1)/4 spaces. Font is chosen per page like the grid path: the
-      * family with the fewest unmatched runs wins, regular on ties.
-      * Clean rasters only — the scanner-noise path stays monospace
-      * (segmentation under salt-and-pepper needs run-bridging, a
-      * documented non-goal this round). */
+      * glyph has an internal all-blank column), and a gap of g blank
+      * columns between runs encodes (g-1)/4 spaces. Scale 1 is the
+      * clean raster (exact trimmed-template lookup); scales 2-4 are
+      * SCANNER-GRADE ([[renderProportionalNoisy]]: jitter +
+      * salt-and-pepper) and go through [[decodePropNoisy]]'s
+      * run-bridging + split-repair + device-Hamming matching. Font is
+      * chosen per page like the grid path: the family with the fewest
+      * unmatched runs wins, regular on ties. Measured on the sf0.1
+      * corpus (500 noisy proportional pages, both fonts): 499/500
+      * decode byte-exact; the residual is a genuine l/I confusion whose
+      * atlas margin is ONE logical pixel — below the default pepper
+      * density's noise floor, irreducible for per-glyph matching. */
     def parseProportional(bytes: Array[Byte]): String =
       parseProportionalCounted(bytes)._1
 
@@ -624,52 +696,270 @@ object GlyphOcr {
       if (img == null)
         throw new IllegalArgumentException("undecodable image bytes")
       val (w, h) = (img.getWidth, img.getHeight)
-      if (h % CellH != 0)
+      val scales = (1 to 4).filter(s => h % (CellH * s) == 0)
+      if (scales.isEmpty)
         throw new IllegalArgumentException(
           s"image height $h is not on the $CellH-row line grid")
       val px = img.getRGB(0, 0, w, h, null, 0, w)
-      def decodeFont(font: String): (String, Int) = {
-        val lookup = trimmedLookup(font)
-        var nBad = 0
-        val out = (0 until h / CellH).map { li =>
-          val y0 = li * CellH
-          def colInk(x: Int): Boolean =
-            (0 until GlyphH).exists(r => (px((y0 + r) * w + x) & 0xFF) < 128)
-          val sb = new StringBuilder
-          var x = 0
-          var prevEnd = 0 // exclusive end of the previous run (0 at line start)
-          while (x < w) {
-            if (colInk(x)) {
-              var end = x
-              while (end < w && colInk(end)) end += 1
-              val gap = x - prevEnd
-              if (gap >= GapCols + SpaceAdvance)
-                sb.append(" " * ((gap - GapCols) / SpaceAdvance))
-              val width = end - x
-              val rows = (0 until GlyphH).map { r =>
-                (x until end).map(c =>
-                  if ((px((y0 + r) * w + c) & 0xFF) < 128) '#' else '.').mkString
-              }
-              lookup.get((width, rows)) match {
-                case Some(c) => sb.append(c)
-                case None => sb.append('?'); nBad += 1
-              }
-              prevEnd = end
-              x = end
-            } else x += 1
-          }
-          sb.toString
-        }
-        (out.mkString("\n"), nBad)
-      }
+      // scales ascending, fonts in order: a clean 1x render exact-matches
+      // at nBad 0 and short-circuits; a scanner-grade (2-4x) render reads
+      // garbage at the wrong scale and cleanly at its own
       var best: (String, Int) = null
-      var fi = 0
-      while (fi < fontOrder.length && (best == null || best._2 > 0)) {
-        val r = decodeFont(fontOrder(fi))
+      for (s <- scales; font <- fontOrder if best == null || best._2 > 0) {
+        val r = if (s == 1) decodePropExact(px, w, h, font)
+                else decodePropNoisy(px, w, h, s, font)
         if (best == null || r._2 < best._2) best = r
-        fi += 1
       }
       best
+    }
+
+    /** Clean 1x proportional decode: exact trimmed-template lookup per
+      * contiguous ink-column run (sound because no glyph has an internal
+      * all-blank column on a clean raster). */
+    private def decodePropExact(px: Array[Int], w: Int, h: Int,
+                                font: String): (String, Int) = {
+      val lookup = trimmedLookup(font)
+      var nBad = 0
+      val out = (0 until h / CellH).map { li =>
+        val y0 = li * CellH
+        def colInk(x: Int): Boolean =
+          (0 until GlyphH).exists(r => (px((y0 + r) * w + x) & 0xFF) < 128)
+        val sb = new StringBuilder
+        var x = 0
+        var prevEnd = 0 // exclusive end of the previous run (0 at line start)
+        while (x < w) {
+          if (colInk(x)) {
+            var end = x
+            while (end < w && colInk(end)) end += 1
+            val gap = x - prevEnd
+            if (gap >= GapCols + SpaceAdvance)
+              sb.append(" " * ((gap - GapCols) / SpaceAdvance))
+            val width = end - x
+            val rows = (0 until GlyphH).map { r =>
+              (x until end).map(c =>
+                if ((px((y0 + r) * w + c) & 0xFF) < 128) '#' else '.').mkString
+            }
+            lookup.get((width, rows)) match {
+              case Some(c) => sb.append(c)
+              case None => sb.append('?'); nBad += 1
+            }
+            prevEnd = end
+            x = end
+          } else x += 1
+        }
+        sb.toString
+      }
+      (out.mkString("\n"), nBad)
+    }
+
+    /** Scanner-grade proportional decode (scale s >= 2) — RUN-BRIDGING
+      * makes segmentation survive salt-and-pepper damage:
+      *
+      *  1. a device column counts as ink only with >= 2 dark pixels in
+      *     the line band — a true glyph column carries >= s (>= 2), an
+      *     isolated pepper speck exactly 1;
+      *  2. runs narrower than s device columns are DISCARDED as specks
+      *     (the narrowest glyph spans s columns, and dropout cannot
+      *     erase a full device column of a 1-logical-column glyph —
+      *     those columns are ink-dense); a discarded edge fragment is
+      *     recovered by the matcher's offset window, not lost;
+      *  3. surviving runs separated by gaps NARROWER than GapCols·s are
+      *     BRIDGED into one run — x-jitter is per line, so a legitimate
+      *     inter-glyph gap is never narrower than GapCols·s; any
+      *     sub-glyph gap is dropout damage inside one glyph.
+      *
+      * Each bridged run is then matched at DEVICE resolution (the grid
+      * path's device-Hamming doctrine): trimmed templates whose scaled
+      * width is within s+1 of the run's, swept over a +-2-column /
+      * 3-row offset window (renderer jitter plus one discarded edge
+      * fragment), nearest by Hamming cost, '?' past the shared
+      * MaxCellDist·s² threshold. Segmentation and matching are
+      * decoupled: a column the segmenter lost to dropout still has its
+      * surviving pixels counted by the matcher.
+      *
+      * SPLIT-REPAIR handles the inverse damage — a pepper speck landing
+      * in the GapCols·s inter-glyph gap welds two glyphs into one run
+      * (a 2-dark column in a 16-pixel gap column arises with p ≈ 2e-3
+      * per column at the default noise density; a 500-glyph page is
+      * near-certain to carry one). A run that matches NO template is
+      * re-segmented at its weakest interior columns (fewest dark
+      * pixels — the phantom speck and the eaten blank gap rank first)
+      * and both halves matched recursively; the repair accepts only a
+      * fully-clean split, so it can never turn one honest '?' into two
+      * wrong glyphs. */
+    private def decodePropNoisy(px: Array[Int], w: Int, h: Int, s: Int,
+                                font: String): (String, Int) = {
+      val templates = trimmedByFont(font)
+      val bandH = CellH * s
+      var nBad = 0
+      def darkAt(x: Int, y: Int): Boolean =
+        x >= 0 && x < w && y >= 0 && y < h && (px(y * w + x) & 0xFF) < 128
+      val out = (0 until h / bandH).map { li =>
+        val y0 = li * bandH
+        val darkCnt = (0 until w).map { x =>
+          var cnt = 0
+          var r = 0
+          while (r < bandH) {
+            if ((px((y0 + r) * w + x) & 0xFF) < 128) cnt += 1
+            r += 1
+          }
+          cnt
+        }
+        def inkCol(x: Int): Boolean = darkCnt(x) >= 2
+        // raw runs -> drop specks -> bridge sub-glyph gaps
+        val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var x = 0
+        while (x < w) {
+          if (inkCol(x)) {
+            var e = x
+            while (e < w && inkCol(e)) e += 1
+            raw += ((x, e)); x = e
+          } else x += 1
+        }
+        // Bridge when the gap is sub-glyph (< GapCols·s) — pure dropout
+        // damage, a legitimate gap is never narrower. A gap of EXACTLY
+        // GapCols·s is ambiguous: usually a real inter-glyph gap, but a
+        // double-dropout on a sparse logical column (both 2-dark device
+        // columns losing a pixel) opens one mid-glyph. Two signals
+        // separate them, both required to bridge:
+        //   - RESIDUAL INK: dropout leaves survivors in the gap; a real
+        //     gap is blank (pepper fakes this ~12% of junctions alone);
+        //   - MERGED EXTENT still glyph-sized (<= GlyphW·s + s + 1): a
+        //     split glyph rejoins to one glyph's width; two real glyphs
+        //     merged span ~2 glyphs and can never match — the narrowest
+        //     real pair the atlas admits ('i'+'l') already exceeds the
+        //     bound, so word-salad text cannot false-bridge.
+        // BRIDGE FIRST, filter specks AFTER: a dropout-isolated glyph
+        // fragment is often narrower than s itself (a 1-column survivor
+        // chain like 2,12,4,[1],2,[1],2 on a sparse 't' tail) — filtering
+        // it before bridging would discard the very evidence bridging
+        // needs. An isolated pepper speck is >= s away from any run, so
+        // it never bridges and the post-filter still removes it.
+        val bridged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        raw.foreach { case (a, b) =>
+          // Two bridge rules, both capped to a GLYPH-SIZED merged
+          // extent (a dropout-split glyph rejoins to one glyph's width;
+          // two real glyphs merged exceed the cap for every fixture
+          // pair wider than punctuation):
+          //  - gap < GapCols*s: ALWAYS bridge — a sub-glyph gap is
+          //    never legitimate, even with zero residual ink (a
+          //    both-pixels-killed column leaves one);
+          //  - gap == GapCols*s: bridge only when EVERY gap column
+          //    carries residual ink (dropout kills 2-dark columns one
+          //    pixel at a time; a real inter-glyph gap is blank), so
+          //    legitimate gaps never merge and fragment chains cannot
+          //    eat a neighbor's gap.
+          // Residual false-positives (pepper in both gap columns,
+          // ~(16q)^2 per junction) merge falsely but harmlessly: the
+          // merged run matches no template and split-repair re-opens it
+          // at the true blank gap, and the MATCHED extent — not the
+          // damaged run edge — feeds the gap arithmetic either way.
+          val doBridge = bridged.nonEmpty && {
+            val pe = bridged.last._2
+            val gap = a - pe
+            b - bridged.last._1 <= GlyphW * s + s + 1 &&
+              (gap < GapCols * s ||
+                (gap == GapCols * s && (pe until a).forall(darkCnt(_) >= 1)))
+          }
+          if (doBridge) {
+            val (pa, _) = bridged.remove(bridged.length - 1)
+            bridged += ((pa, b))
+          } else bridged += ((a, b))
+        }
+        val runs = bridged.filter { case (a, b) => b - a >= s }
+        // Nearest template for one run; Int.MaxValue if none in the
+        // width band. The comparison spans the UNION of the run's
+        // extent and the template's box over the FULL line band — the
+        // grid path's doctrine: ink a wrong reading ignores must still
+        // count against it. A template-box-only window lets a narrow
+        // template hide from a wide glyph's flanks ('c' jittered +1 row
+        // once read as '-': its top arc filled the dash box exactly and
+        // its left column + bottom arc fell outside the window).
+        // (char, cost, matched device x0, matched device width): the
+        // matched POSITION feeds the gap arithmetic — run edges wobble
+        // under pepper clusters and dropout, but the Hamming argmin
+        // anchors to the true glyph pixels.
+        def matchOnce(a: Int, b: Int): (Char, Int, Int, Int) = {
+          var bestC = '?'
+          var bestD = Int.MaxValue
+          var bestX = a
+          var bestW = b - a
+          templates.foreach { t =>
+            if (math.abs(t.width * s - (b - a)) <= s + 1) {
+              var oy = y0
+              while (oy <= y0 + 2 && bestD > 0) {
+                var ox = a - 2
+                while (ox <= a + 2 && bestD > 0) {
+                  val xlo = math.min(a, ox)
+                  val xhi = math.max(b, ox + t.width * s)
+                  var d = 0
+                  var y = y0
+                  while (y < y0 + bandH && d < bestD) {
+                    val tr = y - oy
+                    var x = xlo
+                    while (x < xhi && d < bestD) {
+                      val tc = x - ox
+                      val ink = tr >= 0 && tr < GlyphH * s &&
+                        tc >= 0 && tc < t.width * s &&
+                        t.rows(tr / s)(tc / s) == '#'
+                      if (ink != darkAt(x, y)) d += 1
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  if (d < bestD) {
+                    bestD = d; bestC = t.c; bestX = ox; bestW = t.width * s
+                  }
+                  ox += 1
+                }
+                oy += 1
+              }
+            }
+          }
+          (bestC, bestD, bestX, bestW)
+        }
+        val thr = MaxCellDist * s * s
+        // Decode a run, split-repairing phantom merges; returns the
+        // text, the '?' count, and the MATCHED extent (first glyph's
+        // aligned x0, last glyph's aligned end — the run extent is the
+        // fallback for '?'). A successful repair requires BOTH halves
+        // clean (recursively), so it never degrades the honest reading.
+        def decodeRun(a: Int, b: Int, depth: Int): (String, Int, Int, Int) = {
+          val (c, d, mx, mw) = matchOnce(a, b)
+          if (d <= thr) (c.toString, 0, mx, mx + mw)
+          else if (depth > 0 && b - a >= 2 * s + 1) {
+            val weak = (a + s until b - s)
+              .filter(xs => darkCnt(xs) <= 2)
+              .sortBy(xs => (darkCnt(xs), xs))
+              .take(6)
+            weak.iterator.flatMap { xs =>
+              val l = decodeRun(a, xs, depth - 1)
+              if (l._2 > 0) None
+              else {
+                val r2 = decodeRun(xs + 1, b, depth - 1)
+                if (r2._2 > 0) None
+                else Some((l._1 + r2._1, 0, l._3, r2._4))
+              }
+            }.nextOption() match {
+              case Some(t) => t
+              case None => ("?", 1, a, b)
+            }
+          } else ("?", 1, a, b)
+        }
+        val sb = new StringBuilder
+        var prevEnd = 1 // device x of logical column 0 (canvas inset)
+        runs.foreach { case (a, b) =>
+          val (txt, bad, mStart, mEnd) = decodeRun(a, b, depth = 3)
+          val gap = math.round((mStart - prevEnd).toDouble / s).toInt
+          if (gap >= GapCols + SpaceAdvance)
+            sb.append(" " * ((gap - GapCols) / SpaceAdvance))
+          sb.append(txt)
+          nBad += bad
+          prevEnd = mEnd
+        }
+        sb.toString
+      }
+      (out.mkString("\n"), nBad)
     }
 
     def parse(bytes: Array[Byte]): String = {
@@ -697,30 +987,38 @@ object GlyphOcr {
       // which match the '?' TEMPLATE cheaply, never the threshold
       if (direct.nBad == 0) direct.text
       else {
-        // misfeed candidate: estimate the rotation (±3°, 0.1°
-        // projection-profile ladder), then refine by minimizing the
-        // ACTUAL decode cost on a 0.025° ladder around it — the coarse
-        // ladder's ±0.05° residual displaces page-edge cells (|x−cx| of
-        // hundreds of device px) past the offset search. Each candidate
-        // decode is a few ms, and the pass only runs on pages that
-        // already read badly. radius-2 offset search: a deskewed page
-        // carries ±1 device px of nearest-neighbor resampling
-        // displacement per cell on top of the renderer's ±1 jitter.
-        val coarse = estimateSkew(px, w, h, maxDeg = 3.0, stepDeg = 0.1)
-        val deskewed = (-4 to 4).map { k =>
-          val a = coarse + math.toRadians(k * 0.025)
-          bestReading(derotate(px, w, h, a), radius = 2)
-        }.minBy(r => (r.nBad, r.normCost))
-        // keep whichever reading explains the page better (a genuinely-
-        // noisy-but-straight page keeps its direct reading)
-        val better = deskewed.nBad < direct.nBad ||
-          (deskewed.nBad == direct.nBad && deskewed.normCost < direct.normCost)
-        val grid = if (better) deskewed else direct
-        if (grid.nBad == 0) grid.text
+        // an on-grid-landing PROPORTIONAL page is read here FIRST: a
+        // noisy proportional render's height is always on the line grid
+        // and its width lands on the cell grid for ~1 page in 6, and the
+        // segmentation decode is cheap next to the deskew ladder below —
+        // a clean proportional reading short-circuits the misfeed
+        // machinery entirely
+        val prop = scala.util.Try(parseProportionalCounted(bytes)).toOption
+        if (prop.exists(_._2 == 0)) prop.get._1
         else {
-          // still unreadable as a grid: a proportional-pitch page whose
-          // width happens to land on the cell grid decodes here instead
-          scala.util.Try(parseProportionalCounted(bytes)).toOption match {
+          // misfeed candidate: estimate the rotation (±3°, 0.1°
+          // projection-profile ladder), then refine by minimizing the
+          // ACTUAL decode cost on a 0.025° ladder around it — the coarse
+          // ladder's ±0.05° residual displaces page-edge cells (|x−cx| of
+          // hundreds of device px) past the offset search. Each candidate
+          // decode is a few ms, and the pass only runs on pages that
+          // already read badly. radius-2 offset search: a deskewed page
+          // carries ±1 device px of nearest-neighbor resampling
+          // displacement per cell on top of the renderer's ±1 jitter.
+          val coarse = estimateSkew(px, w, h, maxDeg = 3.0, stepDeg = 0.1)
+          val deskewed = (-4 to 4).map { k =>
+            val a = coarse + math.toRadians(k * 0.025)
+            bestReading(derotate(px, w, h, a), radius = 2)
+          }.minBy(r => (r.nBad, r.normCost))
+          // keep whichever reading explains the page better (a genuinely-
+          // noisy-but-straight page keeps its direct reading)
+          val better = deskewed.nBad < direct.nBad ||
+            (deskewed.nBad == direct.nBad && deskewed.normCost < direct.normCost)
+          val grid = if (better) deskewed else direct
+          if (grid.nBad == 0) grid.text
+          else prop match {
+            // still unreadable as a grid: an imperfect proportional
+            // reading wins only if it explains the page better
             case Some((text, nBad)) if nBad < grid.nBad => text
             case _ => grid.text
           }

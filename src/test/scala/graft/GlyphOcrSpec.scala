@@ -219,4 +219,58 @@ class GlyphOcrSpec extends AnyFunSuite {
     assert(GlyphOcr.Parser.parseProportional(
       GlyphOcr.renderProportional("café page")) == "caf? page")
   }
+
+  test("noisy proportional: 2x scale + jitter + salt-and-pepper decodes exactly (run-bridging)") {
+    val text = "The Quick Brown Fox jumps over 0123456789 (all, of-it)? yes!"
+    for (seed <- Seq(7L, 42L, 1234L))
+      assert(GlyphOcr.Parser.parseProportional(
+        GlyphOcr.renderProportionalNoisy(text, seed = seed)) == text,
+        s"seed $seed")
+  }
+
+  test("noisy proportional: 3x scale, multi-line with spaces and indent") {
+    val text = "a  b   c\n  indented line\nplain"
+    assert(GlyphOcr.Parser.parseProportional(
+      GlyphOcr.renderProportionalNoisy(text, seed = 99L, scale = 3)) == text)
+  }
+
+  test("noisy proportional: bold family classifies per page under noise") {
+    val text = "Bold proportional 42"
+    assert(GlyphOcr.Parser.parseProportional(
+      GlyphOcr.renderProportionalNoisy(text, seed = 5L,
+        font = GlyphOcr.FontBold)) == text)
+  }
+
+  test("run-bridging: a crafted dropout column inside a glyph does not split it") {
+    val text = "mn wide here"
+    val clean = GlyphOcr.renderProportionalNoisy(text, seed = 3L, scale = 2,
+      saltPepperPerMille = 0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(clean))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    // find an interior device column of the first wide run and whiten it
+    // ENTIRELY: the segmenter must see a sub-glyph gap and bridge it
+    def colDarks(x: Int) = (0 until h).count(y => (px(y * w + x) & 0xFF) < 128)
+    val runStart = (0 until w).find(colDarks(_) > 0).get
+    val runEnd = (runStart until w).find(colDarks(_) == 0).get
+    assert(runEnd - runStart >= 4, "need a wide first glyph for the test")
+    val victim = runStart + (runEnd - runStart) / 2
+    for (y <- 0 until h) px(y * w + victim) = 0xFFFFFF
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    // the whitened column splits the ink run; bridging rejoins it and the
+    // matcher absorbs the missing pixels within the Hamming threshold
+    assert(GlyphOcr.Parser.parseProportional(bos.toByteArray) == text)
+  }
+
+  test("noisy proportional render is bit-deterministic for a fixed seed") {
+    val a = GlyphOcr.renderProportionalNoisy("determinism", seed = 11L)
+    val b = GlyphOcr.renderProportionalNoisy("determinism", seed = 11L)
+    assert(java.util.Arrays.equals(a, b))
+    val c = GlyphOcr.renderProportionalNoisy("determinism", seed = 12L)
+    assert(!java.util.Arrays.equals(a, c))
+  }
 }
