@@ -191,6 +191,7 @@ object ScaleProbe {
       spark.range(0, h)
         .select(xxhash64(col("id")).as("fp"), col("id").as("doc_id"))
         .withColumn("bucket", StreamOps.fpBucket(col("fp")))
+        .sortWithinPartitions(col("bucket"), col("fp")) // the shipped layout
         .write.mode("overwrite").partitionBy("bucket").parquet(dir)
       dir
     }
@@ -201,8 +202,12 @@ object ScaleProbe {
       .localCheckpoint(true)
     val touched = batch.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    val batchFps = batch.select(col("fp")).collect().map(_.getLong(0)).toSeq.sorted
     def antiPruned(store: String): DataFrame =
       batch.join(StreamOps.prunedSeenFps(spark, store, touched),
+        col("fp") === col("seen_fp"), "left_anti")
+    def antiPushdown(store: String): DataFrame =
+      batch.join(StreamOps.prunedSeenFps(spark, store, touched, Some(batchFps)),
         col("fp") === col("seen_fp"), "left_anti")
     def antiFull(store: String): DataFrame =
       batch.join(spark.read.parquet(store).select(col("fp").as("seen_fp")),
@@ -211,8 +216,10 @@ object ScaleProbe {
     val sN = buildFpStore(h1 * copies)
     println(s"\n| fp-store per-batch ingest (8-doc batch, ${touched.size} buckets touched) | history $h1 | history ${h1 * copies} | growth |")
     println("|---|---|---|---|")
-    for ((label, mk) <- Seq("pruned anti-join (shipped)" -> antiPruned _,
-                            "full-store anti-join (round-7 layout)" -> antiFull _)) {
+    for ((label, mk) <- Seq(
+           "pruned + fp-pushdown (shipped small-batch path)" -> antiPushdown _,
+           "pruned anti-join (shipped large-batch path)" -> antiPruned _,
+           "full-store anti-join (round-7 layout)" -> antiFull _)) {
       time(mk(s1)) // warm the shape (codegen/listing) before measuring
       val t1 = math.min(time(mk(s1)), time(mk(s1)))
       val tN = math.min(time(mk(sN)), time(mk(sN)))

@@ -184,6 +184,10 @@ object SparkEntry {
     // streaming-maintained MinHash signature store, LSH keep at serve
     "stream_neardup_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamNearDupStoreQuery(s, d)),
+    // persistent streaming Count-Min store: per-batch partials appended,
+    // zip-added at serve — stream sketch == batch sketch bit-for-bit
+    "stream_cms_counts" -> ((s, d) =>
+      graft.streaming.StreamOps.streamCmsCountsQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -381,6 +385,9 @@ object SparkEntry {
       graft.streaming.StreamOps.streamExactDedupStoreOracleSql,
     "stream_neardup_store" ->
       graft.streaming.StreamOps.streamNearDupStoreOracleSql,
+    // the streamed sketch merges to the batch sketch exactly, so the
+    // batch CMS oracle is the stream twin's oracle too
+    "stream_cms_counts" -> Sketches.eventsCmsCountsSql(),
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

@@ -835,17 +835,37 @@ object StreamOps {
   private[graft] def fpBucket(fp: Column): Column =
     pmod(fp, lit(DedupStoreBuckets.toLong)).cast("int")
 
+  /** Point-lookup threshold: a batch with at most this many distinct
+    * fingerprints ALSO pushes its fp set into the seen-side scan (an
+    * `In` filter on the store's sort key), so parquet row-group
+    * statistics skip within the touched buckets — per-batch cost then
+    * decouples from bucket CONTENT size too, not just from untouched
+    * history. The collect behind it is bounded by this constant
+    * (model-state-sized, like the IVF codebook); batches above it keep
+    * the pure pruned join. */
+  private[graft] val FpPushdownLimit = 10000L
+
   /** The seen-side of the per-micro-batch anti-join, PRUNED to the
     * buckets the arriving batch touches: `bucket` is the store's
     * partition column, so the static isin filter prunes directory
     * listings before any bytes are read — per-batch cost tracks the
     * batch's bucket fan-out, not the store's total history (the same
-    * probe-pruning shape as [[graft.operators.Similarity.serveLshTopKFromStore]]). */
+    * probe-pruning shape as [[graft.operators.Similarity.serveLshTopKFromStore]]).
+    * `fps` (small batches only, [[FpPushdownLimit]]) additionally lands
+    * in PushedFilters: the store is written fp-sorted within each
+    * bucket, so row-group min/max stats turn the anti-join's seen side
+    * into a point lookup. */
   private[graft] def prunedSeenFps(spark: SparkSession, storeDir: String,
-                                   buckets: Seq[Int]): DataFrame =
-    spark.read.parquet(storeDir)
+                                   buckets: Seq[Int],
+                                   fps: Option[Seq[Long]] = None): DataFrame = {
+    val pruned = spark.read.parquet(storeDir)
       .where(col("bucket").isin(buckets: _*))
-      .select(col("fp").as("seen_fp"))
+    val scoped = fps match {
+      case Some(f) => pruned.where(col("fp").isin(f: _*))
+      case None => pruned
+    }
+    scoped.select(col("fp").as("seen_fp"))
+  }
 
   /** STORE-BACKED streaming exact dedup — UNBOUNDED-HISTORY ingest
     * dedup: each micro-batch collapses its own duplicates (min doc_id
@@ -884,12 +904,28 @@ object StreamOps {
           try {
             val touched = batchMin.select(col("bucket")).distinct()
               .collect().map(_.getInt(0)).toSeq.sorted
+            // small batches push their fp set into the scan: with the
+            // store fp-sorted per bucket, row-group stats skip — the
+            // seen side becomes a point lookup (collect bounded by
+            // FpPushdownLimit, documented O(model) state)
+            val fps =
+              if (batchMin.count() <= FpPushdownLimit)
+                Some(batchMin.select(col("fp")).collect().map(_.getLong(0)).toSeq.sorted)
+              else None
             val fresh =
               if (new java.io.File(storeDir).listFiles() == null ||
                   new java.io.File(storeDir).list().isEmpty) batchMin
-              else batchMin.join(prunedSeenFps(sp, storeDir, touched),
+              else batchMin.join(prunedSeenFps(sp, storeDir, touched, fps),
                 col("fp") === col("seen_fp"), "left_anti")
+            // clustered by bucket (ONE file per touched bucket per
+            // batch — an unclustered append writes every task's sliver
+            // into every bucket, and the file count, not the row count,
+            // dominates serve cost) and fp-sorted within each file so
+            // row-group min/max stats are tight for the point-lookup
+            // serve path
             fresh.select(col("fp"), col("doc_id"), col("bucket"))
+              .repartition(col("bucket"))
+              .sortWithinPartitions(col("bucket"), col("fp"))
               .write.mode("append").partitionBy("bucket").parquet(storeDir)
           } finally batchMin.unpersist()
         }
@@ -949,6 +985,7 @@ object StreamOps {
             else sigs.join(storeDocIds(sp, storeDir),
               col("doc_id") === col("seen_id"), "left_anti")
           graft.operators.Dedup.bandedRows(fresh, k = 8, r = 2)
+            .repartition(col("band")) // one file per band per batch
             .write.mode("append").partitionBy("band").parquet(storeDir)
         }
         .start()
@@ -970,4 +1007,63 @@ object StreamOps {
       .select(col("doc_id").as("seen_id"))
 
   def streamNearDupStoreOracleSql: String = graft.operators.Dedup.lshDedupKeepSql()
+
+  private val cmsStores = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** PERSISTENT STREAMING SKETCH STORE — unbounded-ingest heavy-hitter
+    * counting with O(1)-per-batch state: each micro-batch folds its
+    * events into per-type Count-Min matrices (the same map-side-combined
+    * [[graft.plans.CmsAgg]] the batch query uses) and APPENDS the
+    * (event_type, batch_id, cms) partial to a persistent store. Serving
+    * keeps ONE row per (type, batch) — a replayed epoch's re-appended
+    * partial deduplicates away, the idempotence-not-transactions posture
+    * of the content-addressed K1 upload — then zip-adds the partials per
+    * type with exact integer sums. CMS merge is elementwise addition, so
+    * the streamed sketch equals the batch sketch BIT-FOR-BIT regardless
+    * of how ingestion was batched, and the probe contract (top-3
+    * most-active users per type, exact count alongside the estimate) is
+    * the batch query's own. Store growth is O(types × batches) rows of
+    * depth·width longs — a bounded sketch per batch, never a row per
+    * event. Oracle: the SAME SQL as `events_cms_counts`. */
+  def streamCmsCountsQuery(spark: SparkSession, dir: String,
+                           depth: Int = 4, width: Int = 8192): DataFrame = {
+    import graft.functions.NativeFunctions.cmsAgg
+    val store = cmsStores.getOrElseUpdate(dir, {
+      val storeDir = java.nio.file.Files.createTempDirectory("cms_store").toString
+      val q = eventsStream(spark, dir).writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          batch.groupBy(col("event_type"))
+            .agg(cmsAgg(col("user_id"), depth, width).as("cms"))
+            .withColumn("batch_id", lit(epochId))
+            .coalesce(1) // a handful of matrix rows per batch
+            .write.mode("append").parquet(storeDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      storeDir
+    })
+    val parts = spark.read.parquet(store)
+      .groupBy(col("event_type"), col("batch_id"))
+      .agg(first(col("cms")).as("cms"))
+    val merged = parts
+      .select(col("event_type"), posexplode(col("cms")).as(Seq("pos", "v")))
+      .groupBy(col("event_type"), col("pos"))
+      .agg(sum(col("v")).as("sv"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), s -> s.sv)")
+        .as("cms"))
+    val ev = graft.Tables.loadWide(spark, dir, "events")
+    val exact = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+    val probes = exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    probes.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("user_id"), col("n_exact"),
+        graft.operators.Sketches.cmsEstimate(col("cms"), col("user_id"),
+          depth, width).as("n_cms"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
 }

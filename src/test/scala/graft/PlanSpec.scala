@@ -205,6 +205,24 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() == expected)
   }
 
+  test("dedup fingerprint store: small-batch fp set lands in PushedFilters (row-group point lookup)") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("planspec_fpstore2").toString
+    spark.range(0, 1000)
+      .select(col("id").as("fp"), col("id").as("doc_id"),
+        graft.streaming.StreamOps.fpBucket(col("id")).as("bucket"))
+      .sortWithinPartitions(col("bucket"), col("fp"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(store)
+    val pruned = graft.streaming.StreamOps.prunedSeenFps(spark, store,
+      Seq(3, 17), Some(Seq(3L, 17L, 67L)))
+    val p = plan(pruned)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    // the fp In-filter must reach the parquet scan so row-group min/max
+    // stats skip inside the touched buckets — not evaluate post-scan
+    assert(pushed.contains("fp"), pushed)
+    assert(pruned.count() == 3)
+  }
+
   test("neardup signature store: replay-membership read prunes to the band=0 partition") {
     import org.apache.spark.sql.functions._
     val store = java.nio.file.Files.createTempDirectory("planspec_sigstore").toString

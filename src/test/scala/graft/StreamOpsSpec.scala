@@ -552,4 +552,14 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().map(key).toSeq
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming CMS store: zip-added per-batch partials equal the batch sketch bit-for-bit") {
+    val streamed = StreamOps.streamCmsCountsQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Sketches.eventsCmsCounts(spark, TestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // CMS contract survives the store roundtrip: estimate never undercounts
+    streamed.foreach { case (_, _, nExact, nCms) => assert(nCms >= nExact) }
+  }
 }
