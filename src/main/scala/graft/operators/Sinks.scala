@@ -381,13 +381,14 @@ object Sinks {
     * partitions that exist (a deployment would further restrict to
     * recently-appended ones). */
   def compactPartitioned(spark: SparkSession, dir: String,
-                         targetBytes: Long = 128L << 20): Long = {
+                         targetBytes: Long = 128L << 20,
+                         sortCols: Seq[String] = Nil): Long = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(p: org.apache.hadoop.fs.Path): Long = {
       val parts = fs.listStatus(p).filter(st =>
         st.isDirectory && st.getPath.getName.contains("="))
-      if (parts.isEmpty) compactFlat(spark, fs, p, targetBytes)
+      if (parts.isEmpty) compactFlat(spark, fs, p, targetBytes, sortCols)
       else parts.map(st => walk(st.getPath)).sum
     }
     walk(root)
@@ -396,7 +397,8 @@ object Sinks {
   private def compactFlat(spark: SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem,
                           path: org.apache.hadoop.fs.Path,
-                          targetBytes: Long): Long = {
+                          targetBytes: Long,
+                          sortCols: Seq[String] = Nil): Long = {
     val dir = path.toString
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
@@ -405,9 +407,16 @@ object Sinks {
     // directory about to be deleted
     val tmp = new org.apache.hadoop.fs.Path(
       path.getParent, path.getName + "._compact_tmp")
-    spark.read.parquet(dir)
-      .coalesce(nFiles.toInt)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val coalesced = spark.read.parquet(dir).coalesce(nFiles.toInt)
+    // sortCols re-establishes a skipping layout during the rewrite: a
+    // store whose reads push key filters (the fp dedup store's
+    // point-lookup path) loses row-group min/max discrimination as
+    // unsorted per-batch appends accrete; compacting WITH the sort key
+    // restores it in the same pass the file-count fix already pays for
+    val rewritten =
+      if (sortCols.isEmpty) coalesced
+      else coalesced.sortWithinPartitions(sortCols.map(col): _*)
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
     // swap via aside-rename so a valid directory exists at every step:
     // dir -> dir._old, tmp -> dir, delete dir._old. A crash after the
     // first rename leaves the complete rewrite in ._compact_tmp and the

@@ -701,11 +701,37 @@ object GlyphOcr {
         throw new IllegalArgumentException(
           s"image height $h is not on the $CellH-row line grid")
       val px = img.getRGB(0, 0, w, h, null, 0, w)
-      // scales ascending, fonts in order: a clean 1x render exact-matches
-      // at nBad 0 and short-circuits; a scanner-grade (2-4x) render reads
-      // garbage at the wrong scale and cleanly at its own
+      // Candidate (scale, font) pairs: scales ascending, fonts in
+      // order. A full wrong-candidate decode is the dominant cost of a
+      // multi-font corpus (a bold page paid a complete garbage regular
+      // decode, split-repair recursion included, before its own), so a
+      // PREPASS decodes only the FIRST line band per candidate (repair
+      // off — ranking needs relative badness, not honest '?' counts)
+      // and orders the full decodes by that badness. The stable sort
+      // keeps the original order on ties, the full pass still takes
+      // the min-nBad decode and short-circuits at 0, so the winning
+      // reading is unchanged — the prepass only reorders which
+      // candidates pay a full decode before the winner is found.
+      val cands = for (s <- scales.toIndexedSeq; font <- fontOrder) yield (s, font)
+      val ranked =
+        if (cands.size <= 1) cands
+        else {
+          // running-best abort: once some candidate scores k on band 0,
+          // later candidates stop after k+1 bad runs — a garbage
+          // candidate costs a handful of matches, not a band decode
+          var bestScore = Int.MaxValue
+          val scores = cands.map { case (s, font) =>
+            val sc =
+              if (s == 1) decodePropExact(px, w, h, font, maxBands = 1)._2
+              else decodePropNoisy(px, w, h, s, font, maxBands = 1,
+                repairDepth = 0, abortAbove = bestScore)._2
+            if (sc < bestScore) bestScore = sc
+            sc
+          }
+          cands.indices.sortBy(i => (scores(i), i)).map(cands)
+        }
       var best: (String, Int) = null
-      for (s <- scales; font <- fontOrder if best == null || best._2 > 0) {
+      for ((s, font) <- ranked if best == null || best._2 > 0) {
         val r = if (s == 1) decodePropExact(px, w, h, font)
                 else decodePropNoisy(px, w, h, s, font)
         if (best == null || r._2 < best._2) best = r
@@ -717,10 +743,11 @@ object GlyphOcr {
       * contiguous ink-column run (sound because no glyph has an internal
       * all-blank column on a clean raster). */
     private def decodePropExact(px: Array[Int], w: Int, h: Int,
-                                font: String): (String, Int) = {
+                                font: String,
+                                maxBands: Int = Int.MaxValue): (String, Int) = {
       val lookup = trimmedLookup(font)
       var nBad = 0
-      val out = (0 until h / CellH).map { li =>
+      val out = (0 until math.min(h / CellH, maxBands)).map { li =>
         val y0 = li * CellH
         def colInk(x: Int): Boolean =
           (0 until GlyphH).exists(r => (px((y0 + r) * w + x) & 0xFF) < 128)
@@ -787,24 +814,72 @@ object GlyphOcr {
       * and both halves matched recursively; the repair accepts only a
       * fully-clean split, so it can never turn one honest '?' into two
       * wrong glyphs. */
-    private def decodePropNoisy(px: Array[Int], w: Int, h: Int, s: Int,
-                                font: String): (String, Int) = {
-      val templates = trimmedByFont(font)
-      val bandH = CellH * s
-      var nBad = 0
-      def darkAt(x: Int, y: Int): Boolean =
-        x >= 0 && x < w && y >= 0 && y < h && (px(y * w + x) & 0xFF) < 128
-      val out = (0 until h / bandH).map { li =>
-        val y0 = li * bandH
-        val darkCnt = (0 until w).map { x =>
-          var cnt = 0
+    /** Device-resolution bit-packed template rows for one font at one
+      * scale — computed once per (font, scale) and cached. Each row is
+      * one Long (wDev <= GlyphW*4 = 20 bits), so the matcher compares a
+      * whole row per XOR+popcount; the naive per-pixel
+      * `rows(r/s)(c/s)` (two divisions + a string index per pixel) was
+      * the dominant cost of a proportional corpus decode. */
+    private final case class PropTemplate(c: Char, wDev: Int,
+                                          rowBits: Array[Long])
+    private val propTemplateCache =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[PropTemplate]]()
+    private def propTemplates(font: String, s: Int): Array[PropTemplate] =
+      propTemplateCache.computeIfAbsent((font, s), { case (f, sc) =>
+        trimmedByFont(f).map { t =>
+          val wDev = t.width * sc // <= GlyphW*4 = 20 bits, one Long per row
+          val rowBits = new Array[Long](GlyphH * sc)
           var r = 0
-          while (r < bandH) {
-            if ((px((y0 + r) * w + x) & 0xFF) < 128) cnt += 1
+          while (r < GlyphH * sc) {
+            var bits = 0L
+            var c = 0
+            while (c < wDev) {
+              if (t.rows(r / sc)(c / sc) == '#') bits |= 1L << c
+              c += 1
+            }
+            rowBits(r) = bits
             r += 1
           }
-          cnt
+          PropTemplate(t.c, wDev, rowBits)
+        }.toArray
+      })
+
+    private def decodePropNoisy(px: Array[Int], w: Int, h: Int, s: Int,
+                                font: String,
+                                maxBands: Int = Int.MaxValue,
+                                repairDepth: Int = 3,
+                                abortAbove: Int = Int.MaxValue): (String, Int) = {
+      val templates = propTemplates(font, s)
+      val bandH = CellH * s
+      var nBad = 0
+      val out = (0 until math.min(h / bandH, maxBands)).map { li =>
+        val y0 = li * bandH
+        // one pass over the band: per-column dark counts AND a packed
+        // darkness bitmap for the matcher. Rows are bit-packed into
+        // longs (bit j = device column j-2: a 2-bit left pad absorbs
+        // the matcher's ox = a-2 window without sign checks) plus one
+        // guard word so any two-word window fetch stays in bounds —
+        // the Hamming inner loop then costs one XOR+popcount per ROW
+        // instead of one branch per PIXEL.
+        val wpr = ((w + 4 + 63) >>> 6) + 1 // words per packed row
+        val packed = new Array[Long](bandH * wpr)
+        val darkCntArr = new Array[Int](w)
+        locally {
+          var r = 0
+          while (r < bandH) {
+            var x = 0
+            while (x < w) {
+              if ((px((y0 + r) * w + x) & 0xFF) < 128) {
+                val bit = x + 2
+                packed(r * wpr + (bit >>> 6)) |= 1L << (bit & 63)
+                darkCntArr(x) += 1
+              }
+              x += 1
+            }
+            r += 1
+          }
         }
+        def darkCnt(x: Int): Int = darkCntArr(x)
         def inkCol(x: Int): Boolean = darkCnt(x) >= 2
         // raw runs -> drop specks -> bridge sub-glyph gaps
         val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -884,37 +959,46 @@ object GlyphOcr {
           var bestD = Int.MaxValue
           var bestX = a
           var bestW = b - a
-          templates.foreach { t =>
-            if (math.abs(t.width * s - (b - a)) <= s + 1) {
+          var ti = 0
+          while (ti < templates.length) {
+            val t = templates(ti)
+            if (math.abs(t.wDev - (b - a)) <= s + 1) {
               var oy = y0
               while (oy <= y0 + 2 && bestD > 0) {
                 var ox = a - 2
                 while (ox <= a + 2 && bestD > 0) {
                   val xlo = math.min(a, ox)
-                  val xhi = math.max(b, ox + t.width * s)
+                  val xhi = math.max(b, ox + t.wDev)
+                  // window width <= wDev + s + 5 <= 30 bits — one Long
+                  val winMask = (1L << (xhi - xlo)) - 1
+                  val shift = ox - xlo // >= 0 by construction
+                  val bit = xlo + 2 // left pad makes this >= 0
+                  val wi = bit >>> 6
+                  val off = bit & 63
                   var d = 0
                   var y = y0
                   while (y < y0 + bandH && d < bestD) {
                     val tr = y - oy
-                    var x = xlo
-                    while (x < xhi && d < bestD) {
-                      val tc = x - ox
-                      val ink = tr >= 0 && tr < GlyphH * s &&
-                        tc >= 0 && tc < t.width * s &&
-                        t.rows(tr / s)(tc / s) == '#'
-                      if (ink != darkAt(x, y)) d += 1
-                      x += 1
-                    }
+                    val tmpl =
+                      if (tr >= 0 && tr < GlyphH * s) t.rowBits(tr) << shift
+                      else 0L
+                    val base = (y - y0) * wpr + wi
+                    val band =
+                      if (off == 0) packed(base)
+                      else (packed(base) >>> off) |
+                        (packed(base + 1) << (64 - off))
+                    d += java.lang.Long.bitCount((tmpl ^ band) & winMask)
                     y += 1
                   }
                   if (d < bestD) {
-                    bestD = d; bestC = t.c; bestX = ox; bestW = t.width * s
+                    bestD = d; bestC = t.c; bestX = ox; bestW = t.wDev
                   }
                   ox += 1
                 }
                 oy += 1
               }
             }
+            ti += 1
           }
           (bestC, bestD, bestX, bestW)
         }
@@ -949,13 +1033,15 @@ object GlyphOcr {
         val sb = new StringBuilder
         var prevEnd = 1 // device x of logical column 0 (canvas inset)
         runs.foreach { case (a, b) =>
-          val (txt, bad, mStart, mEnd) = decodeRun(a, b, depth = 3)
-          val gap = math.round((mStart - prevEnd).toDouble / s).toInt
-          if (gap >= GapCols + SpaceAdvance)
-            sb.append(" " * ((gap - GapCols) / SpaceAdvance))
-          sb.append(txt)
-          nBad += bad
-          prevEnd = mEnd
+          if (nBad <= abortAbove) { // prepass bound: a loser stops early
+            val (txt, bad, mStart, mEnd) = decodeRun(a, b, depth = repairDepth)
+            val gap = math.round((mStart - prevEnd).toDouble / s).toInt
+            if (gap >= GapCols + SpaceAdvance)
+              sb.append(" " * ((gap - GapCols) / SpaceAdvance))
+            sb.append(txt)
+            nBad += bad
+            prevEnd = mEnd
+          }
         }
         sb.toString
       }

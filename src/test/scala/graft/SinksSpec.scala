@@ -397,4 +397,36 @@ class SinksSpec extends AnyFunSuite {
     assert(after.agg(sum(col("doc_id"))).collect()(0).getLong(0) ==
       docs.agg(sum(col("doc_id"))).collect()(0).getLong(0))
   }
+
+  test("sorted compaction: per-bucket files merge to one, re-sorted on the skip key") {
+    val spark = TestSession.spark
+    val store = java.nio.file.Files.createTempDirectory("sinks_sorted_compact").toString
+    // accrete UNSORTED appends across several "micro-batches"
+    for (batch <- 0 until 4) {
+      spark.range(0, 200)
+        .select((expr("id * 2654435761") % 1000000 + batch).as("fp"),
+          col("id").as("doc_id"))
+        .withColumn("bucket", pmod(col("fp"), lit(8)).cast("int"))
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(store)
+    }
+    val before = spark.read.parquet(store)
+    val beforeRows = before.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val beforeFiles = before.select(input_file_name()).distinct().count()
+    assert(beforeFiles > 8, s"expected multi-file accretion, got $beforeFiles")
+    Sinks.compactPartitioned(spark, store, sortCols = Seq("fp"))
+    val after = spark.read.parquet(store)
+    // content identical, one file per bucket, each file fp-sorted (the
+    // row-group skip key the fp store's point-lookup path pushes)
+    assert(after.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == beforeRows)
+    assert(after.select(input_file_name()).distinct().count() == 8)
+    val files = after.select(input_file_name().as("f"), col("fp")).collect()
+      .groupBy(_.getString(0)).values
+    files.foreach { rows =>
+      val fps = rows.map(_.getLong(1)).toSeq
+      assert(fps == fps.sorted, "file not fp-sorted after compaction")
+    }
+  }
 }
