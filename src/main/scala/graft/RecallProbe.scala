@@ -48,7 +48,9 @@ object RecallProbe {
         "vector_ivfpq_topk (IVFADC)" ->
           (() => resultSet(Similarity.ivfPqTopK(spark, sfDir, k = k, nQueries = nQ))),
         "vector_ivfpq_rerank (IVFADC + exact rerank)" ->
-          (() => resultSet(Similarity.ivfPqRerankTopK(spark, sfDir, k = k, nQueries = nQ))))
+          (() => resultSet(Similarity.ivfPqRerankTopK(spark, sfDir, k = k, nQueries = nQ))),
+        "vector_sq8_topk (int8 codes, integer dot)" ->
+          (() => resultSet(Similarity.sq8TopK(spark, sfDir, k = k, nQueries = nQ))))
       println(s"| index | recall@$k over $nQ queries |")
       println("|---|---|")
       probes.foreach { case (name, fn) =>

@@ -50,6 +50,7 @@ object SparkEntry {
     "multimodal_video_pixels" -> ((s, d) => Multimodal.videoPixelStatsQuery(s, d)),
     "video_keyframes" -> ((s, d) => Multimodal.videoKeyframesQuery(s, d)),
     "multimodal_pixels" -> ((s, d) => Multimodal.pixelStatsQuery(s, d)),
+    "image_neardup_dhash" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
     "multimodal_audio" -> ((s, d) => Multimodal.audioStatsQuery(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
     "doc_profile" -> ((s, d) => TextAnalytics.docProfile(s, d)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "vector_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(s, d)),
     "vector_ivfpq_topk" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "vector_ivfpq_rerank" -> ((s, d) => Similarity.ivfPqRerankTopK(s, d)),
+    "vector_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
     "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     // --- dedup family (north star) ---
     "exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -296,6 +298,7 @@ object SparkEntry {
     "multimodal_video_pixels" -> Multimodal.videoPixelStatsOracleSql,
     "video_keyframes" -> Multimodal.videoKeyframesOracleSql(),
     "multimodal_pixels" -> Multimodal.pixelStatsOracleSql(),
+    "image_neardup_dhash" -> Multimodal.imageNearDupOracleSql(),
     "multimodal_audio" -> Multimodal.audioStatsOracleSql,
     "doc_profile" -> TextAnalytics.docProfileSql,
     "doc_quality" -> TextAnalytics.docQualitySql,
@@ -343,6 +346,7 @@ object SparkEntry {
     "vector_pq_rerank" -> Similarity.pqRerankTopKSql(),
     "vector_ivfpq_topk" -> Similarity.ivfPqTopKSql(),
     "vector_ivfpq_rerank" -> Similarity.ivfPqRerankTopKSql(),
+    "vector_sq8_topk" -> Similarity.sq8TopKSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "exact_dedup" -> Dedup.exactDedupSql,
     "jaccard_pairs" -> Dedup.jaccardPairsSql(),

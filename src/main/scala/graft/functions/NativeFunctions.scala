@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{CharTrigrams, CmsAgg, CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, TopFreq, TopKByScore}
+import graft.plans.{CharTrigrams, CmsAgg, CodesCosine, CodesDot, CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, Sq8Encode, TopFreq, TopKByScore}
 
 /** Column builders for graft's native Catalyst expressions — usable on
   * any session (no FunctionRegistry dependency; the SQL names
@@ -40,4 +40,15 @@ object NativeFunctions {
     * .cmsEstimate]] (min over rows — never an under-count). */
   def cmsAgg(c: Column, depth: Int, width: Int): Column =
     Bridge.column(CmsAgg(Bridge.expression(c), depth, width).toAggregateExpression())
+  /** SQ8 codes: clamp(floor(x·64)+64, 0, 127) per dim — exact
+    * power-of-two scale, bit-reproducible cross-engine. */
+  def sq8Encode(c: Column): Column =
+    Bridge.column(Sq8Encode(Bridge.expression(c)))
+  /** Integer dot of two code arrays (SQ8 symmetric score), exact long. */
+  def codesDot(a: Column, b: Column): Column =
+    Bridge.column(CodesDot(Bridge.expression(a), Bridge.expression(b)))
+  /** Cosine over centered SQ8 codes: exact integer sums + one sqrt each
+    * side — bit-identical cross-engine. */
+  def codesCosine(a: Column, b: Column, center: Int): Column =
+    Bridge.column(CodesCosine(Bridge.expression(a), Bridge.expression(b), center))
 }

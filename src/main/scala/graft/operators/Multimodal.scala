@@ -770,4 +770,126 @@ object Multimodal {
       out
     }
   }
+
+  /** IMAGE NEAR-DUP — the dedup family's missing modality. Each image
+    * row renders to a REAL grayscale PNG ([[buildGrayPng]], `DW`×`DH`),
+    * a distributed `ImageIO.read` decodes it back, and a perceptual
+    * DIFFERENCE HASH (Krawetz dHash: compare mean intensities of
+    * horizontally-adjacent blocks of the downscaled raster) packs one
+    * bit per block pair — 8 block-columns × 7 rows = a 56-bit signature.
+    * Downscale is integer block SUMS (2×1-px blocks of equal pixel
+    * count, so comparing sums == comparing means with zero division) —
+    * no resampler fp, so DuckDB recomputes the identical hash from the
+    * source characters alone.
+    *
+    * Pairing is banded LSH over the hash, exactly the text MinHash
+    * shape (Dedup.lshPairs): 4 bands × 14 bits, candidates from band
+    * equi-joins, Hamming ≤ `maxHamming` (xor + bit_count, codegen'd)
+    * verifies. Never all-pairs.
+    *
+    * Scale posture: decode + hash is one narrow mapPartitions — the
+    * payload DIES there; only (doc_id, 8-byte hash) shuffles through
+    * the band join. At 100 TB of images the band join moves ~40
+    * bytes/image while the pixels stay at the scan; identical hashes
+    * (exact re-encodes, crops outside the sampled grid) collide at
+    * Hamming 0, near-dups within the banding bound surface without any
+    * pairwise pixel compare. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, buildGrayPng(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          DhashW, DhashH))
+      }
+      .mapPartitions { rows =>
+        rows.map { case (id, png) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val raster = img.getRaster
+          var hash = 0L
+          var r = 0
+          while (r < DhashH) {
+            var c = 0
+            while (c < DhashW / 2 - 1) {
+              val left = raster.getSample(2 * c, r, 0) + raster.getSample(2 * c + 1, r, 0)
+              val right = raster.getSample(2 * c + 2, r, 0) + raster.getSample(2 * c + 3, r, 0)
+              if (right > left) hash |= 1L << (r * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
+  /** dHash raster dims: 18×7 px → 9×7 block grid → 8×7 = 56 hash bits
+    * (bit 55 max: sign-safe long shifts on both engines). */
+  private[graft] val DhashW = 18
+  private[graft] val DhashH = 7
+  private val DhashBands = 4
+  private val DhashBandBits = 14
+
+  /** Banded-LSH near-dup pairs over [[imageDhash]] signatures. */
+  def imageNearDupPairs(spark: SparkSession, dir: String,
+                        maxHamming: Int = 6): DataFrame = {
+    val hashes = imageDhash(spark, dir)
+    val mask = (1L << DhashBandBits) - 1
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until DhashBands).map(b =>
+        shiftright(col("dhash"), b * DhashBandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
+      col("band"), col("bv"))
+    // rename the keys on the right side too: a self-join equating
+    // identically-named columns can resolve both sides to one attribute
+    // (trivially-true predicate -> near-cross-join)
+    val b = banded.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
+      col("band").as("band_b"), col("bv").as("bv_b"))
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb)").cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of [[imageNearDupPairs]]: pixel (y,x) = code of char
+    * ((y·DW + x) mod n) (the [[buildGrayPng]] contract pixelStats
+    * already round-trips), block sums and the 56-bit pack in integer
+    * arithmetic, the same 4×14 banding, xor + bit_count verify. */
+  def imageNearDupOracleSql(maxHamming: Int = 6): String = {
+    val (dw, dh, bands, bb) = (DhashW, DhashH, DhashBands, DhashBandBits)
+    def px(expr: String) = s"codes[((($expr) % n) + 1)]"
+    s"""WITH t AS (
+          SELECT doc_id, string_split(text, '') AS chs, length(text) AS n
+          FROM documents
+          WHERE doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0),
+        c AS (SELECT doc_id, n, list_transform(chs, ch -> ord(ch)) AS codes FROM t),
+        bits AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN
+                ${px(s"r*$dw + 2*c + 2")} + ${px(s"r*$dw + 2*c + 3")} >
+                ${px(s"r*$dw + 2*c")} + ${px(s"r*$dw + 2*c + 1")}
+              THEN CAST(1 AS BIGINT) << (r*8 + c) ELSE 0 END) AS BIGINT) AS dhash
+          FROM c, generate_series(0, ${dh - 1}) tr(r),
+               generate_series(0, ${dw / 2 - 2}) tc(c)
+          GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, dhash, b, (dhash >> (b*$bb)) & ${(1L << bb) - 1} AS bv
+          FROM bits, generate_series(0, ${bands - 1}) tb(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.dhash AS ha, b.dhash AS hb
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= $maxHamming"""
+  }
 }

@@ -975,6 +975,78 @@ object Similarity {
     s"""WITH ${pqCtes(nQueries, nCells, m, dim)}
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
 
+  /** SQ8 scalar-quantized top-k — the remaining member of the
+    * quantization family (LSH buckets / IVF cells / PQ codes /
+    * [[graft.plans.Sq8Encode]] int8-per-dim codes): each vector is
+    * encoded once to one [0,127] code per dimension (4× smaller than
+    * float32, and far gentler than PQ's m-codes-per-vector — recall
+    * stays near-exact because quantization error is per-DIMENSION, not
+    * per-subspace), and query-corpus pairs are scored by the cosine of
+    * the CENTERED codes ([[graft.plans.CodesCosine]]: exact integer
+    * dot + norms of (code−64), one correctly-rounded sqrt per side).
+    * Centering matters: a raw code dot carries +64·Σcodeᵢ per corpus
+    * vector — a brightness bias that destroys the ranking (recall 0
+    * without it). The fixed power-of-two scale (floor(x·64)+64) makes
+    * codes and scores bit-identical across engines — no trained
+    * min/max affine, whose reciprocal and rounding mode are fp
+    * hazards.
+    *
+    * Scale posture: the scan side of the join carries CODES ONLY (the
+    * float embedding dies at the scan, 4× less memory bandwidth than
+    * the exact path), queries broadcast, scoring is a narrow codegen'd
+    * integer loop, and the window moves (qid, vec_id, score) triples
+    * only. Reference contract: pinecone_utils.py:94-132's top-k, served
+    * from a compressed index. Exact baseline: [[topK]]. */
+  def sq8TopK(spark: SparkSession, dir: String, k: Int = 3,
+              nQueries: Int = 10): DataFrame = {
+    import graft.functions.NativeFunctions
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"),
+      NativeFunctions.sq8Encode(col("embedding")).as("codes"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"),
+          NativeFunctions.sq8Encode(col("embedding")).as("q_codes")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    corpus.join(queries, col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        NativeFunctions.codesCosine(col("q_codes"), col("codes"), center = 64))
+      .filter(col("score").isNotNull) // NULL-score contract: see topK
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** DuckDB twin of [[sq8TopK]]: same codes (floor/least/greatest are
+    * exact integer ops), same centered integer dot + norms, same
+    * sqrt/divide combine, same (score DESC, vec_id) tiebreak. */
+  def sq8TopKSql(k: Int = 3, nQueries: Int = 10): String = {
+    val codes = "list_transform(embedding, x -> least(127, greatest(0, " +
+      "CAST(floor(CAST(x AS DOUBLE) * 64.0) AS INT) + 64)))"
+    def isum(term: String) =
+      "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, len(q_codes)), i -> $term)), " +
+        "(acc, x) -> acc + x) AS BIGINT)"
+    val dot = isum("CAST(q_codes[i] - 64 AS BIGINT) * (c.codes[i] - 64)")
+    val na = isum("CAST(q_codes[i] - 64 AS BIGINT) * (q_codes[i] - 64)")
+    val nb = isum("CAST(c.codes[i] - 64 AS BIGINT) * (c.codes[i] - 64)")
+    s"""WITH enc AS (SELECT vec_id, $codes AS codes FROM embeddings),
+        q AS (SELECT vec_id AS qid, codes AS q_codes FROM enc WHERE vec_id < $nQueries),
+        sums AS (SELECT qid, c.vec_id, $dot AS dp, $na AS na, $nb AS nb
+          FROM q CROSS JOIN enc c WHERE c.vec_id <> qid),
+        scored AS (SELECT qid, vec_id,
+            CASE WHEN na = 0 OR nb = 0 THEN NULL
+                 ELSE CAST(dp AS DOUBLE) /
+                      (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+            END AS score
+          FROM sums),
+        ranked AS (SELECT qid, vec_id, score,
+            row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+          FROM scored WHERE score IS NOT NULL)
+        SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
+  }
+
   /** PQ + EXACT RERANK: ADC ranks a candidate shortlist (`budget` per
     * query, compressed-domain scan as in [[pqTopK]]), then the shortlist
     * alone is re-scored with the exact cosine and the top-k re-ranked.

@@ -101,6 +101,19 @@ object GraftExtensions {
       (children: Seq[Expression]) =>
         CmsAgg(children(0), intLit(children(1), "cms_agg depth"),
           intLit(children(2), "cms_agg width"))),
+    (new FunctionIdentifier("sq8_encode"),
+      new ExpressionInfo(classOf[Sq8Encode].getName, null, "sq8_encode",
+        "sq8_encode(v) - SQ8 codes: clamp(floor(x*64)+64, 0, 127) per dimension of a float vector", ""),
+      (children: Seq[Expression]) => Sq8Encode(children.head)),
+    (new FunctionIdentifier("codes_cosine"),
+      new ExpressionInfo(classOf[CodesCosine].getName, null, "codes_cosine",
+        "codes_cosine(a, b, center) - cosine of two int code arrays after subtracting center", ""),
+      (children: Seq[Expression]) => CodesCosine(children(0), children(1),
+        intLit(children(2), "codes_cosine center"))),
+    (new FunctionIdentifier("codes_dot"),
+      new ExpressionInfo(classOf[CodesDot].getName, null, "codes_dot",
+        "codes_dot(a, b) - exact integer dot product of two int code arrays", ""),
+      (children: Seq[Expression]) => CodesDot(children(0), children(1))),
     (new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, null, "bloom_contains",
         "bloom_contains(bits, h, k) - membership probe against bloom_agg bits (no false negatives)", ""),

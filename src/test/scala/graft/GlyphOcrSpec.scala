@@ -131,6 +131,35 @@ class GlyphOcrSpec extends AnyFunSuite {
     }
   }
 
+  test("tall rotated page (h > 2w): deskew histogram stays in bounds and decodes") {
+    // regression: the projection histogram was sized/offset from w
+    // alone, so a many-short-lines page (h > ~2w) drove the projected
+    // row index negative and parse() threw ArrayIndexOutOfBounds on any
+    // page that triggered the deskew path
+    val text = (1 to 48).map(i => s"quick fox line $i").mkString("\n")
+    val padded = pagePad(text, cells = 3, lines = 2)
+    val bytes = GlyphOcr.renderRotated(padded, seed = 11L, angleDeg = 2.0,
+      saltPepperPerMille = 0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getHeight > 2 * img.getWidth, "fixture must be taller than 2x its width")
+    // before the fix this threw ArrayIndexOutOfBoundsException from
+    // estimateSkew; the decode itself is best-effort on this adversarial
+    // geometry (residual sub-step skew displaces the extreme rows most),
+    // so pin: parses, every line lands, and >= 90% of chars recover
+    val got = GlyphOcr.Parser.parse(bytes)
+    val want = expectPage(text, cells = 3, lines = 2)
+    val gotLines = got.split("\n", -1)
+    val wantLines = want.split("\n", -1)
+    assert(gotLines.length == wantLines.length,
+      s"line count ${gotLines.length} != ${wantLines.length}")
+    val (hits, total) = wantLines.zip(gotLines).foldLeft((0, 0)) {
+      case ((h, t), (w, g)) =>
+        (h + w.zip(g).count { case (a, b) => a == b }, t + w.length)
+    }
+    assert(total > 0 && hits.toDouble / total >= 0.9,
+      s"char accuracy ${hits.toDouble / total} below 0.9:\n$got")
+  }
+
   test("rotated page with noise: jitter + salt-and-pepper + 2° skew still decodes") {
     val text = "noise AND rotation together"
     val bytes = GlyphOcr.renderRotated(pagePad(text), seed = 17L, angleDeg = 2.0,

@@ -140,4 +140,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(keyed > 0 && keyed < later.length,
       s"threshold must discriminate: $keyed/${later.length} keyframes")
   }
+
+  test("imageDhash: PNG round-trip hash equals the hash computed from source bytes") {
+    val hashes = Multimodal.imageDhash(spark, TestSession.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.nonEmpty)
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+      .filter("doc_id % 3 = 0 AND text IS NOT NULL AND length(text) > 0")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length == hashes.size)
+    val (dw, dh) = (Multimodal.DhashW, Multimodal.DhashH)
+    docs.take(25).foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      def px(i: Int): Int = bytes(i % bytes.length) & 0xff
+      var expected = 0L
+      for (r <- 0 until dh; c <- 0 until dw / 2 - 1) {
+        val left = px(r * dw + 2 * c) + px(r * dw + 2 * c + 1)
+        val right = px(r * dw + 2 * c + 2) + px(r * dw + 2 * c + 3)
+        if (right > left) expected |= 1L << (r * 8 + c)
+      }
+      assert(hashes(id) == expected,
+        s"doc $id: decode-path hash ${hashes(id)} != byte-path $expected")
+    }
+  }
+
+  test("imageNearDupPairs: banded candidates only, Hamming verified, exact dupes collide at 0") {
+    val hashes = Multimodal.imageDhash(spark, TestSession.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Multimodal.imageNearDupPairs(spark, TestSession.sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.nonEmpty, "fixture near-dup docs should collide perceptually")
+    // EXACT equivalence with the brute-force ground truth: the banded
+    // join must return precisely the pairs that share >= 1 of the 4
+    // 14-bit bands AND sit within the Hamming bound — no false pairs,
+    // no missed candidates (the all-pairs check is fine driver-side at
+    // fixture scale; the operator itself must never do this)
+    val ids = hashes.keys.toArray.sorted
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      x = hashes(a) ^ hashes(b)
+      if (0 until 4).exists(band => ((x >> (band * 14)) & 0x3FFF) == 0)
+      if java.lang.Long.bitCount(x) <= 6
+    } yield (a, b) -> java.lang.Long.bitCount(x)).toMap
+    assert(pairs == expected,
+      s"banded pairs ${pairs.size} != brute-force ${expected.size}")
+  }
 }

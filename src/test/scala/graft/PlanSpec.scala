@@ -236,4 +236,36 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("band"), pf)
     assert(ids.count() == 100)
   }
+
+  test("sq8TopK: queries broadcast; codegen'd encode+dot; corpus vectors never shuffle") {
+    val p = plan(Similarity.sq8TopK(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // encode happens at the scans (both sides project sq8_encode before
+    // the join) and scoring is codes_cosine in the narrow projection —
+    // the float embedding never crosses the join
+    assert(p.contains("sq8_encode"), p.take(2000))
+    assert(p.contains("codes_cosine"), p.take(2000))
+    // the corpus side must reach the broadcast join without a hash
+    // exchange (only the window's (qid, vec_id, score) triples shuffle)
+    val joinAt = p.indexOf("BroadcastNestedLoopJoin") max p.indexOf("BroadcastHashJoin")
+    val corpusSide = p.substring(joinAt, p.indexOf("BroadcastExchange", joinAt))
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the join:\n$corpusSide")
+    // top-k is window-rank over triples: the partial WindowGroupLimit
+    // caps what each partition ships to k rows per qid
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("imageNearDupPairs: band equi-join (no cartesian), hashes-only shuffle") {
+    val p = plan(graft.operators.Multimodal.imageNearDupPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    // the payload (rendered PNG) dies in the hashing mapPartitions;
+    // nothing downstream of the scan references it
+    val shuffleLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(shuffleLines.forall(l => !l.contains("payload") && !l.contains("text")),
+      shuffleLines.mkString("\n"))
+  }
 }
