@@ -135,7 +135,13 @@ object ScaleProbe {
       "domain_cap" -> ((s, d) => TextAnalytics.domainCap(s, d)),
       // Bloom prefilter: growth must track the corpus span stream (the
       // probe is scan-side); the bits build is bench-side-bounded
-      "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)))
+      "bloom_decontaminate" -> ((s, d) => Dedup.bloomDecontaminate(s, d)),
+      // round-8 additions: codes-only broadcast-join scan (expect
+      // ~linear corpus growth) and the image-hash band join (pairs grow
+      // with band collisions, never all-pairs)
+      "vector_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
+      "image_neardup_dhash" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
+      "audio_neardup_minhash" -> ((s, d) => Multimodal.audioNearDupPairs(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }

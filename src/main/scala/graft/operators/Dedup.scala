@@ -314,16 +314,24 @@ object Dedup {
     * sig-store twin computes each arriving batch's signatures through
     * exactly this plan, so store-served and in-plan signatures are
     * bit-identical by construction. */
-  private[graft] def sigTableFrom(docs: DataFrame, k: Int): DataFrame = {
-    val ex = docs
+  private[graft] def sigTableFrom(docs: DataFrame, k: Int): DataFrame =
+    sigFromFps(docs
       .select(col("doc_id"), explode_outer(shingles(col("text"))).as("s"))
-      .withColumn("fp", chash(col("s")))
+      .withColumn("fp", chash(col("s"))), k)
+
+  /** The modality-generic MinHash core: k min-aggregates over a
+    * (doc_id, fp) long-fingerprint frame. Text shingles arrive via
+    * [[sigTableFrom]]; decoded-audio sample shingles via
+    * [[graft.operators.Multimodal.audioShingleFps]]. A null fp (an
+    * empty shingle set exploded with explode_outer) aggregates to the
+    * sentinel P. */
+  private[graft] def sigFromFps(fps: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map { s =>
       val a = 2L * s + 3
       val b = 5L * s + 7
       coalesce(min((lit(a) * col("fp") + lit(b)) % lit(P)), lit(P)).as(s"mh_$s")
     }
-    ex.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    fps.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-document MinHash signature, unnested to (doc_id, seed, minhash)

@@ -833,21 +833,23 @@ object Multimodal {
   private val DhashBands = 4
   private val DhashBandBits = 14
 
-  /** Banded-LSH near-dup pairs over [[imageDhash]] signatures. */
-  def imageNearDupPairs(spark: SparkSession, dir: String,
-                        maxHamming: Int = 6): DataFrame = {
-    val hashes = imageDhash(spark, dir)
-    val mask = (1L << DhashBandBits) - 1
-    val banded = hashes.select(col("doc_id"), col("dhash"),
-      posexplode(array((0 until DhashBands).map(b =>
-        shiftright(col("dhash"), b * DhashBandBits).bitwiseAND(lit(mask))): _*))
+  /** Banded-LSH near-dup pairing shared by the image ([[imageDhash]])
+    * and audio ([[audioFingerprint]]) signatures: explode `bands`
+    * band-values of `bandBits` each, equi-join candidates, verify with
+    * xor + bit_count Hamming. Input: (doc_id, hash) rows. */
+  private def bandedHashPairs(hashes: DataFrame, bands: Int, bandBits: Int,
+                              maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val banded = hashes.select(col("doc_id"), col("hash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
+    val a = banded.select(col("doc_id").as("doc_a"), col("hash").as("ha"),
       col("band"), col("bv"))
     // rename the keys on the right side too: a self-join equating
     // identically-named columns can resolve both sides to one attribute
     // (trivially-true predicate -> near-cross-join)
-    val b = banded.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
+    val b = banded.select(col("doc_id").as("doc_b"), col("hash").as("hb"),
       col("band").as("band_b"), col("bv").as("bv_b"))
     a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
         col("doc_a") < col("doc_b"))
@@ -860,12 +862,18 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Banded-LSH near-dup pairs over [[imageDhash]] signatures. */
+  def imageNearDupPairs(spark: SparkSession, dir: String,
+                        maxHamming: Int = 6): DataFrame =
+    bandedHashPairs(imageDhash(spark, dir).withColumnRenamed("dhash", "hash"),
+      DhashBands, DhashBandBits, maxHamming)
+
   /** DuckDB twin of [[imageNearDupPairs]]: pixel (y,x) = code of char
     * ((y·DW + x) mod n) (the [[buildGrayPng]] contract pixelStats
     * already round-trips), block sums and the 56-bit pack in integer
     * arithmetic, the same 4×14 banding, xor + bit_count verify. */
   def imageNearDupOracleSql(maxHamming: Int = 6): String = {
-    val (dw, dh, bands, bb) = (DhashW, DhashH, DhashBands, DhashBandBits)
+    val (dw, dh) = (DhashW, DhashH)
     def px(expr: String) = s"codes[((($expr) % n) + 1)]"
     s"""WITH t AS (
           SELECT doc_id, string_split(text, '') AS chs, length(text) AS n
@@ -877,19 +885,166 @@ object Multimodal {
             CAST(SUM(CASE WHEN
                 ${px(s"r*$dw + 2*c + 2")} + ${px(s"r*$dw + 2*c + 3")} >
                 ${px(s"r*$dw + 2*c")} + ${px(s"r*$dw + 2*c + 1")}
-              THEN CAST(1 AS BIGINT) << (r*8 + c) ELSE 0 END) AS BIGINT) AS dhash
+              THEN CAST(1 AS BIGINT) << (r*8 + c) ELSE 0 END) AS BIGINT) AS hash
           FROM c, generate_series(0, ${dh - 1}) tr(r),
                generate_series(0, ${dw / 2 - 2}) tc(c)
           GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id, dhash, b, (dhash >> (b*$bb)) & ${(1L << bb) - 1} AS bv
+        ${bandedPairsSqlTail(DhashBands, DhashBandBits, maxHamming)}"""
+  }
+
+  /** Shared oracle tail: banded-LSH pairing over a `bits(doc_id, hash)`
+    * CTE — the DuckDB twin of [[bandedHashPairs]]. */
+  private def bandedPairsSqlTail(bands: Int, bb: Int, maxHamming: Int): String =
+    s"""banded AS (
+          SELECT doc_id, hash, b, (hash >> (b*$bb)) & ${(1L << bb) - 1} AS bv
           FROM bits, generate_series(0, ${bands - 1}) tb(b)),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.dhash AS ha, b.dhash AS hb
+                 a.hash AS ha, b.hash AS hb
           FROM banded a JOIN banded b
             ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= $maxHamming"""
+
+  /** AUDIO NEAR-DUP — acoustic-landmark fingerprinting, the audio
+    * member of the dedup family. A positional signature (energy
+    * differences over time windows — the audio dHash) is worthless
+    * against INSERTIONS: one early edit shifts every later sample and
+    * scrambles the whole hash (measured: zero pairs under Hamming 6 on
+    * this corpus while char-level Jaccard-0.99 near-dups exist). The
+    * shift-invariant device is the text dedup family's own: treat each
+    * clip as a SET of local landmarks — 8-sample shingles, rolling
+    * polynomial hash — and MinHash/band/verify exactly like
+    * `Dedup.lshPairs` (shared [[Dedup.sigFromFps]] /
+    * `bandJoinCandidates` machinery, same (a·fp+b) mod P permutations,
+    * same band hashing).
+    *
+    * The clip corpus derives a WAV from EVERY document
+    * ([[buildPcm16Wav]]; the %3 kind split is a fixture convention for
+    * the stats queries, not a constraint), and the decode is REAL —
+    * `AudioSystem` parses the container, shingles come off the decoded
+    * PCM, mapped back to byte space (sample/256 + 128, exact) so the
+    * polynomial stays small on both engines.
+    *
+    * Scale posture: decode + shingle + local-distinct is one narrow
+    * mapPartitions (the PCM dies there; only (doc_id, 8-byte fp) rows
+    * leave), signatures are k codegen'd min-aggregates, candidates come
+    * from the ids-only band join, and exact set verification touches
+    * candidate pairs only — never all-pairs. Verification is integer
+    * end-to-end: J ≥ 1/2 tested as 3·|∩| ≥ |A|+|B|. */
+  def audioShingleFps(spark: SparkSession, dir: String,
+                      shingleLen: Int = 8): DataFrame = {
+    import spark.implicits._
+    val P = Dedup.P
+    graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("text").isNotNull && length(col("text")) >= shingleLen)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, buildPcm16Wav(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, wav) =>
+          val s = decodeWavSamples(wav)
+          val fps = new java.util.HashSet[Long]()
+          var i = 0
+          while (i + shingleLen <= s.length) {
+            var acc = 0L
+            var j = 0
+            while (j < shingleLen) {
+              // decoded sample -> source byte (exact: samples are
+              // (byte-128)*256 by construction; truncating division
+              // is exact division here)
+              acc = (acc * 131L + (s(i + j) / 256 + 128)) % P
+              j += 1
+            }
+            fps.add(acc)
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          fps.iterator().asScala.map(fp => (id, fp))
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
+  /** Banded-MinHash near-dup pairs over [[audioShingleFps]] landmarks,
+    * verified with the exact shingle-set Jaccard (integer predicate). */
+  def audioNearDupPairs(spark: SparkSession, dir: String,
+                        k: Int = 8, r: Int = 2): DataFrame = {
+    val fps = audioShingleFps(spark, dir)
+    val sig = Dedup.sigFromFps(fps, k).persist()
+    sig.count() // eager: both band-join sides scan this cache (Dedup lesson)
+    val cands = Dedup.bandJoinCandidates(sig, k, r)
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // |A ∩ B| per candidate pair: the pair's a-side landmarks move once
+    // (candidates only), matched against b's by (b_id, fp) equi-join
+    val fa = fps.select(col("doc_id").as("a_id"), col("fp"))
+    val fb = fps.select(col("doc_id").as("b_id"), col("fp"))
+    val inter = cands.join(fa, "a_id").join(fb, Seq("b_id", "fp"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+      // J >= 1/2  <=>  3·inter >= |A| + |B|  (exact integers, no fp)
+      .filter(col("n_common") * 3 >= col("sz_a") + col("sz_b"))
+    sig.unpersist()
+    out.select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        col("n_common"), (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of [[audioNearDupPairs]]: sample i = (ord(charᵢ)−128)
+    * ·256 (the [[buildPcm16Wav]] contract audioStats round-trips), so
+    * the byte-space shingle hash is ord-driven; same permutations, band
+    * hash and integer verify as the Scala plan. */
+  def audioNearDupOracleSql(k: Int = 8, r: Int = 2,
+                            shingleLen: Int = 8): String = {
+    val P = Dedup.P
+    val sigs = (0 until k).map(s => Dedup.minhashOneSql("fpl", s))
+      .mkString("[", ", ", "]")
+    val nBands = k / r
+    // band hash: fold (acc*131 + mh) % P over the band's rows — must
+    // match Dedup.bandedRows bit for bit (sig[] is 1-based)
+    def bandHash(b: Int): String =
+      (0 until r).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+        s"(($acc * 131 + sig[${b * r + i + 1}]) % $P)"
+      }
+    val bandArr = (0 until nBands).map(bandHash).mkString("[", ", ", "]")
+    s"""WITH t AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''),
+                   c -> CAST(ord(c) AS BIGINT)) AS bs,
+                 length(text) AS n
+          FROM documents
+          WHERE text IS NOT NULL AND length(text) >= $shingleLen),
+        fps AS (
+          SELECT DISTINCT doc_id, fp
+          FROM t, unnest(list_transform(generate_series(1, n - ${shingleLen - 1}),
+            i -> list_reduce(bs[i : i + ${shingleLen - 1}],
+                   (acc, v) -> (acc * 131 + v) % $P))) u(fp)),
+        d AS (SELECT doc_id, list(fp) AS fpl FROM fps GROUP BY doc_id),
+        sig AS (SELECT doc_id, $sigs AS sig FROM d),
+        banded AS (
+          SELECT doc_id, b - 1 AS band, ($bandArr)[b] AS bh
+          FROM sig, generate_series(1, $nBands) tb(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+        inter AS (
+          SELECT c.a_id, c.b_id, count(*) AS n_common
+          FROM cand c
+          JOIN fps fa ON fa.doc_id = c.a_id
+          JOIN fps fb ON fb.doc_id = c.b_id AND fb.fp = fa.fp
+          GROUP BY 1, 2)
+        SELECT a_id AS doc_a, b_id AS doc_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(sa.sz + sb.sz - n_common AS BIGINT) AS n_union
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE 3 * n_common >= sa.sz + sb.sz"""
   }
 }

@@ -186,4 +186,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == expected,
       s"banded pairs ${pairs.size} != brute-force ${expected.size}")
   }
+
+  test("audioNearDupPairs: full driver-side mirror of shingle->minhash->band->verify") {
+    val P = graft.operators.Dedup.P
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+      .filter("text IS NOT NULL AND length(text) >= 8")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // landmarks from the SOURCE bytes (the WAV round trip is exact by
+    // the buildPcm16Wav contract; the operator decodes the real WAV)
+    val fps: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      val bs = text.getBytes("UTF-8").map(_ & 0xff)
+      val set = (0 to bs.length - 8).map { i =>
+        (i until i + 8).foldLeft(0L)((acc, j) => (acc * 131L + bs(j)) % P)
+      }.toSet
+      id -> set
+    }.toMap
+    val sigs: Map[Long, IndexedSeq[Long]] = fps.map { case (id, set) =>
+      id -> (0 until 8).map { s =>
+        if (set.isEmpty) P
+        else set.map(fp => ((2L * s + 3) * fp + (5L * s + 7)) % P).min
+      }
+    }
+    val bandBuckets = sigs.toSeq.flatMap { case (id, sig) =>
+      (0 until 4).map { b =>
+        val bh = (((0L * 131 + sig(2 * b)) % P) * 131 + sig(2 * b + 1)) % P
+        ((b, bh), id)
+      }
+    }.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val cands = bandBuckets.flatMap(ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))).toSet
+    val expected = cands.flatMap { case (a, b) =>
+      val c = (fps(a) & fps(b)).size
+      val (sa, sb) = (fps(a).size, fps(b).size)
+      if (3L * c >= sa + sb) Some((a, b, c.toLong, (sa + sb - c).toLong)) else None
+    }
+    val got = graft.operators.Multimodal.audioNearDupPairs(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty, "fixture has char-level near-dups; expected audio pairs")
+    assert(got == expected, s"operator ${got.size} pairs != mirror ${expected.size}")
+    // every verified pair really is J >= 1/2
+    got.foreach { case (_, _, c, u) => assert(2 * c >= u) }
+  }
 }
