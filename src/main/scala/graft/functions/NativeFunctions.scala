@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{CharTrigrams, CmsAgg, CodesCosine, CodesDot, CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, Sq8Encode, TopFreq, TopKByScore}
+import graft.plans.{CharTrigrams, CmsAgg, CodesCosine, CodesDot, CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, SortedIntersectCountLong, Sq8Encode, TopFreq, TopKByScore}
 
 /** Column builders for graft's native Catalyst expressions — usable on
   * any session (no FunctionRegistry dependency; the SQL names
@@ -47,6 +47,10 @@ object NativeFunctions {
   /** Integer dot of two code arrays (SQ8 symmetric score), exact long. */
   def codesDot(a: Column, b: Column): Column =
     Bridge.column(CodesDot(Bridge.expression(a), Bridge.expression(b)))
+  /** |A ∩ B| of two SORTED distinct bigint arrays — allocation-free
+    * two-pointer count (the long twin of sorted_intersect_count). */
+  def sortedIntersectCountLong(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCountLong(Bridge.expression(a), Bridge.expression(b)))
   /** Cosine over centered SQ8 codes: exact integer sums + one sqrt each
     * side — bit-identical cross-engine. */
   def codesCosine(a: Column, b: Column, center: Int): Column =

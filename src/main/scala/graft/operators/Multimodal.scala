@@ -926,14 +926,26 @@ object Multimodal {
     * PCM, mapped back to byte space (sample/256 + 128, exact) so the
     * polynomial stays small on both engines.
     *
-    * Scale posture: decode + shingle + local-distinct is one narrow
-    * mapPartitions (the PCM dies there; only (doc_id, 8-byte fp) rows
-    * leave), signatures are k codegen'd min-aggregates, candidates come
-    * from the ids-only band join, and exact set verification touches
-    * candidate pairs only — never all-pairs. Verification is integer
-    * end-to-end: J ≥ 1/2 tested as 3·|∩| ≥ |A|+|B|. */
-  def audioShingleFps(spark: SparkSession, dir: String,
-                      shingleLen: Int = 8): DataFrame = {
+    * Landmark LENGTH is the candidate-volume knob and 16 is measured,
+    * not guessed: on this word-salad corpus 8-sample shingles are
+    * shared so widely across unrelated clips that the band join emits
+    * 373k candidates at sf0.1; 16-sample landmarks cut that to 2.5k
+    * (150×) with the IDENTICAL 256 verified pairs — long landmarks
+    * discriminate, true near-dups still share almost all of them.
+    *
+    * Scale posture: decode + shingle + local-distinct-sort is one
+    * narrow mapPartitions (the PCM dies there; one (doc_id, sorted
+    * fp-array) row per clip leaves), signatures are k codegen'd
+    * min-aggregates over the exploded fps, candidates come from the
+    * ids-only band join, and exact set verification fetches each
+    * candidate's array once by id equi-join and counts the overlap
+    * with the allocation-free native two-pointer pass
+    * ([[graft.plans.SortedIntersectCountLong]] — the lshPairs verify
+    * shape; exploding fps per candidate pair instead was measured 45 s
+    * at sf0.1). Verification is integer end-to-end: J ≥ 1/2 tested as
+    * 3·|∩| ≥ |A|+|B|. */
+  def audioShingleSets(spark: SparkSession, dir: String,
+                       shingleLen: Int = 16): DataFrame = {
     import spark.implicits._
     val P = Dedup.P
     graft.Tables.loadWide(spark, dir, "documents")
@@ -944,9 +956,9 @@ object Multimodal {
         (id, buildPcm16Wav(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
       .mapPartitions { rows =>
-        rows.flatMap { case (id, wav) =>
+        rows.map { case (id, wav) =>
           val s = decodeWavSamples(wav)
-          val fps = new java.util.HashSet[Long]()
+          val fps = new java.util.TreeSet[java.lang.Long]()
           var i = 0
           while (i + shingleLen <= s.length) {
             var acc = 0L
@@ -961,34 +973,41 @@ object Multimodal {
             fps.add(acc)
             i += 1
           }
-          import scala.jdk.CollectionConverters._
-          fps.iterator().asScala.map(fp => (id, fp))
+          val arr = new Array[Long](fps.size)
+          val it = fps.iterator()
+          var n = 0
+          while (it.hasNext) { arr(n) = it.next(); n += 1 }
+          (id, arr)
         }
       }
-      .toDF("doc_id", "fp")
+      .toDF("doc_id", "fparr")
   }
 
   /** Banded-MinHash near-dup pairs over [[audioShingleFps]] landmarks,
     * verified with the exact shingle-set Jaccard (integer predicate). */
   def audioNearDupPairs(spark: SparkSession, dir: String,
                         k: Int = 8, r: Int = 2): DataFrame = {
-    val fps = audioShingleFps(spark, dir)
-    val sig = Dedup.sigFromFps(fps, k).persist()
-    sig.count() // eager: both band-join sides scan this cache (Dedup lesson)
+    // one decode+shingle pass, materialized eagerly: three plan branches
+    // scan it (the exploded sig side and both verify array sides) —
+    // lazily each branch would re-decode the whole corpus.
+    // localCheckpoint(true), not persist: lifetime tracks the result
+    // frame via ContextCleaner (the jaccardPrefixPairs lesson)
+    val sets = audioShingleSets(spark, dir).localCheckpoint(true)
+    val sig = Dedup.sigFromFps(
+      sets.select(col("doc_id"), explode(col("fparr")).as("fp")), k)
     val cands = Dedup.bandJoinCandidates(sig, k, r)
-    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // |A ∩ B| per candidate pair: the pair's a-side landmarks move once
-    // (candidates only), matched against b's by (b_id, fp) equi-join
-    val fa = fps.select(col("doc_id").as("a_id"), col("fp"))
-    val fb = fps.select(col("doc_id").as("b_id"), col("fp"))
-    val inter = cands.join(fa, "a_id").join(fb, Seq("b_id", "fp"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
-    val out = inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), "b_id")
+    // verify: each candidate's sorted landmark array moves ONCE via id
+    // equi-join; the overlap is the native two-pointer count
+    val out = cands
+      .join(sets.select(col("doc_id").as("a_id"), col("fparr").as("a_fp")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("fparr").as("b_fp")), "b_id")
+      .withColumn("n_common",
+        graft.functions.NativeFunctions.sortedIntersectCountLong(
+          col("a_fp"), col("b_fp")).cast("long"))
+      .withColumn("sz_a", size(col("a_fp")).cast("long"))
+      .withColumn("sz_b", size(col("b_fp")).cast("long"))
       // J >= 1/2  <=>  3·inter >= |A| + |B|  (exact integers, no fp)
       .filter(col("n_common") * 3 >= col("sz_a") + col("sz_b"))
-    sig.unpersist()
     out.select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
         col("n_common"), (col("sz_a") + col("sz_b") - col("n_common")).as("n_union"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -999,7 +1018,7 @@ object Multimodal {
     * the byte-space shingle hash is ord-driven; same permutations, band
     * hash and integer verify as the Scala plan. */
   def audioNearDupOracleSql(k: Int = 8, r: Int = 2,
-                            shingleLen: Int = 8): String = {
+                            shingleLen: Int = 16): String = {
     val P = Dedup.P
     val sigs = (0 until k).map(s => Dedup.minhashOneSql("fpl", s))
       .mkString("[", ", ", "]")

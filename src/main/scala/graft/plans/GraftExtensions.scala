@@ -58,6 +58,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, null, "sorted_intersect_count",
         "sorted_intersect_count(a, b) - |a ∩ b| of two SORTED distinct string arrays, allocation-free", ""),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (new FunctionIdentifier("sorted_intersect_count_long"),
+      new ExpressionInfo(classOf[SortedIntersectCountLong].getName, null, "sorted_intersect_count_long",
+        "sorted_intersect_count_long(a, b) - |a ∩ b| of two SORTED distinct bigint arrays, allocation-free", ""),
+      (children: Seq[Expression]) => SortedIntersectCountLong(children(0), children(1))),
     (new FunctionIdentifier("pseudo_embed"),
       new ExpressionInfo(classOf[PseudoEmbed].getName, null, "pseudo_embed",
         "pseudo_embed(s, dim) - deterministic unit-norm float vector from text (encoder stand-in)", ""),

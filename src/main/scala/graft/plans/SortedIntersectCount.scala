@@ -61,4 +61,51 @@ object SortedIntersectCount {
     }
     n
   }
+
+  /** The long-fingerprint twin (audio landmark sets — see
+    * graft.operators.Multimodal.audioNearDupPairs). */
+  def countLong(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val la = a.numElements()
+    val lb = b.numElements()
+    while (i < la && j < lb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+/** [[SortedIntersectCount]] over sorted distinct `array<bigint>` —
+  * same two-pointer merge, long comparisons instead of UTF8. */
+case class SortedIntersectCountLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"expects (array<bigint>, array<bigint>), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.countLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.SortedIntersectCount.countLong($a, $b)")
+
+  override def prettyName: String = "sorted_intersect_count_long"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountLong =
+    copy(left = newLeft, right = newRight)
 }

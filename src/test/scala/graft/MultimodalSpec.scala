@@ -190,14 +190,14 @@ class MultimodalSpec extends AnyFunSuite {
   test("audioNearDupPairs: full driver-side mirror of shingle->minhash->band->verify") {
     val P = graft.operators.Dedup.P
     val docs = Tables.load(spark, TestSession.sfDir, "documents")
-      .filter("text IS NOT NULL AND length(text) >= 8")
+      .filter("text IS NOT NULL AND length(text) >= 16")
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
     // landmarks from the SOURCE bytes (the WAV round trip is exact by
     // the buildPcm16Wav contract; the operator decodes the real WAV)
     val fps: Map[Long, Set[Long]] = docs.map { case (id, text) =>
       val bs = text.getBytes("UTF-8").map(_ & 0xff)
-      val set = (0 to bs.length - 8).map { i =>
-        (i until i + 8).foldLeft(0L)((acc, j) => (acc * 131L + bs(j)) % P)
+      val set = (0 to bs.length - 16).map { i =>
+        (i until i + 16).foldLeft(0L)((acc, j) => (acc * 131L + bs(j)) % P)
       }.toSet
       id -> set
     }.toMap
