@@ -141,7 +141,8 @@ object ScaleProbe {
       // with band collisions, never all-pairs)
       "vector_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
       "image_neardup_dhash" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
-      "audio_neardup_minhash" -> ((s, d) => Multimodal.audioNearDupPairs(s, d)))
+      "audio_neardup_minhash" -> ((s, d) => Multimodal.audioNearDupPairs(s, d)),
+      "video_neardup_minhash" -> ((s, d) => Multimodal.videoNearDupPairs(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }

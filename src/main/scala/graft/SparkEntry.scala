@@ -52,6 +52,7 @@ object SparkEntry {
     "multimodal_pixels" -> ((s, d) => Multimodal.pixelStatsQuery(s, d)),
     "image_neardup_dhash" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
     "audio_neardup_minhash" -> ((s, d) => Multimodal.audioNearDupPairs(s, d)),
+    "video_neardup_minhash" -> ((s, d) => Multimodal.videoNearDupPairs(s, d)),
     "multimodal_audio" -> ((s, d) => Multimodal.audioStatsQuery(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
     "doc_profile" -> ((s, d) => TextAnalytics.docProfile(s, d)),
@@ -301,6 +302,7 @@ object SparkEntry {
     "multimodal_pixels" -> Multimodal.pixelStatsOracleSql(),
     "image_neardup_dhash" -> Multimodal.imageNearDupOracleSql(),
     "audio_neardup_minhash" -> Multimodal.audioNearDupOracleSql(),
+    "video_neardup_minhash" -> Multimodal.videoNearDupOracleSql(),
     "multimodal_audio" -> Multimodal.audioStatsOracleSql,
     "doc_profile" -> TextAnalytics.docProfileSql,
     "doc_quality" -> TextAnalytics.docQualitySql,

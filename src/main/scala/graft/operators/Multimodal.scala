@@ -983,16 +983,26 @@ object Multimodal {
       .toDF("doc_id", "fparr")
   }
 
-  /** Banded-MinHash near-dup pairs over [[audioShingleFps]] landmarks,
+  /** Banded-MinHash near-dup pairs over [[audioShingleSets]] landmarks,
     * verified with the exact shingle-set Jaccard (integer predicate). */
   def audioNearDupPairs(spark: SparkSession, dir: String,
-                        k: Int = 8, r: Int = 2): DataFrame = {
+                        k: Int = 8, r: Int = 2): DataFrame =
+    landmarkNearDupPairs(audioShingleSets(spark, dir), k, r)
+
+  /** The modality-generic landmark near-dup pipeline over a
+    * (doc_id, fparr: sorted distinct array<long>) frame — audio clips
+    * ([[audioShingleSets]]) and video pixel streams
+    * ([[videoLandmarkSets]]) differ only in the decoder that produced
+    * the landmarks. MinHash/band candidates via the shared text-dedup
+    * machinery; exact set-Jaccard verify with the native two-pointer
+    * intersect. */
+  private def landmarkNearDupPairs(sets0: DataFrame, k: Int, r: Int): DataFrame = {
     // one decode+shingle pass, materialized eagerly: three plan branches
     // scan it (the exploded sig side and both verify array sides) —
     // lazily each branch would re-decode the whole corpus.
     // localCheckpoint(true), not persist: lifetime tracks the result
     // frame via ContextCleaner (the jaccardPrefixPairs lesson)
-    val sets = audioShingleSets(spark, dir).localCheckpoint(true)
+    val sets = sets0.localCheckpoint(true)
     val sig = Dedup.sigFromFps(
       sets.select(col("doc_id"), explode(col("fparr")).as("fp")), k)
     val cands = Dedup.bandJoinCandidates(sig, k, r)
@@ -1020,16 +1030,6 @@ object Multimodal {
   def audioNearDupOracleSql(k: Int = 8, r: Int = 2,
                             shingleLen: Int = 16): String = {
     val P = Dedup.P
-    val sigs = (0 until k).map(s => Dedup.minhashOneSql("fpl", s))
-      .mkString("[", ", ", "]")
-    val nBands = k / r
-    // band hash: fold (acc*131 + mh) % P over the band's rows — must
-    // match Dedup.bandedRows bit for bit (sig[] is 1-based)
-    def bandHash(b: Int): String =
-      (0 until r).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
-        s"(($acc * 131 + sig[${b * r + i + 1}]) % $P)"
-      }
-    val bandArr = (0 until nBands).map(bandHash).mkString("[", ", ", "]")
     s"""WITH t AS (
           SELECT doc_id,
                  list_transform(string_split(text, ''),
@@ -1042,7 +1042,25 @@ object Multimodal {
           FROM t, unnest(list_transform(generate_series(1, n - ${shingleLen - 1}),
             i -> list_reduce(bs[i : i + ${shingleLen - 1}],
                    (acc, v) -> (acc * 131 + v) % $P))) u(fp)),
-        d AS (SELECT doc_id, list(fp) AS fpl FROM fps GROUP BY doc_id),
+        ${landmarkPairsSqlTail(k, r)}"""
+  }
+
+  /** Shared oracle tail for the landmark near-dup family: MinHash sig,
+    * band join, exact-Jaccard verify over a `fps(doc_id, fp)` CTE —
+    * the DuckDB twin of [[landmarkNearDupPairs]]. Permutations and
+    * band hashing must match Dedup.sigFromFps/bandedRows bit for bit
+    * (sig[] is 1-based). */
+  private def landmarkPairsSqlTail(k: Int, r: Int): String = {
+    val P = Dedup.P
+    val sigs = (0 until k).map(s => Dedup.minhashOneSql("fpl", s))
+      .mkString("[", ", ", "]")
+    val nBands = k / r
+    def bandHash(b: Int): String =
+      (0 until r).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+        s"(($acc * 131 + sig[${b * r + i + 1}]) % $P)"
+      }
+    val bandArr = (0 until nBands).map(bandHash).mkString("[", ", ", "]")
+    s"""d AS (SELECT doc_id, list(fp) AS fpl FROM fps GROUP BY doc_id),
         sig AS (SELECT doc_id, $sigs AS sig FROM d),
         banded AS (
           SELECT doc_id, b - 1 AS band, ($bandArr)[b] AS bh
@@ -1065,5 +1083,118 @@ object Multimodal {
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id
         WHERE 3 * n_common >= sa.sz + sb.sz"""
+  }
+
+  /** VIDEO NEAR-DUP — the landmark pipeline through the REAL video
+    * codec, completing the modality sweep (image dHash / audio
+    * landmarks / video landmarks): each video-class document renders a
+    * 3-frame uncompressed-DIB AVI ([[graft.sources.AviCodec]] — DIB,
+    * not MJPEG, because lossless decode is what makes the oracle
+    * recomputable), a distributed RIFF walk decodes the frames back,
+    * and the concatenated pixel stream (frame-major, row-major — which
+    * by the fixture recipe is the circular byte sequence) is
+    * landmarked with the same 16-value rolling polynomial as audio.
+    *
+    * The frame geometry is FIXED (w=32, h=8, 3 frames = 768 px) rather
+    * than the per-id dims of the stats queries: a near-dup SIGNATURE
+    * must be comparable across documents, and with stream length ≥
+    * text length + 15 every clip's landmark set is the complete set of
+    * CYCLIC 16-windows of its text — invariant to how frames tile the
+    * stream. Insertions shift frame contents (a per-frame content hash
+    * matches nothing, the audio lesson); the cyclic landmark SET
+    * barely moves.
+    *
+    * Scale posture: identical to audio — encode+decode+landmark is one
+    * narrow mapPartitions, one sorted array per video leaves the scan,
+    * candidates from the ids-only band join, native two-pointer
+    * verify. */
+  def videoLandmarkSets(spark: SparkSession, dir: String, w: Int = 32,
+                        h: Int = 8, nFrames: Int = 3,
+                        shingleLen: Int = 16): DataFrame = {
+    import spark.implicits._
+    val P = Dedup.P
+    graft.Tables.loadWide(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2 && col("text").isNotNull &&
+        length(col("text")) >= shingleLen)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val frames = (0 until nFrames).map { f =>
+          graft.sources.AviCodec.buildDibFrame(w, h,
+            (y, x) => bytes((f * w * h + y * w + x) % bytes.length) & 0xff)
+        }
+        (id, graft.sources.AviCodec.buildAvi(frames, w, h, "DIB "))
+      }
+      .mapPartitions { rows =>
+        rows.map { case (id, avi) =>
+          val s = graft.sources.AviCodec.parseAvi(avi)
+          require(s.compression == 0, s"expected BI_RGB stream, got ${s.compression}")
+          // frame-major, row-major pixel stream = the circular byte seq
+          val stream = new Array[Long](s.frames.length * s.width * s.height)
+          var t = 0
+          s.frames.foreach { frame =>
+            var y = 0
+            while (y < s.height) {
+              var x = 0
+              while (x < s.width) {
+                stream(t) = graft.sources.AviCodec.dibPixel(frame, s.width, s.height, y, x)
+                t += 1
+                x += 1
+              }
+              y += 1
+            }
+          }
+          val fps = new java.util.TreeSet[java.lang.Long]()
+          var i = 0
+          while (i + shingleLen <= stream.length) {
+            var acc = 0L
+            var j = 0
+            while (j < shingleLen) {
+              acc = (acc * 131L + stream(i + j)) % P
+              j += 1
+            }
+            fps.add(acc)
+            i += 1
+          }
+          val arr = new Array[Long](fps.size)
+          val it = fps.iterator()
+          var n = 0
+          while (it.hasNext) { arr(n) = it.next(); n += 1 }
+          (id, arr)
+        }
+      }
+      .toDF("doc_id", "fparr")
+  }
+
+  /** Banded-MinHash near-dup pairs over [[videoLandmarkSets]]. */
+  def videoNearDupPairs(spark: SparkSession, dir: String,
+                        k: Int = 8, r: Int = 2): DataFrame =
+    landmarkNearDupPairs(videoLandmarkSets(spark, dir), k, r)
+
+  /** DuckDB twin of [[videoNearDupPairs]]: the decoded pixel stream is
+    * byte ((t) mod n) for t < nFrames·w·h, so landmarks are the cyclic
+    * 16-windows of the character codes — recomputed with the identical
+    * rolling polynomial over modular indices. */
+  def videoNearDupOracleSql(k: Int = 8, r: Int = 2, w: Int = 32,
+                            h: Int = 8, nFrames: Int = 3,
+                            shingleLen: Int = 16): String = {
+    val P = Dedup.P
+    val streamLen = nFrames * w * h
+    // shingle at stream position t (0-based): fold over codes[((t+j) mod n)+1]
+    val shingle = (0 until shingleLen).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * 131 + bs[((t + $j) % n) + 1]) % $P)"
+    }
+    s"""WITH v AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''),
+                   c -> CAST(ord(c) AS BIGINT)) AS bs,
+                 length(text) AS n
+          FROM documents
+          WHERE doc_id % 3 = 2 AND text IS NOT NULL AND length(text) >= $shingleLen),
+        fps AS (
+          SELECT DISTINCT doc_id, $shingle AS fp
+          FROM v, generate_series(0, ${streamLen - shingleLen}) tt(t)),
+        ${landmarkPairsSqlTail(k, r)}"""
   }
 }

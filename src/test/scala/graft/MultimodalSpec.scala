@@ -227,4 +227,45 @@ class MultimodalSpec extends AnyFunSuite {
     // every verified pair really is J >= 1/2
     got.foreach { case (_, _, c, u) => assert(2 * c >= u) }
   }
+
+  test("videoNearDupPairs: full driver-side mirror over cyclic pixel-stream landmarks") {
+    val P = graft.operators.Dedup.P
+    val (w, h, nF, sl) = (32, 8, 3, 16)
+    val streamLen = nF * w * h
+    val docs = Tables.load(spark, TestSession.sfDir, "documents")
+      .filter(s"doc_id % 3 = 2 AND text IS NOT NULL AND length(text) >= $sl")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // the decoded DIB pixel stream is byte (t mod n): landmarks are the
+    // cyclic 16-windows of the character codes
+    val fps: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      val bs = text.getBytes("US-ASCII").map(_ & 0xff)
+      val n = bs.length
+      val set = (0 to streamLen - sl).map { t =>
+        (0 until sl).foldLeft(0L)((acc, j) => (acc * 131L + bs((t + j) % n)) % P)
+      }.toSet
+      id -> set
+    }.toMap
+    val sigs = fps.map { case (id, set) =>
+      id -> (0 until 8).map { s =>
+        if (set.isEmpty) P
+        else set.map(fp => ((2L * s + 3) * fp + (5L * s + 7)) % P).min
+      }
+    }
+    val buckets = sigs.toSeq.flatMap { case (id, sig) =>
+      (0 until 4).map { b =>
+        ((b, (((0L * 131 + sig(2 * b)) % P) * 131 + sig(2 * b + 1)) % P), id)
+      }
+    }.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val cands = buckets.flatMap(ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))).toSet
+    val expected = cands.flatMap { case (a, b) =>
+      val c = (fps(a) & fps(b)).size
+      val (sa, sb) = (fps(a).size, fps(b).size)
+      if (3L * c >= sa + sb) Some((a, b, c.toLong, (sa + sb - c).toLong)) else None
+    }
+    val got = graft.operators.Multimodal.videoNearDupPairs(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.nonEmpty, "video class has near-dups; expected pairs")
+    assert(got == expected, s"operator ${got.size} pairs != mirror ${expected.size}")
+  }
 }
