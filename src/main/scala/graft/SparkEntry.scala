@@ -53,6 +53,7 @@ object SparkEntry {
     "image_neardup_dhash" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
     "audio_neardup_minhash" -> ((s, d) => Multimodal.audioNearDupPairs(s, d)),
     "video_neardup_minhash" -> ((s, d) => Multimodal.videoNearDupPairs(s, d)),
+    "media_dup_clusters" -> ((s, d) => Multimodal.mediaDupClusters(s, d)),
     "multimodal_audio" -> ((s, d) => Multimodal.audioStatsQuery(s, d)),
     // --- text analysis (north star; SURVEY §2.2/§2.3/§2.12) ---
     "doc_profile" -> ((s, d) => TextAnalytics.docProfile(s, d)),
@@ -303,6 +304,7 @@ object SparkEntry {
     "image_neardup_dhash" -> Multimodal.imageNearDupOracleSql(),
     "audio_neardup_minhash" -> Multimodal.audioNearDupOracleSql(),
     "video_neardup_minhash" -> Multimodal.videoNearDupOracleSql(),
+    "media_dup_clusters" -> Multimodal.mediaDupClustersSql(),
     "multimodal_audio" -> Multimodal.audioStatsOracleSql,
     "doc_profile" -> TextAnalytics.docProfileSql,
     "doc_quality" -> TextAnalytics.docQualitySql,

@@ -1172,6 +1172,47 @@ object Multimodal {
                         k: Int = 8, r: Int = 2): DataFrame =
     landmarkNearDupPairs(videoLandmarkSets(spark, dir), k, r)
 
+  /** CROSS-MODAL duplicate clustering — the curation decision the
+    * per-modality detectors exist to feed: the same underlying content
+    * often enters a corpus several ways (a text dump, a page scan, a
+    * recording, a clip), and each detector contributes EDGES, not
+    * verdicts. Union the image-dHash, audio-landmark and
+    * video-landmark pair sets over the shared doc_id space and run the
+    * engine's large-star/small-star connected components
+    * ([[Dedup.connectedComponents]] — near-duplication is transitive
+    * in effect, so survivors are chosen per component, never per
+    * pair). Cluster id = min doc_id of the component; a downstream
+    * keep is one ids-only anti-join (Dedup.dedupKeep's shape).
+    *
+    * Scale posture: each edge source is its own banded pipeline (never
+    * all-pairs), edges are ids-only, and the CC rounds are the
+    * checkpointed star-contraction the text path already bounds by the
+    * edge count. */
+  def mediaDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    def e(df: DataFrame): DataFrame =
+      df.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = e(imageNearDupPairs(spark, dir))
+      .union(e(audioNearDupPairs(spark, dir)))
+      .union(e(videoNearDupPairs(spark, dir)))
+    Dedup.connectedComponents(edges).orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[mediaDupClusters]]: the three pair queries ride
+    * as derived tables (each keeps its own WITH scope), reachability is
+    * the same recursive CTE as dup_clusters. */
+  def mediaDupClustersSql(): String =
+    s"""WITH RECURSIVE p AS (
+          SELECT doc_a, doc_b FROM (${imageNearDupOracleSql()})
+          UNION SELECT doc_a, doc_b FROM (${audioNearDupOracleSql()})
+          UNION SELECT doc_a, doc_b FROM (${videoNearDupOracleSql()})),
+        e AS (SELECT doc_a AS u, doc_b AS v FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+        reach(src, node) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e) n
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node)
+        SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY 1"""
+
   /** DuckDB twin of [[videoNearDupPairs]]: the decoded pixel stream is
     * byte ((t) mod n) for t < nFrames·w·h, so landmarks are the cyclic
     * 16-windows of the character codes — recomputed with the identical

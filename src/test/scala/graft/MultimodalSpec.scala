@@ -268,4 +268,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.nonEmpty, "video class has near-dups; expected pairs")
     assert(got == expected, s"operator ${got.size} pairs != mirror ${expected.size}")
   }
+
+  test("mediaDupClusters: union-find over the three modality edge sets, exactly") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = pairs(Multimodal.imageNearDupPairs(spark, TestSession.sfDir)) ++
+      pairs(Multimodal.audioNearDupPairs(spark, TestSession.sfDir)) ++
+      pairs(Multimodal.videoNearDupPairs(spark, TestSession.sfDir))
+    assert(edges.nonEmpty)
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => (x, find(x))).toSet
+    val got = Multimodal.mediaDupClusters(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"operator ${got.size} rows != union-find ${expected.size}")
+    // a cluster spanning more than one modality's edges exists iff some
+    // doc appears in two edge sources — sanity-check transitivity held
+    got.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, "cluster id must be the min doc_id")
+    }
+  }
 }
