@@ -1119,6 +1119,11 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
+        // the US_ASCII encoder maps non-ASCII chars to '?' while the
+        // oracle uses ord(c) — fail fast instead of silently desyncing
+        // (videoPixelStatsQuery's contract)
+        require(text.forall(_ < 128),
+          s"videoLandmarkSets: non-ASCII text in doc $id breaks the per-character oracle")
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
         val frames = (0 until nFrames).map { f =>
           graft.sources.AviCodec.buildDibFrame(w, h,
