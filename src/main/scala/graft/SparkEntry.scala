@@ -193,6 +193,10 @@ object SparkEntry {
     // zip-added at serve — stream sketch == batch sketch bit-for-bit
     "stream_cms_counts" -> ((s, d) =>
       graft.streaming.StreamOps.streamCmsCountsQuery(s, d)),
+    // streaming-maintained image-hash store: pixels decode once on
+    // arrival, serving band-joins the at-rest layout
+    "stream_image_neardup_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamImageNearDupStoreQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -393,6 +397,8 @@ object SparkEntry {
     "stream_sink_jdbc" -> graft.streaming.StreamOps.streamSinkJdbcOracleSql,
     "stream_exact_dedup_store" ->
       graft.streaming.StreamOps.streamExactDedupStoreOracleSql,
+    "stream_image_neardup_store" ->
+      graft.streaming.StreamOps.streamImageNearDupStoreOracleSql,
     "stream_neardup_store" ->
       graft.streaming.StreamOps.streamNearDupStoreOracleSql,
     // the streamed sketch merges to the batch sketch exactly, so the

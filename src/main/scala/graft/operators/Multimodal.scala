@@ -794,9 +794,16 @@ object Multimodal {
     * (exact re-encodes, crops outside the sampled grid) collide at
     * Hamming 0, near-dups within the banding bound surface without any
     * pairwise pixel compare. */
-  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    graft.Tables.loadWide(spark, dir, "documents")
+  def imageDhash(spark: SparkSession, dir: String): DataFrame =
+    imageDhashFrom(graft.Tables.loadWide(spark, dir, "documents"))
+
+  /** The hash pass over any (doc_id, text, ...) frame — the streaming
+    * image-hash store computes each arriving batch's hashes through
+    * exactly this plan, so store-served and in-plan hashes are
+    * bit-identical by construction (the sigTableFrom pattern). */
+  private[graft] def imageDhashFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .filter(col("doc_id") % 3 === 0 && col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -838,12 +845,25 @@ object Multimodal {
     * band-values of `bandBits` each, equi-join candidates, verify with
     * xor + bit_count Hamming. Input: (doc_id, hash) rows. */
   private def bandedHashPairs(hashes: DataFrame, bands: Int, bandBits: Int,
-                              maxHamming: Int): DataFrame = {
+                              maxHamming: Int): DataFrame =
+    pairsFromBandedHashes(
+      dhashBandedRows(hashes, bands, bandBits), maxHamming)
+
+  /** (doc_id, hash, band, bv) rows — ALSO the streaming image-hash
+    * store's at-rest layout (partitioned by `band`), so store-served
+    * and in-plan band joins share one band definition. */
+  private[graft] def dhashBandedRows(hashes: DataFrame, bands: Int = DhashBands,
+                                     bandBits: Int = DhashBandBits): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val banded = hashes.select(col("doc_id"), col("hash"),
+    hashes.select(col("doc_id"), col("hash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
+  }
+
+  /** Band-collision pairs + Hamming verify over prepared banded rows. */
+  private[graft] def pairsFromBandedHashes(banded: DataFrame,
+                                           maxHamming: Int = 6): DataFrame = {
     val a = banded.select(col("doc_id").as("doc_a"), col("hash").as("ha"),
       col("band"), col("bv"))
     // rename the keys on the right side too: a self-join equating

@@ -1008,6 +1008,67 @@ object StreamOps {
 
   def streamNearDupStoreOracleSql: String = graft.operators.Dedup.lshDedupKeepSql()
 
+  /** One image-hash store per fixture dir per JVM (same memoization
+    * contract as [[neardupSigStores]]). */
+  private val imageHashStores = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** STREAMING-MAINTAINED IMAGE-HASH INDEX — the media member of the
+    * persistent-store family (exact-dedup fp store / MinHash signature
+    * store / CMS store / ANN bucket store): each micro-batch pays the
+    * per-image cost ONCE on arrival — real PNG encode → distributed
+    * decode → 56-bit block-sum dHash, through the very plan the batch
+    * path uses ([[graft.operators.Multimodal.imageDhashFrom]]) — and
+    * appends the already-BANDED (doc_id, hash, band, bv) rows to a
+    * band-partitioned store. The pixels never re-decode on replay or
+    * serve.
+    *
+    * Serving band-joins the store's own at-rest layout
+    * ([[graft.operators.Multimodal.pairsFromBandedHashes]]) and
+    * Hamming-verifies — so the continuously-ingesting media corpus gets
+    * batch-identical near-dup pairs (oracle: the batch dHash pipeline
+    * in SQL) at the cost of joining 8-byte hashes.
+    *
+    * 100 TB: images are the HEAVIEST rows a pipeline carries; this is
+    * the layout where they are decoded exactly once, the store accretes
+    * ids + one long per band, replay membership reads the band=0
+    * partition only, and serve touches no pixel data at all. */
+  def streamImageNearDupStoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val store = imageHashStores.getOrElseUpdate(dir, {
+      val storeDir = java.nio.file.Files.createTempDirectory("image_hashes").toString
+      val q = docsStream(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val hashes = graft.operators.Multimodal.imageDhashFrom(batch)
+            .withColumnRenamed("dhash", "hash")
+          val fresh =
+            if (new java.io.File(storeDir).list() == null ||
+                new java.io.File(storeDir).list().isEmpty) hashes
+            else hashes.join(imageStoreDocIds(sp, storeDir),
+              col("doc_id") === col("seen_id"), "left_anti")
+          graft.operators.Multimodal.dhashBandedRows(fresh)
+            .repartition(col("band")) // one file per band per batch
+            .write.mode("append").partitionBy("band").parquet(storeDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      storeDir
+    })
+    graft.operators.Multimodal.pairsFromBandedHashes(spark.read.parquet(store))
+  }
+
+  /** Replay-membership read over the band-partitioned image-hash store:
+    * every image has exactly ONE band-0 row — the anti-join's seen side
+    * is partition-pruned to 1/nBands of the store. */
+  private[graft] def imageStoreDocIds(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .where(col("band") === 0)
+      .select(col("doc_id").as("seen_id"))
+
+  def streamImageNearDupStoreOracleSql: String =
+    graft.operators.Multimodal.imageNearDupOracleSql()
+
   private val cmsStores = new scala.collection.concurrent.TrieMap[String, String]()
 
   /** PERSISTENT STREAMING SKETCH STORE — unbounded-ingest heavy-hitter

@@ -542,6 +542,55 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.contains(0L) && !streamed.contains(2L), s"survivors: $streamed")
   }
 
+  test("store-backed image near-dup: cross-batch hashes pair, band-partitioned at rest") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("simgstore")
+    val streamDir = Files.createDirectory(base.resolve("documents.parquet"))
+    def writeBatch(rows: Seq[(Long, String)], name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("simg_part").toString
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // the 18x7 raster reads the first 126 bytes: docs 0 (batch 1) and 3
+    // (batch 2, both %3==0) share that prefix and differ at the tail —
+    // an identical dHash detectable only if batch-1 hashes persist
+    val prefix = ("the quick brown fox jumps over the lazy dog and then " +
+      "keeps running through the long meadow toward the river bank " +
+      "and far beyond it into the hills").take(126)
+    assert(prefix.length == 126)
+    writeBatch(Seq(
+      (0L, prefix + " tail one"),
+      (6L, "completely different pixels here from unrelated words forever and ever" * 2)),
+      "b1.parquet", 1000000L)
+    writeBatch(Seq(
+      (3L, prefix + " other end"),
+      (9L, "another separate raster about nothing shared with anything else at all" * 2)),
+      "b2.parquet", 2000000L)
+    val streamed = StreamOps.streamImageNearDupStoreQuery(spark, base.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val batch = graft.operators.Multimodal.imageNearDupPairs(spark, base.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(streamed == batch, s"store-served $streamed != batch $batch")
+    assert(streamed.contains((0L, 3L, 0)), s"cross-batch pair missing: $streamed")
+    // at-rest layout: band-partitioned directories (the serve path's
+    // join key and the membership read's pruning column)
+    val store = new java.io.File("/tmp").listFiles()
+      .filter(_.getName.startsWith("image_hashes")).maxBy(_.lastModified)
+    val bands = store.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(bands.toSeq == (0 until 4).map(b => s"band=$b"),
+      s"expected band partitions, got ${bands.toSeq}")
+  }
+
   test("streaming retention equals the batch triangle on the fixture") {
     import graft.operators.Events
     val key = (r: org.apache.spark.sql.Row) =>
