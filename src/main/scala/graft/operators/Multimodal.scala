@@ -808,6 +808,11 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
+        // UTF-8 bytes == per-character ord only on ASCII; the DuckDB
+        // oracle recomputes the hash from ord(c) — fail fast instead of
+        // silently desyncing (videoLandmarkSets' contract)
+        require(text.forall(_ < 128),
+          s"imageDhash: non-ASCII text in doc $id breaks the per-character oracle")
         (id, buildGrayPng(text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           DhashW, DhashH))
       }
@@ -973,6 +978,11 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
+        // UTF-8 bytes == per-character ord only on ASCII; the DuckDB
+        // oracle recomputes landmarks from ord(c) — fail fast instead
+        // of silently desyncing (videoLandmarkSets' contract)
+        require(text.forall(_ < 128),
+          s"audioShingleSets: non-ASCII text in doc $id breaks the per-character oracle")
         (id, buildPcm16Wav(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
       .mapPartitions { rows =>

@@ -1078,9 +1078,17 @@ object GlyphOcr {
         // and its width lands on the cell grid for ~1 page in 6, and the
         // segmentation decode is cheap next to the deskew ladder below —
         // a clean proportional reading short-circuits the misfeed
-        // machinery entirely
-        val prop = scala.util.Try(parseProportionalCounted(bytes)).toOption
-        if (prop.exists(_._2 == 0)) prop.get._1
+        // machinery entirely. The short-circuit is gated on the grid
+        // decode being HOPELESS (glyphs straddling cell boundaries fail
+        // most ink cells), because a merely-noisy MONOSPACE page can
+        // also segment cleanly under the lenient bridged prop matcher —
+        // emitting it with proportional gap arithmetic would change its
+        // space reconstruction. A plausible grid page always runs the
+        // deskew ladder; prop stays the post-ladder fallback below.
+        val nonBlank = direct.text.count(ch => ch != ' ' && ch != '\n')
+        val gridHopeless = direct.nBad * 4 > nonBlank
+        lazy val prop = scala.util.Try(parseProportionalCounted(bytes)).toOption
+        if (gridHopeless && prop.exists(_._2 == 0)) prop.get._1
         else {
           // misfeed candidate: estimate the rotation (±3°, 0.1°
           // projection-profile ladder), then refine by minimizing the

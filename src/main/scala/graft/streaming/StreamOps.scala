@@ -902,15 +902,25 @@ object StreamOps {
             .withColumn("bucket", fpBucket(col("fp")))
             .persist() // two consumers: the bucket-set probe + the join
           try {
-            val touched = batchMin.select(col("bucket")).distinct()
-              .collect().map(_.getInt(0)).toSeq.sorted
+            // ONE bounded action decides the pushdown AND sizes the
+            // batch: collect up to FpPushdownLimit+1 (fp, bucket) rows —
+            // getting ≤ limit rows means we hold the WHOLE batch, so the
+            // same rows serve as the pushdown fp set and the complete
+            // touched-bucket set (collect bounded by FpPushdownLimit,
+            // documented O(model) state). Only an over-limit batch pays
+            // a second action for its full bucket set.
+            val probe = batchMin.select(col("fp"), col("bucket"))
+              .limit(FpPushdownLimit.toInt + 1).collect()
+            val small = probe.length <= FpPushdownLimit
+            val touched =
+              if (small) probe.map(_.getInt(1)).distinct.toSeq.sorted
+              else batchMin.select(col("bucket")).distinct()
+                .collect().map(_.getInt(0)).toSeq.sorted
             // small batches push their fp set into the scan: with the
             // store fp-sorted per bucket, row-group stats skip — the
-            // seen side becomes a point lookup (collect bounded by
-            // FpPushdownLimit, documented O(model) state)
+            // seen side becomes a point lookup
             val fps =
-              if (batchMin.count() <= FpPushdownLimit)
-                Some(batchMin.select(col("fp")).collect().map(_.getLong(0)).toSeq.sorted)
+              if (small) Some(probe.map(_.getLong(0)).toSeq.sorted)
               else None
             val fresh =
               if (new java.io.File(storeDir).listFiles() == null ||
