@@ -58,6 +58,18 @@ object RecallProbe {
         val recall = (exact & got).size.toDouble / exact.size
         println(f"| $name | $recall%.3f |")
       }
+      // the graph family answers top-1 (one walk terminal per query):
+      // measure recall@1 against the exact top-1, at 1 and at nEntries
+      // starts — multi-start is the graph family's recall knob
+      val exact1 = resultSet(Similarity.topK(spark, sfDir, k = 1, nQueries = nQ))
+      Seq(1, 8).foreach { ne =>
+        val got = Similarity.graphGreedySearch(spark, sfDir, nQueries = nQ,
+            nEntries = ne)
+          .select("qid", "node").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (exact1 & got).size.toDouble / exact1.size
+        println(f"| graph_greedy_search (deg=8, $ne%d starts) | $recall%.3f @1 |")
+      }
     } finally spark.stop()
   }
 }

@@ -90,6 +90,8 @@ object SparkEntry {
     "vector_lsh_topk_mp" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "vector_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "vector_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "graph_greedy_search" -> ((s, d) => Similarity.graphGreedySearch(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
@@ -346,6 +348,8 @@ object SparkEntry {
     "vector_lsh_topk_mp" -> Similarity.lshTopKMultiProbeSql(),
     "vector_ivf_topk" -> Similarity.ivfTopKSql(),
     "vector_ivf_trained" -> Similarity.ivfTrainedTopKSql(),
+    "knn_graph" -> Similarity.knnGraphSql(),
+    "graph_greedy_search" -> Similarity.graphGreedySearchSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "embedding_neardup_mp" -> Similarity.nearDupPairsMultiProbeSql(),

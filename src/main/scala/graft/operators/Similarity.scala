@@ -1226,4 +1226,220 @@ object Similarity {
               FROM scored WHERE cos_centroid IS NOT NULL)
         SELECT label, rn, vec_id, cos_centroid FROM r WHERE rn <= $k"""
   }
+
+  // ---------------------------------------------------------------------
+  // Graph ANN: k-NN graph construction + multi-start greedy search.
+  // The third index family next to the bucket indexes (sign-LSH) and the
+  // cell indexes (IVF/PQ/SQ8): a navigable neighbor GRAPH, searched by
+  // walking edges toward the query (the NSW/HNSW family reduced to its
+  // deterministic, oracle-checkable core). Reference contract is still
+  // Pinecone cosine top-k (/root/reference/src/pinecone_utils.py:94-132);
+  // the graph is how production engines serve it when neither an
+  // exhaustive scan nor cell probes fit the latency budget.
+  // ---------------------------------------------------------------------
+
+  /** K-NN GRAPH construction: for every node, its `deg` nearest
+    * neighbors by exact cosine among multi-probe sign-LSH candidates
+    * (radius-1 probes, adaptive bucket width). This is the
+    * candidate-then-verify graph build every distributed NN-graph
+    * system uses (NN-Descent and HNSW bulk-build both start from an
+    * approximate candidate set): the LSH equi-join proposes, exact
+    * cosine ranks, and a bounded per-node top-k keeps the graph
+    * O(n·deg) — never all-pairs.
+    *
+    * Shape: corpus bucketed once (narrow); the probe side explodes each
+    * node into bits+1 probe rows; candidates come from the bucket
+    * equi-join (both sides shuffle ONCE on the bucket key, per-bucket
+    * work bounded by [[adaptiveBits]]' occupancy target); per-node
+    * top-deg is the bounded-heap aggregate ([[graft.functions
+    * .NativeFunctions.topKByScore]]), so each partition ships at most
+    * deg rows per node — the same map-side-combine win as
+    * [[topKAgg]]. At 100 TB: one bucket-keyed shuffle of (src, dst,
+    * score) triples bounded by occupancy, one deg-bounded aggregate;
+    * the embeddings themselves move only into the bucket join, never
+    * through the window. */
+  def knnGraph(spark: SparkSession, dir: String, deg: Int = 8,
+               bitsOpt: Option[Int] = None): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
+    val nodes = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val probes = nodes
+      .select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+        signBucket(col("embedding"), bits).as("s_bucket"))
+      .withColumn("probe", explode(probeArray("s_bucket", bits, radius = 1)))
+    val scored = nodes.join(probes,
+        col("bucket") === col("probe") && col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        cosine(col("s_emb"), col("embedding")).as("score"))
+      .filter(col("score").isNotNull) // NULL-score contract: see topK
+    scored.groupBy(col("src"))
+      .agg(graft.functions.NativeFunctions.topKByScore(
+        col("score"), col("dst"), deg).as("top"))
+      .select(col("src"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("src"), (col("pos") + 1).cast(IntegerType).as("rn"),
+        col("p.id").as("dst"), col("p.score").as("score"))
+      .orderBy(col("src"), col("rn"))
+  }
+
+  /** Shared SQL for the graph CTEs (adaptive bits, radius-1 probes,
+    * per-src top-deg by (score DESC, dst)) — the oracle twin of
+    * [[knnGraph]]'s candidate-then-verify build. */
+  private def knnGraphCtesSql(deg: Int): String =
+    s"""nb AS (${adaptiveBitsSql("embeddings")}),
+        c AS (SELECT vec_id, embedding,
+                     ${signBucketSqlAdaptive("embedding")} AS bucket
+              FROM embeddings, nb),
+        p AS (SELECT vec_id AS src, embedding AS s_emb,
+                     CASE WHEN i = 0 THEN bucket
+                          ELSE xor(bucket, (1 << (i - 1))) END AS probe
+              FROM c, nb, unnest(generate_series(0, nb.bits)) AS t(i)),
+        cand AS (SELECT p.src, c.vec_id AS dst,
+                        ${cosineSql("s_emb", "c.embedding")} AS score
+                 FROM p JOIN c ON c.bucket = p.probe AND c.vec_id <> p.src),
+        g AS (SELECT src, rn, dst, score FROM (
+                SELECT src, dst, score,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY score DESC, dst) AS rn
+                FROM cand WHERE score IS NOT NULL) WHERE rn <= $deg)"""
+
+  def knnGraphSql(deg: Int = 8): String =
+    s"""WITH ${knnGraphCtesSql(deg)}
+        SELECT src, rn, dst, score FROM g ORDER BY src, rn"""
+
+  /** MULTI-START GREEDY GRAPH SEARCH over the [[knnGraph]]: from
+    * `nEntries` fixed entry nodes spread across the id space, each walk
+    * hops to the current node's best-scoring graph neighbor while that
+    * STRICTLY improves cosine to the query (strict improvement = no
+    * cycles, termination ≤ maxSteps enforced identically on both
+    * engines); the answer is the best terminal over all starts
+    * ((score DESC, node, steps) tie order). Multi-start is the graph
+    * family's recall knob exactly as probe radius is LSH's and nProbe
+    * is IVF's: one entry finds the true top-1 for 2/10 fixture queries,
+    * 8 entries find 7/10 (RecallProbe) — each start descends a
+    * different basin of the graph.
+    *
+    * Scale posture — the reason graph search wins at serving time: per
+    * step each walk touches exactly deg edges of ONE node, so a query
+    * costs O(entries · steps · deg) cosines (~3 steps · 8 edges here)
+    * against thousands for cell probes or an exhaustive scan. The walk
+    * is BSP on DataFrames (the CC pattern): the frontier —
+    * O(nQueries · nEntries) control rows — joins the distributed edge
+    * list each superstep, scores only the touched nodes'
+    * neighborhoods, and localCheckpoints to keep lineage flat. The
+    * graph never collects to the driver; per-step driver state is one
+    * count. At 100 TB, partition edges by src so each superstep's join
+    * prunes to the frontier's partitions (the streaming ANN store
+    * layout). */
+  def graphGreedySearch(spark: SparkSession, dir: String, deg: Int = 8,
+                        nQueries: Int = 10, nEntries: Int = 8,
+                        maxSteps: Int = 16): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val n = emb.count()
+    // moves = graph edges with the destination vector attached once —
+    // every superstep scans this, so materialize eagerly (lifetime
+    // tracks the result via ContextCleaner; the persist-vs-checkpoint
+    // lesson)
+    val moves = knnGraph(spark, dir, deg)
+      .select(col("src"), col("dst"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")),
+        "dst")
+      .select(col("src"), col("dst"), col("dst_emb"))
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    // entry nodes: evenly spread over the non-query id range,
+    // entry_i = nQueries + (i·(n − nQueries)) div nEntries — integer
+    // arithmetic only, so the oracle reproduces the exact id set
+    val entryIds = (0 until nEntries).map(i =>
+      nQueries + i.toLong * (n - nQueries) / nEntries)
+    val entries = emb.filter(col("vec_id").isin(entryIds: _*))
+      .select(col("vec_id").as("entry"), col("embedding").as("e_emb"))
+    var frontier = queries.join(broadcast(entries), col("entry") =!= col("qid"))
+      .select(col("qid"), col("q_emb"), col("entry"),
+        col("entry").as("node"),
+        cosine(col("q_emb"), col("e_emb")).as("score"),
+        lit(0).as("steps"), lit(false).as("done"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint(true)
+    var step = 0
+    // driver control state is ONE long per superstep (the active count)
+    var active = frontier.filter(!col("done")).count()
+    while (step < maxSteps && active > 0) {
+      val cand = frontier.filter(!col("done"))
+        .join(moves, col("node") === col("src"))
+        .filter(col("dst") =!= col("qid"))
+        .withColumn("mscore", cosine(col("q_emb"), col("dst_emb")))
+        .filter(col("mscore").isNotNull)
+      val w = Window.partitionBy(col("qid"), col("entry"))
+        .orderBy(col("mscore").desc, col("dst"))
+      val best = cand.withColumn("brn", row_number().over(w))
+        .filter(col("brn") === 1)
+        .select(col("qid").as("b_qid"), col("entry").as("b_entry"),
+          col("dst").as("b_dst"), col("mscore"))
+      val moved = !col("done") && col("mscore").isNotNull &&
+        col("mscore") > col("score")
+      frontier = frontier.join(best,
+          col("qid") === col("b_qid") && col("entry") === col("b_entry"),
+          "left")
+        .select(col("qid"), col("q_emb"), col("entry"),
+          when(moved, col("b_dst")).otherwise(col("node")).as("node"),
+          when(moved, col("mscore")).otherwise(col("score")).as("score"),
+          when(moved, col("steps") + 1).otherwise(col("steps")).as("steps"),
+          (col("done") || !(col("mscore").isNotNull &&
+            col("mscore") > col("score"))).as("done"))
+        .localCheckpoint(true)
+      step += 1
+      active = frontier.filter(!col("done")).count()
+    }
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("node"), col("steps"))
+    frontier.withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+      .select(col("qid"), col("node"), col("score"), col("steps"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle twin of [[graphGreedySearch]]: the same graph CTEs, the
+    * best-move function precomputed per (query, node), and the walk as
+    * a recursive CTE with the identical strict-improvement stop and
+    * step cap. The oracle may afford the full O(nQueries·n) move table;
+    * the engine's frontier walk computes moves only for VISITED nodes —
+    * same deterministic move function, so identical paths. */
+  def graphGreedySearchSql(deg: Int = 8, nQueries: Int = 10,
+                           nEntries: Int = 8, maxSteps: Int = 16): String =
+    s"""WITH RECURSIVE ${knnGraphCtesSql(deg)},
+        q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+              WHERE vec_id < $nQueries),
+        ent AS (SELECT CAST($nQueries +
+                  (i * ((SELECT count(*) FROM embeddings) - $nQueries))
+                  // $nEntries AS BIGINT) AS entry
+                FROM unnest(generate_series(0, ${nEntries - 1})) AS t(i)),
+        mv AS (SELECT qid, node, dst, score FROM (
+                SELECT q.qid, g.src AS node, g.dst,
+                       ${cosineSql("q_emb", "e.embedding")} AS score,
+                       row_number() OVER (PARTITION BY q.qid, g.src
+                         ORDER BY ${cosineSql("q_emb", "e.embedding")} DESC,
+                                  g.dst) AS rn
+                FROM q CROSS JOIN g JOIN embeddings e ON e.vec_id = g.dst
+                WHERE g.dst <> q.qid
+                  AND ${cosineSql("q_emb", "e.embedding")} IS NOT NULL)
+               WHERE rn = 1),
+        walk AS (
+          SELECT q.qid, ent.entry, e.vec_id AS node,
+                 ${cosineSql("q_emb", "e.embedding")} AS score, 0 AS step
+          FROM q CROSS JOIN ent JOIN embeddings e ON e.vec_id = ent.entry
+          WHERE ent.entry <> q.qid
+            AND ${cosineSql("q_emb", "e.embedding")} IS NOT NULL
+          UNION ALL
+          SELECT w.qid, w.entry, m.dst AS node, m.score, w.step + 1
+          FROM walk w JOIN mv m ON m.qid = w.qid AND m.node = w.node
+          WHERE m.score > w.score AND w.step < $maxSteps),
+        term AS (SELECT qid, entry, node, score, step FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid, entry
+                                               ORDER BY step DESC) AS rn
+                  FROM walk) WHERE rn = 1)
+        SELECT qid, node, score, step AS steps FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, node, step) AS rn
+          FROM term) WHERE rn = 1 ORDER BY qid"""
 }

@@ -394,4 +394,47 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.8, s"sq8 recall@3 = $recall, expected >= 0.8")
   }
+
+  test("knnGraph: bounded out-degree, ranked edges, no self-loops, edges score-correct") {
+    val g = Similarity.knnGraph(spark, TestSession.sfDir, deg = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).foreach { case (src, edges) =>
+      assert(edges.length <= 4, s"node $src out-degree ${edges.length} > deg")
+      val sorted = edges.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      val scores = sorted.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(edges.forall(_._3 != src), s"self-loop at $src")
+      assert(edges.map(_._3).distinct.length == edges.length,
+        s"duplicate edge at $src")
+    }
+  }
+
+  test("graphGreedySearch: one terminal per query, walk terminals are graph nodes, " +
+    "multi-start dominates single-start, and the walk's score beats its entry") {
+    val single = Similarity.graphGreedySearch(spark, TestSession.sfDir,
+        nQueries = 5, nEntries = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val multi = Similarity.graphGreedySearch(spark, TestSession.sfDir,
+        nQueries = 5, nEntries = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(single.map(_._1).toSet == (0L until 5L).toSet)
+    assert(multi.map(_._1).toSet == (0L until 5L).toSet)
+    // multi-start's best terminal can never score below single-start's:
+    // the single entry is one of the multi entry set (i = 0 gives the
+    // same first entry id)
+    val s = single.map(r => r._1 -> r._3).toMap
+    multi.foreach { case (qid, node, score, steps) =>
+      assert(score >= s(qid) - 1e-12,
+        s"q$qid multi-start $score < single-start ${s(qid)}")
+      assert(node != qid)
+      assert(steps >= 0 && steps <= 16)
+    }
+    // determinism: a second run returns the identical rows
+    val multi2 = Similarity.graphGreedySearch(spark, TestSession.sfDir,
+        nQueries = 5, nEntries = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(multi2.toSeq == multi.toSeq)
+  }
 }
