@@ -92,6 +92,7 @@ object SparkEntry {
     "vector_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "graph_greedy_search" -> ((s, d) => Similarity.graphGreedySearch(s, d)),
+    "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
@@ -350,6 +351,7 @@ object SparkEntry {
     "vector_ivf_trained" -> Similarity.ivfTrainedTopKSql(),
     "knn_graph" -> Similarity.knnGraphSql(),
     "graph_greedy_search" -> Similarity.graphGreedySearchSql(),
+    "mmr_rerank" -> Similarity.mmrRerankSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "embedding_neardup_mp" -> Similarity.nearDupPairsMultiProbeSql(),

@@ -1399,6 +1399,108 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * DIVERSIFIED rerank — the retrieval-side dedup: from each query's
+    * top-`poolSize` exact-cosine pool, greedily select `kSel` results
+    * maximizing `0.5·rel(d) − 0.5·max_{s∈selected} sim(d, s)` (λ = 1/2;
+    * both halvings are exact powers of two, so engine and oracle
+    * doubles are bit-identical with zero fp slack). Pick 1 is pure
+    * relevance (maxsim term empty = 0); every later pick pays for
+    * redundancy against what's already selected — the op a RAG stack
+    * runs between retrieval and the context window so near-duplicate
+    * passages don't crowd out coverage.
+    *
+    * Shape: the pool build is [[topK]]'s broadcast-join + window
+    * (poolSize per query), checkpointed once; each of the kSel−1
+    * selection rounds is a qid-keyed anti-join + pairwise-cosine
+    * aggregate over O(poolSize · selected) rows per query — never over
+    * the corpus. At 100 TB the corpus appears ONLY in the pool build;
+    * selection cost is O(nQueries · poolSize · kSel²) cosines,
+    * independent of corpus size. Ties break on vec_id everywhere. */
+  def mmrRerank(spark: SparkSession, dir: String, kSel: Int = 5,
+                poolSize: Int = 20, nQueries: Int = 8): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb")))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+    val pool = corpus.join(queries, col("vec_id") =!= col("qid"))
+      .withColumn("rel", cosine(col("q_emb"), col("embedding")))
+      .filter(col("rel").isNotNull) // NULL-score contract: see topK
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= poolSize)
+      .select(col("qid"), col("vec_id"), col("embedding"), col("rel"))
+      .localCheckpoint(true) // scanned every selection round
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))
+    var selected = pool.withColumn("mmr", col("rel") * 0.5)
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), lit(1).as("pos"), col("mmr"))
+    for (k <- 2 to kSel) {
+      val selEmb = selected.select(col("qid").as("j_qid"), col("vec_id").as("j_vid"))
+        .join(pool.select(col("qid").as("p_qid"), col("vec_id").as("p_vid"),
+          col("embedding").as("s_emb")),
+          col("j_qid") === col("p_qid") && col("j_vid") === col("p_vid"))
+        .select(col("j_qid"), col("s_emb"))
+      val cand = pool.join(
+        selected.select(col("qid").as("x_qid"), col("vec_id").as("x_vid")),
+        col("qid") === col("x_qid") && col("vec_id") === col("x_vid"),
+        "left_anti")
+      val next = cand.join(selEmb, col("qid") === col("j_qid"))
+        .withColumn("sim", cosine(col("embedding"), col("s_emb")))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(max(col("sim")).as("maxsim"), first(col("rel")).as("rel"))
+        .withColumn("mmr", col("rel") * 0.5 - col("maxsim") * 0.5)
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), lit(k).as("pos"), col("mmr"))
+      selected = selected.union(next).localCheckpoint(true)
+    }
+    selected.orderBy(col("qid"), col("pos"))
+  }
+
+  /** Oracle twin of [[mmrRerank]]: the greedy selection UNROLLED into
+    * kSel chained CTEs (no recursion needed — the loop bound is a
+    * compile-time constant), each doing the identical anti-join +
+    * max-pairwise-sim + (mmr DESC, vec_id) argmax. */
+  def mmrRerankSql(kSel: Int = 5, poolSize: Int = 20, nQueries: Int = 8): String = {
+    val base =
+      s"""q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+               WHERE vec_id < $nQueries),
+          pool AS (SELECT qid, vec_id, embedding, rel FROM (
+                    SELECT qid, c.vec_id, c.embedding,
+                           ${cosineSql("q_emb", "c.embedding")} AS rel,
+                           row_number() OVER (PARTITION BY qid
+                             ORDER BY ${cosineSql("q_emb", "c.embedding")} DESC,
+                                      c.vec_id) AS prn
+                    FROM q CROSS JOIN embeddings c WHERE c.vec_id <> qid
+                      AND ${cosineSql("q_emb", "c.embedding")} IS NOT NULL)
+                   WHERE prn <= $poolSize),
+          s1 AS (SELECT qid, vec_id, 1 AS pos, mmr FROM (
+                  SELECT qid, vec_id, rel * 0.5 AS mmr,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY rel * 0.5 DESC, vec_id) AS rn
+                  FROM pool) WHERE rn = 1)"""
+    val steps = (2 to kSel).map { k =>
+      val prev = (1 until k).map(i => s"SELECT qid, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""s$k AS (SELECT qid, vec_id, $k AS pos, mmr FROM (
+            SELECT m.qid, m.vec_id, m.rel * 0.5 - m.maxsim * 0.5 AS mmr,
+                   row_number() OVER (PARTITION BY m.qid
+                     ORDER BY m.rel * 0.5 - m.maxsim * 0.5 DESC, m.vec_id) AS rn
+            FROM (SELECT p.qid, p.vec_id, any_value(p.rel) AS rel,
+                         max(${cosineSql("p.embedding", "ps.embedding")}) AS maxsim
+                  FROM pool p
+                  JOIN ($prev) s ON s.qid = p.qid
+                  JOIN pool ps ON ps.qid = s.qid AND ps.vec_id = s.vec_id
+                  WHERE NOT EXISTS (SELECT 1 FROM ($prev) x
+                                    WHERE x.qid = p.qid AND x.vec_id = p.vec_id)
+                  GROUP BY p.qid, p.vec_id) m) WHERE rn = 1)"""
+    }
+    val union = (1 to kSel).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH $base, ${steps.mkString(", ")}
+        SELECT qid, vec_id, pos, mmr FROM ($union) ORDER BY qid, pos"""
+  }
+
   /** Oracle twin of [[graphGreedySearch]]: the same graph CTEs, the
     * best-move function precomputed per (query, node), and the walk as
     * a recursive CTE with the identical strict-improvement stop and

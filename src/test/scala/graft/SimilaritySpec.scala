@@ -437,4 +437,32 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(multi2.toSeq == multi.toSeq)
   }
+
+  test("mmrRerank: dense positions, pick 1 is the exact top-1, picks stay in the pool, " +
+    "diversity actually displaces the plain top-k") {
+    val kSel = 4
+    val out = Similarity.mmrRerank(spark, TestSession.sfDir, kSel = kSel,
+        poolSize = 12, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val pool = Similarity.topK(spark, TestSession.sfDir, k = 12, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val top1 = Similarity.topK(spark, TestSession.sfDir, k = 1, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val topK = Similarity.topK(spark, TestSession.sfDir, k = kSel, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to kSel).toSeq)
+      assert(rows.map(_._2).forall(v => pool.contains((qid, v))))
+      assert(rows.find(_._3 == 1).get._2 == top1(qid),
+        s"q$qid pick 1 must be the relevance argmax")
+      assert(rows.map(_._2).distinct.length == kSel)
+    }
+    // on this fixture MMR's redundancy penalty displaces at least one
+    // plain-top-k member for at least one query (measured: all of them)
+    val displaced = out.groupBy(_._1).count { case (qid, rows) =>
+      rows.map(_._2).toSet != topK(qid)
+    }
+    assert(displaced >= 1, "diversity never fired - penalty term inert")
+  }
 }
