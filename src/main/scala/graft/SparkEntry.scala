@@ -196,6 +196,8 @@ object SparkEntry {
     // zip-added at serve — stream sketch == batch sketch bit-for-bit
     "stream_cms_counts" -> ((s, d) =>
       graft.streaming.StreamOps.streamCmsCountsQuery(s, d)),
+    "stream_kmv_distinct" -> ((s, d) =>
+      graft.streaming.StreamOps.streamKmvDistinctQuery(s, d)),
     // streaming-maintained image-hash store: pixels decode once on
     // arrival, serving band-joins the at-rest layout
     "stream_image_neardup_store" -> ((s, d) =>
@@ -410,6 +412,7 @@ object SparkEntry {
     // the streamed sketch merges to the batch sketch exactly, so the
     // batch CMS oracle is the stream twin's oracle too
     "stream_cms_counts" -> Sketches.eventsCmsCountsSql(),
+    "stream_kmv_distinct" -> Sketches.distinctUsersKmvSql(),
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

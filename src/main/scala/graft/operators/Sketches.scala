@@ -32,13 +32,13 @@ object Sketches {
     * reduced mod P BEFORE the multiply: M·(P−1) ≈ 2.65e18 fits a Long,
     * whereas M·key overflows for keys above ~3.47e9. Keys ≥ P fold
     * (collisions) — fine for a sketch (see distinctUsersKmv scaladoc). */
-  private def kmvHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def kmvHash(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (lit(M) * (key % lit(P))) % lit(P)
 
   /** The (k−1)·P div h_(k) estimator over a sorted mins array column;
     * exact pass-through below k. get() (0-based, null on out-of-bounds)
     * keeps the eagerly-evaluated otherwise-branch safe for small groups. */
-  private def kmvEstimate(mins: String, k: Int): org.apache.spark.sql.Column =
+  private[graft] def kmvEstimate(mins: String, k: Int): org.apache.spark.sql.Column =
     when(size(col(mins)) < k, size(col(mins)).cast(LongType))
       .otherwise(expr(s"${(k - 1).toLong * P}L div get($mins, ${k - 1})"))
 

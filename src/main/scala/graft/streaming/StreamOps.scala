@@ -1079,6 +1079,61 @@ object StreamOps {
   def streamImageNearDupStoreOracleSql: String =
     graft.operators.Multimodal.imageNearDupOracleSql()
 
+  private val kmvStores = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** PERSISTENT STREAMING KMV STORE — unbounded-ingest distinct counting
+    * with bounded per-batch state, and the one sketch whose streamed form
+    * is bit-equal to the batch form even in the ESTIMATING regime: a KMV
+    * sketch is a pure function of the key SET (the k smallest distinct
+    * hashes), so however ingestion was batched, merging per-batch
+    * partials — distinct-union then keep the k smallest — yields exactly
+    * the sketch a single pass would have built (any hash in the global
+    * k-minimum is necessarily within its own batch's k-minimum). CMS
+    * gets this from elementwise addition; KLL does NOT (compaction is
+    * arrival-order-dependent, its oracle pins the exact regime only) —
+    * which is why the quantile sketch has no store twin and this one
+    * does.
+    *
+    * Each micro-batch appends one (event_type, batch_id, mins) row —
+    * O(k) longs, never a row per event; a replayed epoch deduplicates
+    * away on (type, batch) exactly like the CMS store. Serve merges the
+    * partials per type and runs the batch estimator + exact counterpart,
+    * so the oracle is `events_distinct_kmv`'s own SQL. */
+  def streamKmvDistinctQuery(spark: SparkSession, dir: String,
+                             k: Int = 64): DataFrame = {
+    import graft.functions.NativeFunctions.kmvMins
+    import graft.operators.Sketches
+    val store = kmvStores.getOrElseUpdate(dir, {
+      val storeDir = java.nio.file.Files.createTempDirectory("kmv_store").toString
+      val q = eventsStream(spark, dir).writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          batch.select(col("event_type"),
+              Sketches.kmvHash(col("user_id")).as("h"))
+            .groupBy(col("event_type"))
+            .agg(kmvMins(col("h"), k).as("mins"))
+            .withColumn("batch_id", lit(epochId))
+            .coalesce(1) // a handful of k-long sketch rows per batch
+            .write.mode("append").parquet(storeDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      storeDir
+    })
+    val parts = spark.read.parquet(store)
+      .groupBy(col("event_type"), col("batch_id"))
+      .agg(first(col("mins")).as("mins"))
+    val merged = parts.groupBy(col("event_type"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+        1, k).as("mins"))
+    val ev = graft.Tables.loadWide(spark, dir, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        Sketches.kmvEstimate("mins", k).as("est_users"), col("n_exact"))
+      .orderBy(col("event_type"))
+  }
+
   private val cmsStores = new scala.collection.concurrent.TrieMap[String, String]()
 
   /** PERSISTENT STREAMING SKETCH STORE — unbounded-ingest heavy-hitter

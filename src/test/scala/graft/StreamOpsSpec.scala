@@ -611,4 +611,37 @@ class StreamOpsSpec extends AnyFunSuite {
     // CMS contract survives the store roundtrip: estimate never undercounts
     streamed.foreach { case (_, _, nExact, nCms) => assert(nCms >= nExact) }
   }
+
+  test("streaming KMV store: merged per-batch partials equal the batch sketch, " +
+    "bit-for-bit, in the ESTIMATING regime") {
+    val streamed = StreamOps.streamKmvDistinctQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Sketches.distinctUsersKmv(spark, TestSession.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+
+    // the property the store RELIES on, forced into the estimating
+    // regime (k = 8 far below the fixture's distinct users) and batched
+    // three arbitrary ways: k-min of distinct-unioned per-slice k-mins
+    // == k-min of one pass over everything
+    import graft.functions.NativeFunctions.kmvMins
+    import graft.operators.Sketches
+    val k = 8
+    val ev = graft.Tables.loadWide(spark, TestSession.sfDir, "events")
+      .select(col("event_type"), Sketches.kmvHash(col("user_id")).as("h"))
+    val whole = ev.groupBy(col("event_type")).agg(kmvMins(col("h"), k).as("mins"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    val sliced = ev.withColumn("slice", col("h") % 3)
+      .groupBy(col("event_type"), col("slice"))
+      .agg(kmvMins(col("h"), k).as("mins"))
+      .groupBy(col("event_type"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
+        1, k).as("mins"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    assert(whole.nonEmpty && whole.keySet == sliced.keySet)
+    whole.foreach { case (t, mins) =>
+      assert(mins.length == k, s"$t not in the estimating regime")
+      assert(sliced(t) == mins, s"$t: merged partials diverge from one pass")
+    }
+  }
 }
