@@ -70,6 +70,19 @@ object RecallProbe {
         val recall = (exact1 & got).size.toDouble / exact1.size
         println(f"| graph_greedy_search (deg=8, $ne%d starts) | $recall%.3f @1 |")
       }
+      // beam search answers top-k: measured on the family's recall@k axis
+      Seq((4, 6), (8, 8), (16, 8)).foreach { case (b, st) =>
+        val beam = resultSet(Similarity.graphBeamSearch(spark, sfDir,
+            nQueries = nQ, beamWidth = b, steps = st, k = k)
+          .withColumnRenamed("node", "vec_id"))
+        val beamRecall = (exact & beam).size.toDouble / exact.size
+        val b1 = Similarity.graphBeamSearch(spark, sfDir, nQueries = nQ,
+            beamWidth = b, steps = st, k = 1)
+          .select("qid", "node").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val r1 = (exact1 & b1).size.toDouble / exact1.size
+        println(f"| graph_beam_search (deg=8, beam $b%d, $st%d steps) | $beamRecall%.3f @$k, $r1%.3f @1 |")
+      }
     } finally spark.stop()
   }
 }

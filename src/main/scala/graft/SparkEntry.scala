@@ -93,6 +93,7 @@ object SparkEntry {
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "graph_greedy_search" -> ((s, d) => Similarity.graphGreedySearch(s, d)),
     "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+    "graph_beam_search" -> ((s, d) => Similarity.graphBeamSearch(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
@@ -354,6 +355,7 @@ object SparkEntry {
     "knn_graph" -> Similarity.knnGraphSql(),
     "graph_greedy_search" -> Similarity.graphGreedySearchSql(),
     "mmr_rerank" -> Similarity.mmrRerankSql(),
+    "graph_beam_search" -> Similarity.graphBeamSearchSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "embedding_neardup_mp" -> Similarity.nearDupPairsMultiProbeSql(),

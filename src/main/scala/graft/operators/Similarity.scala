@@ -1399,6 +1399,114 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** BEAM SEARCH over the [[knnGraph]] — the graph family's top-K
+    * server ([[graphGreedySearch]] is the degenerate beam of width 1
+    * answering top-1): start from the [[graphGreedySearch]] entry set,
+    * keep the best `beamWidth` VISITED nodes per query, expand all
+    * their edges each step, and after a FIXED `steps` supersteps answer
+    * top-k of everything visited. The visited set only grows and the
+    * beam is its running top-b, so the iteration is monotone — extra
+    * steps are no-ops once no frontier node improves the beam, which
+    * lets both engines run the identical fixed depth with no
+    * early-exit divergence (the oracle UNROLLS the steps into chained
+    * CTEs; no recursion, so window functions stay legal).
+    *
+    * Cost per query is O(steps · beamWidth · deg) cosines — a CONSTANT
+    * of the search parameters, so at 100 TB it is the same few-hundred
+    * cosines against a billion-row index (at fixture scale those
+    * constants are an honest ~26% of the 2000-row corpus). Width is
+    * the family's recall knob past multi-start (RecallProbe, sf0.1):
+    * beam 4×6 = 0.27@3 / 0.30@1, the default 8×8 = 0.53@3 / 0.80@1,
+    * 16×8 = 0.67@3 / 0.90@1 — vs 0.70@1 for 8-start greedy; pooling
+    * the walkers into one frontier lets mass shift toward whichever
+    * basin looks best instead of splitting it evenly. */
+  def graphBeamSearch(spark: SparkSession, dir: String, deg: Int = 8,
+                      nQueries: Int = 10, nEntries: Int = 8,
+                      beamWidth: Int = 8, steps: Int = 8,
+                      k: Int = 3): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val n = emb.count()
+    val moves = knnGraph(spark, dir, deg)
+      .select(col("src"), col("dst"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")),
+        "dst")
+      .select(col("src"), col("dst"), col("dst_emb"))
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val entryIds = (0 until nEntries).map(i =>
+      nQueries + i.toLong * (n - nQueries) / nEntries)
+    val entries = emb.filter(col("vec_id").isin(entryIds: _*))
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
+    var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
+      .select(col("qid"), col("node"),
+        cosine(col("q_emb"), col("e_emb")).as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint(true)
+    val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    for (_ <- 1 to steps) {
+      val beam = visited.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beamWidth).select(col("qid"), col("node"))
+      val expanded = beam.join(moves, col("node") === col("src"))
+        .filter(col("dst") =!= col("qid"))
+        .join(queries, "qid")
+        .select(col("qid"), col("dst").as("node"),
+          cosine(col("q_emb"), col("dst_emb")).as("score"))
+        .filter(col("score").isNotNull)
+      // same (qid, node) always rescores to the identical double, so a
+      // plain distinct dedupes revisits
+      visited = visited.union(expanded).distinct().localCheckpoint(true)
+    }
+    visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("node"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Oracle twin of [[graphBeamSearch]]: the fixed-depth loop unrolled
+    * into chained CTEs v0..v`steps` (beam = windowed top-b of the
+    * previous visited set, expansion = edge join + cosine, union +
+    * DISTINCT dedupe). */
+  def graphBeamSearchSql(deg: Int = 8, nQueries: Int = 10, nEntries: Int = 8,
+                         beamWidth: Int = 8, steps: Int = 8,
+                         k: Int = 3): String = {
+    val stepCtes = (1 to steps).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT qid, node FROM (
+            SELECT qid, node,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, node) AS rn
+            FROM v${i - 1}) WHERE rn <= $beamWidth),
+          x$i AS MATERIALIZED (SELECT q.qid, g.dst AS node,
+                         ${cosineSql("q_emb", "e.embedding")} AS score
+                  FROM b$i b JOIN g ON g.src = b.node
+                  JOIN q ON q.qid = b.qid
+                  JOIN embeddings e ON e.vec_id = g.dst
+                  WHERE g.dst <> b.qid
+                    AND ${cosineSql("q_emb", "e.embedding")} IS NOT NULL),
+          v$i AS MATERIALIZED (SELECT DISTINCT qid, node, score FROM (
+                    SELECT * FROM v${i - 1}
+                    UNION ALL SELECT * FROM x$i))"""
+    }
+    s"""WITH ${knnGraphCtesSql(deg)},
+        q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+              WHERE vec_id < $nQueries),
+        ent AS (SELECT CAST($nQueries +
+                  (i * ((SELECT count(*) FROM embeddings) - $nQueries))
+                  // $nEntries AS BIGINT) AS entry
+                FROM unnest(generate_series(0, ${nEntries - 1})) AS t(i)),
+        v0 AS MATERIALIZED (SELECT q.qid, e.vec_id AS node,
+                      ${cosineSql("q_emb", "e.embedding")} AS score
+               FROM q CROSS JOIN ent JOIN embeddings e ON e.vec_id = ent.entry
+               WHERE ent.entry <> q.qid
+                 AND ${cosineSql("q_emb", "e.embedding")} IS NOT NULL),
+        ${stepCtes.mkString(", ")}
+        SELECT qid, rn, node, score FROM (
+          SELECT qid, node, score,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, node) AS rn
+          FROM v$steps) WHERE rn <= $k ORDER BY qid, rn"""
+  }
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
     * DIVERSIFIED rerank — the retrieval-side dedup: from each query's
     * top-`poolSize` exact-cosine pool, greedily select `kSel` results
@@ -1466,7 +1574,7 @@ object Similarity {
     val base =
       s"""q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
                WHERE vec_id < $nQueries),
-          pool AS (SELECT qid, vec_id, embedding, rel FROM (
+          pool AS MATERIALIZED (SELECT qid, vec_id, embedding, rel FROM (
                     SELECT qid, c.vec_id, c.embedding,
                            ${cosineSql("q_emb", "c.embedding")} AS rel,
                            row_number() OVER (PARTITION BY qid
@@ -1510,13 +1618,13 @@ object Similarity {
   def graphGreedySearchSql(deg: Int = 8, nQueries: Int = 10,
                            nEntries: Int = 8, maxSteps: Int = 16): String =
     s"""WITH RECURSIVE ${knnGraphCtesSql(deg)},
-        q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+        q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
               WHERE vec_id < $nQueries),
         ent AS (SELECT CAST($nQueries +
                   (i * ((SELECT count(*) FROM embeddings) - $nQueries))
                   // $nEntries AS BIGINT) AS entry
                 FROM unnest(generate_series(0, ${nEntries - 1})) AS t(i)),
-        mv AS (SELECT qid, node, dst, score FROM (
+        mv AS MATERIALIZED (SELECT qid, node, dst, score FROM (
                 SELECT q.qid, g.src AS node, g.dst,
                        ${cosineSql("q_emb", "e.embedding")} AS score,
                        row_number() OVER (PARTITION BY q.qid, g.src

@@ -438,6 +438,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi2.toSeq == multi.toSeq)
   }
 
+  test("graphBeamSearch: rank contract, scores are exact cosines, no self-matches, " +
+    "deterministic") {
+    val out = Similarity.graphBeamSearch(spark, TestSession.sfDir,
+        nQueries = 5, beamWidth = 4, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val exact = Similarity.topK(spark, TestSession.sfDir, k = 1000, nQueries = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      val scores = sorted.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      rows.foreach { case (q, _, node, score) =>
+        assert(node != q)
+        // every reported score is the true cosine (the walk never
+        // invents scores; exact map covers the whole corpus at k=400)
+        assert(exact((q, node)) == score)
+      }
+    }
+    val out2 = Similarity.graphBeamSearch(spark, TestSession.sfDir,
+        nQueries = 5, beamWidth = 4, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out2.toSeq == out.toSeq)
+  }
+
   test("mmrRerank: dense positions, pick 1 is the exact top-1, picks stay in the pool, " +
     "diversity actually displaces the plain top-k") {
     val kSel = 4
