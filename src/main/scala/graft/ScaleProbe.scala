@@ -142,7 +142,16 @@ object ScaleProbe {
       "vector_sq8_topk" -> ((s, d) => Similarity.sq8TopK(s, d)),
       "image_neardup_dhash" -> ((s, d) => Multimodal.imageNearDupPairs(s, d)),
       "audio_neardup_minhash" -> ((s, d) => Multimodal.audioNearDupPairs(s, d)),
-      "video_neardup_minhash" -> ((s, d) => Multimodal.videoNearDupPairs(s, d)))
+      "video_neardup_minhash" -> ((s, d) => Multimodal.videoNearDupPairs(s, d)),
+      // round-9 additions: graph build = bucket join + bounded top-deg
+      // agg (~linear in corpus); the searches run a FIXED visit budget
+      // over a growing index — expect near-flat wall, the build pass
+      // inside each query being the only growing term; MMR's selection
+      // is corpus-independent after the pool build
+      "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+      "graph_greedy_search" -> ((s, d) => Similarity.graphGreedySearch(s, d)),
+      "graph_beam_search" -> ((s, d) => Similarity.graphBeamSearch(s, d)),
+      "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }
