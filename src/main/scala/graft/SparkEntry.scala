@@ -94,6 +94,7 @@ object SparkEntry {
     "graph_greedy_search" -> ((s, d) => Similarity.graphGreedySearch(s, d)),
     "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "graph_beam_search" -> ((s, d) => Similarity.graphBeamSearch(s, d)),
+    "graph_beam_store" -> ((s, d) => Similarity.graphBeamSearchFromStore(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
@@ -356,6 +357,8 @@ object SparkEntry {
     "graph_greedy_search" -> Similarity.graphGreedySearchSql(),
     "mmr_rerank" -> Similarity.mmrRerankSql(),
     "graph_beam_search" -> Similarity.graphBeamSearchSql(),
+    // the store serve is contract-equal to the in-plan beam search
+    "graph_beam_store" -> Similarity.graphBeamSearchSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "embedding_neardup_mp" -> Similarity.nearDupPairsMultiProbeSql(),

@@ -1463,6 +1463,88 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** One materialized graph store per fixture dir per JVM (the
+    * dedupStores memoization contract). */
+  private val graphStores = new scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] val GraphStoreBuckets = 64
+  private[graft] def graphStoreDirFor(dir: String): Option[String] =
+    graphStores.get(dir)
+
+  /** The pruned edge read: only the partitions holding the frontier's
+    * buckets are listed and scanned — the store-serve analogue of
+    * StreamOps.prunedSeenFps, exposed for the plan spec. */
+  private[graft] def prunedGraphEdges(spark: SparkSession, storeDir: String,
+                                      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(storeDir).where(col("gbucket").isin(buckets: _*))
+
+  /** [[graphBeamSearch]] served from a MATERIALIZED, src-bucket-
+    * PARTITIONED edge store — the deployment layout the in-plan search's
+    * scaladoc promises: the graph is built ONCE (write side:
+    * `partitionBy(gbucket)` with clustered, src-sorted files), and each
+    * superstep reads only the partitions holding the current frontier's
+    * buckets. Per-step driver state is the frontier's bucket set —
+    * O(nQueries · beamWidth) ints, the serveLshTopKFromStore probe-set
+    * legitimacy class — pushed as a static partition filter, so a
+    * superstep against a billion-edge store lists and scans
+    * frontier-many buckets, not the store. Results are byte-identical
+    * to [[graphBeamSearch]] at the same parameters (same graph, same
+    * walk, same cosines); the oracle is graphBeamSearchSql itself. */
+  def graphBeamSearchFromStore(spark: SparkSession, dir: String, deg: Int = 8,
+                               nQueries: Int = 10, nEntries: Int = 8,
+                               beamWidth: Int = 8, steps: Int = 8,
+                               k: Int = 3): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val n = emb.count()
+    val storeDir = graphStores.getOrElseUpdate(dir, {
+      val sd = java.nio.file.Files.createTempDirectory("knn_graph_store").toString
+      knnGraph(spark, dir, deg)
+        .select(col("src"), col("dst"))
+        .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")),
+          "dst")
+        .withColumn("gbucket",
+          pmod(col("src"), lit(GraphStoreBuckets.toLong)).cast(IntegerType))
+        .repartition(col("gbucket")) // one file per bucket, src-sorted
+        .sortWithinPartitions(col("gbucket"), col("src"))
+        .write.mode("overwrite").partitionBy("gbucket").parquet(sd)
+      sd
+    })
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val entryIds = (0 until nEntries).map(i =>
+      nQueries + i.toLong * (n - nQueries) / nEntries)
+    val entries = emb.filter(col("vec_id").isin(entryIds: _*))
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
+    var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
+      .select(col("qid"), col("node"),
+        cosine(col("q_emb"), col("e_emb")).as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint(true)
+    val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    for (_ <- 1 to steps) {
+      val beam = visited.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beamWidth).select(col("qid"), col("node"))
+        .localCheckpoint(true) // two consumers: the bucket probe + the join
+      // frontier bucket set: O(nQueries·beamWidth) ints of control state
+      val buckets = beam
+        .select(pmod(col("node"), lit(GraphStoreBuckets.toLong))
+          .cast(IntegerType).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val expanded = beam
+        .join(prunedGraphEdges(spark, storeDir, buckets),
+          col("node") === col("src"))
+        .filter(col("dst") =!= col("qid"))
+        .join(queries, "qid")
+        .select(col("qid"), col("dst").as("node"),
+          cosine(col("q_emb"), col("dst_emb")).as("score"))
+        .filter(col("score").isNotNull)
+      visited = visited.union(expanded).distinct().localCheckpoint(true)
+    }
+    visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("node"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Oracle twin of [[graphBeamSearch]]: the fixed-depth loop unrolled
     * into chained CTEs v0..v`steps` (beam = windowed top-b of the
     * previous visited set, expansion = edge join + cosine, union +

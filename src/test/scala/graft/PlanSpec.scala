@@ -257,6 +257,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("knnGraph: bucket equi-join (no cartesian); top-deg is a partial object agg, " +
+    "not a full-candidate window shuffle") {
+    val p = plan(Similarity.knnGraph(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    // the bounded-heap aggregate partial-aggregates before the exchange:
+    // each partition ships at most deg rows per src, never every scored
+    // candidate
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    val partialIdx = p.indexOf("ObjectHashAggregate", aggIdx + 1)
+    assert(partialIdx > 0, "no partial aggregate below the exchange:\n" + p.take(2000))
+  }
+
+  test("graph store serve: superstep edge read prunes to the frontier's bucket partitions, " +
+    "and store-served results equal the in-plan beam search") {
+    val served = Similarity.graphBeamSearchFromStore(spark, sfDir, nQueries = 3,
+        beamWidth = 2, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inPlan = Similarity.graphBeamSearch(spark, sfDir, nQueries = 3,
+        beamWidth = 2, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty && served.toSeq == inPlan.toSeq)
+    val storeDir = Similarity.graphStoreDirFor(sfDir).get
+    val pruned = Similarity.prunedGraphEdges(spark, storeDir, Seq(3, 7))
+    val p = pruned.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters:")).mkString("\n")
+    // the isin must land in PartitionFilters (directory pruning), not a
+    // post-scan data Filter — that's the O(frontier)-not-O(store) claim
+    assert(pf.contains("gbucket") && !pf.matches(".*PartitionFilters: \\[\\s*\\].*"), pf)
+    assert(pruned.select("gbucket").distinct().collect().map(_.getInt(0)).toSet
+      .subsetOf(Set(3, 7)))
+  }
+
   test("imageNearDupPairs: band equi-join (no cartesian), hashes-only shuffle") {
     val p = plan(graft.operators.Multimodal.imageNearDupPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(2000))
