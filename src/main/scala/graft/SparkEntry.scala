@@ -200,6 +200,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamCmsCountsQuery(s, d)),
     "stream_kmv_distinct" -> ((s, d) =>
       graft.streaming.StreamOps.streamKmvDistinctQuery(s, d)),
+    "stream_kmv_setops" -> ((s, d) =>
+      graft.streaming.StreamOps.streamKmvSetopsQuery(s, d)),
     // streaming-maintained image-hash store: pixels decode once on
     // arrival, serving band-joins the at-rest layout
     "stream_image_neardup_store" -> ((s, d) =>
@@ -418,6 +420,8 @@ object SparkEntry {
     // batch CMS oracle is the stream twin's oracle too
     "stream_cms_counts" -> Sketches.eventsCmsCountsSql(),
     "stream_kmv_distinct" -> Sketches.distinctUsersKmvSql(),
+    // store-served set algebra is contract-equal to the batch pairwise op
+    "stream_kmv_setops" -> Sketches.kmvSetOpsSql(),
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

@@ -108,6 +108,17 @@ object Sketches {
     val sk = ev.select(col("event_type"), kmvHash(col("user_id")).as("h"))
       .groupBy(col("event_type"))
       .agg(kmvMins(col("h"), k).as("mins"))
+    kmvSetOpsFromSketches(sk, ev, k)
+  }
+
+  /** The set-algebra half of [[kmvSetOpsOn]] over a PREBUILT
+    * (event_type, mins) sketch table — the seam the streaming KMV store
+    * serves through: because a KMV sketch is a pure function of the key
+    * set, merged store partials feed the identical pairwise algebra the
+    * batch path runs (`ev` supplies only the exact counterpart columns
+    * that pin the estimator on this corpus; a 100 TB run drops them). */
+  private[graft] def kmvSetOpsFromSketches(sk: DataFrame, ev: DataFrame,
+                                           k: Int = 64): DataFrame = {
     val pairs = sk.select(col("event_type").as("a_type"), col("mins").as("a_mins"))
       .join(sk.select(col("event_type").as("b_type"), col("mins").as("b_mins")),
         col("a_type") < col("b_type"))

@@ -1101,6 +1101,23 @@ object StreamOps {
     * so the oracle is `events_distinct_kmv`'s own SQL. */
   def streamKmvDistinctQuery(spark: SparkSession, dir: String,
                              k: Int = 64): DataFrame = {
+    import graft.operators.Sketches
+    val merged = kmvStoreMins(spark, dir, k)
+    val ev = graft.Tables.loadWide(spark, dir, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        Sketches.kmvEstimate("mins", k).as("est_users"), col("n_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The store's merged per-type sketches: ingest if first touch, then
+    * dedupe replays on (type, batch) and distinct-union each type's
+    * partials down to its k minimum values — the (event_type, mins)
+    * table BOTH store-served queries consume. */
+  private[graft] def kmvStoreMins(spark: SparkSession, dir: String,
+                                  k: Int): DataFrame = {
     import graft.functions.NativeFunctions.kmvMins
     import graft.operators.Sketches
     val store = kmvStores.getOrElseUpdate(dir, {
@@ -1119,20 +1136,27 @@ object StreamOps {
       try q.processAllAvailable() finally q.stop()
       storeDir
     })
-    val parts = spark.read.parquet(store)
+    spark.read.parquet(store)
       .groupBy(col("event_type"), col("batch_id"))
       .agg(first(col("mins")).as("mins"))
-    val merged = parts.groupBy(col("event_type"))
+      .groupBy(col("event_type"))
       .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))),
         1, k).as("mins"))
-    val ev = graft.Tables.loadWide(spark, dir, "events")
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
-    merged.join(exact, Seq("event_type"))
-      .select(col("event_type"),
-        Sketches.kmvEstimate("mins", k).as("est_users"), col("n_exact"))
-      .orderBy(col("event_type"))
   }
+
+  /** Theta-sketch-style SET ALGEBRA served from the streaming KMV store:
+    * pairwise distinct-union and intersection estimates computed from
+    * the merged per-type store sketches alone — no raw-history scan at
+    * serve time. Because the merged store sketch equals the batch
+    * sketch (KMV is a pure function of the key set), the pairwise
+    * algebra — and therefore the oracle — is `events_kmv_setops`' own;
+    * the raw table appears only in the exact counterpart columns that
+    * pin the estimator (dropped at 100 TB). */
+  def streamKmvSetopsQuery(spark: SparkSession, dir: String,
+                           k: Int = 64): DataFrame =
+    graft.operators.Sketches.kmvSetOpsFromSketches(
+      kmvStoreMins(spark, dir, k),
+      graft.Tables.loadWide(spark, dir, "events"), k)
 
   private val cmsStores = new scala.collection.concurrent.TrieMap[String, String]()
 

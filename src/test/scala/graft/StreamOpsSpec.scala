@@ -643,5 +643,13 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(mins.length == k, s"$t not in the estimating regime")
       assert(sliced(t) == mins, s"$t: merged partials diverge from one pass")
     }
+
+    // the set-algebra serve consumes the same merged store sketches:
+    // store-served pairwise estimates equal the batch operator's rows
+    val setStream = StreamOps.streamKmvSetopsQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val setBatch = graft.operators.Sketches.kmvSetOps(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(setStream == setBatch && setStream.nonEmpty)
   }
 }
