@@ -206,6 +206,11 @@ object SparkEntry {
     // arrival, serving band-joins the at-rest layout
     "stream_image_neardup_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamImageNearDupStoreQuery(s, d)),
+    // streaming-maintained k-NN graph: per-batch LSH candidates against
+    // bucket-pruned node partitions, running per-src top-deg edge store
+    // — the final graph is batch-identical at the pinned width
+    "stream_knn_graph_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamKnnGraphStoreQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -422,6 +427,9 @@ object SparkEntry {
     "stream_kmv_distinct" -> Sketches.distinctUsersKmvSql(),
     // store-served set algebra is contract-equal to the batch pairwise op
     "stream_kmv_setops" -> Sketches.kmvSetOpsSql(),
+    // the streamed graph equals the batch build at the pinned width
+    "stream_knn_graph_store" ->
+      graft.streaming.StreamOps.streamKnnGraphStoreOracleSql(),
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

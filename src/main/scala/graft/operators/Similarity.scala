@@ -226,7 +226,7 @@ object Similarity {
     * pair operators so a probe-policy change lands once. Probe count is
     * 1, 1+bits, 1+bits+C(bits,2) for radius 0/1/2 — the
     * recall/candidate-volume knob; the corpus side never grows. */
-  private def probeArray(bucketCol: String, bits: Int, radius: Int): Column =
+  private[graft] def probeArray(bucketCol: String, bits: Int, radius: Int): Column =
     if (radius <= 0) array(col(bucketCol))
     else array(probeMasks(bits, radius).map(m => expr(s"$bucketCol ^ $m")): _*)
 
@@ -1282,18 +1282,26 @@ object Similarity {
       .orderBy(col("src"), col("rn"))
   }
 
-  /** Shared SQL for the graph CTEs (adaptive bits, radius-1 probes,
-    * per-src top-deg by (score DESC, dst)) — the oracle twin of
-    * [[knnGraph]]'s candidate-then-verify build. */
-  private def knnGraphCtesSql(deg: Int): String =
-    s"""nb AS (${adaptiveBitsSql("embeddings")}),
+  /** Shared SQL for the graph CTEs (radius-1 probes, per-src top-deg by
+    * (score DESC, dst)) — the oracle twin of [[knnGraph]]'s
+    * candidate-then-verify build. `bitsOpt = None` is the adaptive-width
+    * batch build; `Some(b)` pins the bucket width (the streaming store's
+    * contract: a stream cannot count its corpus up front, so the index
+    * config is fixed at deploy — the streamLshTopKQuery precedent). */
+  private def knnGraphCtesSql(deg: Int, bitsOpt: Option[Int] = None): String = {
+    val (nbCte, nbFrom, bucketExpr, seriesHi) = bitsOpt match {
+      case Some(b) => ("", "", signBucketSql("embedding", b), b.toString)
+      case None => (s"nb AS (${adaptiveBitsSql("embeddings")}),", ", nb",
+        signBucketSqlAdaptive("embedding"), "nb.bits")
+    }
+    s"""$nbCte
         c AS (SELECT vec_id, embedding,
-                     ${signBucketSqlAdaptive("embedding")} AS bucket
-              FROM embeddings, nb),
+                     $bucketExpr AS bucket
+              FROM embeddings$nbFrom),
         p AS (SELECT vec_id AS src, embedding AS s_emb,
                      CASE WHEN i = 0 THEN bucket
                           ELSE xor(bucket, (1 << (i - 1))) END AS probe
-              FROM c, nb, unnest(generate_series(0, nb.bits)) AS t(i)),
+              FROM c$nbFrom, unnest(generate_series(0, $seriesHi)) AS t(i)),
         cand AS (SELECT p.src, c.vec_id AS dst,
                         ${cosineSql("s_emb", "c.embedding")} AS score
                  FROM p JOIN c ON c.bucket = p.probe AND c.vec_id <> p.src),
@@ -1302,9 +1310,10 @@ object Similarity {
                        row_number() OVER (PARTITION BY src
                                           ORDER BY score DESC, dst) AS rn
                 FROM cand WHERE score IS NOT NULL) WHERE rn <= $deg)"""
+  }
 
-  def knnGraphSql(deg: Int = 8): String =
-    s"""WITH ${knnGraphCtesSql(deg)}
+  def knnGraphSql(deg: Int = 8, bitsOpt: Option[Int] = None): String =
+    s"""WITH ${knnGraphCtesSql(deg, bitsOpt)}
         SELECT src, rn, dst, score FROM g ORDER BY src, rn"""
 
   /** MULTI-START GREEDY GRAPH SEARCH over the [[knnGraph]]: from

@@ -1216,4 +1216,206 @@ object StreamOps {
           depth, width).as("n_cms"))
       .orderBy(col("event_type"), col("user_id"))
   }
+
+  /** One streaming graph store per fixture dir per JVM (node store dir,
+    * edge store dir) — the dedupStores memoization contract: replays
+    * anti-join on vec_id against the node store, so nothing re-ingests. */
+  private val knnGraphStreamStores =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private[graft] def knnGraphStreamStoreFor(dir: String): Option[(String, String)] =
+    knnGraphStreamStores.get(dir)
+
+  /** Pinned sign-LSH width for the streaming graph build: a stream
+    * cannot count its corpus up front, so the index config is fixed at
+    * deploy (the [[streamLshTopKQuery]] precedent; re-widening the
+    * buckets is a store rewrite, like re-bucketing any partitioned
+    * table). */
+  private[graft] val GraphStreamBits = 6
+
+  /** Node-store read PRUNED to a bucket set (the arriving batch's own
+    * buckets for replay membership; its radius-1 probe set for candidate
+    * generation): `bucket` is the partition column, so the static isin
+    * prunes directory listings before any bytes are read — per-batch
+    * node-read cost tracks the batch's bucket fan-out, not ingested
+    * history (the [[prunedSeenFps]] legitimacy class). */
+  private[graft] def prunedGraphNodes(spark: SparkSession, nodeDir: String,
+                                      buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(nodeDir).where(col("bucket").isin(buckets: _*))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+
+  /** Edge-store read PRUNED to the src buckets a batch's new candidates
+    * touch — the merge rewrites exactly these partitions. */
+  private[graft] def prunedGraphStoreEdges(spark: SparkSession, edgeDir: String,
+                                           gbuckets: Seq[Int]): DataFrame =
+    spark.read.parquet(edgeDir).where(col("gbucket").isin(gbuckets: _*))
+      .select(col("src"), col("dst"), col("score"))
+
+  /** The running top-deg merged with a batch's new candidate edges —
+    * exact because an edge once evicted from a src's top-deg can never
+    * re-enter it (scores are immutable), so per-src state of deg rows is
+    * a lossless summary of every candidate ever proposed. */
+  private def topDegEdges(cands: DataFrame, deg: Int): DataFrame =
+    cands.groupBy(col("src"))
+      .agg(graft.functions.NativeFunctions.topKByScore(
+        col("score"), col("dst"), deg).as("top"))
+      .select(col("src"), explode(col("top")).as("p"))
+      .select(col("src"), col("p.id").as("dst"), col("p.score").as("score"))
+
+  /** One micro-batch of the incremental graph build: admit never-seen
+    * nodes, propose LSH candidates against the bucket-pruned node store,
+    * and fold both edge directions into the per-src running top-deg with
+    * a dynamic-partition-overwrite of ONLY the touched edge buckets.
+    * Package-private so the spec can drive a genuine multi-batch build
+    * (the driver fixture replays as a single file). */
+  private[graft] def ingestGraphBatch(sp: SparkSession, batch: DataFrame,
+                                      nodeDir: String, edgeDir: String,
+                                      deg: Int, bits: Int): Unit = {
+    import graft.operators.Similarity
+    val gb = Similarity.GraphStoreBuckets.toLong
+    val nodes = batch
+      .select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), bits).as("bucket"))
+      .persist()
+    try {
+      nodes.count() // materialize eagerly: >=2 consumers below
+      // the batch's bucket set — bounded by 2^bits ints of control state
+      val batchBuckets = nodes.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val nodesEmpty = new java.io.File(nodeDir).list() == null ||
+        new java.io.File(nodeDir).list().isEmpty
+      // replay membership: the seen side prunes to the batch's own
+      // buckets (vec_id -> bucket is deterministic of the embedding)
+      val fresh = (if (nodesEmpty) nodes
+        else nodes.join(
+          prunedGraphNodes(sp, nodeDir, batchBuckets)
+            .select(col("vec_id").as("seen_id")),
+          col("vec_id") === col("seen_id"), "left_anti")
+          .select(col("vec_id"), col("embedding"), col("bucket")))
+        .persist()
+      try {
+        if (fresh.isEmpty) return
+        // probe side: radius-1 probes of the FRESH nodes only; probe
+        // bucket set is again <= 2^bits control ints
+        val probes = fresh
+          .select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+            col("bucket").as("s_bucket"))
+          .withColumn("probe",
+            explode(Similarity.probeArray("s_bucket", bits, radius = 1)))
+        val probeBuckets = probes.select(col("probe")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val oldNodes =
+          if (nodesEmpty) sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            fresh.schema)
+          else prunedGraphNodes(sp, nodeDir, probeBuckets)
+        // candidate relation is SYMMETRIC (bucket(v) in probes(u) <=>
+        // hamming <= 1 <=> bucket(u) in probes(v)), so fresh<->fresh
+        // pairs emit both directions from the probe join alone and
+        // old->fresh is the swap of fresh->old — old<->old directions
+        // were proposed when those nodes arrived
+        val side = oldNodes.unionByName(fresh)
+        val cand1 = side.join(probes,
+            col("bucket") === col("probe") && col("vec_id") =!= col("src"))
+          .select(col("src"), col("vec_id").as("dst"),
+            graft.functions.VectorFunctions.cosine(
+              col("s_emb"), col("embedding")).as("score"))
+          .filter(col("score").isNotNull) // NULL-score contract: see topK
+        val freshIds = fresh.select(col("vec_id").as("fid"))
+        // reverse direction for OLD destinations only (fresh<->fresh
+        // pairs already emitted both ways by the symmetric probe join)
+        val reversed = cand1
+          .join(freshIds, col("dst") === col("fid"), "left_anti")
+          .select(col("dst").as("src"), col("src").as("dst"), col("score"))
+        val newCands = cand1.unionByName(reversed).persist()
+        try {
+          newCands.count()
+          val edgesEmpty = new java.io.File(edgeDir).list() == null ||
+            new java.io.File(edgeDir).list().isEmpty
+          val withG = (df: DataFrame) => df
+            .withColumn("gbucket", pmod(col("src"), lit(gb)).cast(IntegerType))
+            .repartition(col("gbucket")) // one file per touched bucket
+            .sortWithinPartitions(col("gbucket"), col("src"))
+          if (edgesEmpty) {
+            withG(topDegEdges(newCands, deg))
+              .write.mode("append").partitionBy("gbucket").parquet(edgeDir)
+          } else {
+            // touched edge buckets: <= GraphStoreBuckets control ints
+            val touchedG = newCands
+              .select(pmod(col("src"), lit(gb)).cast(IntegerType).as("g"))
+              .distinct().collect().map(_.getInt(0)).toSeq.sorted
+            val stored = prunedGraphStoreEdges(sp, edgeDir, touchedG)
+            val touchedSrcs = newCands.select(col("src").as("t_src")).distinct()
+            val storedTouched = stored
+              .join(touchedSrcs, col("src") === col("t_src"), "left_semi")
+            val storedUntouched = stored
+              .join(touchedSrcs, col("src") === col("t_src"), "left_anti")
+            // rewrite ONLY the touched gbucket partitions: merged top-deg
+            // for touched srcs + carried-over rows for their bucket mates
+            val out = topDegEdges(storedTouched.unionByName(newCands), deg)
+              .unionByName(storedUntouched)
+            val prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try withG(out).write.mode("overwrite")
+              .partitionBy("gbucket").parquet(edgeDir)
+            finally sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+          }
+        } finally newCands.unpersist()
+        // admit the fresh nodes (after edges, so a crash between the two
+        // writes re-proposes rather than orphans — appends are idempotent
+        // through the membership anti-join)
+        fresh.repartition(col("bucket"))
+          .sortWithinPartitions(col("bucket"), col("vec_id"))
+          .write.mode("append").partitionBy("bucket").parquet(nodeDir)
+      } finally fresh.unpersist()
+    } finally nodes.unpersist()
+  }
+
+  /** STREAMING-MAINTAINED k-NN GRAPH INDEX — the graph-family member of
+    * the persistent-store family (exact-dedup fp store / MinHash
+    * signature store / image-hash store / CMS store / ANN bucket store):
+    * embeddings arrive as a stream, and each micro-batch (a) admits its
+    * never-seen vectors into a sign-bucket-PARTITIONED node store, (b)
+    * proposes LSH candidates for the new nodes against ONLY the node
+    * partitions its radius-1 probes touch, and (c) folds both edge
+    * directions into a per-src running top-deg edge store partitioned by
+    * src bucket, rewriting only the touched partitions
+    * (dynamic-partition overwrite). The final graph is BATCH-IDENTICAL
+    * to [[graft.operators.Similarity.knnGraph]] at the same pinned
+    * width: the union of per-batch candidate sets is exactly the batch
+    * build's symmetric hamming<=1 candidate relation, and the running
+    * top-deg is a lossless summary (an evicted edge can never re-enter).
+    * Oracle: knnGraphSql at the pinned bits.
+    *
+    * 100 TB: per-batch cost tracks the BATCH — probe-pruned node reads
+    * (the arriving batch's bucket fan-out, not history), candidate
+    * volume bounded by bucket occupancy, and an edge rewrite of at most
+    * the touched src buckets at deg rows per src — while the graph a
+    * billion-row corpus serves ([[graft.operators.Similarity
+    * .graphBeamSearchFromStore]]'s walk) stays continuously fresh
+    * without ever rebuilding. */
+  def streamKnnGraphStoreQuery(spark: SparkSession, dir: String,
+                               deg: Int = 8,
+                               bits: Int = GraphStreamBits): DataFrame = {
+    val (_, edgeDir) = knnGraphStreamStores.getOrElseUpdate(dir, {
+      val nd = java.nio.file.Files.createTempDirectory("knn_stream_nodes").toString
+      val ed = java.nio.file.Files.createTempDirectory("knn_stream_edges").toString
+      val q = embeddingsStream(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ingestGraphBatch(batch.sparkSession, batch, nd, ed, deg, bits)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      (nd, ed)
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
+    spark.read.parquet(edgeDir)
+      .withColumn("rn", row_number().over(w).cast(IntegerType))
+      .select(col("src"), col("rn"), col("dst"), col("score"))
+      .orderBy(col("src"), col("rn"))
+  }
+
+  def streamKnnGraphStoreOracleSql(deg: Int = 8): String =
+    graft.operators.Similarity.knnGraphSql(deg, Some(GraphStreamBits))
 }

@@ -293,6 +293,22 @@ class PlanSpec extends AnyFunSuite {
       .subsetOf(Set(3, 7)))
   }
 
+  test("streaming graph store ingest: node and edge reads prune to the batch's " +
+    "bucket partitions (per-batch cost tracks the batch, not history)") {
+    import graft.streaming.StreamOps
+    // build the store off the fixture stream (memoized across tests)
+    StreamOps.streamKnnGraphStoreQuery(spark, sfDir).limit(1).collect()
+    val (nodeDir, edgeDir) = StreamOps.knnGraphStreamStoreFor(sfDir).get
+    val pn = StreamOps.prunedGraphNodes(spark, nodeDir, Seq(1, 5))
+      .queryExecution.executedPlan.toString
+    val pfN = pn.linesIterator.filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(pfN.contains("bucket") && !pfN.matches(".*PartitionFilters: \\[\\s*\\].*"), pfN)
+    val pe = StreamOps.prunedGraphStoreEdges(spark, edgeDir, Seq(2, 9))
+      .queryExecution.executedPlan.toString
+    val pfE = pe.linesIterator.filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(pfE.contains("gbucket") && !pfE.matches(".*PartitionFilters: \\[\\s*\\].*"), pfE)
+  }
+
   test("imageNearDupPairs: band equi-join (no cartesian), hashes-only shuffle") {
     val p = plan(graft.operators.Multimodal.imageNearDupPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(2000))

@@ -652,4 +652,48 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(setStream == setBatch && setStream.nonEmpty)
   }
+
+  test("streaming k-NN graph store: a genuine multi-batch build equals the " +
+    "batch graph at the pinned width (merge path: old->fresh reversal + " +
+    "running top-deg rewrite)") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("sknngraph")
+    val streamDir = Files.createDirectory(base.resolve("embeddings.parquet"))
+    val emb = spark.read.parquet(TestSession.sfDir + "/embeddings.parquet")
+    // three arbitrary id-range batches with pinned strictly-increasing
+    // mtimes (FileStreamSource replays in modification-time order)
+    def writeBatch(lo: Long, hi: Long, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("sknn_part").toString
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeBatch(0L, 150L, "b1.parquet", 1000000L)
+    writeBatch(150L, 320L, "b2.parquet", 2000000L)
+    writeBatch(320L, 100000L, "b3.parquet", 3000000L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val streamed = StreamOps.streamKnnGraphStoreQuery(spark, base.toString)
+      .collect().map(key).toSeq
+    val batch = Similarity.knnGraph(spark, base.toString, deg = 8,
+        bitsOpt = Some(6))
+      .collect().map(key).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // layout hygiene: node store partitioned by sign bucket, edge store
+    // by src bucket — the prune keys of the ingest path's reads
+    val (nodeDir, edgeDir) = StreamOps.knnGraphStreamStoreFor(base.toString).get
+    assert(new java.io.File(nodeDir).list().exists(_.startsWith("bucket=")))
+    assert(new java.io.File(edgeDir).list().exists(_.startsWith("gbucket=")))
+    // the merge path genuinely ran: batch 2/3 must have rewritten
+    // partitions (a src ingested in batch 1 holds edges to later ids)
+    val early = streamed.filter { case (src, _, dst, _) => src < 150 && dst >= 150 }
+    assert(early.nonEmpty, "no cross-batch edges — merge path never exercised")
+  }
 }
