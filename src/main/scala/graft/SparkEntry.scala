@@ -72,6 +72,9 @@ object SparkEntry {
     "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)),
     "quality_filter" -> ((s, d) => TextAnalytics.qualityFilter(s, d)),
     "lm_fluency" -> ((s, d) => TextAnalytics.lmFluency(s, d)),
+    // DSIR data selection: hashed-bigram importance ranking of the
+    // non-target pool against the target-domain distribution
+    "dsir_select" -> ((s, d) => TextAnalytics.dsirSelect(s, d)),
     "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)),
     "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
@@ -339,6 +342,7 @@ object SparkEntry {
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     "quality_filter" -> TextAnalytics.qualityFilterSql(),
     "lm_fluency" -> TextAnalytics.lmFluencySql,
+    "dsir_select" -> TextAnalytics.dsirSelectSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,

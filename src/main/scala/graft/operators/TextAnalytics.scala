@@ -1205,4 +1205,104 @@ object TextAnalytics {
                  THEN CAST(perdoc.s AS DOUBLE) / CAST(perdoc.nb AS DOUBLE)
                  ELSE 0.0 END AS lm_score
         FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id"""
+
+  /** DSIR-style DATA SELECTION via hashed-n-gram importance weights
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"), deterministic core: estimate a target-domain and a
+    * raw-pool unigram-of-hashed-bigrams distribution, weight each pool
+    * document by the summed log importance ratio of its features, and
+    * keep the top-k — the "make the crawl look like the target domain"
+    * selection step a pretraining pipeline runs between dedup and
+    * mixture sampling. Target here is the `lang = 'en'` slice; the pool
+    * is everything else, so selection surfaces the pool documents whose
+    * bigrams look most target-like (the paper's seeded Gumbel-noise
+    * resample is a randomized variant of exactly this ranking).
+    *
+    * Cross-engine exactness: features are [[graft.functions
+    * .TextFunctions.fingerprint]]-hashed bigrams into `nBuckets`
+    * buckets; the per-bucket log ratio is the INTEGER floor-log2 of the
+    * add-1-smoothed, length-normalized ratio scaled by 2^20 —
+    * `length(bin(x))` is the same exact bit-length on both engines, so
+    * no libm log ever runs ("lw" = bit_length − 21 is 0 at ratio 1).
+    * All sums are BIGINTs (order-free).
+    *
+    * Scale shape: ONE map-side-combined (doc_id, bucket) count shuffle;
+    * both distributions reduce to <= nBuckets rows — a broadcastable
+    * model regardless of corpus size (the paper's own trick: hashing
+    * bounds the vocabulary) — and scoring is a narrow join + aggregate;
+    * selection is a global top-k (TakeOrderedAndProject), never a full
+    * sort. */
+  def dsirSelect(spark: SparkSession, dir: String, nBuckets: Int = 4096,
+                 k: Int = 100, targetLang: String = "en"): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val labels = docs.select(col("doc_id"), col("lang"))
+    val docB = lmSlots(docs)
+      .select(col("doc_id"),
+        pmod(fingerprint(col("bg")), lit(nBuckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .join(labels, "doc_id")
+      .localCheckpoint(true) // three consumers: tc, rc, scoring
+    val tc = docB.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("n")).as("ct"))
+    val rc = docB.filter(col("lang") =!= targetLang)
+      .groupBy(col("b")).agg(sum(col("n")).as("cr"))
+    val tot = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+      .crossJoin(rc.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
+    val model = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (length(bin(greatest(expr(
+          s"((coalesce(ct, 0) + 1) * (tr + $nBuckets) * 1048576) div ((cr + 1) * (tt + $nBuckets))"),
+          lit(1L)))) - 21).cast("long").as("lw"))
+    val scored = docB.filter(col("lang") =!= targetLang)
+      .join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("lw")).as("dsir_score"))
+    // global top-k as TakeOrderedAndProject (each partition ships k
+    // rows, no full sort); the rank window then runs over k rows only
+    val top = scored.orderBy(col("dsir_score").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+    top.withColumn("rn", row_number().over(w))
+      .select(col("rn"), col("doc_id"), col("dsir_score"))
+      .orderBy(col("rn"))
+  }
+
+  def dsirSelectSql(nBuckets: Int = 4096, k: Int = 100,
+                    targetLang: String = "en"): String =
+    s"""WITH w AS (SELECT doc_id,
+          list_filter(${wordsSql("text")}, x -> x <> '') AS ws
+          FROM documents),
+        slots AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM w),
+        docb AS (SELECT doc_id, (${fingerprintSql("bg")}) % $nBuckets AS b,
+                        count(*) AS n
+                 FROM slots GROUP BY 1, 2),
+        lab AS (SELECT doc_id, lang FROM documents),
+        tc AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct
+               FROM docb JOIN lab USING (doc_id)
+               WHERE lang = '$targetLang' GROUP BY 1),
+        rc AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr
+               FROM docb JOIN lab USING (doc_id)
+               WHERE lang <> '$targetLang' GROUP BY 1),
+        tot AS (SELECT
+          (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS tt,
+          (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS tr),
+        model AS (SELECT rc.b,
+          CAST(length(bin(greatest(
+            ((coalesce(tc.ct, 0) + 1) * (tr + $nBuckets) * 1048576)
+              // ((rc.cr + 1) * (tt + $nBuckets)), 1))) - 21 AS BIGINT) AS lw
+          FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
+        scored AS (SELECT docb.doc_id,
+          CAST(sum(docb.n * model.lw) AS BIGINT) AS dsir_score
+          FROM docb JOIN lab USING (doc_id)
+          JOIN model ON docb.b = model.b
+          WHERE lang <> '$targetLang' GROUP BY 1)
+        SELECT rn, doc_id, dsir_score FROM (
+          SELECT doc_id, dsir_score,
+                 row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn
+          FROM scored) WHERE rn <= $k ORDER BY rn"""
 }

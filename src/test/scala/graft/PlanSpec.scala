@@ -309,6 +309,14 @@ class PlanSpec extends AnyFunSuite {
     assert(pfE.contains("gbucket") && !pfE.matches(".*PartitionFilters: \\[\\s*\\].*"), pfE)
   }
 
+  test("dsirSelect: bucket-bounded model broadcasts, selection is a global " +
+    "top-k (TakeOrderedAndProject), never a full sort") {
+    val p = plan(graft.operators.TextAnalytics.dsirSelect(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("imageNearDupPairs: band equi-join (no cartesian), hashes-only shuffle") {
     val p = plan(graft.operators.Multimodal.imageNearDupPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(2000))
