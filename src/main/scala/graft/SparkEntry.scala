@@ -75,6 +75,9 @@ object SparkEntry {
     // DSIR data selection: hashed-bigram importance ranking of the
     // non-target pool against the target-domain distribution
     "dsir_select" -> ((s, d) => TextAnalytics.dsirSelect(s, d)),
+    // trained quality classifier: integer-exact batch perceptron
+    // distilling the quality rule into a linear model
+    "quality_perceptron" -> ((s, d) => TextAnalytics.perceptronQuality(s, d)),
     "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)),
     "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
@@ -343,6 +346,7 @@ object SparkEntry {
     "quality_filter" -> TextAnalytics.qualityFilterSql(),
     "lm_fluency" -> TextAnalytics.lmFluencySql,
     "dsir_select" -> TextAnalytics.dsirSelectSql(),
+    "quality_perceptron" -> TextAnalytics.perceptronQualitySql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,

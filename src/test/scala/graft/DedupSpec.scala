@@ -641,6 +641,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == (0L, 0.0))
   }
 
+  test("perceptronQuality: the trained linear model separates the quality " +
+    "rule (both classes present, accuracy above the constant predictors)") {
+    import graft.operators.TextAnalytics
+    val out = TextAnalytics.perceptronQuality(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    val n = out.length
+    val pos = out.count(_._1 == 1L)
+    assert(pos > 0 && pos < n, s"degenerate label split: $pos/$n")
+    val correct = out.count(r => r._3.toLong == r._1)
+    // strictly better than always-+1 and always--1 — the model genuinely
+    // learned the rule, not a constant
+    assert(correct > math.max(pos, n - pos),
+      s"accuracy $correct/$n vs majority ${math.max(pos, n - pos)}")
+    // margin sign agrees with pred everywhere (ties predict -1)
+    out.foreach { case (_, m, p) => assert((m > 0) == (p == 1)) }
+  }
+
   test("langTrigramClassify: trained profiles discriminate scripts; short/null text -> und") {
     import graft.operators.TextAnalytics
     val dir = java.nio.file.Files.createTempDirectory("langid").toString
