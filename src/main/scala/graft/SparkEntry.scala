@@ -78,6 +78,10 @@ object SparkEntry {
     // trained quality classifier: integer-exact batch perceptron
     // distilling the quality rule into a linear model
     "quality_perceptron" -> ((s, d) => TextAnalytics.perceptronQuality(s, d)),
+    // stream-scored DSIR: batch-trained bucket weights broadcast per
+    // micro-batch, stateless scoring — must equal the batch ranking
+    "stream_dsir_select" -> ((s, d) =>
+      graft.streaming.StreamOps.streamDsirSelectQuery(s, d)),
     "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)),
     "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
@@ -347,6 +351,7 @@ object SparkEntry {
     "lm_fluency" -> TextAnalytics.lmFluencySql,
     "dsir_select" -> TextAnalytics.dsirSelectSql(),
     "quality_perceptron" -> TextAnalytics.perceptronQualitySql(),
+    "stream_dsir_select" -> TextAnalytics.dsirSelectSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,

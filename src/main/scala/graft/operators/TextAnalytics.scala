@@ -1232,30 +1232,58 @@ object TextAnalytics {
     * bounds the vocabulary) — and scoring is a narrow join + aggregate;
     * selection is a global top-k (TakeOrderedAndProject), never a full
     * sort. */
-  def dsirSelect(spark: SparkSession, dir: String, nBuckets: Int = 4096,
-                 k: Int = 100, targetLang: String = "en"): DataFrame = {
-    val docs = Tables.loadWide(spark, dir, "documents")
-    val labels = docs.select(col("doc_id"), col("lang"))
-    val docB = lmSlots(docs)
+  /** Hashed-bigram bucket counts per document: (doc_id, b, n) + lang —
+    * the DSIR feature pass, shared by the batch operator and the
+    * streaming scoring twin (the stream pays it once per arriving
+    * micro-batch). */
+  def dsirDocBuckets(docs: DataFrame, nBuckets: Int = 4096): DataFrame =
+    lmSlots(docs)
       .select(col("doc_id"),
         pmod(fingerprint(col("bg")), lit(nBuckets.toLong)).as("b"))
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("n"))
-      .join(labels, "doc_id")
-      .localCheckpoint(true) // three consumers: tc, rc, scoring
+
+  /** The trained importance model from labeled bucket counts:
+    * <= nBuckets (bucket, integer log weight) rows — the broadcastable
+    * state both the batch selection and the stream-static scoring twin
+    * consume. */
+  private def dsirModelFrom(docB: DataFrame, nBuckets: Int,
+                            targetLang: String): DataFrame = {
     val tc = docB.filter(col("lang") === targetLang)
       .groupBy(col("b")).agg(sum(col("n")).as("ct"))
     val rc = docB.filter(col("lang") =!= targetLang)
       .groupBy(col("b")).agg(sum(col("n")).as("cr"))
     val tot = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
       .crossJoin(rc.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
-    val model = rc.join(tc, Seq("b"), "left")
+    rc.join(tc, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("b"),
         (length(bin(greatest(expr(
           s"((coalesce(ct, 0) + 1) * (tr + $nBuckets) * 1048576) div ((cr + 1) * (tt + $nBuckets))"),
           lit(1L)))) - 21).cast("long").as("lw"))
-    val scored = docB.filter(col("lang") =!= targetLang)
+  }
+
+  /** Standalone trained model over a fixture dir — the static side of
+    * the streaming twin ("train once in batch, score the stream"). */
+  def dsirModel(spark: SparkSession, dir: String, nBuckets: Int = 4096,
+                targetLang: String = "en"): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+    dsirModelFrom(
+      dsirDocBuckets(docs, nBuckets)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+      nBuckets, targetLang)
+  }
+
+  def dsirSelect(spark: SparkSession, dir: String, nBuckets: Int = 4096,
+                 k: Int = 100, targetLang: String = "en"): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val labels = docs.select(col("doc_id"), col("lang"))
+    val docB = dsirDocBuckets(docs, nBuckets)
+      .join(labels, "doc_id")
+      .localCheckpoint(true) // three consumers: tc, rc, scoring
+    val model = dsirModelFrom(docB, nBuckets, targetLang)
+    val scored = docB
+      .filter(col("lang") =!= targetLang)
       .join(broadcast(model), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("n") * col("lw")).as("dsir_score"))

@@ -653,6 +653,14 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(setStream == setBatch && setStream.nonEmpty)
   }
 
+  test("stream-scored DSIR selection equals the batch ranking on the fixture") {
+    val streamed = StreamOps.streamDsirSelectQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalytics.dsirSelect(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming k-NN graph store: a genuine multi-batch build equals the " +
     "batch graph at the pinned width (merge path: old->fresh reversal + " +
     "running top-deg rewrite)") {
