@@ -83,6 +83,20 @@ object RecallProbe {
         val r1 = (exact1 & b1).size.toDouble / exact1.size
         println(f"| graph_beam_search (deg=8, beam $b%d, $st%d steps) | $beamRecall%.3f @$k, $r1%.3f @1 |")
       }
+      // hierarchical search: hash-drawn layers route the entry instead
+      // of the multi-start spread
+      Seq((8, 8), (16, 8)).foreach { case (b, st) =>
+        val hn = resultSet(Similarity.hnswSearch(spark, sfDir,
+            nQueries = nQ, beamWidth = b, steps = st, k = k)
+          .withColumnRenamed("node", "vec_id"))
+        val hr = (exact & hn).size.toDouble / exact.size
+        val h1 = Similarity.hnswSearch(spark, sfDir, nQueries = nQ,
+            beamWidth = b, steps = st, k = 1)
+          .select("qid", "node").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val hr1 = (exact1 & h1).size.toDouble / exact1.size
+        println(f"| graph_hnsw_search (deg=8, beam $b%d, $st%d steps) | $hr%.3f @$k, $hr1%.3f @1 |")
+      }
     } finally spark.stop()
   }
 }

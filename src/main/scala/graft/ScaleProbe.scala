@@ -151,7 +151,12 @@ object ScaleProbe {
       "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
       "graph_greedy_search" -> ((s, d) => Similarity.graphGreedySearch(s, d)),
       "graph_beam_search" -> ((s, d) => Similarity.graphBeamSearch(s, d)),
-      "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)))
+      "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+      // round 9 (this session): hierarchical search, DSIR selection,
+      // trained perceptron
+      "graph_hnsw_search" -> ((s, d) => Similarity.hnswSearch(s, d)),
+      "dsir_select" -> ((s, d) => TextAnalytics.dsirSelect(s, d)),
+      "quality_perceptron" -> ((s, d) => TextAnalytics.perceptronQuality(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }
@@ -272,5 +277,69 @@ object ScaleProbe {
     }
     deleteRecursively(java.nio.file.Paths.get(g1))
     deleteRecursively(java.nio.file.Paths.get(gN))
+
+    // Streaming k-NN graph store: the two reads a micro-batch ingest
+    // pays. The candidate read is bucket-pruned to the batch's probe
+    // fan-out but its content grows with occupancy (= history / 2^bits
+    // at pinned width — exact graph maintenance MUST compare a new node
+    // against its whole hamming<=1 neighborhood; at deploy, bits is
+    // raised with the corpus, a store rewrite). The edge-merge read is
+    // pruned to the touched src buckets.
+    def buildGraphNodeStore(h: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("scale_gnodes").toString
+      spark.range(0, h)
+        .select(col("id").as("vec_id"),
+          pmod(xxhash64(col("id")), lit(64L)).cast("int").as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      dir
+    }
+    def buildGraphEdgeStore(h: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("scale_gedges").toString
+      spark.range(0, h)
+        .select(col("id").as("src"),
+          explode(array((0 until 8).map(i =>
+            xxhash64(col("id") + lit(i))): _*)).as("dst"))
+        .withColumn("score", rand(7))
+        .withColumn("gbucket", pmod(col("src"), lit(64L)).cast("int"))
+        .write.mode("overwrite").partitionBy("gbucket").parquet(dir)
+      dir
+    }
+    // an 8-node batch: ~7 probe buckets each at bits 6 (<= 56 of 64) and
+    // <= 8 touched edge buckets
+    val probeBk = (0 until 56).toSeq
+    val touchedG = (0 until 8).toSeq
+    def nodeRead(store: String): DataFrame = {
+      val pruned = spark.read.parquet(store)
+        .where(col("bucket").isin(probeBk: _*))
+      batch.select(col("doc_id").as("src"))
+        .crossJoin(pruned.groupBy(col("bucket")).count())
+    }
+    def edgeRead(store: String): DataFrame =
+      batch.join(spark.read.parquet(store)
+          .where(col("gbucket").isin(touchedG: _*)),
+        col("doc_id") === col("src"), "left_semi")
+    def edgeFull(store: String): DataFrame =
+      batch.join(spark.read.parquet(store),
+        col("doc_id") === col("src"), "left_semi")
+    val kn1 = buildGraphNodeStore(h1 / 4)
+    val knN = buildGraphNodeStore(h1 / 4 * copies)
+    val ke1 = buildGraphEdgeStore(h1 / 16)
+    val keN = buildGraphEdgeStore(h1 / 16 * copies)
+    println(s"\n| knn-graph-store per-batch reads (8-node batch) | history 1x | history ${copies}x | growth |")
+    println("|---|---|---|---|")
+    val graphReads: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("candidate node read, probe-pruned (grows with occupancy at pinned bits)",
+        nodeRead(kn1), nodeRead(knN)),
+      ("edge-merge read, src-bucket-pruned (shipped)",
+        edgeRead(ke1), edgeRead(keN)),
+      ("edge-merge read, full store", edgeFull(ke1), edgeFull(keN)))
+    for ((label, mk1, mkN) <- graphReads) {
+      time(mk1) // warm the shape before measuring
+      val t1 = math.min(time(mk1), time(mk1))
+      val tN = math.min(time(mkN), time(mkN))
+      println(f"| $label | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
+    }
+    Seq(kn1, knN, ke1, keN).foreach(p =>
+      deleteRecursively(java.nio.file.Paths.get(p)))
   }
 }

@@ -105,6 +105,9 @@ object SparkEntry {
     "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
     "graph_beam_search" -> ((s, d) => Similarity.graphBeamSearch(s, d)),
     "graph_beam_store" -> ((s, d) => Similarity.graphBeamSearchFromStore(s, d)),
+    // hierarchical (HNSW) search: hash-drawn nested layers, greedy
+    // routing down the hierarchy, base-layer beam for the top-k
+    "graph_hnsw_search" -> ((s, d) => Similarity.hnswSearch(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
@@ -379,6 +382,7 @@ object SparkEntry {
     "graph_beam_search" -> Similarity.graphBeamSearchSql(),
     // the store serve is contract-equal to the in-plan beam search
     "graph_beam_store" -> Similarity.graphBeamSearchSql(),
+    "graph_hnsw_search" -> Similarity.hnswSearchSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "embedding_neardup_mp" -> Similarity.nearDupPairsMultiProbeSql(),

@@ -270,9 +270,10 @@ object Similarity {
     * terms, each gated on i <= nb.bits (a plain column from the
     * cross-joined 1-row `nb` CTE — DuckDB forbids subqueries inside
     * lambda bodies). */
-  private def signBucketSqlAdaptive(v: String, maxBits: Int = 16): String =
+  private def signBucketSqlAdaptive(v: String, maxBits: Int = 16,
+                                    nbAlias: String = "nb"): String =
     s"""CAST(list_sum(list_transform(generate_series(1, $maxBits), i ->
-        CASE WHEN i <= nb.bits AND $v[i] >= 0
+        CASE WHEN i <= $nbAlias.bits AND $v[i] >= 0
              THEN (1 << (i - 1)) ELSE 0 END)) AS INT)"""
 
   def lshTopKSql(k: Int = 3, nQueries: Int = 10, bitsOpt: Option[Int] = None): String = {
@@ -1258,10 +1259,12 @@ object Similarity {
     * score) triples bounded by occupancy, one deg-bounded aggregate;
     * the embeddings themselves move only into the bucket join, never
     * through the window. */
-  def knnGraph(spark: SparkSession, dir: String, deg: Int = 8,
-               bitsOpt: Option[Int] = None): DataFrame = {
-    val emb = Tables.loadWide(spark, dir, "embeddings")
-    val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
+  /** The candidate-then-verify graph build over an arbitrary node set
+    * (vec_id, embedding) at a given bucket width — shared by the
+    * whole-corpus [[knnGraph]] and the per-layer builds of
+    * [[hnswSearch]]. */
+  private[graft] def knnGraphFrom(emb: DataFrame, deg: Int,
+                                  bits: Int): DataFrame = {
     val nodes = emb.select(col("vec_id"), col("embedding"),
       signBucket(col("embedding"), bits).as("bucket"))
     val probes = nodes
@@ -1280,6 +1283,12 @@ object Similarity {
       .select(col("src"), (col("pos") + 1).cast(IntegerType).as("rn"),
         col("p.id").as("dst"), col("p.score").as("score"))
       .orderBy(col("src"), col("rn"))
+  }
+
+  def knnGraph(spark: SparkSession, dir: String, deg: Int = 8,
+               bitsOpt: Option[Int] = None): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    knnGraphFrom(emb, deg, bitsOpt.getOrElse(adaptiveBits(emb.count())))
   }
 
   /** Shared SQL for the graph CTEs (radius-1 probes, per-src top-deg by
@@ -1596,6 +1605,185 @@ object Similarity {
                  row_number() OVER (PARTITION BY qid
                    ORDER BY score DESC, node) AS rn
           FROM v$steps) WHERE rn <= $k ORDER BY qid, rn"""
+  }
+
+  /** Deterministic HNSW level assignment: level l with probability
+    * 16^-l from the id's [[graft.functions.TextFunctions.fingerprint]]
+    * (the paper's geometric draw `floor(-ln(U)·mL)` with the seeded RNG
+    * replaced by a content hash — engine-independent, so the oracle
+    * reproduces the exact layer membership). Levels are NESTED: a node
+    * at level l is a member of every layer <= l, the standard HNSW
+    * structure. */
+  private[graft] def hnswLevelCol(id: Column): Column = {
+    val h = graft.functions.TextFunctions.fingerprint(id.cast("string"))
+    when(pmod(h, lit(256L)) === 0, lit(2))
+      .when(pmod(h, lit(16L)) === 0, lit(1))
+      .otherwise(lit(0))
+  }
+
+  private def hnswLevelSql: String = {
+    val h = graft.functions.TextFunctions.fingerprintSql("CAST(vec_id AS VARCHAR)")
+    s"""CASE WHEN ($h) % 256 = 0 THEN 2
+             WHEN ($h) % 16 = 0 THEN 1 ELSE 0 END"""
+  }
+
+  /** Per-layer graph CTEs (suffix-parameterized [[knnGraphCtesSql]]
+    * over a nodes CTE instead of the embeddings table): adaptive bits
+    * sized to the LAYER's population, radius-1 probes, per-src
+    * top-deg. */
+  private def layerGraphCtesSql(sfx: String, nodesCte: String,
+                                deg: Int): String =
+    s"""nb$sfx AS (${adaptiveBitsSql(nodesCte)}),
+        c$sfx AS (SELECT vec_id, embedding,
+                     ${signBucketSqlAdaptive("embedding", 16, s"nb$sfx")} AS bucket
+              FROM $nodesCte, nb$sfx),
+        p$sfx AS (SELECT vec_id AS src, embedding AS s_emb,
+                     CASE WHEN i = 0 THEN bucket
+                          ELSE xor(bucket, (1 << (i - 1))) END AS probe
+              FROM c$sfx, nb$sfx, unnest(generate_series(0, nb$sfx.bits)) AS t(i)),
+        cand$sfx AS (SELECT p$sfx.src, c$sfx.vec_id AS dst,
+                        ${cosineSql("s_emb", s"c$sfx.embedding")} AS score
+                 FROM p$sfx JOIN c$sfx
+                 ON c$sfx.bucket = p$sfx.probe AND c$sfx.vec_id <> p$sfx.src),
+        g$sfx AS (SELECT src, dst FROM (
+                SELECT src, dst, score,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY score DESC, dst) AS rn
+                FROM cand$sfx WHERE score IS NOT NULL) WHERE rn <= $deg)"""
+
+  /** HNSW SEARCH — the hierarchical form of [[graphBeamSearch]] and the
+    * production shape of the graph family (Malkov & Yashunin 2016,
+    * reduced to its deterministic, oracle-checkable core): nodes draw a
+    * geometric level from their content hash ([[hnswLevelCol]]),
+    * each layer holds a k-NN graph over the nodes at that level or
+    * above (layer populations shrink 16× per level, so upper layers are
+    * coarse long-range maps), and a query descends — entered at the
+    * TOP layer's nodes, walked as a width-1 beam per upper layer
+    * (greedy routing), then widened to a `beamWidth` beam on the base
+    * layer for the final top-k. The visited set carries across layers
+    * (levels are nested, so every visited node exists in every lower
+    * layer) which keeps the whole search ONE monotone fixed-depth
+    * iteration — the oracle unrolls all three phases into the same
+    * chained CTEs as [[graphBeamSearchSql]], just switching the edge
+    * CTE and the beam width per phase.
+    *
+    * vs multi-start beam: the hierarchy replaces the entry-spread
+    * heuristic — routing starts from O(n/16^maxLevel) top nodes and
+    * pays O(stepsUpper·deg) cosines per upper layer instead of scoring
+    * nEntries spread entries, the structure that keeps entry quality
+    * stable as the index grows a billion rows (RecallProbe reports the
+    * fixture-scale comparison; on this near-isotropic word-salad corpus
+    * basin-hopping matters more than routing, so multi-start holds its
+    * own — on clustered production embeddings the hierarchy is the
+    * standard for a reason). Per-query cost is O(levels·stepsUpper·deg
+    * + steps·beamWidth·deg) cosines — constants of the search params,
+    * decoupled from corpus size. */
+  def hnswSearch(spark: SparkSession, dir: String, deg: Int = 8,
+                 nQueries: Int = 10, stepsUpper: Int = 4,
+                 beamWidth: Int = 8, steps: Int = 8,
+                 k: Int = 3): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val lvl = emb.select(col("vec_id"), col("embedding"),
+      hnswLevelCol(col("vec_id")).as("lvl")).localCheckpoint(true)
+    // ONE int of driver control state: the highest populated level
+    val maxl = lvl.agg(max(col("lvl"))).collect()(0).getInt(0)
+    def movesFor(g: DataFrame) = g.select(col("src"), col("dst"))
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")),
+        "dst")
+      .select(col("src"), col("dst"), col("dst_emb"))
+      .localCheckpoint(true)
+    def layer(l: Int): DataFrame = {
+      val nodes = lvl.filter(col("lvl") >= l)
+        .select(col("vec_id"), col("embedding"))
+      movesFor(knnGraphFrom(nodes, deg, adaptiveBits(nodes.count())))
+    }
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val entries = lvl.filter(col("lvl") === maxl)
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
+    var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
+      .select(col("qid"), col("node"),
+        cosine(col("q_emb"), col("e_emb")).as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint(true)
+    val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    // descend: width-1 routing on each populated upper layer, then the
+    // full beam on the base layer
+    val phases =
+      (maxl to 1 by -1).map(l => (layer(l), 1, stepsUpper)) :+
+        ((movesFor(knnGraphFrom(emb, deg, adaptiveBits(emb.count()))),
+          beamWidth, steps))
+    for ((moves, width, s) <- phases; _ <- 1 to s) {
+      val beam = visited.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= width).select(col("qid"), col("node"))
+      val expanded = beam.join(moves, col("node") === col("src"))
+        .filter(col("dst") =!= col("qid"))
+        .join(queries, "qid")
+        .select(col("qid"), col("dst").as("node"),
+          cosine(col("q_emb"), col("dst_emb")).as("score"))
+        .filter(col("score").isNotNull)
+      visited = visited.union(expanded).distinct().localCheckpoint(true)
+    }
+    visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("node"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Oracle twin of [[hnswSearch]]: level table + the three per-layer
+    * graph builds + the phase-switched unrolled beam CTEs. NOTE the
+    * oracle always emits BOTH upper-layer CTE groups; a layer that is
+    * unpopulated (or above the engine's maxl) yields an empty graph, so
+    * its steps are no-ops on both engines — matching the engine's
+    * maxl-truncated phase list because v0 = the top POPULATED layer's
+    * nodes on both sides. */
+  def hnswSearchSql(deg: Int = 8, nQueries: Int = 10, stepsUpper: Int = 4,
+                    beamWidth: Int = 8, steps: Int = 8,
+                    k: Int = 3): String = {
+    def stepCte(i: Int, gName: String, width: Int) =
+      s"""b$i AS MATERIALIZED (SELECT qid, node FROM (
+            SELECT qid, node,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY score DESC, node) AS rn
+            FROM v${i - 1}) WHERE rn <= $width),
+          x$i AS MATERIALIZED (SELECT q.qid, g.dst AS node,
+                         ${cosineSql("q_emb", "e.embedding")} AS score
+                  FROM b$i b JOIN $gName g ON g.src = b.node
+                  JOIN q ON q.qid = b.qid
+                  JOIN embeddings e ON e.vec_id = g.dst
+                  WHERE g.dst <> b.qid
+                    AND ${cosineSql("q_emb", "e.embedding")} IS NOT NULL),
+          v$i AS MATERIALIZED (SELECT DISTINCT qid, node, score FROM (
+                    SELECT * FROM v${i - 1}
+                    UNION ALL SELECT * FROM x$i))"""
+    val phaseSteps =
+      Seq.fill(stepsUpper)(("g2", 1)) ++ Seq.fill(stepsUpper)(("g1", 1)) ++
+        Seq.fill(steps)(("g", beamWidth))
+    val stepCtes = phaseSteps.zipWithIndex.map { case ((gn, w), idx) =>
+      stepCte(idx + 1, gn, w)
+    }
+    val nSteps = phaseSteps.length
+    s"""WITH ${knnGraphCtesSql(deg)},
+        hl AS MATERIALIZED (SELECT vec_id, embedding, $hnswLevelSql AS lvl
+              FROM embeddings),
+        n1 AS MATERIALIZED (SELECT vec_id, embedding FROM hl WHERE lvl >= 1),
+        n2 AS MATERIALIZED (SELECT vec_id, embedding FROM hl WHERE lvl >= 2),
+        ${layerGraphCtesSql("1", "n1", deg)},
+        ${layerGraphCtesSql("2", "n2", deg)},
+        q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+              WHERE vec_id < $nQueries),
+        maxl AS (SELECT max(lvl) AS ml FROM hl),
+        v0 AS MATERIALIZED (SELECT q.qid, hl.vec_id AS node,
+                      ${cosineSql("q_emb", "hl.embedding")} AS score
+               FROM q JOIN hl ON hl.vec_id <> q.qid CROSS JOIN maxl
+               WHERE hl.lvl = maxl.ml
+                 AND ${cosineSql("q_emb", "hl.embedding")} IS NOT NULL),
+        ${stepCtes.mkString(", ")}
+        SELECT qid, rn, node, score FROM (
+          SELECT qid, node, score,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, node) AS rn
+          FROM v$nSteps) WHERE rn <= $k ORDER BY qid, rn"""
   }
 
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
