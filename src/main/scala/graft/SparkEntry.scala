@@ -108,6 +108,9 @@ object SparkEntry {
     // hierarchical (HNSW) search: hash-drawn nested layers, greedy
     // routing down the hierarchy, base-layer beam for the top-k
     "graph_hnsw_search" -> ((s, d) => Similarity.hnswSearch(s, d)),
+    // cluster-balanced sampling: cap docs per embedding cell
+    // (anti-monoculture in content space; domain_cap's sibling)
+    "cluster_cap_sample" -> ((s, d) => Similarity.clusterCapSample(s, d)),
     "embedding_neardup" -> ((s, d) => Similarity.nearDupPairs(s, d)),
     "embedding_neardup_b6" -> ((s, d) => Similarity.nearDupPairs(s, d, bitsOpt = Some(6))),
     "embedding_neardup_mp" -> ((s, d) => Similarity.nearDupPairsMultiProbe(s, d)),
@@ -383,6 +386,7 @@ object SparkEntry {
     // the store serve is contract-equal to the in-plan beam search
     "graph_beam_store" -> Similarity.graphBeamSearchSql(),
     "graph_hnsw_search" -> Similarity.hnswSearchSql(),
+    "cluster_cap_sample" -> Similarity.clusterCapSampleSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
     "embedding_neardup_mp" -> Similarity.nearDupPairsMultiProbeSql(),

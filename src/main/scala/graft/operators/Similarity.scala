@@ -1607,6 +1607,49 @@ object Similarity {
           FROM v$steps) WHERE rn <= $k ORDER BY qid, rn"""
   }
 
+  /** CLUSTER-BALANCED SAMPLING — the embedding-space sibling of
+    * TextAnalytics.domainCap (anti-monoculture in CONTENT space rather
+    * than metadata space, the cluster-then-prune posture of SemDeDup /
+    * cluster-balanced data curation): coarse-quantize every document
+    * embedding into `nCells` centroid cells with the same argmax
+    * assignment the IVF index uses, then keep at most `cap` documents
+    * per cell (first-arrival order — min vec_id — so the keep set is
+    * deterministic and stable under reruns). Topic monocultures larger
+    * than `cap` are cut to it; small topics pass through untouched.
+    *
+    * Scale shape: the codebook is the one legitimate collect (O(nCells
+    * ·dim) model state, inlined as literals) so assignment is a narrow
+    * codegen'd pass with NO shuffle of the corpus; the cap is a
+    * row_number window on (cell) — Spark 4 plans a partial
+    * WindowGroupLimit below the exchange, so each partition ships at
+    * most cap rows per cell. Oracle: the IVF assignment CTE + the same
+    * windowed cap. */
+  def clusterCapSample(spark: SparkSession, dir: String, nCells: Int = 8,
+                       cap: Int = 50): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val codebook = seedCodebook(emb, nCells)
+    val assigned = emb.select(col("vec_id"),
+      assignCell(col("embedding"), codebook).as("cell"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("cell"), col("rn"), col("vec_id"))
+      .orderBy(col("cell"), col("rn"))
+  }
+
+  def clusterCapSampleSql(nCells: Int = 8, cap: Int = 50): String =
+    s"""WITH cb AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                    FROM embeddings WHERE vec_id < $nCells),
+        ca AS (SELECT e.vec_id, cent_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosineSql("e.embedding", "cent_emb")} DESC, cent_id DESC) AS crn
+               FROM embeddings e CROSS JOIN cb),
+        assigned AS (SELECT vec_id, cent_id AS cell FROM ca WHERE crn = 1),
+        r AS (SELECT cell, vec_id,
+                row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+              FROM assigned)
+        SELECT cell, rn, vec_id FROM r WHERE rn <= $cap ORDER BY cell, rn"""
+
   /** Deterministic HNSW level assignment: level l with probability
     * 16^-l from the id's [[graft.functions.TextFunctions.fingerprint]]
     * (the paper's geometric draw `floor(-ln(U)·mL)` with the seeded RNG

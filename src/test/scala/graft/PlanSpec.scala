@@ -317,6 +317,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("clusterCapSample: codebook inlined (no corpus join), partial " +
+    "WindowGroupLimit below the exchange caps per-partition shipping") {
+    val p = plan(Similarity.clusterCapSample(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
+
   test("imageNearDupPairs: band equi-join (no cartesian), hashes-only shuffle") {
     val p = plan(graft.operators.Multimodal.imageNearDupPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(2000))

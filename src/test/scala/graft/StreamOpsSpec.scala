@@ -653,6 +653,20 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(setStream == setBatch && setStream.nonEmpty)
   }
 
+  test("streaming k-NN graph store: edge-store compaction preserves the served graph") {
+    // the edge store is rewritten per touched bucket each batch and
+    // accretes files; same layout-hygiene composition as the ANN store
+    val before = StreamOps.streamKnnGraphStoreQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val (_, edgeDir) = StreamOps.knnGraphStreamStoreFor(TestSession.sfDir).get
+    val rewritten = graft.operators.Sinks.compactPartitioned(spark, edgeDir,
+      targetBytes = 1L << 30)
+    assert(rewritten > 0, "expected the edge store's buckets to compact")
+    val after = StreamOps.streamKnnGraphStoreQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before && after.nonEmpty)
+  }
+
   test("stream-scored DSIR selection equals the batch ranking on the fixture") {
     val streamed = StreamOps.streamDsirSelectQuery(spark, TestSession.sfDir)
       .collect().map(_.toSeq).toSeq
