@@ -1306,9 +1306,18 @@ object StreamOps {
   /** The running top-deg merged with a batch's new candidate edges —
     * exact because an edge once evicted from a src's top-deg can never
     * re-enter it (scores are immutable), so per-src state of deg rows is
-    * a lossless summary of every candidate ever proposed. */
+    * a lossless summary of every candidate ever proposed. The (src, dst)
+    * pre-aggregation deduplicates CRASH-REPLAY re-proposals: a batch
+    * that died between its edge write and its node write re-runs with
+    * its nodes still "fresh", re-proposing candidates its first attempt
+    * already merged — without the dedupe a duplicate (src, dst) could
+    * occupy two of a node's deg slots. Scores are deterministic, so
+    * max == the only value; normal operation has no duplicates and the
+    * pre-aggregation combines map-side into the same shuffle. */
   private def topDegEdges(cands: DataFrame, deg: Int): DataFrame =
-    cands.groupBy(col("src"))
+    cands.groupBy(col("src"), col("dst"))
+      .agg(max(col("score")).as("score"))
+      .groupBy(col("src"))
       .agg(graft.functions.NativeFunctions.topKByScore(
         col("score"), col("dst"), deg).as("top"))
       .select(col("src"), explode(col("top")).as("p"))
@@ -1412,9 +1421,11 @@ object StreamOps {
             finally sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
           }
         } finally newCands.unpersist()
-        // admit the fresh nodes (after edges, so a crash between the two
-        // writes re-proposes rather than orphans — appends are idempotent
-        // through the membership anti-join)
+        // admit the fresh nodes AFTER the edges: a crash between the two
+        // writes re-runs the batch with its nodes still fresh, so the
+        // candidates are re-proposed (and deduped in topDegEdges) rather
+        // than orphaned — nodes-first would instead mark the batch seen
+        // and silently skip its edges forever
         fresh.repartition(col("bucket"))
           .sortWithinPartitions(col("bucket"), col("vec_id"))
           .write.mode("append").partitionBy("bucket").parquet(nodeDir)

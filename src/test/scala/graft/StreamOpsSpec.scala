@@ -718,4 +718,38 @@ class StreamOpsSpec extends AnyFunSuite {
     val early = streamed.filter { case (src, _, dst, _) => src < 150 && dst >= 150 }
     assert(early.nonEmpty, "no cross-batch edges — merge path never exercised")
   }
+
+  test("streaming k-NN graph store: a crash-replayed batch (edges written, " +
+    "nodes not yet admitted) merges to the identical graph — no duplicate " +
+    "neighbor slots") {
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(TestSession.sfDir + "/embeddings.parquet")
+    val nodeDir = Files.createTempDirectory("crash_nodes").toString
+    val edgeDir = Files.createTempDirectory("crash_edges").toString
+    val b1 = emb.filter(col("vec_id") < 200)
+    val b2 = emb.filter(col("vec_id") >= 200)
+    // first attempt of batch 1 "crashes" after the edge write: replicate
+    // by ingesting into scratch stores and keeping only the edge dir
+    val scratchNodes = Files.createTempDirectory("crash_scratch").toString
+    StreamOps.ingestGraphBatch(spark, b1, scratchNodes, edgeDir, 8, 6)
+    // the re-run sees its edges persisted but its nodes still fresh
+    StreamOps.ingestGraphBatch(spark, b1, nodeDir, edgeDir, 8, 6)
+    StreamOps.ingestGraphBatch(spark, b2, nodeDir, edgeDir, 8, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
+    val got = spark.read.parquet(edgeDir)
+      .withColumn("rn", row_number().over(w))
+      .select(col("src"), col("rn"), col("dst"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val batch = Similarity.knnGraph(spark, TestSession.sfDir, deg = 8,
+        bitsOpt = Some(6))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == batch && got.nonEmpty)
+    // explicitly: no src lists the same neighbor twice
+    val dups = got.groupBy(r => (r._1, r._3)).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate neighbor slots: ${dups.keys.take(3)}")
+  }
 }
