@@ -227,6 +227,9 @@ object SparkEntry {
     // — the final graph is batch-identical at the pinned width
     "stream_knn_graph_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamKnnGraphStoreQuery(s, d)),
+    // the stream-built graph answers the production beam walk directly
+    "stream_graph_beam" -> ((s, d) =>
+      graft.streaming.StreamOps.streamGraphBeamQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -451,6 +454,8 @@ object SparkEntry {
     // the streamed graph equals the batch build at the pinned width
     "stream_knn_graph_store" ->
       graft.streaming.StreamOps.streamKnnGraphStoreOracleSql(),
+    "stream_graph_beam" ->
+      graft.streaming.StreamOps.streamGraphBeamOracleSql(),
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

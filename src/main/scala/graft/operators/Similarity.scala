@@ -1569,7 +1569,7 @@ object Similarity {
     * DISTINCT dedupe). */
   def graphBeamSearchSql(deg: Int = 8, nQueries: Int = 10, nEntries: Int = 8,
                          beamWidth: Int = 8, steps: Int = 8,
-                         k: Int = 3): String = {
+                         k: Int = 3, bitsOpt: Option[Int] = None): String = {
     val stepCtes = (1 to steps).map { i =>
       s"""b$i AS MATERIALIZED (SELECT qid, node FROM (
             SELECT qid, node,
@@ -1587,7 +1587,7 @@ object Similarity {
                     SELECT * FROM v${i - 1}
                     UNION ALL SELECT * FROM x$i))"""
     }
-    s"""WITH ${knnGraphCtesSql(deg)},
+    s"""WITH ${knnGraphCtesSql(deg, bitsOpt)},
         q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
               WHERE vec_id < $nQueries),
         ent AS (SELECT CAST($nQueries +

@@ -1482,4 +1482,70 @@ object StreamOps {
 
   def streamKnnGraphStoreOracleSql(deg: Int = 8): String =
     graft.operators.Similarity.knnGraphSql(deg, Some(GraphStreamBits))
+
+  /** BEAM SEARCH SERVED OFF THE STREAMING-MAINTAINED GRAPH — the full
+    * loop: the index a stream built incrementally
+    * ([[streamKnnGraphStoreQuery]]) answers the production walk
+    * ([[graft.operators.Similarity.graphBeamSearchFromStore]]'s serve
+    * shape) with no rebuild between ingest and query. Each superstep
+    * collects the frontier's src-bucket set (O(nQueries·beamWidth) ints
+    * of control state) and pushes it as a static partition filter on
+    * the edge store; destination vectors attach by id equi-join. The
+    * walk — and therefore the oracle — is graphBeamSearchSql at the
+    * store's pinned width: same graph, same cosines, same tie orders. */
+  def streamGraphBeamQuery(spark: SparkSession, dir: String, deg: Int = 8,
+                           nQueries: Int = 10, nEntries: Int = 8,
+                           beamWidth: Int = 8, steps: Int = 8,
+                           k: Int = 3): DataFrame = {
+    import graft.operators.Similarity
+    // ensure the store exists (memoized; replays are no-ops)
+    streamKnnGraphStoreQuery(spark, dir, deg)
+    val (_, edgeDir) = knnGraphStreamStores(dir)
+    val gb = Similarity.GraphStoreBuckets.toLong
+    val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+    val n = emb.count()
+    val dstEmb = emb.select(col("vec_id").as("dst"),
+      col("embedding").as("dst_emb")).localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val entryIds = (0 until nEntries).map(i =>
+      nQueries + i.toLong * (n - nQueries) / nEntries)
+    val entries = emb.filter(col("vec_id").isin(entryIds: _*))
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
+    var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
+      .select(col("qid"), col("node"),
+        graft.functions.VectorFunctions.cosine(
+          col("q_emb"), col("e_emb")).as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint(true)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    for (_ <- 1 to steps) {
+      val beam = visited.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beamWidth).select(col("qid"), col("node"))
+        .localCheckpoint(true) // two consumers: bucket probe + the join
+      val buckets = beam
+        .select(pmod(col("node"), lit(gb)).cast(IntegerType).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val expanded = beam
+        .join(prunedGraphStoreEdges(spark, edgeDir, buckets),
+          col("node") === col("src"))
+        .filter(col("dst") =!= col("qid"))
+        .join(dstEmb, "dst")
+        .join(queries, "qid")
+        .select(col("qid"), col("dst").as("node"),
+          graft.functions.VectorFunctions.cosine(
+            col("q_emb"), col("dst_emb")).as("score"))
+        .filter(col("score").isNotNull)
+      visited = visited.union(expanded).distinct().localCheckpoint(true)
+    }
+    visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("node"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def streamGraphBeamOracleSql(deg: Int = 8): String =
+    graft.operators.Similarity.graphBeamSearchSql(
+      deg = deg, bitsOpt = Some(GraphStreamBits))
 }
