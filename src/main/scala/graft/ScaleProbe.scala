@@ -156,7 +156,9 @@ object ScaleProbe {
       // trained perceptron
       "graph_hnsw_search" -> ((s, d) => Similarity.hnswSearch(s, d)),
       "dsir_select" -> ((s, d) => TextAnalytics.dsirSelect(s, d)),
-      "quality_perceptron" -> ((s, d) => TextAnalytics.perceptronQuality(s, d)))
+      "quality_perceptron" -> ((s, d) => TextAnalytics.perceptronQuality(s, d)),
+      "cluster_cap_sample" -> ((s, d) => Similarity.clusterCapSample(s, d)),
+      "corpus_shards" -> ((s, d) => TextAnalytics.corpusShards(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }

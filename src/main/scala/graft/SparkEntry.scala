@@ -82,6 +82,9 @@ object SparkEntry {
     // micro-batch, stateless scoring — must equal the batch ranking
     "stream_dsir_select" -> ((s, d) =>
       graft.streaming.StreamOps.streamDsirSelectQuery(s, d)),
+    // shuffle-and-shard manifest: hash shards, hash order, resumable
+    // token offsets — the loader-facing artifact after curation
+    "corpus_shards" -> ((s, d) => TextAnalytics.corpusShards(s, d)),
     "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)),
     "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
@@ -361,6 +364,7 @@ object SparkEntry {
     "dsir_select" -> TextAnalytics.dsirSelectSql(),
     "quality_perceptron" -> TextAnalytics.perceptronQualitySql(),
     "stream_dsir_select" -> TextAnalytics.dsirSelectSql(),
+    "corpus_shards" -> TextAnalytics.corpusShardsSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,

@@ -1334,6 +1334,62 @@ object TextAnalytics {
                  row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rn
           FROM scored) WHERE rn <= $k ORDER BY rn"""
 
+  /** SHUFFLE-AND-SHARD MANIFEST — the last step between curation and
+    * training: assign every document to one of `nShards` shards by
+    * content hash (balanced in expectation, locality-free), order each
+    * shard by a SECOND independent hash (the deterministic global
+    * shuffle a data loader wants — no seeded RNG, so engine and oracle
+    * agree row-for-row), and emit per-document token offsets so a
+    * loader can resume mid-shard without rescanning. Salted
+    * fingerprints make shard and order independent draws.
+    *
+    * Scale shape: one narrow hashing pass, ONE shuffle keyed by shard
+    * for the position/offset windows (at rest this is the write
+    * partitioning), exact BIGINT cumulative sums. At 100 TB the
+    * manifest is what every loader framework actually reads — rows are
+    * (shard, pos, doc_id, n_tokens, tok_offset), never text. */
+  def corpusShards(spark: SparkSession, dir: String,
+                   nShards: Int = 8): DataFrame = {
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      pmod(fingerprint(concat(col("doc_id").cast("string"), lit(":shard"))),
+        lit(nShards.toLong)).cast("int").as("shard"),
+      fingerprint(concat(col("doc_id").cast("string"), lit(":order")))
+        .as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    base
+      .withColumn("pos", row_number().over(w))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("shard"), col("pos"), col("doc_id"), col("n_tokens"),
+        col("tok_offset"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def corpusShardsSql(nShards: Int = 8): String = {
+    val hs = fingerprintSql("(CAST(doc_id AS VARCHAR) || ':shard')")
+    val ho = fingerprintSql("(CAST(doc_id AS VARCHAR) || ':order')")
+    s"""WITH base AS (SELECT doc_id,
+          CAST(${tokenCountSql("text")} AS BIGINT) AS n_tokens,
+          CAST(($hs) % $nShards AS INT) AS shard,
+          ($ho) AS h
+          FROM documents)
+        SELECT shard,
+               CAST(row_number() OVER w AS INT) AS pos,
+               doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS tok_offset
+        FROM base
+        WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+        ORDER BY shard, pos"""
+  }
+
   /** TRAINED QUALITY CLASSIFIER — a batch (epoch-synchronous) perceptron
     * distilling a quality rule into a linear model over raw per-document
     * counts, the fourth trained model in the engine (bigram LM, trigram
