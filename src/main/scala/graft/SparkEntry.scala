@@ -85,6 +85,9 @@ object SparkEntry {
     // shuffle-and-shard manifest: hash shards, hash order, resumable
     // token offsets — the loader-facing artifact after curation
     "corpus_shards" -> ((s, d) => TextAnalytics.corpusShards(s, d)),
+    // curriculum packing: cap-token chunks in trained-margin order,
+    // two-level (band + within-band) exact prefix sums
+    "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)),
     "text_normalize" -> ((s, d) => TextAnalytics.textNormalize(s, d)),
     "blocklist_filter" -> ((s, d) => TextAnalytics.blocklistFilter(s, d)),
     "doc_chunks" -> ((s, d) => TextAnalytics.docChunks(s, d)),
@@ -365,6 +368,7 @@ object SparkEntry {
     "quality_perceptron" -> TextAnalytics.perceptronQualitySql(),
     "stream_dsir_select" -> TextAnalytics.dsirSelectSql(),
     "corpus_shards" -> TextAnalytics.corpusShardsSql(),
+    "curriculum_packing" -> TextAnalytics.curriculumPackingSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
     "pii_scrub" -> TextAnalytics.piiScrubSql,

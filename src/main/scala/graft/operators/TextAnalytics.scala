@@ -1453,7 +1453,10 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
-  def perceptronQualitySql(epochs: Int = 16): String = {
+  /** The perceptron's shared WITH-body (features + unrolled epochs) and
+    * the final-weights dot expression — reused by the classifier query
+    * and the curriculum packer. */
+  private def perceptronCtes(epochs: Int): (String, String) = {
     val d = 3
     def dot(w: String) = (0 until d).map(j => s"$w.w$j * x$j").mkString(" + ")
     val zeros = (0 until d).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")
@@ -1467,7 +1470,7 @@ object TextAnalytics {
                   WHERE y * (${dot(s"e${t - 1}")}) <= 0),
           e$t AS MATERIALIZED (SELECT $adds FROM e${t - 1}, u$t)"""
     }
-    s"""WITH base AS (SELECT doc_id,
+    val body = s"""base AS (SELECT doc_id,
           list_filter(${wordsSql("text")}, x -> x <> '') AS ws
           FROM documents),
         feats AS MATERIALIZED (SELECT doc_id,
@@ -1478,9 +1481,98 @@ object TextAnalytics {
                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
           FROM base),
         e0 AS (SELECT $zeros),
-        ${epochCtes.mkString(",\n        ")}
-        SELECT doc_id, y, CAST(${dot(s"e$epochs")} AS BIGINT) AS margin,
-               CASE WHEN (${dot(s"e$epochs")}) > 0 THEN 1 ELSE -1 END AS pred
+        ${epochCtes.mkString(",\n        ")}"""
+    (body, dot(s"e$epochs"))
+  }
+
+  def perceptronQualitySql(epochs: Int = 16): String = {
+    val (body, dot) = perceptronCtes(epochs)
+    s"""WITH $body
+        SELECT doc_id, y, CAST($dot AS BIGINT) AS margin,
+               CASE WHEN ($dot) > 0 THEN 1 ELSE -1 END AS pred
         FROM feats, e$epochs ORDER BY doc_id"""
+  }
+
+  /** CURRICULUM PACKING — [[seqPacking]] with the pack order driven by
+    * the TRAINED model instead of arrival order: documents stream into
+    * fixed `cap`-token chunks sorted by descending perceptron margin
+    * (cleanest-first — the easy-to-hard curriculum an LM pretraining
+    * run schedules), tie-broken by doc_id so both engines pack the
+    * identical sequence.
+    *
+    * The global prefix sum is computed SCALE-CORRECTLY as a two-level
+    * sum: margins band into value-derived buckets (margin div 2^16 — a
+    * deterministic function of the VALUE, not a sampled range
+    * partitioning), higher bands pack first; each row's offset = the
+    * exact token total of all higher bands (a bands-sized aggregate,
+    * O(bands) window state) + its within-band running sum (a
+    * partitioned window). No single global window over the corpus —
+    * the shuffle is keyed by band, and band totals are model-sized. */
+  def curriculumPacking(spark: SparkSession, dir: String, cap: Long = 512,
+                        epochs: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = perceptronQuality(spark, dir, epochs)
+      .select(col("doc_id"), col("margin"))
+    // n_tokens is the model's own x1 (filtered word count) so engine and
+    // oracle pack identical token totals on whitespace-edged text
+    val toks = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id").as("t_id"), words(col("text")).as("ws0"))
+      .select(col("t_id"),
+        size(expr("filter(ws0, w -> w <> '')")).cast("long").as("n_tokens"))
+    val rows = scored.join(toks, col("doc_id") === col("t_id"))
+      .select(col("doc_id"), col("margin"), col("n_tokens"))
+      .withColumn("band", expr("margin div 65536"))
+      .localCheckpoint(true) // two consumers: band totals + the window
+    val bandTotals = rows.groupBy(col("band"))
+      .agg(sum(col("n_tokens")).as("band_toks"))
+    // running total of STRICTLY higher bands: a window over O(bands)
+    // rows, not corpus rows
+    val wb = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandOffsets = bandTotals
+      .withColumn("band_off", coalesce(sum(col("band_toks")).over(wb), lit(0L)))
+      .select(col("band").as("b2"), col("band_off"))
+    val ww = Window.partitionBy(col("band"))
+      .orderBy(col("margin").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.withColumn("cum", sum(col("n_tokens")).over(ww))
+      .join(bandOffsets, col("band") === col("b2"))
+      .select(col("doc_id"), col("margin"), col("n_tokens"),
+        // "offset" is a DuckDB reserved word — tok_offset on both sides
+        (col("band_off") + col("cum") - col("n_tokens")).as("tok_offset"))
+      .withColumn("chunk", expr(s"tok_offset div $cap"))
+      .withColumn("crosses",
+        col("n_tokens") > 0 &&
+          expr(s"tok_offset div $cap") =!=
+          expr(s"(tok_offset + n_tokens - 1) div $cap"))
+      .orderBy(col("tok_offset"), col("doc_id"))
+  }
+
+  def curriculumPackingSql(cap: Long = 512, epochs: Int = 16): String = {
+    val (body, dot) = perceptronCtes(epochs)
+    s"""WITH $body,
+        scored AS (SELECT doc_id, CAST($dot AS BIGINT) AS margin, x1 AS n_tokens
+                   FROM feats, e$epochs),
+        banded AS (SELECT doc_id, margin, n_tokens,
+                          margin // 65536 AS band FROM scored),
+        bt AS (SELECT band, CAST(sum(n_tokens) AS BIGINT) AS band_toks
+               FROM banded GROUP BY band),
+        boff AS (SELECT band,
+                 CAST(coalesce(sum(band_toks) OVER (ORDER BY band DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS band_off
+                 FROM bt),
+        c AS (SELECT b.doc_id, b.margin, b.n_tokens,
+                     boff.band_off +
+                     CAST(sum(b.n_tokens) OVER (PARTITION BY b.band
+                       ORDER BY b.margin DESC, b.doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     - b.n_tokens AS tok_offset
+              FROM banded b JOIN boff ON b.band = boff.band)
+        SELECT doc_id, margin, n_tokens, tok_offset,
+               tok_offset // $cap AS chunk,
+               (n_tokens > 0 AND
+                (tok_offset // $cap) <> ((tok_offset + n_tokens - 1) // $cap)) AS crosses
+        FROM c ORDER BY tok_offset, doc_id"""
   }
 }
