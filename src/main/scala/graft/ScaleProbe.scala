@@ -158,7 +158,8 @@ object ScaleProbe {
       "dsir_select" -> ((s, d) => TextAnalytics.dsirSelect(s, d)),
       "quality_perceptron" -> ((s, d) => TextAnalytics.perceptronQuality(s, d)),
       "cluster_cap_sample" -> ((s, d) => Similarity.clusterCapSample(s, d)),
-      "corpus_shards" -> ((s, d) => TextAnalytics.corpusShards(s, d)))
+      "corpus_shards" -> ((s, d) => TextAnalytics.corpusShards(s, d)),
+      "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }
