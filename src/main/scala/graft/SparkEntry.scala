@@ -236,6 +236,10 @@ object SparkEntry {
     // the stream-built graph answers the production beam walk directly
     "stream_graph_beam" -> ((s, d) =>
       graft.streaming.StreamOps.streamGraphBeamQuery(s, d)),
+    // persistent streaming Misra-Gries store: per-batch counter
+    // partials, n-way Agarwal merge at serve — exact under cap
+    "stream_topfreq_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamTopFreqStoreQuery(s, d)),
   )
 
   /** E3/E4 exercised over fence-wrapped noisy JSON built from
@@ -464,6 +468,8 @@ object SparkEntry {
       graft.streaming.StreamOps.streamKnnGraphStoreOracleSql(),
     "stream_graph_beam" ->
       graft.streaming.StreamOps.streamGraphBeamOracleSql(),
+    // merged MG partials are exact under cap, so the batch oracle holds
+    "stream_topfreq_store" -> TextAnalytics.langTopWordsSql(),
     "events_sliding" -> Events.slidingSql,
     "events_sessions" -> Events.sessionsSql,
     "events_asof" -> Events.asofClickBeforePurchaseSql,

@@ -1548,4 +1548,78 @@ object StreamOps {
   def streamGraphBeamOracleSql(deg: Int = 8): String =
     graft.operators.Similarity.graphBeamSearchSql(
       deg = deg, bitsOpt = Some(GraphStreamBits))
+
+  private val topFreqStores = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The n-way Agarwal-et-al. merge of stored Misra-Gries partials,
+    * as relational ops: dedupe replays on (group, batch), sum matching
+    * counters across all partials, then restore the cap bound ONCE by
+    * subtracting the (cap+1)-th largest merged count per group and
+    * dropping non-positive counters. Summing all partials before a
+    * single subtraction IS the n-way merge (associativity of the
+    * counter sums; one restore preserves the mergeable-summaries error
+    * bound exactly like a binary merge tree). In the exactness regime
+    * (merged distinct items <= cap) the subtrahend row does not exist
+    * and the merged counters equal the GROUP BY truth. */
+  private[graft] def mergedTopFreq(parts: DataFrame, cap: Int): DataFrame = {
+    val one = parts.groupBy(col("lang_pred"), col("batch_id"))
+      .agg(first(col("tf")).as("tf"))
+    val summed = one
+      .select(col("lang_pred"), explode(col("tf")).as("p"))
+      .groupBy(col("lang_pred"), col("p.item").as("item"))
+      .agg(sum(col("p.cnt")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_pred")).orderBy(col("cnt").desc, col("item"))
+    val kth = summed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === cap + 1)
+      .select(col("lang_pred").as("l2"), col("cnt").as("sub"))
+    summed.join(kth, col("lang_pred") === col("l2"), "left")
+      .select(col("lang_pred"), col("item"),
+        (col("cnt") - coalesce(col("sub"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** PERSISTENT STREAMING HEAVY-HITTER STORE — the Misra-Gries member
+    * of the mergeable-sketch store family (KMV distinct / CMS counts /
+    * MG heavy hitters): each micro-batch folds its documents into
+    * per-language MG summaries through the very aggregate the batch
+    * query uses ([[graft.plans.TopFreq]], map-side-combined) and
+    * APPENDS the (lang, batch_id, counters) partial — a bounded sketch
+    * per batch, never a row per token. Serving merges the partials
+    * n-way ([[mergedTopFreq]]) and ranks; replayed epochs dedupe on
+    * (lang, batch). While merged distinct tokens stay <= cap the
+    * summed counters are EXACT (the regime the oracle checks — the
+    * fixture vocabulary is far under cap), and past it the
+    * subtract-(cap+1)-th restore keeps the proven under-estimate bound
+    * under any batching. Oracle: the SAME SQL as batch
+    * `lang_top_words`. */
+  def streamTopFreqStoreQuery(spark: SparkSession, dir: String, k: Int = 5,
+                              cap: Int = 256): DataFrame = {
+    import graft.functions.TextFunctions.{langId, words}
+    val store = topFreqStores.getOrElseUpdate(dir, {
+      val storeDir = java.nio.file.Files.createTempDirectory("topfreq_store").toString
+      val q = docsStream(spark, dir).writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          batch
+            .select(langId(col("text")).as("lang_pred"),
+              explode(words(col("text"))).as("word"))
+            .filter(col("word") =!= "")
+            .groupBy(col("lang_pred"))
+            .agg(graft.functions.NativeFunctions.topFreq(col("word"), cap).as("tf"))
+            .withColumn("batch_id", lit(epochId))
+            .coalesce(1) // a handful of counter rows per batch
+            .write.mode("append").parquet(storeDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      storeDir
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_pred")).orderBy(col("cnt").desc, col("item"))
+    mergedTopFreq(spark.read.parquet(store), cap)
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select(col("lang_pred"), col("rnk"), col("item").as("word"), col("cnt"))
+      .orderBy(col("lang_pred"), col("rnk"))
+  }
 }

@@ -667,6 +667,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(after == before && after.nonEmpty)
   }
 
+  test("streaming Misra-Gries store: merged per-batch partials equal batch " +
+    "lang_top_words in the exact regime; the n-way Agarwal restore fires " +
+    "correctly past cap") {
+    import spark.implicits._
+    val streamed = StreamOps.streamTopFreqStoreQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalytics.langTopWords(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // estimating regime, forced: two crafted partials over cap = 2.
+    // summed: a:9, c:6, b:3 -> size 3 > 2 -> subtract 3rd largest (3)
+    // -> a:6, c:3 (b drops). The MG under-estimate survives the merge.
+    val parts = Seq(
+      ("en", 0L, Seq(("a", 5L), ("b", 3L))),
+      ("en", 1L, Seq(("a", 4L), ("c", 6L))))
+      .toDF("lang_pred", "batch_id", "raw")
+      .select(col("lang_pred"), col("batch_id"),
+        expr("transform(raw, r -> struct(r._1 AS item, r._2 AS cnt))").as("tf"))
+    val merged = StreamOps.mergedTopFreq(parts, cap = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged == Set(("en", "a", 6L), ("en", "c", 3L)), merged)
+  }
+
   test("stream-scored DSIR selection equals the batch ranking on the fixture") {
     val streamed = StreamOps.streamDsirSelectQuery(spark, TestSession.sfDir)
       .collect().map(_.toSeq).toSeq
