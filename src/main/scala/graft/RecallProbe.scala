@@ -86,14 +86,17 @@ object RecallProbe {
       // hierarchical search: hash-drawn layers route the entry instead
       // of the multi-start spread
       Seq((8, 8), (16, 8)).foreach { case (b, st) =>
-        val hn = resultSet(Similarity.hnswSearch(spark, sfDir,
+        // ONE search per config: the rn==1 rows of the k-result ARE the
+        // k=1 result (same visited set and window, only the rn filter
+        // differs) — each hnsw call rebuilds three graphs, so don't pay
+        // it twice
+        val rows = Similarity.hnswSearch(spark, sfDir,
             nQueries = nQ, beamWidth = b, steps = st, k = k)
-          .withColumnRenamed("node", "vec_id"))
+          .select("qid", "rn", "node").collect()
+        val hn = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+        val h1 = rows.filter(_.getInt(1) == 1)
+          .map(r => (r.getLong(0), r.getLong(2))).toSet
         val hr = (exact & hn).size.toDouble / exact.size
-        val h1 = Similarity.hnswSearch(spark, sfDir, nQueries = nQ,
-            beamWidth = b, steps = st, k = 1)
-          .select("qid", "node").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
         val hr1 = (exact1 & h1).size.toDouble / exact1.size
         println(f"| graph_hnsw_search (deg=8, beam $b%d, $st%d steps) | $hr%.3f @$k, $hr1%.3f @1 |")
       }

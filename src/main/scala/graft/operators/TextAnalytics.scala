@@ -1246,7 +1246,21 @@ object TextAnalytics {
   /** The trained importance model from labeled bucket counts:
     * <= nBuckets (bucket, integer log weight) rows — the broadcastable
     * state both the batch selection and the stream-static scoring twin
-    * consume. */
+    * consume.
+    *
+    * The log ratio log2((ct+1)/(tt+B)) − log2((cr+1)/(tr+B)) is
+    * computed as TWO bounded floor-logs rather than one fused product:
+    * the fused numerator (ct+1)·(tr+B)·2^20 overflows int64 once the
+    * pool holds ~1e10 bigrams (DuckDB hard-errors on BIGINT overflow;
+    * ANSI Spark throws). Term 1 is the per-bucket count ratio
+    * bit_length(((ct+1)·2^20) div (cr+1)) — O(1)-sized ratios at full
+    * 2^-20 resolution, safe for per-bucket counts below 2^43 (a
+    * balanced 4096-bucket corpus of ~3.6e16 bigrams) — and term 2 is
+    * the corpus-constant normalization
+    * bit_length(((tr+B)·2^10) div (tt+B)), safe for totals below 2^53.
+    * Composing the floor-logs costs at most one bit of rounding per
+    * bucket — noise against the summed per-document weights, identical
+    * on both engines. Ratio 1 maps to lw = 0 (21 + 11 − 32). */
   private def dsirModelFrom(docB: DataFrame, nBuckets: Int,
                             targetLang: String): DataFrame = {
     val tc = docB.filter(col("lang") === targetLang)
@@ -1259,8 +1273,11 @@ object TextAnalytics {
       .crossJoin(broadcast(tot))
       .select(col("b"),
         (length(bin(greatest(expr(
-          s"((coalesce(ct, 0) + 1) * (tr + $nBuckets) * 1048576) div ((cr + 1) * (tt + $nBuckets))"),
-          lit(1L)))) - 21).cast("long").as("lw"))
+          s"((coalesce(ct, 0) + 1) * 1048576) div (cr + 1)"),
+          lit(1L)))) +
+          length(bin(greatest(expr(
+            s"((tr + $nBuckets) * 1024) div (tt + $nBuckets)"),
+            lit(1L)))) - 32).cast("long").as("lw"))
   }
 
   /** Standalone trained model over a fixture dir — the static side of
@@ -1287,8 +1304,13 @@ object TextAnalytics {
       .join(broadcast(model), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("n") * col("lw")).as("dsir_score"))
-    // global top-k as TakeOrderedAndProject (each partition ships k
-    // rows, no full sort); the rank window then runs over k rows only
+    dsirTopK(scored, k)
+  }
+
+  /** The selection tail shared by the batch and streaming DSIR forms:
+    * global top-k as TakeOrderedAndProject (each partition ships k
+    * rows, no full sort); the rank window then runs over k rows only. */
+  private[graft] def dsirTopK(scored: DataFrame, k: Int): DataFrame = {
     val top = scored.orderBy(col("dsir_score").desc, col("doc_id")).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("dsir_score").desc, col("doc_id"))
@@ -1321,8 +1343,10 @@ object TextAnalytics {
           (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS tr),
         model AS (SELECT rc.b,
           CAST(length(bin(greatest(
-            ((coalesce(tc.ct, 0) + 1) * (tr + $nBuckets) * 1048576)
-              // ((rc.cr + 1) * (tt + $nBuckets)), 1))) - 21 AS BIGINT) AS lw
+            ((coalesce(tc.ct, 0) + 1) * 1048576) // (rc.cr + 1), 1)))
+            + length(bin(greatest(
+            ((tr + $nBuckets) * 1024) // (tt + $nBuckets), 1)))
+            - 32 AS BIGINT) AS lw
           FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot),
         scored AS (SELECT docb.doc_id,
           CAST(sum(docb.n * model.lw) AS BIGINT) AS dsir_score
