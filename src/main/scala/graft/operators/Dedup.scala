@@ -939,9 +939,19 @@ object Dedup {
     * stream — no arrays, no driver-side graph. The per-round
     * `localCheckpoint(true)` is load-bearing twice over: it truncates a
     * lineage that would otherwise double every round, and it makes the
-    * two convergence actions (count + except) read materialized blocks.
+    * convergence action read materialized blocks.
     * Converged state (proven in the paper): a disjoint union of stars
     * whose centers are the component minima.
+    *
+    * Fixed-point detection costs ONE aggregate action per round — the
+    * (exact count, order-independent checksum = sum of xxhash64(u, v)
+    * widened to decimal so ANSI sum can't overflow) pair of the
+    * canonical edge set, equal across consecutive rounds iff (modulo a
+    * 2^-64-scale checksum collision) the sets are equal. The earlier
+    * shape paid count() PLUS a full except() anti-join — two extra
+    * shuffles per round on the critical path of every clustering query.
+    * The except() survives as a single post-loop assert backing the
+    * checksum, so a collision fails loudly instead of mis-clustering.
     *
     * Output: one row per node that appears in any edge —
     * (doc_id, cluster_id = min doc_id of its component). */
@@ -967,16 +977,33 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       canon(attach.union(mins.select(col("u"), col("m").as("v"))))
     }
+    def stats(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
     var edges = canon(pairs).localCheckpoint(true)
-    var converged = edges.isEmpty
+    var (cnt, sig) = stats(edges)
+    var prev: DataFrame = null
+    var converged = cnt == 0L
     var round = 0
     while (!converged && round < 50) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      val (ncnt, nsig) = stats(next)
+      converged = ncnt == cnt && nsig.compareTo(sig) == 0
+      prev = edges
       edges = next
+      cnt = ncnt
+      sig = nsig
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $round rounds")
+    // checksum backstop, paid ONCE after the loop (counts already match,
+    // so one-directional emptiness proves set equality)
+    require(prev == null || edges.except(prev).isEmpty,
+      "connectedComponents checksum collision: count+hash matched across " +
+        s"round $round but the edge sets differ")
     edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
       .union(edges.select(col("u"), col("u")).distinct()
         .toDF("doc_id", "cluster_id"))

@@ -775,16 +775,20 @@ object StreamOps {
     * model would come from yesterday's corpus; the fixture trains and
     * scores on the same replayed documents so the DuckDB twin checks
     * every row. Oracle: dsirSelectSql itself. */
-  /** One partial store per fixture dir per JVM (bench reps and verify
-    * re-enter this builder; partials carry batch_id so a replayed epoch
-    * dedupes at read instead of double-counting). */
-  private val dsirPartStores = new scala.collection.concurrent.TrieMap[String, String]()
+  /** One partial store per (fixture dir, nBuckets, targetLang) per JVM
+    * (bench reps and verify re-enter this builder; partials carry
+    * batch_id so a replayed epoch dedupes at read instead of
+    * double-counting). Keyed on the scoring config (the lshStores
+    * precedent): partials scored under one model config must never
+    * serve a query asking for another. */
+  private val dsirPartStores =
+    new scala.collection.concurrent.TrieMap[(String, Int, String), String]()
 
   def streamDsirSelectQuery(spark: SparkSession, dir: String,
                             nBuckets: Int = 4096, k: Int = 100,
                             targetLang: String = "en"): DataFrame = {
     import graft.operators.TextAnalytics
-    val partDir = dsirPartStores.getOrElseUpdate(dir, {
+    val partDir = dsirPartStores.getOrElseUpdate((dir, nBuckets, targetLang), {
       val model = broadcast(
         TextAnalytics.dsirModel(spark, dir, nBuckets, targetLang)
           .localCheckpoint(true))
@@ -1277,13 +1281,18 @@ object StreamOps {
       .orderBy(col("event_type"), col("user_id"))
   }
 
-  /** One streaming graph store per fixture dir per JVM (node store dir,
-    * edge store dir) — the dedupStores memoization contract: replays
-    * anti-join on vec_id against the node store, so nothing re-ingests. */
+  /** One streaming graph store per (fixture dir, deg, bits) per JVM
+    * (node store dir, edge store dir) — the dedupStores memoization
+    * contract: replays anti-join on vec_id against the node store, so
+    * nothing re-ingests. Keyed on the full index config (the lshStores
+    * precedent): a later call with a different deg or width builds its
+    * own store instead of silently serving the first call's config. */
   private val knnGraphStreamStores =
-    new scala.collection.concurrent.TrieMap[String, (String, String)]()
-  private[graft] def knnGraphStreamStoreFor(dir: String): Option[(String, String)] =
-    knnGraphStreamStores.get(dir)
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), (String, String)]()
+  private[graft] def knnGraphStreamStoreFor(
+      dir: String, deg: Int = 8,
+      bits: Int = GraphStreamBits): Option[(String, String)] =
+    knnGraphStreamStores.get((dir, deg, bits))
 
   /** Pinned sign-LSH width for the streaming graph build: a stream
     * cannot count its corpus up front, so the index config is fixed at
@@ -1466,7 +1475,7 @@ object StreamOps {
   def streamKnnGraphStoreQuery(spark: SparkSession, dir: String,
                                deg: Int = 8,
                                bits: Int = GraphStreamBits): DataFrame = {
-    val (_, edgeDir) = knnGraphStreamStores.getOrElseUpdate(dir, {
+    val (_, edgeDir) = knnGraphStreamStores.getOrElseUpdate((dir, deg, bits), {
       val nd = java.nio.file.Files.createTempDirectory("knn_stream_nodes").toString
       val ed = java.nio.file.Files.createTempDirectory("knn_stream_edges").toString
       val q = embeddingsStream(spark, dir)
@@ -1507,7 +1516,7 @@ object StreamOps {
     import graft.operators.Similarity
     // ensure the store exists (memoized; replays are no-ops)
     streamKnnGraphStoreQuery(spark, dir, deg)
-    val (_, edgeDir) = knnGraphStreamStores(dir)
+    val (_, edgeDir) = knnGraphStreamStores((dir, deg, GraphStreamBits))
     val gb = Similarity.GraphStoreBuckets.toLong
     val emb = graft.Tables.loadWide(spark, dir, "embeddings")
     val n = emb.count()
@@ -1556,7 +1565,10 @@ object StreamOps {
     graft.operators.Similarity.graphBeamSearchSql(
       deg = deg, bitsOpt = Some(GraphStreamBits))
 
-  private val topFreqStores = new scala.collection.concurrent.TrieMap[String, String]()
+  /** Keyed on (dir, cap) — a partial folded at one cap cannot serve a
+    * query asking for another (the lshStores precedent). */
+  private val topFreqStores =
+    new scala.collection.concurrent.TrieMap[(String, Int), String]()
 
   /** The n-way Agarwal-et-al. merge of stored Misra-Gries partials,
     * as relational ops: dedupe replays on (group, batch), sum matching
@@ -1567,10 +1579,19 @@ object StreamOps {
     * counter sums; one restore preserves the mergeable-summaries error
     * bound exactly like a binary merge tree). In the exactness regime
     * (merged distinct items <= cap) the subtrahend row does not exist
-    * and the merged counters equal the GROUP BY truth. */
+    * and the merged counters equal the GROUP BY truth.
+    *
+    * Replay dedupe picks min-by-JSON, not first(): past the exact
+    * regime a crash-replayed batch can legally produce a DIFFERENT
+    * valid MG partial (per-batch output depends on Spark's
+    * partial-aggregation merge order), and first() would make the
+    * served counters depend on parquet file listing order. min_by a
+    * canonical encoding keeps every serve deterministic for a given
+    * set of stored files — the error bound holds for any valid
+    * partial, so any deterministic pick is correct. */
   private[graft] def mergedTopFreq(parts: DataFrame, cap: Int): DataFrame = {
     val one = parts.groupBy(col("lang_pred"), col("batch_id"))
-      .agg(first(col("tf")).as("tf"))
+      .agg(min_by(col("tf"), to_json(col("tf"))).as("tf"))
     val summed = one
       .select(col("lang_pred"), explode(col("tf")).as("p"))
       .groupBy(col("lang_pred"), col("p.item").as("item"))
@@ -1603,7 +1624,7 @@ object StreamOps {
   def streamTopFreqStoreQuery(spark: SparkSession, dir: String, k: Int = 5,
                               cap: Int = 256): DataFrame = {
     import graft.functions.TextFunctions.{langId, words}
-    val store = topFreqStores.getOrElseUpdate(dir, {
+    val store = topFreqStores.getOrElseUpdate((dir, cap), {
       val storeDir = java.nio.file.Files.createTempDirectory("topfreq_store").toString
       val q = docsStream(spark, dir).writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>

@@ -531,6 +531,47 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 5L -> 5L, 30L -> 5L))
   }
 
+  test("connected components: checksum fixed-point spends fewer jobs than count+except per round") {
+    // Count Spark jobs via job groups (statusTracker lags the listener
+    // bus, so poll until two consecutive reads agree).
+    def countJobs(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      val group = "jobcount-" + java.util.UUID.randomUUID()
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      var prev = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      var waited = 0
+      while (cur != prev && waited < 10000) {
+        Thread.sleep(200); waited += 200
+        prev = cur
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    // a 9-node chain: diameter forces several contraction rounds
+    val chain = (0L until 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("u", "v")
+    chain.localCheckpoint(true) // warm up, outside both counted runs
+    val newJobs = countJobs {
+      Dedup.connectedComponents(chain).collect()
+    }
+    // per-round action cost alone: the new loop pays 1 aggregate where
+    // the old paid count + except (2 actions, one an anti-join shuffle)
+    val perRoundOld = countJobs {
+      val e = chain.localCheckpoint(true)
+      e.count(); e.except(chain).isEmpty
+    }
+    val perRoundNew = countJobs {
+      val e = chain.localCheckpoint(true)
+      e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    }
+    assert(perRoundNew < perRoundOld,
+      s"checksum action ($perRoundNew jobs) should undercut count+except ($perRoundOld jobs)")
+    assert(newJobs > 0)
+  }
+
   test("connected components == local union-find on random graphs (property, seeded)") {
     for (seed <- Seq(3, 19, 71)) {
       val rnd = new scala.util.Random(seed)
