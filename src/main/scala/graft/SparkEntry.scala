@@ -114,6 +114,9 @@ object SparkEntry {
     // hierarchical (HNSW) search: hash-drawn nested layers, greedy
     // routing down the hierarchy, base-layer beam for the top-k
     "graph_hnsw_search" -> ((s, d) => Similarity.hnswSearch(s, d)),
+    // the same search served from the (lvl, gbucket)-partitioned
+    // hierarchy store: zero in-query graph builds or per-layer counts
+    "graph_hnsw_store" -> ((s, d) => Similarity.hnswSearchFromStore(s, d)),
     // cluster-balanced sampling: cap docs per embedding cell
     // (anti-monoculture in content space; domain_cap's sibling)
     "cluster_cap_sample" -> ((s, d) => Similarity.clusterCapSample(s, d)),
@@ -401,6 +404,8 @@ object SparkEntry {
     // the store serve is contract-equal to the in-plan beam search
     "graph_beam_store" -> Similarity.graphBeamSearchSql(),
     "graph_hnsw_search" -> Similarity.hnswSearchSql(),
+    // the hierarchy-store serve is contract-equal to the in-plan search
+    "graph_hnsw_store" -> Similarity.hnswSearchSql(),
     "cluster_cap_sample" -> Similarity.clusterCapSampleSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),

@@ -1481,12 +1481,15 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** One materialized graph store per fixture dir per JVM (the
-    * dedupStores memoization contract). */
-  private val graphStores = new scala.collection.concurrent.TrieMap[String, String]()
+  /** One materialized graph store per (fixture dir, deg) per JVM (the
+    * dedupStores memoization contract; keyed on the index config — the
+    * lshStores precedent — so a non-default deg never serves the
+    * default build). */
+  private val graphStores =
+    new scala.collection.concurrent.TrieMap[(String, Int), String]()
   private[graft] val GraphStoreBuckets = 64
-  private[graft] def graphStoreDirFor(dir: String): Option[String] =
-    graphStores.get(dir)
+  private[graft] def graphStoreDirFor(dir: String, deg: Int = 8): Option[String] =
+    graphStores.get((dir, deg))
 
   /** The pruned edge read: only the partitions holding the frontier's
     * buckets are listed and scanned — the store-serve analogue of
@@ -1513,7 +1516,7 @@ object Similarity {
                                k: Int = 3): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val n = emb.count()
-    val storeDir = graphStores.getOrElseUpdate(dir, {
+    val storeDir = graphStores.getOrElseUpdate((dir, deg), {
       val sd = java.nio.file.Files.createTempDirectory("knn_graph_store").toString
       knnGraph(spark, dir, deg)
         .select(col("src"), col("dst"))
@@ -1761,6 +1764,118 @@ object Similarity {
       val beam = visited.withColumn("rn", row_number().over(wb))
         .filter(col("rn") <= width).select(col("qid"), col("node"))
       val expanded = beam.join(moves, col("node") === col("src"))
+        .filter(col("dst") =!= col("qid"))
+        .join(queries, "qid")
+        .select(col("qid"), col("dst").as("node"),
+          cosine(col("q_emb"), col("dst_emb")).as("score"))
+        .filter(col("score").isNotNull)
+      visited = visited.union(expanded).distinct().localCheckpoint(true)
+    }
+    visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("node"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** One materialized HNSW hierarchy store per (fixture dir, deg) per
+    * JVM — (store dir, max populated level). The [[graphStores]]
+    * memoization contract, keyed on the index config. */
+  private val hnswStores =
+    new scala.collection.concurrent.TrieMap[(String, Int), (String, Int)]()
+  private[graft] def hnswStoreFor(dir: String, deg: Int = 8): Option[(String, Int)] =
+    hnswStores.get((dir, deg))
+
+  /** The pruned hierarchy read: ONE layer, frontier-many buckets. Both
+    * `lvl` and `gbucket` are partition columns, so the equality and the
+    * isin prune directory listings before any bytes are read — a
+    * superstep against a billion-edge hierarchy lists and scans
+    * frontier-many buckets of one layer, never the store. Exposed for
+    * the plan spec. */
+  private[graft] def prunedHnswEdges(spark: SparkSession, storeDir: String,
+                                     lvl: Int, buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(storeDir)
+      .where(col("lvl") === lvl && col("gbucket").isin(buckets: _*))
+
+  /** Build the FULL HNSW hierarchy once into a (lvl, gbucket)-
+    * partitioned edge store: every layer's k-NN graph (the identical
+    * [[knnGraphFrom]] builds [[hnswSearch]] runs in-query, adaptive
+    * width per layer population), destination vectors attached at
+    * build time, one clustered src-sorted file per (layer, bucket).
+    * The per-layer count()s are paid HERE, once per index lifetime,
+    * not per query. Returns (store dir, max populated level). */
+  private[graft] def buildHnswStore(spark: SparkSession, dir: String,
+                                    deg: Int): (String, Int) =
+    hnswStores.getOrElseUpdate((dir, deg), {
+      val emb = Tables.loadWide(spark, dir, "embeddings")
+      val lvl = emb.select(col("vec_id"), col("embedding"),
+        hnswLevelCol(col("vec_id")).as("lvl")).localCheckpoint(true)
+      val maxl = lvl.agg(max(col("lvl"))).collect()(0).getInt(0)
+      val dstEmb = emb.select(col("vec_id").as("dst"),
+        col("embedding").as("dst_emb"))
+      val layers = (0 to maxl).map { l =>
+        val nodes = lvl.filter(col("lvl") >= l)
+          .select(col("vec_id"), col("embedding"))
+        knnGraphFrom(nodes, deg, adaptiveBits(nodes.count()))
+          .select(col("src"), col("dst"))
+          .join(dstEmb, "dst")
+          .select(col("src"), col("dst"), col("dst_emb"),
+            lit(l).as("lvl"))
+      }
+      val sd = java.nio.file.Files.createTempDirectory("hnsw_store").toString
+      layers.reduce(_ unionByName _)
+        .withColumn("gbucket",
+          pmod(col("src"), lit(GraphStoreBuckets.toLong)).cast(IntegerType))
+        .repartition(col("lvl"), col("gbucket")) // one file per partition
+        .sortWithinPartitions(col("lvl"), col("gbucket"), col("src"))
+        .write.mode("overwrite").partitionBy("lvl", "gbucket").parquet(sd)
+      (sd, maxl)
+    })
+
+  /** [[hnswSearch]] served from the MATERIALIZED hierarchy — the
+    * production ANN serve shape: the per-layer graphs are built ONCE
+    * ([[buildHnswStore]]) into a store partitioned by (lvl, gbucket),
+    * and the query descends with ZERO in-query graph builds or
+    * per-layer counts. Each superstep's driver control state is the
+    * frontier's bucket set (O(nQueries · beamWidth) ints — the
+    * [[graphBeamSearchFromStore]] legitimacy class) pushed with the
+    * phase's layer as a static partition filter. Entry set = the top
+    * layer's nodes, recomputed from the level hash (a narrow scan of
+    * the embeddings — [[hnswLevelCol]] is a pure function of the id,
+    * so no stored state is needed); max level is store metadata fixed
+    * at build. Results are byte-identical to [[hnswSearch]] at the
+    * same parameters (same layer graphs, same walk, same cosines);
+    * oracle: hnswSearchSql itself. */
+  def hnswSearchFromStore(spark: SparkSession, dir: String, deg: Int = 8,
+                          nQueries: Int = 10, stepsUpper: Int = 4,
+                          beamWidth: Int = 8, steps: Int = 8,
+                          k: Int = 3): DataFrame = {
+    val (storeDir, maxl) = buildHnswStore(spark, dir, deg)
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val entries = emb
+      .filter(hnswLevelCol(col("vec_id")) === maxl)
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
+    var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
+      .select(col("qid"), col("node"),
+        cosine(col("q_emb"), col("e_emb")).as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint(true)
+    val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    val phases =
+      (maxl to 1 by -1).map(l => (l, 1, stepsUpper)) :+ ((0, beamWidth, steps))
+    for ((l, width, s) <- phases; _ <- 1 to s) {
+      val beam = visited.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= width).select(col("qid"), col("node"))
+        .localCheckpoint(true) // two consumers: the bucket probe + the join
+      // frontier bucket set: O(nQueries·width) ints of control state
+      val buckets = beam
+        .select(pmod(col("node"), lit(GraphStoreBuckets.toLong))
+          .cast(IntegerType).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val expanded = beam
+        .join(prunedHnswEdges(spark, storeDir, l, buckets),
+          col("node") === col("src"))
         .filter(col("dst") =!= col("qid"))
         .join(queries, "qid")
         .select(col("qid"), col("dst").as("node"),

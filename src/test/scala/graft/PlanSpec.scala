@@ -293,6 +293,31 @@ class PlanSpec extends AnyFunSuite {
       .subsetOf(Set(3, 7)))
   }
 
+  test("hnsw store serve: superstep edge read prunes on BOTH the layer and the " +
+    "frontier's bucket partitions, and store-served results equal the in-plan search") {
+    val served = Similarity.hnswSearchFromStore(spark, sfDir, nQueries = 3,
+        stepsUpper = 2, beamWidth = 2, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inPlan = Similarity.hnswSearch(spark, sfDir, nQueries = 3,
+        stepsUpper = 2, beamWidth = 2, steps = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty && served.toSeq == inPlan.toSeq)
+    val (storeDir, maxl) = Similarity.hnswStoreFor(sfDir).get
+    assert(maxl >= 0)
+    val pruned = Similarity.prunedHnswEdges(spark, storeDir, 0, Seq(3, 7))
+    val p = pruned.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters:")).mkString("\n")
+    // BOTH partition columns must land in PartitionFilters (directory
+    // pruning), not a post-scan data Filter — a superstep lists and
+    // scans frontier-many buckets of ONE layer, never the hierarchy
+    assert(pf.contains("lvl") && pf.contains("gbucket") &&
+      !pf.matches(".*PartitionFilters: \\[\\s*\\].*"), pf)
+    assert(pruned.select("lvl").distinct().collect().map(_.getInt(0)).toSet
+      .subsetOf(Set(0)))
+    assert(pruned.select("gbucket").distinct().collect().map(_.getInt(0)).toSet
+      .subsetOf(Set(3, 7)))
+  }
+
   test("streaming graph store ingest: node and edge reads prune to the batch's " +
     "bucket partitions (per-batch cost tracks the batch, not history)") {
     import graft.streaming.StreamOps
