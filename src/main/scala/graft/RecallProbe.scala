@@ -18,10 +18,52 @@ object RecallProbe {
     df.select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** splitmix64 — the standard 64-bit mix; deterministic across JVMs,
+    * no seeded java.util.Random involved. */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** A CLUSTERED embedding fixture — mixture of `nClusters` well-
+    * separated centers with small per-point noise, every coordinate a
+    * fixed-point integer over 1024 (the cross-engine determinism
+    * protocol, though this probe is engine-only): the geometry the
+    * word-salad fixture lacks, where HNSW's hierarchy claim can be
+    * MEASURED instead of asserted. Centers span [-1, 1); noise is
+    * ±1/8 — intra-cluster cosine >> inter-cluster cosine. */
+  private def clusteredFixtureDir(spark: SparkSession, n: Int = 2000,
+                                  dim: Int = 64,
+                                  nClusters: Int = 16): String = {
+    import spark.implicits._
+    val rows = (0L until n.toLong).map { i =>
+      val c = (i % nClusters).toLong
+      val emb = Array.tabulate(dim) { j =>
+        val center = (Math.floorMod(mix64(c * 1000003L + j), 2048L) - 1024L) / 1024.0f
+        val noise = (Math.floorMod(mix64(i * 7919L + j + 17), 257L) - 128L) / 1024.0f
+        center + noise
+      }
+      (i, emb, (i % 3).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("clustered_fix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = sys.env.getOrElse("SPARK_GRAFT_RECALL_K", "3").toInt
     val nQ = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "10").toInt
+    val only = sys.env.get("SPARK_GRAFT_RECALL_ONLY")
+    if (only.contains("clustered")) {
+      val spark: SparkSession = GraftSession.get("graft-recall-probe")
+      try clusteredSection(spark, k, nQ) finally spark.stop()
+      return
+    }
     val spark: SparkSession = GraftSession.get("graft-recall-probe")
     try {
       import graft.operators.Similarity
@@ -100,6 +142,34 @@ object RecallProbe {
         val hr1 = (exact1 & h1).size.toDouble / exact1.size
         println(f"| graph_hnsw_search (deg=8, beam $b%d, $st%d steps) | $hr%.3f @$k, $hr1%.3f @1 |")
       }
+      clusteredSection(spark, k, nQ)
     } finally spark.stop()
+  }
+
+  /** HNSW vs multi-start beam on CLUSTERED embeddings, at equal base
+    * budget (beam 8 × 8 steps × deg 8 on both; HNSW additionally pays
+    * its width-1 upper-layer routing, multi-start its 8 spread
+    * entries) — the measurement behind README's "the hierarchy's win
+    * needs clustered embeddings" claim. */
+  private def clusteredSection(spark: SparkSession, k: Int, nQ: Int): Unit = {
+    import graft.operators.Similarity
+    val cdir = clusteredFixtureDir(spark)
+    val exact = resultSet(Similarity.topK(spark, cdir, k = k, nQueries = nQ))
+    val exact1 = resultSet(Similarity.topK(spark, cdir, k = 1, nQueries = nQ))
+    require(exact.nonEmpty, "clustered fixture produced no exact baseline")
+    println(s"| clustered fixture (16 centers x 125 pts, dim 64, noise 1/8) | recall@$k over $nQ queries |")
+    println("|---|---|")
+    val beamRows = Similarity.graphBeamSearch(spark, cdir, nQueries = nQ,
+        beamWidth = 8, steps = 8, k = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val beam = beamRows.map(r => (r._1, r._3)).toSet
+    val beam1 = beamRows.filter(_._2 == 1).map(r => (r._1, r._3)).toSet
+    println(f"| graph_beam_search (8 starts, beam 8, 8 steps) | ${(exact & beam).size.toDouble / exact.size}%.3f @$k, ${(exact1 & beam1).size.toDouble / exact1.size}%.3f @1 |")
+    val hnswRows = Similarity.hnswSearch(spark, cdir, nQueries = nQ,
+        beamWidth = 8, steps = 8, k = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val hn = hnswRows.map(r => (r._1, r._3)).toSet
+    val h1 = hnswRows.filter(_._2 == 1).map(r => (r._1, r._3)).toSet
+    println(f"| graph_hnsw_search (hierarchy routing, beam 8, 8 steps) | ${(exact & hn).size.toDouble / exact.size}%.3f @$k, ${(exact1 & h1).size.toDouble / exact1.size}%.3f @1 |")
   }
 }
