@@ -82,6 +82,11 @@ object SparkEntry {
     // micro-batch, stateless scoring — must equal the batch ranking
     "stream_dsir_select" -> ((s, d) =>
       graft.streaming.StreamOps.streamDsirSelectQuery(s, d)),
+    // DSIR with model REFRESH: every micro-batch extends the corpus
+    // counts and commits a retrained model version; serving joins the
+    // stored features against the latest committed version
+    "stream_dsir_refresh" -> ((s, d) =>
+      graft.streaming.StreamOps.streamDsirRefreshQuery(s, d)),
     // shuffle-and-shard manifest: hash shards, hash order, resumable
     // token offsets — the loader-facing artifact after curation
     "corpus_shards" -> ((s, d) => TextAnalytics.corpusShards(s, d)),
@@ -374,6 +379,10 @@ object SparkEntry {
     "dsir_select" -> TextAnalytics.dsirSelectSql(),
     "quality_perceptron" -> TextAnalytics.perceptronQualitySql(),
     "stream_dsir_select" -> TextAnalytics.dsirSelectSql(),
+    // the latest refreshed version is trained on ALL merged partials =
+    // the batch model; rescoring stored features against it reproduces
+    // the batch ranking bit-for-bit
+    "stream_dsir_refresh" -> TextAnalytics.dsirSelectSql(),
     "corpus_shards" -> TextAnalytics.corpusShardsSql(),
     "curriculum_packing" -> TextAnalytics.curriculumPackingSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,

@@ -1262,11 +1262,23 @@ object TextAnalytics {
     * bucket — noise against the summed per-document weights, identical
     * on both engines. Ratio 1 maps to lw = 0 (21 + 11 − 32). */
   private def dsirModelFrom(docB: DataFrame, nBuckets: Int,
-                            targetLang: String): DataFrame = {
-    val tc = docB.filter(col("lang") === targetLang)
-      .groupBy(col("b")).agg(sum(col("n")).as("ct"))
-    val rc = docB.filter(col("lang") =!= targetLang)
-      .groupBy(col("b")).agg(sum(col("n")).as("cr"))
+                            targetLang: String): DataFrame =
+    dsirModelFromCounts(
+      docB.filter(col("lang") === targetLang)
+        .groupBy(col("b")).agg(sum(col("n")).as("ct")),
+      docB.filter(col("lang") =!= targetLang)
+        .groupBy(col("b")).agg(sum(col("n")).as("cr")),
+      nBuckets)
+
+  /** The trainer's algebraic core over already-aggregated per-bucket
+    * counts — tc: (b, ct) target, rc: (b, cr) rest. Counts are pure
+    * sums, so any partition of the corpus into batches merges back to
+    * the same model: the streaming model-REFRESH twin feeds this from
+    * summed per-batch count partials and gets the batch model
+    * bit-for-bit (see [[graft.streaming.StreamOps
+    * .streamDsirRefreshQuery]]). */
+  private[graft] def dsirModelFromCounts(tc: DataFrame, rc: DataFrame,
+                                         nBuckets: Int): DataFrame = {
     val tot = tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
       .crossJoin(rc.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
     rc.join(tc, Seq("b"), "left")

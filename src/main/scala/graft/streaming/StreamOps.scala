@@ -827,6 +827,123 @@ object StreamOps {
     TextAnalytics.dsirTopK(perDoc, k)
   }
 
+  /** One refresh-store triple per (dir, nBuckets, targetLang) per JVM:
+    * (features dir, count-partials dir, model-versions dir). */
+  private val dsirRefreshStores = new scala.collection.concurrent.TrieMap[
+    (String, Int, String), (String, String, String)]()
+  private[graft] def dsirRefreshStoresFor(
+      dir: String, nBuckets: Int = 4096,
+      targetLang: String = "en"): Option[(String, String, String)] =
+    dsirRefreshStores.get((dir, nBuckets, targetLang))
+
+  /** One micro-batch of the DSIR model-REFRESH pipeline, factored out
+    * so the replay spec can re-run an epoch by hand. Three appends,
+    * each idempotent on replay by construction:
+    *   1. per-doc bucket FEATURES (doc_id, b, n, lang, batch_id) —
+    *      replays dedupe on (doc_id, b, batch_id) at read;
+    *   2. per-bucket COUNT PARTIAL (b, ct_p, cr_p, batch_id) — a
+    *      <= nBuckets-row sketch of the batch, replays dedupe on
+    *      (b, batch_id); counts are sums, so the merged partials equal
+    *      the full-corpus counts under ANY batching;
+    *   3. the refreshed MODEL VERSION — retrained from ALL committed
+    *      partials (this one included) and appended under
+    *      epoch=epochId; a replayed epoch appends byte-identical rows
+    *      (its training input is the deduped partial set), which the
+    *      serve-side DISTINCT collapses. */
+  private[graft] def ingestDsirRefreshBatch(batch: DataFrame, epochId: Long,
+                                            featsDir: String, countsDir: String,
+                                            modelDir: String, nBuckets: Int,
+                                            targetLang: String): Unit = {
+    import graft.operators.TextAnalytics
+    val feats = TextAnalytics.dsirDocBuckets(batch, nBuckets)
+      .join(batch.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("batch_id", lit(epochId))
+      .localCheckpoint(true) // two consumers: the feature append + the partial
+    feats.coalesce(1).write.mode("append").parquet(featsDir)
+    feats.groupBy(col("b"))
+      .agg(sum(when(col("lang") === targetLang, col("n"))
+          .otherwise(lit(0L))).as("ct_p"),
+        sum(when(col("lang") =!= targetLang, col("n"))
+          .otherwise(lit(0L))).as("cr_p"))
+      .withColumn("batch_id", lit(epochId))
+      .coalesce(1).write.mode("append").parquet(countsDir)
+    // retrain on everything committed so far: the merged (deduped)
+    // partials ARE the corpus counts through this epoch
+    val merged = batch.sparkSession.read.parquet(countsDir)
+      .groupBy(col("b"), col("batch_id"))
+      .agg(max(col("ct_p")).as("ct_p"), max(col("cr_p")).as("cr_p"))
+      .groupBy(col("b"))
+      .agg(sum(col("ct_p")).as("ct"), sum(col("cr_p")).as("cr"))
+      .localCheckpoint(true) // tc, rc, and both totals read it
+    TextAnalytics.dsirModelFromCounts(
+        merged.filter(col("ct") > 0).select(col("b"), col("ct")),
+        merged.filter(col("cr") > 0).select(col("b"), col("cr")), nBuckets)
+      .withColumn("epoch", lit(epochId))
+      .coalesce(1).write.mode("append").partitionBy("epoch").parquet(modelDir)
+  }
+
+  /** STREAMING DSIR WITH MODEL REFRESH — the production form of
+    * [[streamDsirSelectQuery]], whose model is trained once up front:
+    * here every micro-batch EXTENDS the corpus counts and commits a
+    * retrained model version under its epoch, and serving joins the
+    * stored features against the LATEST committed version (the
+    * stream-static join picking head-of-store — a real pipeline's
+    * "yesterday's model scores today's pool, retrained as the corpus
+    * grows"). Scale shape: per batch, the feature pass is paid on the
+    * BATCH only; the retrain reads <= nBuckets × batches bounded
+    * partial rows (never documents) and broadcasts nothing bigger than
+    * the <= nBuckets-row model. Serving rescoring rides the stored
+    * per-doc features — O(corpus bucket rows), one broadcast join.
+    *
+    * Oracle: dsirSelectSql — the LATEST version is trained on the
+    * merged partials of every batch, and counts are sums, so it equals
+    * the batch model over the full corpus bit-for-bit; scoring the
+    * deduped stored features against it reproduces the batch scores
+    * exactly. A replayed epoch re-appends byte-identical rows in all
+    * three stores (see [[ingestDsirRefreshBatch]]) and the serve
+    * result is unchanged — the replay spec drives this. */
+  def streamDsirRefreshQuery(spark: SparkSession, dir: String,
+                             nBuckets: Int = 4096, k: Int = 100,
+                             targetLang: String = "en"): DataFrame = {
+    import graft.operators.TextAnalytics
+    val (featsDir, _, modelDir) =
+      dsirRefreshStores.getOrElseUpdate((dir, nBuckets, targetLang), {
+        val fd = java.nio.file.Files.createTempDirectory("dsir_feats").toString
+        val cd = java.nio.file.Files.createTempDirectory("dsir_counts").toString
+        val md = java.nio.file.Files.createTempDirectory("dsir_models").toString
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, "4")
+        try {
+          val q = docsStream(spark, dir)
+            .select(col("doc_id"), col("text"), col("lang"))
+            .writeStream.outputMode("append")
+            .foreachBatch { (batch: DataFrame, epochId: Long) =>
+              ingestDsirRefreshBatch(batch, epochId, fd, cd, md,
+                nBuckets, targetLang)
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set(key, prev)
+        (fd, cd, md)
+      })
+    val versions = spark.read.parquet(modelDir)
+    // head-of-store pick: ONE long of driver control state (partition
+    // columns read back as int when values fit — widen via Number)
+    val latest = versions.agg(max(col("epoch"))).head()
+      .get(0).asInstanceOf[Number].longValue
+    val model = versions.filter(col("epoch") === latest)
+      .select(col("b"), col("lw")).distinct() // replay appends collapse here
+    val feats = spark.read.parquet(featsDir)
+      .filter(col("lang") =!= targetLang)
+      .groupBy(col("doc_id"), col("b"), col("batch_id"))
+      .agg(max(col("n")).as("n")) // replay dedupe
+    val scored = feats.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("lw")).as("dsir_score"))
+    TextAnalytics.dsirTopK(scored, k)
+  }
+
   /** STREAMING EXACTLY-ONCE RELATIONAL SINK: [[graft.operators.Sinks
     * .writeJdbcExactlyOnce]] wired into foreachBatch with the EPOCH id
     * as the batch id. Structured Streaming's foreachBatch contract is

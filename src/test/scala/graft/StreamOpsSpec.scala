@@ -698,6 +698,40 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("DSIR model refresh: latest committed version reproduces the batch " +
+    "ranking, and a crash-replayed epoch changes nothing") {
+    import graft.operators.TextAnalytics
+    val served = StreamOps.streamDsirRefreshQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = TextAnalytics.dsirSelect(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch && served.nonEmpty)
+    val (featsDir, countsDir, modelDir) =
+      StreamOps.dsirRefreshStoresFor(TestSession.sfDir).get
+    val epochsBefore = spark.read.parquet(modelDir)
+      .select("epoch").distinct().count()
+    assert(epochsBefore >= 1)
+    // crash-replay the LAST epoch: the same batch docs re-enter the
+    // ingest body with the same epochId (foreachBatch's at-least-once
+    // contract) — every append re-writes byte-identical rows that the
+    // read-side dedupes collapse
+    val feats = spark.read.parquet(featsDir)
+    val lastEpoch = feats.agg(max(col("batch_id"))).head().getLong(0)
+    val docIds = feats.filter(col("batch_id") === lastEpoch)
+      .select("doc_id").distinct()
+    val docs = graft.Tables.load(spark, TestSession.sfDir, "documents")
+      .join(docIds, "doc_id")
+      .select(col("doc_id"), col("text"), col("lang"))
+    StreamOps.ingestDsirRefreshBatch(docs, lastEpoch, featsDir, countsDir,
+      modelDir, 4096, "en")
+    val replayed = StreamOps.streamDsirRefreshQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(replayed == served, "replayed epoch changed the served ranking")
+    val epochsAfter = spark.read.parquet(modelDir)
+      .select("epoch").distinct().count()
+    assert(epochsAfter == epochsBefore, "replay minted a new model version")
+  }
+
   test("streaming k-NN graph store: a genuine multi-batch build equals the " +
     "batch graph at the pinned width (merge path: old->fresh reversal + " +
     "running top-deg rewrite)") {
