@@ -491,4 +491,66 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(displaced >= 1, "diversity never fired - penalty term inert")
   }
+
+  test("vector family is dimension-general: PQ/IVFPQ/SQ8/IVF/graph run at dim=384 " +
+    "(EMBEDDING_DIMENSION is config, not a 64-dim assumption)") {
+    import TestSession.spark
+    import spark.implicits._
+    // deterministic clustered fixture at the production MiniLM width:
+    // splitmix64 fixed-point coordinates, 8 centers, small noise
+    def mix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val dim = 384
+    val n = 400
+    val rows = (0L until n.toLong).map { i =>
+      val c = i % 8L
+      val emb = Array.tabulate(dim) { j =>
+        val center = (Math.floorMod(mix64(c * 1000003L + j), 2048L) - 1024L) / 1024.0f
+        val noise = (Math.floorMod(mix64(i * 7919L + j + 17), 257L) - 128L) / 1024.0f
+        center + noise
+      }
+      (i, emb, (i % 3).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dim384_fix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k = 3
+    val nQ = 5
+    def rs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = rs(Similarity.topK(spark, dir, k = k, nQueries = nQ))
+    assert(exact.size == k * nQ)
+    // every quantizing index must slice/scale/encode at the actual width
+    val pq = rs(Similarity.pqRerankTopK(spark, dir, k = k, nQueries = nQ,
+      m = 4, dim = dim))
+    assert(pq.size == k * nQ)
+    val ivfpq = rs(Similarity.ivfPqRerankTopK(spark, dir, k = k, nQueries = nQ,
+      m = 4, dim = dim))
+    assert(ivfpq.size == k * nQ)
+    val sq8 = rs(Similarity.sq8TopK(spark, dir, k = k, nQueries = nQ))
+    assert(sq8.size == k * nQ)
+    val ivf = rs(Similarity.ivfTopK(spark, dir, k = k, nQueries = nQ))
+    assert(ivf.size == k * nQ)
+    val hnsw = Similarity.hnswSearch(spark, dir, nQueries = nQ, k = k)
+      .select("qid", "node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hnsw.size == k * nQ)
+    // quality sanity at the new width (clustered geometry, so the
+    // near-exact indexes must actually find neighbors, not just run).
+    // Floors sit under the measured values (sq8 0.73, pq+rerank 0.6):
+    // within-cluster neighbors are nearly equidistant here, so int8
+    // noise legitimately reorders the rank-2/3 tail — the failure being
+    // guarded is a COLLAPSE (wrong slicing/scaling at the new width
+    // scoring garbage), not ranking jitter
+    assert((exact & sq8).size.toDouble / exact.size >= 0.6,
+      s"sq8 recall collapsed at dim=$dim")
+    assert((exact & pq).size.toDouble / exact.size >= 0.4,
+      s"pq+rerank recall collapsed at dim=$dim")
+  }
 }
