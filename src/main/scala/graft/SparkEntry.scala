@@ -244,6 +244,11 @@ object SparkEntry {
     // the stream-built graph answers the production beam walk directly
     "stream_graph_beam" -> ((s, d) =>
       graft.streaming.StreamOps.streamGraphBeamQuery(s, d)),
+    // streaming-maintained HNSW hierarchy: one (node, edge) store pair
+    // per layer, batch-identical per layer at the pinned widths; the
+    // query descends the streamed hierarchy with frontier-pruned reads
+    "stream_hnsw_search" -> ((s, d) =>
+      graft.streaming.StreamOps.streamHnswSearchQuery(s, d)),
     // persistent streaming Misra-Gries store: per-batch counter
     // partials, n-way Agarwal merge at serve — exact under cap
     "stream_topfreq_store" -> ((s, d) =>
@@ -482,6 +487,10 @@ object SparkEntry {
       graft.streaming.StreamOps.streamKnnGraphStoreOracleSql(),
     "stream_graph_beam" ->
       graft.streaming.StreamOps.streamGraphBeamOracleSql(),
+    // the streamed hierarchy's layer graphs equal the batch layer
+    // builds at the pinned per-layer widths
+    "stream_hnsw_search" ->
+      graft.streaming.StreamOps.streamHnswSearchOracleSql(),
     // merged MG partials are exact under cap, so the batch oracle holds
     "stream_topfreq_store" -> TextAnalytics.langTopWordsSql(),
     "events_sliding" -> Events.slidingSql,

@@ -1678,15 +1678,21 @@ object Similarity {
     * sized to the LAYER's population, radius-1 probes, per-src
     * top-deg. */
   private def layerGraphCtesSql(sfx: String, nodesCte: String,
-                                deg: Int): String =
-    s"""nb$sfx AS (${adaptiveBitsSql(nodesCte)}),
+                                deg: Int,
+                                bitsOpt: Option[Int] = None): String = {
+    val (nbCte, nbFrom, bucketExpr, seriesHi) = bitsOpt match {
+      case Some(b) => ("", "", signBucketSql("embedding", b), b.toString)
+      case None => (s"nb$sfx AS (${adaptiveBitsSql(nodesCte)}),", s", nb$sfx",
+        signBucketSqlAdaptive("embedding", 16, s"nb$sfx"), s"nb$sfx.bits")
+    }
+    s"""$nbCte
         c$sfx AS (SELECT vec_id, embedding,
-                     ${signBucketSqlAdaptive("embedding", 16, s"nb$sfx")} AS bucket
-              FROM $nodesCte, nb$sfx),
+                     $bucketExpr AS bucket
+              FROM $nodesCte$nbFrom),
         p$sfx AS (SELECT vec_id AS src, embedding AS s_emb,
                      CASE WHEN i = 0 THEN bucket
                           ELSE xor(bucket, (1 << (i - 1))) END AS probe
-              FROM c$sfx, nb$sfx, unnest(generate_series(0, nb$sfx.bits)) AS t(i)),
+              FROM c$sfx$nbFrom, unnest(generate_series(0, $seriesHi)) AS t(i)),
         cand$sfx AS (SELECT p$sfx.src, c$sfx.vec_id AS dst,
                         ${cosineSql("s_emb", s"c$sfx.embedding")} AS score
                  FROM p$sfx JOIN c$sfx
@@ -1696,6 +1702,7 @@ object Similarity {
                        row_number() OVER (PARTITION BY src
                                           ORDER BY score DESC, dst) AS rn
                 FROM cand$sfx WHERE score IS NOT NULL) WHERE rn <= $deg)"""
+  }
 
   /** HNSW SEARCH — the hierarchical form of [[graphBeamSearch]] and the
     * production shape of the graph family (Malkov & Yashunin 2016,
@@ -1727,7 +1734,8 @@ object Similarity {
   def hnswSearch(spark: SparkSession, dir: String, deg: Int = 8,
                  nQueries: Int = 10, stepsUpper: Int = 4,
                  beamWidth: Int = 8, steps: Int = 8,
-                 k: Int = 3): DataFrame = {
+                 k: Int = 3,
+                 layerBits: Option[Int => Int] = None): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val lvl = emb.select(col("vec_id"), col("embedding"),
       hnswLevelCol(col("vec_id")).as("lvl")).localCheckpoint(true)
@@ -1738,10 +1746,14 @@ object Similarity {
         "dst")
       .select(col("src"), col("dst"), col("dst_emb"))
       .localCheckpoint(true)
+    // layerBits pins per-layer widths (the streaming-store contract —
+    // a stream cannot count its corpus up front); None = adaptive
+    def bitsFor(l: Int, nodes: DataFrame): Int =
+      layerBits.map(f => f(l)).getOrElse(adaptiveBits(nodes.count()))
     def layer(l: Int): DataFrame = {
       val nodes = lvl.filter(col("lvl") >= l)
         .select(col("vec_id"), col("embedding"))
-      movesFor(knnGraphFrom(nodes, deg, adaptiveBits(nodes.count())))
+      movesFor(knnGraphFrom(nodes, deg, bitsFor(l, nodes)))
     }
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
@@ -1758,7 +1770,8 @@ object Similarity {
     // full beam on the base layer
     val phases =
       (maxl to 1 by -1).map(l => (layer(l), 1, stepsUpper)) :+
-        ((movesFor(knnGraphFrom(emb, deg, adaptiveBits(emb.count()))),
+        ((movesFor(knnGraphFrom(emb, deg,
+          bitsFor(0, emb.select(col("vec_id"), col("embedding"))))),
           beamWidth, steps))
     for ((moves, width, s) <- phases; _ <- 1 to s) {
       val beam = visited.withColumn("rn", row_number().over(wb))
@@ -1897,7 +1910,8 @@ object Similarity {
     * nodes on both sides. */
   def hnswSearchSql(deg: Int = 8, nQueries: Int = 10, stepsUpper: Int = 4,
                     beamWidth: Int = 8, steps: Int = 8,
-                    k: Int = 3): String = {
+                    k: Int = 3,
+                    layerBits: Option[Int => Int] = None): String = {
     def stepCte(i: Int, gName: String, width: Int) =
       s"""b$i AS MATERIALIZED (SELECT qid, node FROM (
             SELECT qid, node,
@@ -1921,13 +1935,13 @@ object Similarity {
       stepCte(idx + 1, gn, w)
     }
     val nSteps = phaseSteps.length
-    s"""WITH ${knnGraphCtesSql(deg)},
+    s"""WITH ${knnGraphCtesSql(deg, layerBits.map(f => f(0)))},
         hl AS MATERIALIZED (SELECT vec_id, embedding, $hnswLevelSql AS lvl
               FROM embeddings),
         n1 AS MATERIALIZED (SELECT vec_id, embedding FROM hl WHERE lvl >= 1),
         n2 AS MATERIALIZED (SELECT vec_id, embedding FROM hl WHERE lvl >= 2),
-        ${layerGraphCtesSql("1", "n1", deg)},
-        ${layerGraphCtesSql("2", "n2", deg)},
+        ${layerGraphCtesSql("1", "n1", deg, layerBits.map(f => f(1)))},
+        ${layerGraphCtesSql("2", "n2", deg, layerBits.map(f => f(2)))},
         q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
               WHERE vec_id < $nQueries),
         maxl AS (SELECT max(lvl) AS ml FROM hl),

@@ -1682,6 +1682,143 @@ object StreamOps {
     graft.operators.Similarity.graphBeamSearchSql(
       deg = deg, bitsOpt = Some(GraphStreamBits))
 
+  /** Streaming HNSW hierarchy: the pinned level cap and per-layer
+    * sign-LSH widths (a stream cannot count its corpus or layer
+    * populations up front — the [[GraphStreamBits]] deploy-time-config
+    * contract; layer populations shrink 16× per level, so the upper
+    * layers take the minimum width). */
+  private[graft] val HnswStreamMaxLevel = 2
+  private[graft] def hnswStreamBits(l: Int): Int =
+    if (l == 0) GraphStreamBits else 4
+
+  /** One streaming hierarchy per (dir, deg) per JVM: per-level
+    * (node store dir, edge store dir), level 0 = base. */
+  private val hnswStreamStores = new scala.collection.concurrent.TrieMap[
+    (String, Int), IndexedSeq[(String, String)]]()
+  private[graft] def hnswStreamStoresFor(
+      dir: String, deg: Int = 8): Option[IndexedSeq[(String, String)]] =
+    hnswStreamStores.get((dir, deg))
+
+  private def storeNonEmpty(d: String): Boolean = {
+    val f = new java.io.File(d).list()
+    f != null && f.exists(n => !n.startsWith("_") && !n.startsWith("."))
+  }
+
+  /** One micro-batch of the incremental HIERARCHY build: levels are a
+    * pure hash of the id ([[graft.operators.Similarity.hnswLevelCol]]),
+    * so each arriving vector's layer memberships are known statelessly
+    * and the batch folds into every layer it belongs to through the
+    * SAME [[ingestGraphBatch]] the flat store uses — per layer: admit
+    * fresh nodes into the layer's bucket-partitioned node store,
+    * propose probe-pruned candidates, merge the per-src running
+    * top-deg into the layer's edge store (touched-partition rewrite).
+    * Each layer store is therefore batch-identical to that layer's
+    * batch k-NN graph at the pinned width, by the flat store's own
+    * argument applied per layer; crash replays are absorbed the same
+    * way (nodes written last, re-proposals deduped in the merge). */
+  private[graft] def ingestHnswBatch(sp: SparkSession, batch: DataFrame,
+                                     stores: IndexedSeq[(String, String)],
+                                     deg: Int): Unit = {
+    import graft.operators.Similarity
+    for (l <- 0 to HnswStreamMaxLevel) {
+      val sub =
+        if (l == 0) batch
+        else batch.filter(Similarity.hnswLevelCol(col("vec_id")) >= l)
+      ingestGraphBatch(sp, sub, stores(l)._1, stores(l)._2, deg,
+        hnswStreamBits(l))
+    }
+  }
+
+  /** HNSW SEARCH SERVED OFF THE STREAMING-MAINTAINED HIERARCHY — the
+    * full production loop for the graph family's hierarchical form: an
+    * embedding stream maintains one (node store, edge store) pair PER
+    * LAYER ([[ingestHnswBatch]]), and a query descends the streamed
+    * hierarchy exactly like [[graft.operators.Similarity
+    * .hnswSearchFromStore]] descends the batch-built one — entries
+    * from the top populated layer's node store, width-1 routing per
+    * upper layer, base-layer beam, every superstep's edge read pruned
+    * to the frontier's src buckets. Driver control state per step is
+    * the frontier bucket set plus one int (the top populated level, a
+    * driver-side directory check). The walk — and therefore the
+    * oracle — is hnswSearchSql at the pinned per-layer widths: the
+    * streamed layer graphs are batch-identical, the cosines and tie
+    * orders the same. Unpopulated layers are no-ops on both engines
+    * (empty graph = empty expansion), the batch oracle's own
+    * convention. */
+  def streamHnswSearchQuery(spark: SparkSession, dir: String, deg: Int = 8,
+                            nQueries: Int = 10, stepsUpper: Int = 4,
+                            beamWidth: Int = 8, steps: Int = 8,
+                            k: Int = 3): DataFrame = {
+    import graft.operators.Similarity
+    val stores = hnswStreamStores.getOrElseUpdate((dir, deg), {
+      val sts = (0 to HnswStreamMaxLevel).map { l =>
+        (java.nio.file.Files.createTempDirectory(s"hnsw_stream_nodes_$l").toString,
+          java.nio.file.Files.createTempDirectory(s"hnsw_stream_edges_$l").toString)
+      }
+      val q = embeddingsStream(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ingestHnswBatch(batch.sparkSession, batch, sts, deg)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sts
+    })
+    val gb = Similarity.GraphStoreBuckets.toLong
+    val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+    val dstEmb = emb.select(col("vec_id").as("dst"),
+      col("embedding").as("dst_emb")).localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    // top populated level: a directory existence check per level —
+    // O(levels) driver work against store METADATA, no data read
+    val maxl = (HnswStreamMaxLevel to 0 by -1)
+      .find(l => storeNonEmpty(stores(l)._1)).getOrElse(0)
+    val entries = spark.read.parquet(stores(maxl)._1)
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
+    var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
+      .select(col("qid"), col("node"),
+        graft.functions.VectorFunctions.cosine(
+          col("q_emb"), col("e_emb")).as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint(true)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    val phases =
+      (maxl to 1 by -1).map(l => (l, 1, stepsUpper)) :+ ((0, beamWidth, steps))
+    for ((l, width, s) <- phases; _ <- 1 to s) {
+      val edgeDir = stores(l)._2
+      if (storeNonEmpty(edgeDir)) { // empty layer graph = no-op steps
+        val beam = visited.withColumn("rn", row_number().over(wb))
+          .filter(col("rn") <= width).select(col("qid"), col("node"))
+          .localCheckpoint(true) // two consumers: bucket probe + join
+        val buckets = beam
+          .select(pmod(col("node"), lit(gb)).cast(IntegerType).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val expanded = beam
+          .join(prunedGraphStoreEdges(spark, edgeDir, buckets),
+            col("node") === col("src"))
+          .filter(col("dst") =!= col("qid"))
+          .join(dstEmb, "dst")
+          .join(queries, "qid")
+          .select(col("qid"), col("dst").as("node"),
+            graft.functions.VectorFunctions.cosine(
+              col("q_emb"), col("dst_emb")).as("score"))
+          .filter(col("score").isNotNull)
+        visited = visited.union(expanded).distinct().localCheckpoint(true)
+      }
+    }
+    visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("node"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  def streamHnswSearchOracleSql(deg: Int = 8): String =
+    graft.operators.Similarity.hnswSearchSql(
+      deg = deg, layerBits = Some(hnswStreamBits))
+
   /** Keyed on (dir, cap) — a partial folded at one cap cannot serve a
     * query asking for another (the lshStores precedent). */
   private val topFreqStores =

@@ -776,6 +776,56 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(early.nonEmpty, "no cross-batch edges — merge path never exercised")
   }
 
+  test("streaming HNSW hierarchy: a genuine multi-batch build serves the " +
+    "identical walk as the in-plan search at the pinned per-layer widths, " +
+    "and a crash-replayed batch changes nothing") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("shnsw")
+    val streamDir = Files.createDirectory(base.resolve("embeddings.parquet"))
+    val emb = spark.read.parquet(TestSession.sfDir + "/embeddings.parquet")
+    def writeBatch(lo: Long, hi: Long, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("shnsw_part").toString
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeBatch(0L, 150L, "b1.parquet", 1000000L)
+    writeBatch(150L, 320L, "b2.parquet", 2000000L)
+    writeBatch(320L, 100000L, "b3.parquet", 3000000L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val streamed = StreamOps.streamHnswSearchQuery(spark, base.toString,
+        nQueries = 5, stepsUpper = 2, beamWidth = 4, steps = 3)
+      .collect().map(key).toSeq
+    val inPlan = Similarity.hnswSearch(spark, base.toString,
+        nQueries = 5, stepsUpper = 2, beamWidth = 4, steps = 3,
+        layerBits = Some(StreamOps.hnswStreamBits))
+      .collect().map(key).toSeq
+    assert(streamed == inPlan && streamed.nonEmpty)
+    // per-layer layout hygiene: every populated layer store carries its
+    // prune keys as partition dirs
+    val stores = StreamOps.hnswStreamStoresFor(base.toString).get
+    assert(new java.io.File(stores(0)._1).list().exists(_.startsWith("bucket=")))
+    assert(new java.io.File(stores(0)._2).list().exists(_.startsWith("gbucket=")))
+    // crash-replay: re-ingest the SECOND batch by hand (at-least-once);
+    // the merge dedupes re-proposals, so the served walk is unchanged
+    StreamOps.ingestHnswBatch(spark,
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 320)
+        .select(col("vec_id"), col("embedding")),
+      stores, deg = 8)
+    val replayed = StreamOps.streamHnswSearchQuery(spark, base.toString,
+        nQueries = 5, stepsUpper = 2, beamWidth = 4, steps = 3)
+      .collect().map(key).toSeq
+    assert(replayed == streamed, "replayed batch changed the served walk")
+  }
+
   test("streaming k-NN graph store: a crash-replayed batch (edges written, " +
     "nodes not yet admitted) merges to the identical graph — no duplicate " +
     "neighbor slots") {
