@@ -111,6 +111,12 @@ object SparkEntry {
     "vector_lsh_topk_mp" -> ((s, d) => Similarity.lshTopKMultiProbe(s, d)),
     "vector_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "vector_ivf_trained" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
+    // IVF served from the cell-partitioned vector store: probe-cell
+    // union pushed as a static partition filter, scans nProbe cells
+    "vector_ivf_store" -> ((s, d) => Similarity.ivfTopKFromStore(s, d)),
+    // the same serve off the stream-accumulated cell store
+    "stream_ivf_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamIvfTopKQuery(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "graph_greedy_search" -> ((s, d) => Similarity.graphGreedySearch(s, d)),
     "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
@@ -411,6 +417,10 @@ object SparkEntry {
     "vector_lsh_topk_mp" -> Similarity.lshTopKMultiProbeSql(),
     "vector_ivf_topk" -> Similarity.ivfTopKSql(),
     "vector_ivf_trained" -> Similarity.ivfTrainedTopKSql(),
+    // both cell-store serves are contract-equal to the in-plan IVF
+    "vector_ivf_store" -> Similarity.ivfTopKSql(),
+    "stream_ivf_store" ->
+      graft.streaming.StreamOps.streamIvfTopKOracleSql(),
     "knn_graph" -> Similarity.knnGraphSql(),
     "graph_greedy_search" -> Similarity.graphGreedySearchSql(),
     "mmr_rerank" -> Similarity.mmrRerankSql(),

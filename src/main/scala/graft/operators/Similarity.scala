@@ -599,6 +599,93 @@ object Similarity {
                    FROM scored WHERE score IS NOT NULL)
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
 
+  /** One materialized IVF cell store per (fixture dir, nCells) per JVM
+    * (the graphStores memoization contract, keyed on the index
+    * config). */
+  private val ivfStores =
+    new scala.collection.concurrent.TrieMap[(String, Int), String]()
+  private[graft] def ivfStoreDirFor(dir: String, nCells: Int = 8): Option[String] =
+    ivfStores.get((dir, nCells))
+
+  /** The pruned cell read: only the partitions holding the query set's
+    * probe cells are listed and scanned — the IVF member of the
+    * store-serve family (prunedGraphEdges / prunedHnswEdges), exposed
+    * for the plan spec. */
+  private[graft] def prunedIvfCells(spark: SparkSession, storeDir: String,
+                                    cells: Seq[Int]): DataFrame =
+    spark.read.parquet(storeDir).where(col("cell").isin(cells: _*))
+
+  /** [[ivfTopK]] SERVED from a materialized, cell-PARTITIONED vector
+    * store — the deployment shape of the cells index family (the LSH
+    * bucket store / graph edge store / HNSW hierarchy store sibling):
+    * assignment runs ONCE at build (argmax against the codebook, the
+    * O(nCells·dim) driver model), vectors land clustered by cell, and
+    * a query set's probe-cell union — O(nQueries · nProbe) longs of
+    * driver control state — is pushed as a static partition filter, so
+    * serving a billion-row index lists and scans nProbe-many cells per
+    * query, never the corpus. Per-query probe membership is re-checked
+    * in-plan (the pruned read is the probe UNION across queries).
+    * Results are byte-identical to [[ivfTopK]]; oracle: ivfTopKSql. */
+  def ivfTopKFromStore(spark: SparkSession, dir: String, k: Int = 3,
+                       nQueries: Int = 10, nCells: Int = 8,
+                       nProbe: Int = 2): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val codebook = seedCodebook(emb, nCells)
+    if (codebook.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "vec_id", "score")
+    }
+    val storeDir = ivfStores.getOrElseUpdate((dir, nCells), {
+      val sd = java.nio.file.Files.createTempDirectory("ivf_cell_store").toString
+      emb.select(col("vec_id"), col("embedding"),
+          greatestOf(centScores(col("embedding"), codebook))
+            .getField("cid").cast(IntegerType).as("cell"))
+        .repartition(col("cell")) // one clustered file per cell
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(sd)
+      sd
+    })
+    serveIvfFromStore(spark, emb, storeDir, codebook, k, nQueries, nProbe)
+  }
+
+  /** The serve tail shared by the batch-built and stream-built cell
+    * stores: per-query probe cells from the broadcast codebook, the
+    * probe-cell UNION collected as bounded driver control state and
+    * pushed as a static partition filter, exact cosine + top-k over the
+    * pruned cells only. */
+  private[graft] def serveIvfFromStore(spark: SparkSession, emb: DataFrame,
+                                       storeDir: String,
+                                       codebook: Array[(Long, Array[Float])],
+                                       k: Int, nQueries: Int,
+                                       nProbe: Int): DataFrame = {
+    val probeCells = transform(
+      slice(sort_array(array(centScores(col("q_emb"), codebook): _*), asc = false),
+        1, nProbe),
+      s => s.getField("cid"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+        .withColumn("q_cell_l", explode(probeCells)) // generator: top-level
+        .withColumn("q_cell", col("q_cell_l").cast(IntegerType))
+        .drop("q_cell_l")
+        .localCheckpoint(true)) // two consumers: probe-set collect + join
+    // the probe-cell union: bounded driver control state (int-typed to
+    // match the inferred partition column, so the isin prunes)
+    val probed = queries.select(col("q_cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val scored = prunedIvfCells(spark, storeDir, probed)
+      .join(queries,
+        col("cell") === col("q_cell") && col("vec_id") =!= col("qid"))
+      .withColumn("score", cosine(col("q_emb"), col("embedding")))
+      .filter(col("score").isNotNull) // NULL-score contract: see topK
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Embedding near-duplicate pairs: same sign bucket AND cosine >= minCos
     * (north-star embedding-cosine near-dup). Pairs are (a < b) so each is
     * reported once. The bucket equi-join keeps this a hash join — never a

@@ -1819,6 +1819,89 @@ object StreamOps {
     graft.operators.Similarity.hnswSearchSql(
       deg = deg, layerBits = Some(hnswStreamBits))
 
+  /** One streaming IVF cell store per (dir, nCells) per JVM. */
+  private val ivfStreamStores =
+    new scala.collection.concurrent.TrieMap[(String, Int), String]()
+  private[graft] def ivfStreamStoreFor(dir: String,
+                                       nCells: Int = 8): Option[String] =
+    ivfStreamStores.get((dir, nCells))
+
+  /** One micro-batch of the incremental IVF index: assign the batch
+    * against the deploy-time codebook (broadcast O(nCells·dim) model —
+    * the coarse quantizer is FIXED at deploy like the LSH width; a
+    * retrain is an index rebuild in every IVF system), dedupe replays
+    * by anti-joining vec_id against ONLY the store partitions the
+    * batch's own cells touch, and append the fresh rows clustered by
+    * cell. Assignment is a pure function of (vector, codebook), so the
+    * accumulated store equals the batch build under ANY batching —
+    * cell partitioning is set algebra, not order-dependent state. */
+  private[graft] def ingestIvfBatch(sp: SparkSession, batch: DataFrame,
+                                    storeDir: String,
+                                    codebook: Array[(Long, Array[Float])]): Unit = {
+    import graft.operators.Similarity
+    val assigned = batch.select(col("vec_id"), col("embedding"),
+        Similarity.assignCell(col("embedding"), codebook)
+          .cast(IntegerType).as("cell"))
+      .persist()
+    try {
+      assigned.count() // materialize: two consumers below
+      val batchCells = assigned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val empty = new java.io.File(storeDir).list() == null ||
+        new java.io.File(storeDir).list().isEmpty
+      val fresh =
+        if (empty) assigned
+        else assigned.join(
+          Similarity.prunedIvfCells(sp, storeDir, batchCells)
+            .select(col("vec_id").as("seen_id")),
+          col("vec_id") === col("seen_id"), "left_anti")
+          .select(col("vec_id"), col("embedding"), col("cell"))
+      fresh.repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("vec_id"))
+        .write.mode("append").partitionBy("cell").parquet(storeDir)
+    } finally assigned.unpersist()
+  }
+
+  /** IVF TOP-K SERVED OFF THE STREAMING-MAINTAINED CELL STORE — the
+    * cells-family member of the streamed-index family (LSH buckets /
+    * k-NN graph / HNSW hierarchy): embeddings arrive as a stream and
+    * accumulate into a cell-partitioned vector store
+    * ([[ingestIvfBatch]]); serving pushes the query set's probe-cell
+    * union (O(nQueries·nProbe) ints of driver control state) as a
+    * static partition filter and scans nProbe-many cells, never the
+    * corpus. The store equals the batch assignment set, so results —
+    * and the oracle — are ivfTopK's own. */
+  def streamIvfTopKQuery(spark: SparkSession, dir: String, k: Int = 3,
+                         nQueries: Int = 10, nCells: Int = 8,
+                         nProbe: Int = 2): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+    val codebook = Similarity.seedCodebook(emb, nCells)
+    if (codebook.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "vec_id", "score")
+    }
+    val storeDir = ivfStreamStores.getOrElseUpdate((dir, nCells), {
+      val sd = java.nio.file.Files.createTempDirectory("ivf_stream_store").toString
+      val q = embeddingsStream(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ingestIvfBatch(batch.sparkSession, batch, sd, codebook)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sd
+    })
+    Similarity.serveIvfFromStore(spark, emb, storeDir, codebook,
+      k, nQueries, nProbe)
+  }
+
+  def streamIvfTopKOracleSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
+                             nProbe: Int = 2): String =
+    graft.operators.Similarity.ivfTopKSql(k, nQueries, nCells, nProbe)
+
   /** Keyed on (dir, cap) — a partial folded at one cap cannot serve a
     * query asking for another (the lshStores precedent). */
   private val topFreqStores =

@@ -318,6 +318,22 @@ class PlanSpec extends AnyFunSuite {
       .subsetOf(Set(3, 7)))
   }
 
+  test("ivf cell store serve: the probe-union read prunes to cell partitions, " +
+    "and store-served results equal the in-plan IVF") {
+    val served = Similarity.ivfTopKFromStore(spark, sfDir, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inPlan = Similarity.ivfTopK(spark, sfDir, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty && served.toSeq == inPlan.toSeq)
+    val storeDir = Similarity.ivfStoreDirFor(sfDir).get
+    val pruned = Similarity.prunedIvfCells(spark, storeDir, Seq(1, 4))
+    val p = pruned.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters:")).mkString("\n")
+    assert(pf.contains("cell") && !pf.matches(".*PartitionFilters: \\[\\s*\\].*"), pf)
+    assert(pruned.select("cell").distinct().collect().map(_.getInt(0)).toSet
+      .subsetOf(Set(1, 4)))
+  }
+
   test("streaming graph store ingest: node and edge reads prune to the batch's " +
     "bucket partitions (per-batch cost tracks the batch, not history)") {
     import graft.streaming.StreamOps

@@ -776,6 +776,52 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(early.nonEmpty, "no cross-batch edges — merge path never exercised")
   }
 
+  test("streaming IVF cell store: a genuine multi-batch build serves the " +
+    "identical top-k as the in-plan IVF, and a crash-replayed batch " +
+    "changes nothing") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("sivf")
+    val streamDir = Files.createDirectory(base.resolve("embeddings.parquet"))
+    val emb = spark.read.parquet(TestSession.sfDir + "/embeddings.parquet")
+    def writeBatch(lo: Long, hi: Long, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("sivf_part").toString
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeBatch(0L, 120L, "b1.parquet", 1000000L)
+    writeBatch(120L, 100000L, "b2.parquet", 2000000L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val streamed = StreamOps.streamIvfTopKQuery(spark, base.toString, nQueries = 5)
+      .collect().map(key).toSeq
+    val inPlan = Similarity.ivfTopK(spark, base.toString, nQueries = 5)
+      .collect().map(key).toSeq
+    assert(streamed == inPlan && streamed.nonEmpty)
+    // layout hygiene + replay: cell partitions on disk, and a replayed
+    // batch anti-joins away against its own cells
+    val storeDir = StreamOps.ivfStreamStoreFor(base.toString).get
+    assert(new java.io.File(storeDir).list().exists(_.startsWith("cell=")))
+    val countBefore = spark.read.parquet(storeDir).count()
+    StreamOps.ingestIvfBatch(spark,
+      emb.filter(col("vec_id") >= 0 && col("vec_id") < 120)
+        .select(col("vec_id"), col("embedding")),
+      storeDir, Similarity.seedCodebook(
+        spark.read.parquet(base.toString + "/embeddings.parquet"), 8))
+    assert(spark.read.parquet(storeDir).count() == countBefore,
+      "replayed batch re-admitted rows")
+    val replayed = StreamOps.streamIvfTopKQuery(spark, base.toString, nQueries = 5)
+      .collect().map(key).toSeq
+    assert(replayed == streamed)
+  }
+
   test("streaming HNSW hierarchy: a genuine multi-batch build serves the " +
     "identical walk as the in-plan search at the pinned per-layer widths, " +
     "and a crash-replayed batch changes nothing") {
