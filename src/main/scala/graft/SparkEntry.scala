@@ -90,6 +90,9 @@ object SparkEntry {
     // shuffle-and-shard manifest: hash shards, hash order, resumable
     // token offsets — the loader-facing artifact after curation
     "corpus_shards" -> ((s, d) => TextAnalytics.corpusShards(s, d)),
+    // BPE merge-pair induction: one corpus pass to the word-frequency
+    // table, merge rounds on the vocab-sized table only
+    "bpe_merges" -> ((s, d) => TextAnalytics.bpeMerges(s, d)),
     // curriculum packing: cap-token chunks in trained-margin order,
     // two-level (band + within-band) exact prefix sums
     "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)),
@@ -395,6 +398,7 @@ object SparkEntry {
     // the batch ranking bit-for-bit
     "stream_dsir_refresh" -> TextAnalytics.dsirSelectSql(),
     "corpus_shards" -> TextAnalytics.corpusShardsSql(),
+    "bpe_merges" -> TextAnalytics.bpeMergesSql(),
     "curriculum_packing" -> TextAnalytics.curriculumPackingSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),

@@ -1611,4 +1611,89 @@ object TextAnalytics {
                 (tok_offset // $cap) <> ((tok_offset + n_tokens - 1) // $cap)) AS crosses
         FROM c ORDER BY tok_offset, doc_id"""
   }
+
+  /** BPE MERGE-PAIR INDUCTION (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — the tokenizer-
+    * training op of an LLM data pipeline, in the shape real BPE
+    * trainers scale with: ONE corpus pass aggregates the word-frequency
+    * table (the only shuffle that sees text), then every merge round
+    * runs on that O(vocab) table alone — count adjacent symbol pairs
+    * weighted by word frequency, take the global argmax
+    * ((cnt DESC, pair ASC) total tie order), rewrite the vocabulary's
+    * symbol strings. Symbol strings are space-separated and edge-padded
+    * (" c a t ") so the merge rewrite is a plain non-overlapping
+    * left-to-right replace of " A B " — identical greedy semantics on
+    * both engines, and a multi-char symbol can never false-match across
+    * a symbol boundary. Per round the engine pays one vocab-sized
+    * aggregate plus a TakeOrdered(1) (one merge row of driver control
+    * state); at 100 TB the corpus appears only in the first pass,
+    * exactly like the production trainers.
+    *
+    * Output: (rnk, pair, cnt) — the learned merge table in order. */
+  def bpeMerges(spark: SparkSession, dir: String,
+                nMerges: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val docs = Tables.loadWide(spark, dir, "documents")
+    var vocab = docs.select(explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to nMerges) {
+      val syms = vocab.select(col("n"), split(trim(col("s")), " ").as("a"))
+        .filter(size(col("a")) >= 2) // sequence(1, 0) descends — guard
+      val pairs = syms
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("p"))
+        .groupBy(col("p")).agg(sum(col("n")).as("cnt"))
+      // global argmax = TakeOrderedAndProject(1): one driver row per round
+      val best = pairs.orderBy(col("cnt").desc, col("p").asc).limit(1).collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        merges += ((r, pair, cnt))
+        // lit()-passed search/replace strings: no SQL-string splicing
+        vocab = vocab.select(call_function("replace", col("s"),
+            lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")).as("s"),
+          col("n"))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rnk", "pair", "cnt").orderBy(col("rnk"))
+  }
+
+  /** Oracle twin of [[bpeMerges]]: the merge loop unrolled into chained
+    * CTEs — per round a pair-count CTE, a LIMIT-1 argmax CTE, and a
+    * vocabulary rewrite whose search/replace strings come from scalar
+    * subqueries on the argmax. */
+  def bpeMergesSql(nMerges: Int = 8): String = {
+    // every w/b CTE is referenced twice downstream — AS MATERIALIZED or
+    // DuckDB re-inlines the chain into 2^nMerges copies (round-9 lesson)
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+              SELECT n, unnest(list_transform(generate_series(1, len(a) - 1),
+                       i -> a[i] || ' ' || a[i + 1])) AS pair
+              FROM (SELECT string_split(trim(s), ' ') AS a, n FROM w${r - 1})
+              WHERE len(a) >= 2) GROUP BY 1),
+          b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+          w$r AS MATERIALIZED (SELECT replace(s,
+                    ' ' || (SELECT pair FROM b$r) || ' ',
+                    ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s,
+                  n FROM w${r - 1})"""
+    }
+    val out = (1 to nMerges)
+      .map(r => s"SELECT $r AS rnk, pair, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH wf AS (SELECT w, count(*) AS n FROM (
+            SELECT unnest(${graft.functions.TextFunctions.wordsSql("text")}) AS w
+            FROM documents) WHERE w <> '' GROUP BY 1),
+        w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n
+               FROM wf),
+        ${rounds.mkString(", ")}
+        SELECT rnk, pair, cnt FROM ($out) ORDER BY rnk"""
+  }
 }

@@ -519,6 +519,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("bpe merges: greedy frequency-weighted pair induction, exhausted rounds vanish") {
+    import graft.operators.TextAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    // wf: "ab" x3, "abc" x1 -> pairs round 1: (a b)=4, (b c)=1 -> merge
+    // "a b"(4); round 2: (ab c)=1 -> merge "ab c"(1); rounds 3..8 have no
+    // pairs left and must emit nothing (engine skips; oracle's empty
+    // LIMIT-1 CTEs propagate NULL through the rewrites and stay empty)
+    Seq((0L, "ab ab abc", "en", "s0", 9L), (1L, "ab", "en", "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalytics.bpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a b", 4L), (2, "ab c", 1L)), out)
+  }
+
   test("connected components: chain, triangle, pair, and isolated-from-edges node") {
     // chain 10-11-12-13 (diameter 3), triangle 20-21-22, pair (30, 5),
     // self-loop (40,40) must vanish, duplicate edge must not double rows
