@@ -93,6 +93,9 @@ object SparkEntry {
     // BPE merge-pair induction: one corpus pass to the word-frequency
     // table, merge rounds on the vocab-sized table only
     "bpe_merges" -> ((s, d) => TextAnalytics.bpeMerges(s, d)),
+    // the learned subword vocabulary: final segmentations exploded to
+    // (symbol, corpus frequency), top-k
+    "bpe_vocab" -> ((s, d) => TextAnalytics.bpeVocab(s, d)),
     // curriculum packing: cap-token chunks in trained-margin order,
     // two-level (band + within-band) exact prefix sums
     "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)),
@@ -399,6 +402,7 @@ object SparkEntry {
     "stream_dsir_refresh" -> TextAnalytics.dsirSelectSql(),
     "corpus_shards" -> TextAnalytics.corpusShardsSql(),
     "bpe_merges" -> TextAnalytics.bpeMergesSql(),
+    "bpe_vocab" -> TextAnalytics.bpeVocabSql(),
     "curriculum_packing" -> TextAnalytics.curriculumPackingSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),

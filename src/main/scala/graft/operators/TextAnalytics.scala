@@ -1630,8 +1630,11 @@ object TextAnalytics {
     * exactly like the production trainers.
     *
     * Output: (rnk, pair, cnt) — the learned merge table in order. */
-  def bpeMerges(spark: SparkSession, dir: String,
-                nMerges: Int = 8): DataFrame = {
+  /** The shared trainer: returns the merge list and the final
+    * segmented word-frequency table (s = space-separated subword
+    * symbols per distinct word, edge-padded; n = word frequency). */
+  private def bpeTrain(spark: SparkSession, dir: String,
+                       nMerges: Int): (Seq[(Int, String, Long)], DataFrame) = {
     import graft.functions.TextFunctions.words
     val docs = Tables.loadWide(spark, dir, "documents")
     var vocab = docs.select(explode(words(col("text"))).as("w"))
@@ -1662,17 +1665,46 @@ object TextAnalytics {
           .localCheckpoint(true)
       }
     }
+    (merges.toSeq, vocab)
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String,
+                nMerges: Int = 8): DataFrame = {
+    val (merges, _) = bpeTrain(spark, dir, nMerges)
     import spark.implicits._
-    merges.toSeq.toDF("rnk", "pair", "cnt").orderBy(col("rnk"))
+    merges.toDF("rnk", "pair", "cnt").orderBy(col("rnk"))
+  }
+
+  /** The learned SUBWORD VOCABULARY — the artifact a trained tokenizer
+    * actually ships: every distinct word's final segmentation under the
+    * merge table, exploded to (symbol, corpus frequency), top-k by
+    * (freq DESC, symbol). Same scale shape as the trainer: the corpus
+    * appears once in the word-frequency pass; the explode runs on the
+    * O(vocab) table. */
+  def bpeVocab(spark: SparkSession, dir: String, nMerges: Int = 8,
+               k: Int = 30): DataFrame = {
+    val (_, vocab) = bpeTrain(spark, dir, nMerges)
+    val top = vocab
+      .select(col("n"), explode(split(trim(col("s")), " ")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("sym")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("sym"))
+    top.withColumn("rnk",
+        row_number().over(w).cast(org.apache.spark.sql.types.IntegerType))
+      .select(col("rnk"), col("sym"), col("freq"))
+      .orderBy(col("rnk"))
   }
 
   /** Oracle twin of [[bpeMerges]]: the merge loop unrolled into chained
     * CTEs — per round a pair-count CTE, a LIMIT-1 argmax CTE, and a
     * vocabulary rewrite whose search/replace strings come from scalar
     * subqueries on the argmax. */
-  def bpeMergesSql(nMerges: Int = 8): String = {
-    // every w/b CTE is referenced twice downstream — AS MATERIALIZED or
-    // DuckDB re-inlines the chain into 2^nMerges copies (round-9 lesson)
+  /** The shared trainer CTE chain: wf → w0 → (p_r, b_r, w_r) per
+    * round. Every w/b CTE is referenced twice downstream —
+    * AS MATERIALIZED or DuckDB re-inlines the chain into 2^nMerges
+    * copies (round-9 lesson). */
+  private def bpeCtesSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
               SELECT n, unnest(list_transform(generate_series(1, len(a) - 1),
@@ -1685,15 +1717,31 @@ object TextAnalytics {
                     ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s,
                   n FROM w${r - 1})"""
     }
-    val out = (1 to nMerges)
-      .map(r => s"SELECT $r AS rnk, pair, cnt FROM b$r")
-      .mkString(" UNION ALL ")
-    s"""WITH wf AS (SELECT w, count(*) AS n FROM (
+    s"""wf AS (SELECT w, count(*) AS n FROM (
             SELECT unnest(${graft.functions.TextFunctions.wordsSql("text")}) AS w
             FROM documents) WHERE w <> '' GROUP BY 1),
         w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n
                FROM wf),
-        ${rounds.mkString(", ")}
+        ${rounds.mkString(", ")}"""
+  }
+
+  def bpeMergesSql(nMerges: Int = 8): String = {
+    val out = (1 to nMerges)
+      .map(r => s"SELECT $r AS rnk, pair, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtesSql(nMerges)}
         SELECT rnk, pair, cnt FROM ($out) ORDER BY rnk"""
   }
+
+  /** Oracle twin of [[bpeVocab]]: the final w_N segmentation exploded,
+    * frequency-summed, top-k ranked. */
+  def bpeVocabSql(nMerges: Int = 8, k: Int = 30): String =
+    s"""WITH ${bpeCtesSql(nMerges)},
+        v AS (SELECT sym, CAST(sum(n) AS BIGINT) AS freq FROM (
+                SELECT n, unnest(string_split(trim(s), ' ')) AS sym
+                FROM w$nMerges) GROUP BY 1)
+        SELECT rnk, sym, freq FROM (
+          SELECT sym, freq,
+                 CAST(row_number() OVER (ORDER BY freq DESC, sym) AS INT) AS rnk
+          FROM v) WHERE rnk <= $k ORDER BY rnk"""
 }
