@@ -96,6 +96,8 @@ object SparkEntry {
     // the learned subword vocabulary: final segmentations exploded to
     // (symbol, corpus frequency), top-k
     "bpe_vocab" -> ((s, d) => TextAnalytics.bpeVocab(s, d)),
+    // apply side: per-doc token counts under the learned tokenizer
+    "bpe_tokenize" -> ((s, d) => TextAnalytics.bpeTokenize(s, d)),
     // curriculum packing: cap-token chunks in trained-margin order,
     // two-level (band + within-band) exact prefix sums
     "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)),
@@ -403,6 +405,7 @@ object SparkEntry {
     "corpus_shards" -> TextAnalytics.corpusShardsSql(),
     "bpe_merges" -> TextAnalytics.bpeMergesSql(),
     "bpe_vocab" -> TextAnalytics.bpeVocabSql(),
+    "bpe_tokenize" -> TextAnalytics.bpeTokenizeSql(),
     "curriculum_packing" -> TextAnalytics.curriculumPackingSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),

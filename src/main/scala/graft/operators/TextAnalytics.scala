@@ -1640,7 +1640,7 @@ object TextAnalytics {
     var vocab = docs.select(explode(words(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(concat(lit(" "),
+      .select(col("w"), concat(lit(" "),
         regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
@@ -1659,7 +1659,8 @@ object TextAnalytics {
         val cnt = best(0).getLong(1)
         merges += ((r, pair, cnt))
         // lit()-passed search/replace strings: no SQL-string splicing
-        vocab = vocab.select(call_function("replace", col("s"),
+        vocab = vocab.select(col("w"),
+          call_function("replace", col("s"),
             lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")).as("s"),
           col("n"))
           .localCheckpoint(true)
@@ -1712,7 +1713,7 @@ object TextAnalytics {
               FROM (SELECT string_split(trim(s), ' ') AS a, n FROM w${r - 1})
               WHERE len(a) >= 2) GROUP BY 1),
           b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-          w$r AS MATERIALIZED (SELECT replace(s,
+          w$r AS MATERIALIZED (SELECT w, replace(s,
                     ' ' || (SELECT pair FROM b$r) || ' ',
                     ' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s,
                   n FROM w${r - 1})"""
@@ -1720,7 +1721,7 @@ object TextAnalytics {
     s"""wf AS (SELECT w, count(*) AS n FROM (
             SELECT unnest(${graft.functions.TextFunctions.wordsSql("text")}) AS w
             FROM documents) WHERE w <> '' GROUP BY 1),
-        w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n
+        w0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n
                FROM wf),
         ${rounds.mkString(", ")}"""
   }
@@ -1732,6 +1733,44 @@ object TextAnalytics {
     s"""WITH ${bpeCtesSql(nMerges)}
         SELECT rnk, pair, cnt FROM ($out) ORDER BY rnk"""
   }
+
+  /** BPE APPLY — per-document token counts under the LEARNED subword
+    * vocabulary, the number a context-window budget actually consumes
+    * (whitespace counts undercount rare words that fragment). Shape:
+    * the trainer's vocab table maps each distinct word to its final
+    * segmentation length, so applying the tokenizer to the corpus is a
+    * broadcast-sized join of the per-doc word counts against the
+    * O(vocab) segmentation table — the text is never re-scanned per
+    * merge. */
+  def bpeTokenize(spark: SparkSession, dir: String,
+                  nMerges: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val (_, vocab) = bpeTrain(spark, dir, nMerges)
+    val segs = vocab.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("k"))
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+    tok.join(broadcast(segs), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_words"),
+        sum(col("m") * col("k")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[bpeTokenize]]: per-doc word counts joined to the
+    * final segmentation lengths. */
+  def bpeTokenizeSql(nMerges: Int = 8): String =
+    s"""WITH ${bpeCtesSql(nMerges)},
+        tok AS (SELECT doc_id, w, count(*) AS m FROM (
+                  SELECT doc_id,
+                         unnest(${graft.functions.TextFunctions.wordsSql("text")}) AS w
+                  FROM documents) WHERE w <> '' GROUP BY 1, 2),
+        segs AS (SELECT w, len(string_split(trim(s), ' ')) AS k FROM w$nMerges)
+        SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_words,
+               CAST(sum(m * k) AS BIGINT) AS n_subwords
+        FROM tok JOIN segs USING (w) GROUP BY 1 ORDER BY 1"""
 
   /** Oracle twin of [[bpeVocab]]: the final w_N segmentation exploded,
     * frequency-summed, top-k ranked. */
