@@ -822,6 +822,18 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(replayed == streamed)
   }
 
+  test("streaming IVF cell store: per-cell compaction preserves serving results") {
+    val before = StreamOps.streamIvfTopKQuery(spark, TestSession.sfDir, nQueries = 5)
+      .collect().map(_.toSeq).toSeq
+    val storeDir = StreamOps.ivfStreamStoreFor(TestSession.sfDir).get
+    val rewritten = graft.operators.Sinks.compactPartitioned(spark, storeDir,
+      targetBytes = 1L << 30)
+    assert(rewritten > 0, "expected the cell store's partitions to compact")
+    val after = StreamOps.streamIvfTopKQuery(spark, TestSession.sfDir, nQueries = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before && after.nonEmpty)
+  }
+
   test("streaming HNSW hierarchy: a genuine multi-batch build serves the " +
     "identical walk as the in-plan search at the pinned per-layer widths, " +
     "and a crash-replayed batch changes nothing") {
