@@ -122,6 +122,9 @@ object SparkEntry {
     // IVF served from the cell-partitioned vector store: probe-cell
     // union pushed as a static partition filter, scans nProbe cells
     "vector_ivf_store" -> ((s, d) => Similarity.ivfTopKFromStore(s, d)),
+    // PQ served from the codes-only store: encode once, ADC-scan the
+    // m-small-codes rows, exact-rerank the shortlist
+    "vector_pq_store" -> ((s, d) => Similarity.pqRerankFromStore(s, d)),
     // the same serve off the stream-accumulated cell store
     "stream_ivf_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamIvfTopKQuery(s, d)),
@@ -430,6 +433,8 @@ object SparkEntry {
     "vector_ivf_trained" -> Similarity.ivfTrainedTopKSql(),
     // both cell-store serves are contract-equal to the in-plan IVF
     "vector_ivf_store" -> Similarity.ivfTopKSql(),
+    // the code-store serve is contract-equal to the in-plan PQ+rerank
+    "vector_pq_store" -> Similarity.pqRerankTopKSql(),
     "stream_ivf_store" ->
       graft.streaming.StreamOps.streamIvfTopKOracleSql(),
     "knn_graph" -> Similarity.knnGraphSql(),

@@ -1178,6 +1178,58 @@ object Similarity {
         .select(col("qid"), col("vec_id")),
       k, nQueries)
 
+  /** One materialized PQ code store per (dir, nCells, m) per JVM. */
+  private val pqStores =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), String]()
+  private[graft] def pqStoreDirFor(dir: String, nCells: Int = 8,
+                                   m: Int = 4): Option[String] =
+    pqStores.get((dir, nCells, m))
+
+  /** [[pqRerankTopK]] SERVED from a MATERIALIZED codes-only store — the
+    * codes family's at-rest deployment shape (its LSH-bucket / graph /
+    * hierarchy / IVF-cell siblings prune partitions; PQ's contract is
+    * different: the scan is EXHAUSTIVE by design but each row is m
+    * small codes instead of dim floats, a ~16× byte cut at (m=4,
+    * dim=64 float) that turns the index scan IO-light). Encoding runs
+    * ONCE at build; serving broadcasts the per-query LUTs against the
+    * stored codes, takes the ADC shortlist, and reranks the shortlist
+    * exactly against the float table (touched for budget-many rows per
+    * query, never scanned). Results are byte-identical to
+    * [[pqRerankTopK]]; oracle: pqRerankTopKSql. */
+  def pqRerankFromStore(spark: SparkSession, dir: String, k: Int = 3,
+                        nQueries: Int = 10, nCells: Int = 8, m: Int = 4,
+                        dim: Int = 64, budget: Int = 32): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val codebook = seedCodebook(emb, nCells)
+    if (codebook.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "vec_id", "score")
+    }
+    require(codebook.forall(_._2.length == dim), s"corpus dim != $dim")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val cslice = pqSlices(codebook, sub)
+    val storeDir = pqStores.getOrElseUpdate((dir, nCells, m), {
+      val sd = java.nio.file.Files.createTempDirectory("pq_code_store").toString
+      emb.select(col("vec_id") +: pqCodeCols(cslice, m, sub): _*)
+        .write.mode("overwrite").parquet(sd)
+      sd
+    })
+    val codes = spark.read.parquet(storeDir)
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid") +: pqLutCols(cslice, m, sub): _*))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val shortlist = codes.crossJoin(queries)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", pqAdcScore(cslice, m))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= budget)
+      .select(col("qid"), col("vec_id"))
+    exactRerank(spark, dir, shortlist, k, nQueries)
+  }
+
   def pqRerankTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
                       m: Int = 4, dim: Int = 64, budget: Int = 32): String =
     s"""WITH ${pqCtes(nQueries, nCells, m, dim)},

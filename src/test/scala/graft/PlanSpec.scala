@@ -334,6 +334,21 @@ class PlanSpec extends AnyFunSuite {
       .subsetOf(Set(1, 4)))
   }
 
+  test("pq code store serve: codes-only at rest (no float column), results equal " +
+    "the in-plan PQ+rerank") {
+    val served = Similarity.pqRerankFromStore(spark, sfDir, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val inPlan = Similarity.pqRerankTopK(spark, sfDir, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty && served.toSeq == inPlan.toSeq)
+    // the at-rest claim: the store holds vec_id + m integer codes and
+    // nothing else — the float vectors never landed in the index
+    val schema = spark.read.parquet(Similarity.pqStoreDirFor(sfDir).get).schema
+    assert(schema.fieldNames.toSet == Set("vec_id", "code0", "code1", "code2", "code3"),
+      schema.treeString)
+    assert(!schema.exists(_.dataType.typeName.contains("array")), schema.treeString)
+  }
+
   test("streaming graph store ingest: node and edge reads prune to the batch's " +
     "bucket partitions (per-batch cost tracks the batch, not history)") {
     import graft.streaming.StreamOps
