@@ -155,6 +155,11 @@ object ScaleProbe {
       // round 9 (this session): hierarchical search, DSIR selection,
       // trained perceptron
       "graph_hnsw_search" -> ((s, d) => Similarity.hnswSearch(s, d)),
+      // round 10: the hierarchy SERVED from the prebuilt store — rep 1
+      // pays the one-time memoized build, rep 2 is pure serve, so the
+      // min-of-2 cell reports the serve path (expect near-flat: a fixed
+      // visit budget against layer+bucket-pruned partition reads)
+      "graph_hnsw_store" -> ((s, d) => Similarity.hnswSearchFromStore(s, d)),
       "dsir_select" -> ((s, d) => TextAnalytics.dsirSelect(s, d)),
       "quality_perceptron" -> ((s, d) => TextAnalytics.perceptronQuality(s, d)),
       "cluster_cap_sample" -> ((s, d) => Similarity.clusterCapSample(s, d)),
@@ -344,5 +349,46 @@ object ScaleProbe {
     }
     Seq(kn1, knN, ke1, keN).foreach(p =>
       deleteRecursively(java.nio.file.Paths.get(p)))
+
+    // Graph-store SERVE cost as BATCHES accumulate: each micro-batch
+    // rewrites its touched buckets (and a crash replay can append), so
+    // a long-lived store's partitions accrete small part files. The
+    // walk's pruned read pays per-FILE open cost, not just per-row —
+    // this cell shows the accretion growth and that
+    // Sinks.compactPartitioned (the layout-hygiene pass the compaction
+    // spec pins for correctness) folds serve cost back to the
+    // single-write baseline: flat as batch count grows, given periodic
+    // compaction.
+    def buildFragEdgeStore(h: Long, frags: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("scale_gserve").toString
+      (0 until frags).foreach { f =>
+        spark.range(f * h / frags, (f + 1) * h / frags)
+          .select(col("id").as("src"),
+            explode(array((0 until 8).map(i =>
+              xxhash64(col("id") + lit(i))): _*)).as("dst"))
+          .withColumn("score", rand(7))
+          .withColumn("gbucket", pmod(col("src"), lit(64L)).cast("int"))
+          .coalesce(1)
+          .write.mode("append").partitionBy("gbucket").parquet(dir)
+      }
+      dir
+    }
+    def serveRead(store: String): DataFrame =
+      batch.join(spark.read.parquet(store)
+          .where(col("gbucket").isin(touchedG: _*)),
+        col("doc_id") === col("src"), "left_semi")
+    val nBatches = copies * 4
+    val fg1 = buildFragEdgeStore(h1 / 16, 1)
+    val fgN = buildFragEdgeStore(h1 / 16, nBatches)
+    println(s"\n| graph-store serve read (same content) | 1 batch | $nBatches accumulated batches | growth |")
+    println("|---|---|---|---|")
+    time(serveRead(fg1)) // warm the shape
+    val ts1 = math.min(time(serveRead(fg1)), time(serveRead(fg1)))
+    val tsN = math.min(time(serveRead(fgN)), time(serveRead(fgN)))
+    println(f"| pruned walk read, pre-compaction | $ts1%.2f | $tsN%.2f | ${tsN / ts1}%.1fx |")
+    graft.operators.Sinks.compactPartitioned(spark, fgN, targetBytes = 1L << 30)
+    val tsC = math.min(time(serveRead(fgN)), time(serveRead(fgN)))
+    println(f"| pruned walk read, after compactPartitioned | $ts1%.2f | $tsC%.2f | ${tsC / ts1}%.1fx |")
+    Seq(fg1, fgN).foreach(p => deleteRecursively(java.nio.file.Paths.get(p)))
   }
 }
