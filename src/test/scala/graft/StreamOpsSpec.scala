@@ -822,6 +822,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(replayed == streamed)
   }
 
+  test("streaming HNSW hierarchy: per-layer edge-store compaction preserves the served walk") {
+    val before = StreamOps.streamHnswSearchQuery(spark, TestSession.sfDir,
+        nQueries = 5, stepsUpper = 2, beamWidth = 4, steps = 3)
+      .collect().map(_.toSeq).toSeq
+    val stores = StreamOps.hnswStreamStoresFor(TestSession.sfDir).get
+    // a layer whose batch had no candidates holds only a _SUCCESS
+    // marker — nothing to compact (and nothing read at serve either)
+    val rewritten = stores.map { case (_, edgeDir) =>
+      val entries = Option(new java.io.File(edgeDir).list()).getOrElse(Array())
+      if (entries.exists(n => !n.startsWith("_") && !n.startsWith(".")))
+        graft.operators.Sinks.compactPartitioned(spark, edgeDir,
+          targetBytes = 1L << 30)
+      else 0L
+    }.sum
+    assert(rewritten > 0, "expected at least one layer's buckets to compact")
+    val after = StreamOps.streamHnswSearchQuery(spark, TestSession.sfDir,
+        nQueries = 5, stepsUpper = 2, beamWidth = 4, steps = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before && after.nonEmpty)
+  }
+
   test("streaming IVF cell store: per-cell compaction preserves serving results") {
     val before = StreamOps.streamIvfTopKQuery(spark, TestSession.sfDir, nQueries = 5)
       .collect().map(_.toSeq).toSeq
