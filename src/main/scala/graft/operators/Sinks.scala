@@ -380,6 +380,27 @@ object Sinks {
     * this is embarrassingly parallel across partitions and only touches
     * partitions that exist (a deployment would further restrict to
     * recently-appended ones). */
+  /** INDEX-WIDTH MIGRATION — the store rewrite every "bits/cells are
+    * pinned at deploy" docstring defers to: recompute a partitioned
+    * store's partition key from its own columns (e.g. widen a sign-LSH
+    * bucket from 6 to 8 bits — the key is a pure function of the stored
+    * vector) and rewrite into a NEW directory with the new layout, one
+    * clustered file per partition. The caller swaps the table pointer
+    * (at 100 TB this is a catalog/location update, not a rename race);
+    * the old store keeps serving until the swap. Returns rows
+    * rewritten. */
+  def rebucketPartitioned(spark: SparkSession, srcDir: String,
+                          destDir: String, partitionCol: String,
+                          newValue: Column,
+                          sortCols: Seq[String] = Nil): Long = {
+    val df = spark.read.parquet(srcDir)
+      .withColumn(partitionCol, newValue)
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(destDir)
+    spark.read.parquet(destDir).count()
+  }
+
   def compactPartitioned(spark: SparkSession, dir: String,
                          targetBytes: Long = 128L << 20,
                          sortCols: Seq[String] = Nil): Long = {

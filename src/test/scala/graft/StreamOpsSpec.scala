@@ -822,6 +822,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(replayed == streamed)
   }
 
+  test("ANN store re-bucketing: widening the pinned bits is a store rewrite that " +
+    "serves the fresh-index results") {
+    import graft.operators.{Similarity, Sinks}
+    // build the streamed bits-6 store (memoized), then migrate a copy
+    // to bits 8 — the bucket is a pure function of the stored vector
+    StreamOps.streamLshTopKQuery(spark, TestSession.sfDir, bits = 6)
+      .limit(1).collect()
+    val store6 = StreamOps.lshStoreDirFor(TestSession.sfDir, 6).get
+    val store8 = java.nio.file.Files.createTempDirectory("lsh_rebucket").toString
+    val n = Sinks.rebucketPartitioned(spark, store6, store8, "bucket",
+      Similarity.signBucket(col("embedding"), 8), sortCols = Seq("vec_id"))
+    assert(n > 0)
+    // layout: the widened store's partition dirs span past the 6-bit range
+    val dirs = new java.io.File(store8).list().filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt)
+    assert(dirs.exists(_ > 63), s"no bucket above 63 after widening: ${dirs.sorted.mkString(",")}")
+    // serving the migrated store at bits 8 equals the fresh bits-8 index
+    val served = Similarity.serveLshTopKFromStore(spark, TestSession.sfDir,
+        store8, bits = 8)
+      .collect().map(_.toSeq).toSeq
+    val fresh = Similarity.lshTopK(spark, TestSession.sfDir, bitsOpt = Some(8))
+      .collect().map(_.toSeq).toSeq
+    assert(served == fresh && served.nonEmpty)
+  }
+
   test("streaming HNSW hierarchy: per-layer edge-store compaction preserves the served walk") {
     val before = StreamOps.streamHnswSearchQuery(spark, TestSession.sfDir,
         nQueries = 5, stepsUpper = 2, beamWidth = 4, steps = 3)
