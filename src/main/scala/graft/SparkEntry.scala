@@ -128,6 +128,9 @@ object SparkEntry {
     // the same serve off the stream-accumulated cell store
     "stream_ivf_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamIvfTopKQuery(s, d)),
+    // PQ+rerank off the stream-accumulated codes-only store
+    "stream_pq_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamPqTopKQuery(s, d)),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "graph_greedy_search" -> ((s, d) => Similarity.graphGreedySearch(s, d)),
     "mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
@@ -437,6 +440,8 @@ object SparkEntry {
     "vector_pq_store" -> Similarity.pqRerankTopKSql(),
     "stream_ivf_store" ->
       graft.streaming.StreamOps.streamIvfTopKOracleSql(),
+    "stream_pq_store" ->
+      graft.streaming.StreamOps.streamPqTopKOracleSql(),
     "knn_graph" -> Similarity.knnGraphSql(),
     "graph_greedy_search" -> Similarity.graphGreedySearchSql(),
     "mmr_rerank" -> Similarity.mmrRerankSql(),

@@ -1216,6 +1216,19 @@ object Similarity {
         .write.mode("overwrite").parquet(sd)
       sd
     })
+    servePqFromStore(spark, dir, emb, storeDir, cslice, m, sub,
+      k, nQueries, budget)
+  }
+
+  /** The serve tail shared by the batch-built and stream-built code
+    * stores: broadcast per-query LUTs against the stored codes, ADC
+    * shortlist, exact rerank of the shortlist against the float
+    * table. */
+  private[graft] def servePqFromStore(spark: SparkSession, dir: String,
+                                      emb: DataFrame, storeDir: String,
+                                      cslice: Int => Array[(Long, Array[Float])],
+                                      m: Int, sub: Int, k: Int,
+                                      nQueries: Int, budget: Int): DataFrame = {
     val codes = spark.read.parquet(storeDir)
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
@@ -1229,6 +1242,18 @@ object Similarity {
       .select(col("qid"), col("vec_id"))
     exactRerank(spark, dir, shortlist, k, nQueries)
   }
+
+  /** The encode expression set for one corpus row — exposed so the
+    * streaming code-store ingest encodes arriving batches with the
+    * exact batch-build expressions. */
+  private[graft] def pqEncodeCols(codebook: Array[(Long, Array[Float])],
+                                  m: Int, dim: Int): Seq[Column] = {
+    val sub = dim / m
+    pqCodeCols(pqSlices(codebook, sub), m, sub)
+  }
+  private[graft] def pqSliceFn(codebook: Array[(Long, Array[Float])],
+                               m: Int, dim: Int): Int => Array[(Long, Array[Float])] =
+    pqSlices(codebook, dim / m)
 
   def pqRerankTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
                       m: Int = 4, dim: Int = 64, budget: Int = 32): String =

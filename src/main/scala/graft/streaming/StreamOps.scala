@@ -1902,6 +1902,82 @@ object StreamOps {
                              nProbe: Int = 2): String =
     graft.operators.Similarity.ivfTopKSql(k, nQueries, nCells, nProbe)
 
+  /** One streaming PQ code store per (dir, nCells, m) per JVM. */
+  private val pqStreamStores =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), String]()
+  private[graft] def pqStreamStoreFor(dir: String, nCells: Int = 8,
+                                      m: Int = 4): Option[String] =
+    pqStreamStores.get((dir, nCells, m))
+
+  /** One micro-batch of the incremental PQ index: encode the batch
+    * against the deploy-time codebook (the same per-subspace argmin
+    * expressions the batch build uses — codes are a pure function of
+    * (vector, codebook)), dedupe replays by vec_id anti-join against
+    * the store, append codes only. The accumulated store equals the
+    * batch encode under ANY batching. The membership read scans the
+    * store's vec_id column alone (codes pruned by the projection) —
+    * at rest the store IS the m-codes-per-row layout, so even the full
+    * anti-join side is bytes-light; a deployment would additionally
+    * sort/range-partition by vec_id for row-group skipping. */
+  private[graft] def ingestPqBatch(sp: SparkSession, batch: DataFrame,
+                                   storeDir: String,
+                                   codebook: Array[(Long, Array[Float])],
+                                   m: Int, dim: Int): Unit = {
+    import graft.operators.Similarity
+    val encoded = batch.select(
+      (col("vec_id") +: Similarity.pqEncodeCols(codebook, m, dim)): _*)
+    val empty = new java.io.File(storeDir).list() == null ||
+      !new java.io.File(storeDir).list().exists(n =>
+        !n.startsWith("_") && !n.startsWith("."))
+    val fresh =
+      if (empty) encoded
+      else encoded.join(
+        sp.read.parquet(storeDir).select(col("vec_id").as("seen_id")),
+        col("vec_id") === col("seen_id"), "left_anti")
+        .drop("seen_id")
+    fresh.write.mode("append").parquet(storeDir)
+  }
+
+  /** PQ + EXACT RERANK SERVED OFF THE STREAMING-MAINTAINED CODE STORE —
+    * the codes-family member of the streamed-index family (LSH buckets
+    * / graph / hierarchy / IVF cells): embeddings arrive as a stream
+    * and accumulate, ENCODED, into the codes-only store
+    * ([[ingestPqBatch]]); serving broadcasts per-query LUTs against the
+    * stored codes, shortlists by asymmetric distance, and reranks
+    * exactly. The store equals the batch encode set, so results — and
+    * the oracle — are pqRerankTopK's own. */
+  def streamPqTopKQuery(spark: SparkSession, dir: String, k: Int = 3,
+                        nQueries: Int = 10, nCells: Int = 8, m: Int = 4,
+                        dim: Int = 64, budget: Int = 32): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+    val codebook = Similarity.seedCodebook(emb, nCells)
+    if (codebook.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rn", "vec_id", "score")
+    }
+    val storeDir = pqStreamStores.getOrElseUpdate((dir, nCells, m), {
+      val sd = java.nio.file.Files.createTempDirectory("pq_stream_store").toString
+      val q = embeddingsStream(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ingestPqBatch(batch.sparkSession, batch, sd, codebook, m, dim)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sd
+    })
+    Similarity.servePqFromStore(spark, dir, emb, storeDir,
+      Similarity.pqSliceFn(codebook, m, dim), m, dim / m, k, nQueries, budget)
+  }
+
+  def streamPqTopKOracleSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
+                            m: Int = 4, dim: Int = 64,
+                            budget: Int = 32): String =
+    graft.operators.Similarity.pqRerankTopKSql(k, nQueries, nCells, m, dim, budget)
+
   /** Keyed on (dir, cap) — a partial folded at one cap cannot serve a
     * query asking for another (the lshStores precedent). */
   private val topFreqStores =

@@ -822,6 +822,51 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(replayed == streamed)
   }
 
+  test("streaming PQ code store: a genuine multi-batch build serves the " +
+    "identical top-k as the in-plan PQ+rerank, and a crash-replayed batch " +
+    "changes nothing") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    val base = Files.createTempDirectory("spq")
+    val streamDir = Files.createDirectory(base.resolve("embeddings.parquet"))
+    val emb = spark.read.parquet(TestSession.sfDir + "/embeddings.parquet")
+    def writeBatch(lo: Long, hi: Long, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("spq_part").toString
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeBatch(0L, 150L, "b1.parquet", 1000000L)
+    writeBatch(150L, 100000L, "b2.parquet", 2000000L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val streamed = StreamOps.streamPqTopKQuery(spark, base.toString, nQueries = 5)
+      .collect().map(key).toSeq
+    val inPlan = Similarity.pqRerankTopK(spark, base.toString, nQueries = 5)
+      .collect().map(key).toSeq
+    assert(streamed == inPlan && streamed.nonEmpty)
+    // replay: re-encode batch 1 by hand — the anti-join admits nothing
+    val storeDir = StreamOps.pqStreamStoreFor(base.toString).get
+    val countBefore = spark.read.parquet(storeDir).count()
+    StreamOps.ingestPqBatch(spark,
+      emb.filter(col("vec_id") < 150).select(col("vec_id"), col("embedding")),
+      storeDir,
+      Similarity.seedCodebook(
+        spark.read.parquet(base.toString + "/embeddings.parquet"), 8),
+      m = 4, dim = 64)
+    assert(spark.read.parquet(storeDir).count() == countBefore,
+      "replayed batch re-admitted rows")
+    val replayed = StreamOps.streamPqTopKQuery(spark, base.toString, nQueries = 5)
+      .collect().map(key).toSeq
+    assert(replayed == streamed)
+  }
+
   test("ANN store re-bucketing: widening the pinned bits is a store rewrite that " +
     "serves the fresh-index results") {
     import graft.operators.{Similarity, Sinks}
