@@ -122,6 +122,10 @@ object SparkEntry {
     // IVF served from the cell-partitioned vector store: probe-cell
     // union pushed as a static partition filter, scans nProbe cells
     "vector_ivf_store" -> ((s, d) => Similarity.ivfTopKFromStore(s, d)),
+    // the trained codebook rebuilds its own store (training moves cell
+    // boundaries — re-index on quantizer refresh, the IVF lifecycle)
+    "vector_ivf_trained_store" -> ((s, d) =>
+      Similarity.ivfTrainedTopKFromStore(s, d)),
     // PQ served from the codes-only store: encode once, ADC-scan the
     // m-small-codes rows, exact-rerank the shortlist
     "vector_pq_store" -> ((s, d) => Similarity.pqRerankFromStore(s, d)),
@@ -436,6 +440,7 @@ object SparkEntry {
     "vector_ivf_trained" -> Similarity.ivfTrainedTopKSql(),
     // both cell-store serves are contract-equal to the in-plan IVF
     "vector_ivf_store" -> Similarity.ivfTopKSql(),
+    "vector_ivf_trained_store" -> Similarity.ivfTrainedTopKSql(),
     // the code-store serve is contract-equal to the in-plan PQ+rerank
     "vector_pq_store" -> Similarity.pqRerankTopKSql(),
     "stream_ivf_store" ->

@@ -599,13 +599,15 @@ object Similarity {
                    FROM scored WHERE score IS NOT NULL)
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
 
-  /** One materialized IVF cell store per (fixture dir, nCells) per JVM
-    * (the graphStores memoization contract, keyed on the index
-    * config). */
+  /** One materialized IVF cell store per (fixture dir, nCells,
+    * codebook tag) per JVM (the graphStores memoization contract, keyed
+    * on the index config — the tag separates the seed build from the
+    * trained one, whose cell assignments differ). */
   private val ivfStores =
-    new scala.collection.concurrent.TrieMap[(String, Int), String]()
-  private[graft] def ivfStoreDirFor(dir: String, nCells: Int = 8): Option[String] =
-    ivfStores.get((dir, nCells))
+    new scala.collection.concurrent.TrieMap[(String, Int, String), String]()
+  private[graft] def ivfStoreDirFor(dir: String, nCells: Int = 8,
+                                    tag: String = "seed"): Option[String] =
+    ivfStores.get((dir, nCells, tag))
 
   /** The pruned cell read: only the partitions holding the query set's
     * probe cells are listed and scanned — the IVF member of the
@@ -628,15 +630,17 @@ object Similarity {
     * Results are byte-identical to [[ivfTopK]]; oracle: ivfTopKSql. */
   def ivfTopKFromStore(spark: SparkSession, dir: String, k: Int = 3,
                        nQueries: Int = 10, nCells: Int = 8,
-                       nProbe: Int = 2): DataFrame = {
+                       nProbe: Int = 2,
+                       codebookOpt: Option[Array[(Long, Array[Float])]] = None,
+                       storeTag: String = "seed"): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
-    val codebook = seedCodebook(emb, nCells)
+    val codebook = codebookOpt.getOrElse(seedCodebook(emb, nCells))
     if (codebook.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("qid", "rn", "vec_id", "score")
     }
-    val storeDir = ivfStores.getOrElseUpdate((dir, nCells), {
+    val storeDir = ivfStores.getOrElseUpdate((dir, nCells, storeTag), {
       val sd = java.nio.file.Files.createTempDirectory("ivf_cell_store").toString
       emb.select(col("vec_id"), col("embedding"),
           greatestOf(centScores(col("embedding"), codebook))
@@ -647,6 +651,21 @@ object Similarity {
       sd
     })
     serveIvfFromStore(spark, emb, storeDir, codebook, k, nQueries, nProbe)
+  }
+
+  /** [[ivfTrainedTopK]] served from the cell store — the TRAINED
+    * codebook (exact-arithmetic Lloyd, the oracle-checkable fixed-point
+    * protocol) builds its own store under a separate tag: training
+    * moves cell boundaries, so the at-rest clustering is retrained
+    * WITH the quantizer (re-indexing on codebook refresh is the
+    * standard IVF lifecycle). Oracle: ivfTrainedTopKSql. */
+  def ivfTrainedTopKFromStore(spark: SparkSession, dir: String, k: Int = 3,
+                              nQueries: Int = 10, nCells: Int = 8,
+                              nProbe: Int = 3, iters: Int = 1): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    ivfTopKFromStore(spark, dir, k, nQueries, nCells, nProbe,
+      codebookOpt = Some(kmeansCodebookExact(emb, nCells, iters)),
+      storeTag = s"trained$iters")
   }
 
   /** The serve tail shared by the batch-built and stream-built cell
