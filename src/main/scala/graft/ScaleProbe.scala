@@ -76,6 +76,16 @@ object ScaleProbe {
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
 
+    // events copies: ids and users offset so the copies are disjoint
+    // populations over the same time range (the layout probe's regime:
+    // more rows per (user, time) cell, same cell space)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until copies).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+
     import graft.operators._
     // optional subset for targeted re-measures (co-tenant phases can
     // poison single cells of a 20-minute run)
@@ -164,7 +174,22 @@ object ScaleProbe {
       "quality_perceptron" -> ((s, d) => TextAnalytics.perceptronQuality(s, d)),
       "cluster_cap_sample" -> ((s, d) => Similarity.clusterCapSample(s, d)),
       "corpus_shards" -> ((s, d) => TextAnalytics.corpusShards(s, d)),
-      "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)))
+      "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)),
+      // round-10 second session: rank iterations over a 10x edge set
+      // (expect ~linear: the graph builds once, each round is one join +
+      // one sum over O(n*deg) longs); the layout audit and the corpus
+      // curves are single-aggregate passes (~linear); the weighted draw
+      // is a narrow TakeOrdered (~linear scan, constant heap)
+      "graph_pagerank" -> ((s, d) => Similarity.pageRank(s, d)),
+      "graph_ppr" -> ((s, d) => Similarity.personalizedPageRank(s, d)),
+      "events_zorder" -> ((s, d) => Events.zorderLayout(s, d)),
+      "corpus_stats" -> ((s, d) => TextAnalytics.corpusStats(s, d)),
+      "weighted_sample" -> ((s, d) => TextAnalytics.weightedSample(s, d)),
+      // postings-store serve: rep 1 pays the memoized build, min-of-2
+      // reports the serve — expect near-flat (a query reads its own
+      // terms' buckets; the corpus only fattens those partitions by its
+      // term-frequency share)
+      "bm25_store" -> ((s, d) => TextAnalytics.bm25SearchFromStore(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }

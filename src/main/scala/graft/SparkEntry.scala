@@ -69,7 +69,16 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextAnalytics.docRepetition(s, d)),
     "doc_novelty" -> ((s, d) => TextAnalytics.docNovelty(s, d)),
     "bm25_search" -> ((s, d) => TextAnalytics.bm25Search(s, d)),
+    // BM25 served from the term-bucket-partitioned postings store: a
+    // query scans its own terms' partitions, never the vocabulary
+    "bm25_store" -> ((s, d) => TextAnalytics.bm25SearchFromStore(s, d)),
+    // the same serve off a stream-accreted postings store (documents
+    // indexed on arrival, replay-safe max-merge, no rebuild)
+    "stream_bm25_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamBm25StoreQuery(s, d)),
     "hybrid_search" -> ((s, d) => TextAnalytics.hybridSearch(s, d)),
+    // the fusion with its lexical leg served from the postings store
+    "hybrid_store" -> ((s, d) => TextAnalytics.hybridSearchFromStore(s, d)),
     "quality_filter" -> ((s, d) => TextAnalytics.qualityFilter(s, d)),
     "lm_fluency" -> ((s, d) => TextAnalytics.lmFluency(s, d)),
     // DSIR data selection: hashed-bigram importance ranking of the
@@ -98,6 +107,16 @@ object SparkEntry {
     "bpe_vocab" -> ((s, d) => TextAnalytics.bpeVocab(s, d)),
     // apply side: per-doc token counts under the learned tokenizer
     "bpe_tokenize" -> ((s, d) => TextAnalytics.bpeTokenize(s, d)),
+    // the tokenizer applied ONLINE: batch-trained vocab broadcast into
+    // every micro-batch, per-doc counts merged from per-batch partials
+    "stream_bpe_tokenize" -> ((s, d) =>
+      graft.streaming.StreamOps.streamBpeTokenizeQuery(s, d)),
+    // Heaps'-law vocabulary-growth checkpoints: cumulative tokens vs
+    // cumulative distinct types per accretion bucket
+    "corpus_stats" -> ((s, d) => TextAnalytics.corpusStats(s, d)),
+    // deterministic weighted sampling without replacement (priority
+    // sampling): n smallest hash-u/weight priorities
+    "weighted_sample" -> ((s, d) => TextAnalytics.weightedSample(s, d)),
     // curriculum packing: cap-token chunks in trained-margin order,
     // two-level (band + within-band) exact prefix sums
     "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)),
@@ -146,6 +165,16 @@ object SparkEntry {
     // the same search served from the (lvl, gbucket)-partitioned
     // hierarchy store: zero in-query graph builds or per-layer counts
     "graph_hnsw_store" -> ((s, d) => Similarity.hnswSearchFromStore(s, d)),
+    // PageRank centrality over the k-NN graph: graph built once,
+    // integer fixed-point rank iterations, top-k central documents
+    "graph_pagerank" -> ((s, d) => Similarity.pageRank(s, d)),
+    // personalized PageRank: restart mass gated to a seed label —
+    // rank-by-proximity-to-target-domain (DSIR's graph-walk sibling)
+    "graph_ppr" -> ((s, d) => Similarity.personalizedPageRank(s, d)),
+    // the same rank iterations over the STREAM-accreted graph store:
+    // centrality refresh after ingest with no graph rebuild
+    "stream_pagerank" -> ((s, d) =>
+      graft.streaming.StreamOps.streamPageRankQuery(s, d)),
     // cluster-balanced sampling: cap docs per embedding cell
     // (anti-monoculture in content space; domain_cap's sibling)
     "cluster_cap_sample" -> ((s, d) => Similarity.clusterCapSample(s, d)),
@@ -196,6 +225,12 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_props" -> ((s, d) => Events.propsExtract(s, d)),
     "events_props_variant" -> ((s, d) => Events.propsExtractVariant(s, d)),
+    // Z-order (Morton) layout audit: per-tile box stats under the
+    // multi-column clustering a lake table's data skipping relies on
+    "events_zorder" -> ((s, d) => Events.zorderLayout(s, d)),
+    // box query served from the ztile-partitioned store: driver-side
+    // Morton cover of the box pushed as a static partition filter
+    "events_zstore_box" -> ((s, d) => Events.zStoreBoxQuery(s, d)),
     "events_distinct_kmv" -> ((s, d) => Sketches.distinctUsersKmv(s, d)),
     "order_quantiles_sketch" -> ((s, d) => Sketches.orderQuantilesSketch(s, d)),
     "events_kmv_setops" -> ((s, d) => Sketches.kmvSetOps(s, d)),
@@ -402,7 +437,12 @@ object SparkEntry {
     "tfidf_keywords" -> TextAnalytics.tfidfKeywordsSql(),
     "collocations" -> TextAnalytics.collocationsSql(),
     "bm25_search" -> TextAnalytics.bm25SearchSql(),
+    // both postings-store serves are contract-equal to the in-plan search
+    "bm25_store" -> TextAnalytics.bm25SearchSql(),
+    "stream_bm25_store" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
+    // the store-legged fusion is contract-equal to the in-plan fusion
+    "hybrid_store" -> TextAnalytics.hybridSearchSql(),
     "quality_filter" -> TextAnalytics.qualityFilterSql(),
     "lm_fluency" -> TextAnalytics.lmFluencySql,
     "dsir_select" -> TextAnalytics.dsirSelectSql(),
@@ -416,6 +456,11 @@ object SparkEntry {
     "bpe_merges" -> TextAnalytics.bpeMergesSql(),
     "bpe_vocab" -> TextAnalytics.bpeVocabSql(),
     "bpe_tokenize" -> TextAnalytics.bpeTokenizeSql(),
+    // the stream-applied tokenizer merges per-batch partials to exactly
+    // the batch per-doc counts
+    "stream_bpe_tokenize" -> TextAnalytics.bpeTokenizeSql(),
+    "corpus_stats" -> TextAnalytics.corpusStatsSql(),
+    "weighted_sample" -> TextAnalytics.weightedSampleSql(),
     "curriculum_packing" -> TextAnalytics.curriculumPackingSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),
@@ -456,6 +501,12 @@ object SparkEntry {
     "graph_hnsw_search" -> Similarity.hnswSearchSql(),
     // the hierarchy-store serve is contract-equal to the in-plan search
     "graph_hnsw_store" -> Similarity.hnswSearchSql(),
+    "graph_pagerank" -> Similarity.pageRankSql(),
+    "graph_ppr" -> Similarity.pageRankSql(seedLabelOpt = Some(3)),
+    // the streamed graph equals the batch build at the pinned width,
+    // so the rank trajectory — and the oracle — are the batch ones
+    "stream_pagerank" ->
+      graft.streaming.StreamOps.streamPageRankOracleSql(),
     "cluster_cap_sample" -> Similarity.clusterCapSampleSql(),
     "embedding_neardup" -> Similarity.nearDupPairsSql(),
     "embedding_neardup_b6" -> Similarity.nearDupPairsSql(bitsOpt = Some(6)),
@@ -539,6 +590,8 @@ object SparkEntry {
     "events_retention" -> Events.retentionSql,
     "events_props" -> Events.propsExtractSql,
     "events_props_variant" -> Events.propsExtractVariantSql,
+    "events_zorder" -> Events.zorderLayoutSql,
+    "events_zstore_box" -> Events.zStoreBoxSql(),
     "events_distinct_kmv" -> Sketches.distinctUsersKmvSql(),
     "order_quantiles_sketch" -> Sketches.orderQuantilesSketchSql,
     "events_kmv_setops" -> Sketches.kmvSetOpsSql(),

@@ -416,4 +416,141 @@ object Events {
          count(DISTINCT e.user_id) AS n_users
        FROM events e JOIN c ON e.user_id = c.user_id
        GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------------
+  // Multi-dimensional data layout (north star: Z-order clustering — the
+  // table-layout lever behind multi-column data skipping in every lake
+  // format: sort by the Morton interleave of the filter columns and a
+  // box predicate on EITHER column prunes most files via min/max stats,
+  // where a lexicographic sort only skips on its leading column)
+  // ---------------------------------------------------------------------
+
+  /** Bits per dimension in the audit's bucket codes: 8+8 → a 16-bit
+    * z-space (the interleave itself — [[Sinks.zValue]] — handles the
+    * full 32 bits; with sub-256 codes the high bits are zero, so the
+    * oracle's 8-bit generate_series interleave is value-identical). */
+  private val ZBits = 8
+
+  /** Z-ORDER LAYOUT AUDIT: bucketize events on the two filter dimensions
+    * a box query would hit (user bucket = user_id mod 256, time bucket =
+    * event minute mod 256), Morton-interleave them ([[Sinks.zValue]] —
+    * the same expression [[Sinks.writeZOrdered]] lays files out by, so
+    * this query is that sink's oracle-checked audit), and tile the
+    * z-range into write-unit-sized groups of 16 z-cells. Each output row
+    * is one tile — one would-be parquet file under the z-sorted write — with
+    * its row count and per-dimension min/max: the exact column stats a
+    * scan's file-skipping consults. `span` is the tile's bounding-box
+    * area in (user, time) space; z-tiles keep it near the tile's own
+    * cardinality (both dims stay narrow TOGETHER), where id-ordered
+    * tiles of the same size sprawl across one full dimension — the
+    * measured gap is EventsSpec's pruning assertion.
+    *
+    * Scale shape: one narrow projection (two bucket codes, the
+    * interleave fold — all codegen'd bit ops), one map-side-combinable
+    * aggregate by tile. Writing the layout for real is `events.sort(z)`
+    * before the sink; this query is the audit that the sort buys
+    * box-query pruning. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.loadWide(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(256L)).as("ub"),
+        pmod(expr("unix_micros(ts) div 60000000"), lit(256L)).as("tb"))
+    b.select(Sinks.zValue(col("ub"), col("tb")).as("zv"),
+        col("ub"), col("tb"))
+      .select(expr("zv div 16").as("tile"), col("ub"), col("tb"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
+        min(col("tb")).as("min_tb"), max(col("tb")).as("max_tb"))
+      .withColumn("span",
+        (col("max_ub") - col("min_ub") + 1) * (col("max_tb") - col("min_tb") + 1))
+      .orderBy(col("tile"))
+  }
+
+  /** Driver-side Morton twin of [[Sinks.zValue]] for small codes —
+    * produces the tile-cover control set (O(box area / 16) ints). */
+  private[graft] def mortonOf(a: Int, b: Int): Int =
+    (0 until ZBits).foldLeft(0) { (acc, i) =>
+      acc | (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+    }
+
+  private val zStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def zStoreFor(dir: String): Option[String] = zStores.get(dir)
+
+  /** Build the Z-ORDERED EVENT STORE once per corpus (memoized): rows
+    * land in `ztile` partitions — contiguous 16-cell z-runs, each a
+    * bounded 4×4 rectangle of the (user-bucket, time-bucket) plane.
+    * This is [[Sinks.writeZOrdered]]'s layout made SERVABLE: with the
+    * tile as a partition column, a box query's pruning is directory
+    * listing (assertable, engine-enforced), not just row-group stats. */
+  private[graft] def buildZStore(spark: SparkSession, dir: String): String =
+    zStores.getOrElseUpdate(dir, {
+      val sd = java.nio.file.Files.createTempDirectory("events_zstore").toString
+      Tables.loadWide(spark, dir, "events")
+        .withColumn("ub", pmod(col("user_id"), lit(256L)))
+        .withColumn("tb", pmod(expr("unix_micros(ts) div 60000000"), lit(256L)))
+        .withColumn("zv", Sinks.zValue(col("ub"), col("tb")))
+        .withColumn("ztile", expr("zv div 16").cast(IntegerType))
+        .drop("zv")
+        .repartition(col("ztile"))
+        .sortWithinPartitions(col("ztile"), col("ub"), col("tb"))
+        .write.mode("overwrite").partitionBy("ztile").parquet(sd)
+      sd
+    })
+
+  /** The pruned tile read — exposed for the plan spec. */
+  private[graft] def prunedZTiles(spark: SparkSession, storeDir: String,
+                                  tiles: Seq[Int]): DataFrame =
+    spark.read.parquet(storeDir).where(col("ztile").isin(tiles: _*))
+
+  /** BOX QUERY SERVED FROM THE Z-ORDERED STORE: the classic z-index
+    * read path — decompose the query box into its covering z-tiles on
+    * the driver (a tile is the interleave of 4-cell-coarsened
+    * coordinates, so the cover is exactly the coarsened box's Morton
+    * codes: (ubHi/4−ubLo/4+1)·(tbHi/4−tbLo/4+1) ints of control state),
+    * push the cover as a static partition filter, and re-check the
+    * exact box in-plan (tile-mates outside the box are filtered after
+    * the pruned scan). At 100 TB the scan cost is the box's share of
+    * the z-space, never the table — the payoff [[zorderLayout]]'s box
+    * stats predict. Oracle: the plain WHERE on the raw table. */
+  def zStoreBoxQuery(spark: SparkSession, dir: String,
+                     ubLo: Int = 0, ubHi: Int = 63,
+                     tbLo: Int = 0, tbHi: Int = 127): DataFrame = {
+    val sd = buildZStore(spark, dir)
+    val tiles = for {
+      a <- (ubLo >> 2) to (ubHi >> 2)
+      b <- (tbLo >> 2) to (tbHi >> 2)
+    } yield mortonOf(a, b)
+    prunedZTiles(spark, sd, tiles)
+      .filter(col("ub").between(ubLo, ubHi) && col("tb").between(tbLo, tbHi))
+      .select(col("event_id"), col("ub"), col("tb"))
+      .orderBy(col("event_id"))
+  }
+
+  def zStoreBoxSql(ubLo: Int = 0, ubHi: Int = 63,
+                   tbLo: Int = 0, tbHi: Int = 127): String =
+    s"""SELECT event_id, user_id % 256 AS ub,
+               (epoch_us(ts) // 60000000) % 256 AS tb
+        FROM events
+        WHERE user_id % 256 BETWEEN $ubLo AND $ubHi
+          AND (epoch_us(ts) // 60000000) % 256 BETWEEN $tbLo AND $tbHi
+        ORDER BY event_id"""
+
+  /** Oracle twin of [[zorderLayout]]: the same interleave as a
+    * generate_series bit sum, the same 16-cell tiling and box stats. */
+  def zorderLayoutSql: String = {
+    val z = (0 until ZBits).map(i =>
+      s"(((ub >> $i) & 1) << ${2 * i}) + (((tb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT user_id % 256 AS ub,
+                          (epoch_us(ts) // 60000000) % 256 AS tb
+                   FROM events),
+        z AS (SELECT CAST(($z) // 16 AS BIGINT) AS tile, ub, tb FROM b)
+        SELECT tile, count(*) AS n_events,
+               min(ub) AS min_ub, max(ub) AS max_ub,
+               min(tb) AS min_tb, max(tb) AS max_tb,
+               CAST((max(ub) - min(ub) + 1) * (max(tb) - min(tb) + 1) AS BIGINT)
+                 AS span
+        FROM z GROUP BY tile ORDER BY tile"""
+  }
 }

@@ -2286,4 +2286,145 @@ object Similarity {
           SELECT *, row_number() OVER (PARTITION BY qid
                     ORDER BY score DESC, node, step) AS rn
           FROM term) WHERE rn = 1 ORDER BY qid"""
+
+  // ---------------------------------------------------------------------
+  // Graph centrality over the k-NN graph (north star: centrality-ranked
+  // data selection — PageRank over the semantic-neighbor graph surfaces
+  // the documents most "central" to the corpus's content distribution,
+  // the representativeness signal curation pipelines pair with the
+  // quality/importance scores; the same iterate-by-join shape is how
+  // Pregel-style rank runs on any shared-nothing engine)
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point rank scale: ranks are BIGINTs in units of 1e-12 — every
+    * damping multiply and out-degree split is integer arithmetic, so the
+    * iteration replays bit-identically on any engine (the float form
+    * diverges across summation orders; this one cannot). */
+  private val PrScale = 1000000000000L
+  private val PrTeleport = PrScale * 15 / 100
+
+  /** PAGERANK over the [[knnGraph]] (damping 0.85, `iters` synchronous
+    * rounds from a uniform start, top-k by final rank). Contributions
+    * split a node's damped rank evenly across its out-edges with
+    * truncating integer division — mass lost to truncation (and to
+    * dangling nodes, which the bucketed build can produce when a node's
+    * probe ring is empty) is simply not redistributed, identically on
+    * both engines.
+    *
+    * Scale shape: the graph builds ONCE (candidate-then-verify, one
+    * bucket-keyed shuffle) and is materialized before the loop —
+    * localCheckpoint here, a parquet checkpoint on a cluster — so each
+    * of the `iters` rounds is exactly one hash join (edges × ranks on
+    * src) plus one map-side-combinable sum by dst: 2 shuffles per round
+    * over (src, dst, outdeg, rank) longs, never the embeddings. The
+    * final top-k is TakeOrderedAndProject. Rank state is a DataFrame
+    * keyed by node id end to end — nothing rank-shaped ever collects to
+    * the driver. */
+  /** The shared rank loop over a prepared edge set: `nodes` is (id, …),
+    * `e` is (src, dst, outdeg) — BOTH already materialized by the
+    * caller (the loop re-reads them every round). `init` is the round-0
+    * rank and `restart` the per-round teleport term — both integer
+    * columns built from `nodes`' columns only (uniform PrScale /
+    * PrTeleport for PageRank, seed-gated for the personalized form). */
+  private[graft] def pageRankLoop(nodes: DataFrame, e: DataFrame,
+                                  init: Column, restart: Column,
+                                  iters: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var r = nodes.select(col("id"), init.as("pr"))
+    for (_ <- 1 to iters) {
+      val inmass = e.join(r, e("src") === r("id"))
+        .select(col("dst"), expr("(pr * 85) div (outdeg * 100)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inmass"))
+      r = nodes.join(inmass, nodes("id") === inmass("dst"), "left")
+        .select(nodes("id"),
+          (restart + coalesce(col("inmass"), lit(0L))).as("pr"))
+    }
+    val top = r.orderBy(col("pr").desc, col("id")).limit(k)
+    val w = Window.orderBy(col("pr").desc, col("id"))
+    top.withColumn("rn", row_number().over(w).cast(IntegerType))
+      .select(col("rn"), col("id"), col("pr"))
+      .orderBy(col("rn"))
+  }
+
+  /** (nodes, edges-with-outdeg) prepared and MATERIALIZED from an edge
+    * frame — shared by the batch build and the streamed-store serve. */
+  private[graft] def pageRankPrep(emb: DataFrame,
+                                  edges: DataFrame): (DataFrame, DataFrame) = {
+    val od = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(od, "src").localCheckpoint(true)
+    val nodes = emb.select(col("vec_id").as("id")).localCheckpoint(true)
+    (nodes, e)
+  }
+
+  /** Uniform-teleport rank over an arbitrary prepared edge frame — the
+    * entry the streamed-store serve shares with the batch build. */
+  private[graft] def pageRankFromEdges(emb: DataFrame, edges: DataFrame,
+                                       iters: Int, k: Int): DataFrame = {
+    val (nodes, e) = pageRankPrep(emb, edges)
+    pageRankLoop(nodes, e, lit(PrScale), lit(PrTeleport), iters, k)
+  }
+
+  def pageRank(spark: SparkSession, dir: String, deg: Int = 8,
+               iters: Int = 4, k: Int = 20,
+               bitsOpt: Option[Int] = None): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val bits = bitsOpt.getOrElse(adaptiveBits(emb.count()))
+    pageRankFromEdges(emb,
+      knnGraphFrom(emb, deg, bits).select(col("src"), col("dst")), iters, k)
+  }
+
+  /** PERSONALIZED PAGERANK: restart mass lands ONLY on a seed set (here
+    * the label-`seedLabel` vectors — "rank the corpus by closeness to
+    * this target domain", the graph-walk sibling of DSIR's importance
+    * weights: DSIR scores documents by target-vs-corpus n-gram ratios,
+    * PPR by random-walk proximity to target members in embedding space).
+    * Seeds start with the full scale, non-seeds at zero, and each
+    * round's restart term re-gates on seed membership — the standard
+    * personalized teleport vector, in the same integer fixed-point. */
+  def personalizedPageRank(spark: SparkSession, dir: String, deg: Int = 8,
+                           iters: Int = 4, k: Int = 20,
+                           seedLabel: Int = 3): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val bits = adaptiveBits(emb.count())
+    val edges = knnGraphFrom(emb, deg, bits).select(col("src"), col("dst"))
+    val od = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(od, "src").localCheckpoint(true)
+    val nodes = emb.select(col("vec_id").as("id"), col("label"))
+      .localCheckpoint(true)
+    def gate(full: Long) =
+      when(col("label") === seedLabel, lit(full)).otherwise(lit(0L))
+    pageRankLoop(nodes, e, gate(PrScale), gate(PrTeleport), iters, k)
+  }
+
+  /** Oracle twin of [[pageRank]] / [[personalizedPageRank]]: the same
+    * graph CTEs, the rank loop unrolled — one (join, sum, teleport
+    * re-add) CTE per round — and the same truncating integer splits.
+    * `seedLabelOpt` gates init and restart on seed membership (the
+    * personalized form); `bitsOpt = Some(b)` pins the bucket width (the
+    * streamed store's contract). */
+  def pageRankSql(deg: Int = 8, iters: Int = 4, k: Int = 20,
+                  bitsOpt: Option[Int] = None,
+                  seedLabelOpt: Option[Int] = None): String = {
+    def gated(full: Long): String = seedLabelOpt match {
+      case Some(l) => s"CASE WHEN n.label = $l THEN $full ELSE 0 END"
+      case None => full.toString
+    }
+    val rounds = (1 to iters).map { t =>
+      s"""r$t AS (SELECT n.id,
+              CAST(${gated(PrTeleport)} + coalesce(m.inmass, 0) AS BIGINT) AS pr
+            FROM n LEFT JOIN (
+              SELECT e.dst, sum((r.pr * 85) // (e.outdeg * 100)) AS inmass
+              FROM e JOIN r${t - 1} r ON e.src = r.id
+              GROUP BY e.dst) m ON n.id = m.dst)"""
+    }.mkString(",\n        ")
+    s"""WITH ${knnGraphCtesSql(deg, bitsOpt)},
+        od AS (SELECT src, count(*) AS outdeg FROM g GROUP BY src),
+        e AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od USING (src)),
+        n AS (SELECT vec_id AS id, label FROM embeddings),
+        r0 AS (SELECT id, CAST(${gated(PrScale)} AS BIGINT) AS pr FROM n),
+        $rounds
+        SELECT CAST(row_number() OVER (ORDER BY pr DESC, id) AS INT) AS rn,
+               id, pr
+        FROM r$iters ORDER BY pr DESC, id LIMIT $k"""
+  }
 }

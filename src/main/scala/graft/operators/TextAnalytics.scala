@@ -619,9 +619,16 @@ object TextAnalytics {
     * row; the global top-k is orderBy+limit — TakeOrderedAndProject, a
     * per-partition heap + driver merge of k rows, never a global sort.
     * The rank window runs over the k surviving rows only. */
-  def bm25Search(spark: SparkSession, dir: String,
-                 terms: Seq[String] = Seq("vector", "scan", "merge"),
-                 k: Int = 20): DataFrame = {
+  /** The shared BM25 scoring + top-k tail: `perDoc` is
+    * (doc_id, dl, tf0..tf{n-1}) — zero-hit docs may be present (the
+    * exact integer hit count filters them) or already pruned away (the
+    * postings-store serve, where only hit docs ever materialize);
+    * `stats` is the 1-row broadcast frame (total_dl, df0..df{n-1}).
+    * Factored so the in-plan search and the store serve share ONE
+    * floating-point expression tree — identical IEEE op order is what
+    * makes the store serve hash-equal to the batch oracle. */
+  private[graft] def bm25TopK(perDoc: DataFrame, stats: DataFrame, n: Long,
+                              terms: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k1 = "1.2"
     val b = "0.75"
@@ -629,19 +636,6 @@ object TextAnalytics {
     // with the same IEEE ops — never precompute (k1+1) etc. in Scala,
     // where a differently-associated fold could be one ulp off the SQL
     val k1c = expr(k1); val bc = expr(b)
-    val n = Tables.load(spark, dir, "documents").count()
-    val tokens = Tables.loadWide(spark, dir, "documents")
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf$i")
-    }
-    val perDoc = tokens.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"), tfCols: _*)
-    val dfCols = terms.indices.map { i =>
-      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
-    }
-    val stats = perDoc.agg(sum(col("dl")).as("total_dl"), dfCols: _*)
     val nD = lit(n.toDouble)
     val avgdl = col("total_dl").cast("double") / nD
     val parts = terms.indices.map { i =>
@@ -664,6 +658,25 @@ object TextAnalytics {
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("rnk"), col("doc_id"), col("score"))
       .orderBy(col("rnk"))
+  }
+
+  def bm25Search(spark: SparkSession, dir: String,
+                 terms: Seq[String] = Seq("vector", "scan", "merge"),
+                 k: Int = 20): DataFrame = {
+    val n = Tables.load(spark, dir, "documents").count()
+    val tokens = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = tokens.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dfCols = terms.indices.map { i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = perDoc.agg(sum(col("dl")).as("total_dl"), dfCols: _*)
+    bm25TopK(perDoc, stats, n, terms, k)
   }
 
   def bm25SearchSql(terms: Seq[String] = Seq("vector", "scan", "merge"),
@@ -700,6 +713,104 @@ object TextAnalytics {
               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
               FROM scored WHERE hits > 0)
         SELECT rnk, doc_id, score FROM r WHERE rnk <= $k"""
+  }
+
+  // ---------------------------------------------------------------------
+  // BM25 served from a term-partitioned POSTINGS STORE — the inverted
+  // index at rest (what production text search serves from): build once,
+  // then a query touches only its own terms' bucket partitions. The text
+  // member of the store-serve family (LSH buckets / IVF cells / PQ codes
+  // / graph edges).
+  // ---------------------------------------------------------------------
+
+  /** Term-hash bucket count for the postings partition layout. Same
+    * deploy-time-config posture as the ANN stores: re-bucketing is a
+    * store rewrite. */
+  private[graft] val PostingsBuckets = 64
+
+  private val bm25Stores =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private[graft] def bm25StoreFor(dir: String): Option[(String, String)] =
+    bm25Stores.get(dir)
+
+  /** Driver-side twin of the native polyHash bucket — produces the
+    * query's bucket set (O(nTerms) ints of control state) for the
+    * static partition filter. Must stay formula-identical to
+    * [[graft.plans.PolyHash]] ((acc*31 + codepoint) % P, empty → 0). */
+  private[graft] def termBucket(t: String): Int =
+    (t.codePoints().toArray.foldLeft(0L)((acc, cp) =>
+      (acc * 31 + cp) % Dedup.P) % PostingsBuckets).toInt
+
+  /** Build the postings + doc-length stores ONCE per corpus (memoized):
+    * postings = (word, doc_id, tf) clustered into term-hash bucket
+    * partitions and sorted by (word, doc_id) within each — a query
+    * term's rows are one directory listing + a word-range row-group
+    * read; doc lengths land beside them. At 100 TB the postings store
+    * is the big artifact and this layout is why serving stays
+    * O(query terms), never O(vocabulary). */
+  private[graft] def buildBm25Store(spark: SparkSession,
+                                    dir: String): (String, String) =
+    bm25Stores.getOrElseUpdate(dir, {
+      val pd = java.nio.file.Files.createTempDirectory("bm25_postings").toString
+      val dd = java.nio.file.Files.createTempDirectory("bm25_docs").toString
+      val tokens = Tables.loadWide(spark, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+      tokens.groupBy(col("word"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("tbucket",
+          pmod(Dedup.chash(col("word")), lit(PostingsBuckets.toLong))
+            .cast(org.apache.spark.sql.types.IntegerType))
+        .repartition(col("tbucket"))
+        .sortWithinPartitions(col("tbucket"), col("word"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(pd)
+      tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .coalesce(1).write.mode("overwrite").parquet(dd)
+      (pd, dd)
+    })
+
+  /** The pruned postings read — `tbucket` is the partition column, so
+    * the isin lists only the query terms' directories; the word isin
+    * then lands in PushedFilters for row-group skipping within them.
+    * Exposed for the plan spec. */
+  private[graft] def prunedPostings(spark: SparkSession, postingsDir: String,
+                                    terms: Seq[String]): DataFrame =
+    spark.read.parquet(postingsDir)
+      .where(col("tbucket").isin(terms.map(termBucket).distinct: _*) &&
+        col("word").isin(terms: _*))
+
+  /** The serve tail shared by the batch-built and stream-accreted
+    * stores: pivot the pruned postings into per-doc tf columns (only
+    * HIT documents ever materialize — the store prunes the rest by
+    * construction), attach doc lengths, rebuild the 1-row stats frame
+    * (df from the pruned postings, total_dl from the doc store), and
+    * score through the SAME [[bm25TopK]] expression tree as the
+    * in-plan search. */
+  private[graft] def serveBm25(spark: SparkSession, dir: String,
+                               posts: DataFrame, docs: DataFrame,
+                               terms: Seq[String], k: Int): DataFrame = {
+    val n = Tables.load(spark, dir, "documents").count()
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, col("tf")).otherwise(0L)).as(s"tf$i")
+    }
+    val perDoc = posts.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+      .join(docs, "doc_id")
+    val dfCols = terms.indices.map { i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = perDoc.agg(dfCols.head, dfCols.tail: _*)
+      .crossJoin(broadcast(docs.agg(sum(col("dl")).as("total_dl"))))
+    bm25TopK(perDoc, stats, n, terms, k)
+  }
+
+  /** [[bm25Search]] SERVED from the postings store. Results are
+    * byte-identical to the in-plan search; oracle: bm25SearchSql. */
+  def bm25SearchFromStore(spark: SparkSession, dir: String,
+                          terms: Seq[String] = Seq("vector", "scan", "merge"),
+                          k: Int = 20): DataFrame = {
+    val (pd, dd) = buildBm25Store(spark, dir)
+    serveBm25(spark, dir, prunedPostings(spark, pd, terms),
+      spark.read.parquet(dd), terms, k)
   }
 
   /** Stratified per-group sample: exactly `k` documents per language,
@@ -825,11 +936,29 @@ object TextAnalytics {
     * driver-free and broadcast-sized no matter the corpus. */
   def hybridSearch(spark: SparkSession, dir: String,
                    terms: Seq[String] = Seq("vector", "scan", "merge"),
-                   k: Int = 20, kRrf: Int = 60, kOut: Int = 10): DataFrame = {
+                   k: Int = 20, kRrf: Int = 60, kOut: Int = 10): DataFrame =
+    hybridFuse(spark, dir, bm25Search(spark, dir, terms, k),
+      terms, k, kRrf, kOut)
+
+  /** [[hybridSearch]] with the lexical leg SERVED from the postings
+    * store ([[bm25SearchFromStore]]) — the fusion composes with the
+    * served index unchanged because the store serve is hash-equal to
+    * the in-plan search; the semantic leg's corpus scan stays in-plan
+    * (it is the brute-force baseline by design — the ANN stores are its
+    * scale path). Oracle: hybridSearchSql, verbatim. */
+  def hybridSearchFromStore(spark: SparkSession, dir: String,
+                            terms: Seq[String] = Seq("vector", "scan", "merge"),
+                            k: Int = 20, kRrf: Int = 60,
+                            kOut: Int = 10): DataFrame =
+    hybridFuse(spark, dir, bm25SearchFromStore(spark, dir, terms, k),
+      terms, k, kRrf, kOut)
+
+  private def hybridFuse(spark: SparkSession, dir: String, lexTopK: DataFrame,
+                         terms: Seq[String], k: Int, kRrf: Int,
+                         kOut: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dim = 64
-    val lex = bm25Search(spark, dir, terms, k)
-      .select(col("doc_id"), col("rnk").as("lex_rank"))
+    val lex = lexTopK.select(col("doc_id"), col("rnk").as("lex_rank"))
     val qEmb = SchemaRetrieval.pseudoEmbed(lit(terms.mkString(" ")), dim)
     val sem = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"),
@@ -1745,9 +1874,7 @@ object TextAnalytics {
   def bpeTokenize(spark: SparkSession, dir: String,
                   nMerges: Int = 8): DataFrame = {
     import graft.functions.TextFunctions.words
-    val (_, vocab) = bpeTrain(spark, dir, nMerges)
-    val segs = vocab.select(col("w"),
-      size(split(trim(col("s")), " ")).cast("long").as("k"))
+    val segs = bpeSegs(spark, dir, nMerges)
     val docs = Tables.loadWide(spark, dir, "documents")
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -1757,6 +1884,16 @@ object TextAnalytics {
       .agg(sum(col("m")).as("n_words"),
         sum(col("m") * col("k")).as("n_subwords"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The trained tokenizer's SERVING artifact: (word, segmentation
+    * length) for every distinct corpus word — the O(vocab) table
+    * [[bpeTokenize]] broadcasts, factored out so the streaming twin
+    * ([[graft.streaming.StreamOps.streamBpeTokenizeQuery]]) ships the
+    * identical model into its micro-batches. */
+  def bpeSegs(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val (_, vocab) = bpeTrain(spark, dir, nMerges)
+    vocab.select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("k"))
   }
 
   /** Oracle twin of [[bpeTokenize]]: per-doc word counts joined to the
@@ -1783,4 +1920,111 @@ object TextAnalytics {
           SELECT sym, freq,
                  CAST(row_number() OVER (ORDER BY freq DESC, sym) AS INT) AS rnk
           FROM v) WHERE rnk <= $k ORDER BY rnk"""
+
+  // ---------------------------------------------------------------------
+  // Corpus statistics (north star: Heaps'-law vocabulary growth — the
+  // curve a tokenizer/dedup budget is planned against: how fast does the
+  // type inventory grow as the corpus accretes, and is the crawl still
+  // surfacing new vocabulary or only repeating itself)
+  // ---------------------------------------------------------------------
+
+  /** VOCABULARY-GROWTH CHECKPOINTS (Heaps' law): bucket the corpus into
+    * `nBuckets` equal doc-id ranges (the accretion order), and report
+    * cumulative token and cumulative distinct-type counts at each
+    * checkpoint. A type is charged to the bucket of its FIRST occurrence
+    * (min bucket per word — monotone in doc_id, so "first bucket" is
+    * "first document"), which turns the cumulative-distinct curve into
+    * two ordinary aggregates plus a prefix sum over `nBuckets` rows.
+    *
+    * Scale shape: the corpus text is scanned once into (bucket, word)
+    * rows; per-bucket token counts are one map-side-combinable aggregate,
+    * and the type curve is a groupBy(word) → groupBy(bucket) pair —
+    * all-key-partitioned, no per-doc windows. The ONLY window runs over
+    * the nBuckets-row checkpoint table (driver-scale by construction:
+    * 20 rows whether the corpus is 500 docs or 100 TB). The bucket width
+    * derives from max(doc_id) via a broadcast scalar — one extra
+    * column-pruned scan, never a collect. */
+  def corpusStats(spark: SparkSession, dir: String,
+                  nBuckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .crossJoin(broadcast(mx))
+      .select(expr(s"cast(doc_id div ((mx div $nBuckets) + 1) as int)")
+        .as("bucket"), col("w"))
+    val toks = tok.groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
+    val types = tok.groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(types, Seq("bucket"), "full")
+      .select(col("bucket"),
+        sum(coalesce(col("toks"), lit(0L))).over(w).as("cum_tokens"),
+        sum(coalesce(col("types"), lit(0L))).over(w).as("cum_types"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle twin of [[corpusStats]]: same bucketing, same first-bucket
+    * type charging, same prefix sums. */
+  def corpusStatsSql(nBuckets: Int = 20): String =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        tok AS (SELECT CAST(doc_id // ((mx // $nBuckets) + 1) AS INT) AS bucket, w
+                FROM (SELECT doc_id,
+                             unnest(${graft.functions.TextFunctions.wordsSql("text")}) AS w
+                      FROM documents), mx
+                WHERE w <> ''),
+        bt AS (SELECT bucket, count(*) AS toks FROM tok GROUP BY 1),
+        ty AS (SELECT bucket, count(*) AS types FROM (
+                 SELECT w, min(bucket) AS bucket FROM tok GROUP BY 1) GROUP BY 1)
+        SELECT bucket,
+               CAST(sum(coalesce(toks, 0)) OVER (ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(types, 0)) OVER (ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        FROM bt FULL JOIN ty USING (bucket) ORDER BY bucket"""
+
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT — priority sampling (Duffield,
+    * Lund, Thorup, JACM 2007): each document draws a deterministic
+    * pseudo-uniform u from an affine hash of its id, its priority is
+    * u/weight in fixed point, and the sample is the n SMALLEST
+    * priorities — heavier documents draw proportionally smaller
+    * priorities, so inclusion probability tracks weight while the whole
+    * draw replays bit-identically (the property every resumable curation
+    * run needs: re-running the job on the same corpus picks the same
+    * sample, no RNG state to persist). Weight here is document length
+    * (n_chars + 1 — the +1 keeps empty docs finite), the usual
+    * token-budget-proportional choice.
+    *
+    * Scale shape: one narrow projection (id, weight, priority) and a
+    * global top-n by (priority, id) — TakeOrderedAndProject, each
+    * partition ships at most n rows to the driver-side heap; the text
+    * column never loads ([[Tables.loadWide]] keeps the scan declarative,
+    * so ReadSchema is the two numeric columns). */
+  def weightedSample(spark: SparkSession, dir: String,
+                     n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"(((2654435761 * doc_id + 40503) % ${Dedup.P}) * 100000)" +
+          " div (n_chars + 1)").as("priority"))
+    val top = pr.orderBy(col("priority"), col("doc_id")).limit(n)
+    val w = Window.orderBy(col("priority"), col("doc_id"))
+    top.withColumn("rn", row_number().over(w)
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .select(col("rn"), col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("rn"))
+  }
+
+  /** Oracle twin of [[weightedSample]]: same affine hash, same fixed-point
+    * u/weight priority, same (priority, id) tie order. */
+  def weightedSampleSql(n: Int = 50): String =
+    s"""WITH pr AS (SELECT doc_id, n_chars,
+          (((2654435761 * doc_id + 40503) % ${Dedup.P}) * 100000)
+            // (n_chars + 1) AS priority
+          FROM documents)
+        SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rn,
+               doc_id, n_chars, priority
+        FROM pr ORDER BY priority, doc_id LIMIT $n"""
 }

@@ -723,6 +723,44 @@ object StreamOps {
     * the stream-stream range join; a non-windowed groupBy after the
     * join can't run in append mode). Oracle: the SAME SQL as batch
     * lm_fluency. */
+  /** STREAM-APPLIED TOKENIZER: the BPE vocabulary trains ONCE in batch
+    * ([[graft.operators.TextAnalytics.bpeSegs]] — materialized, same
+    * train-offline/score-online posture as the LM and DSIR twins) and
+    * every arriving document's word counts join it broadcast, stateless,
+    * per micro-batch — "count the context-window budget of fresh crawl
+    * under the production tokenizer" as a continuous query. Per-doc
+    * (n_words, n_subwords) partials append per batch; the final rollup
+    * merges partials by sum (exact: integer counts). Oracle: the SAME
+    * SQL as batch bpe_tokenize. */
+  def streamBpeTokenizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalytics
+    import graft.functions.TextFunctions.words
+    val segs = broadcast(
+      TextAnalytics.bpeSegs(spark, dir).localCheckpoint(true))
+    val counted = docsStream(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(segs, "w")
+      .select(col("doc_id"), col("k"))
+    val partDir = java.nio.file.Files.createTempDirectory("bpe_parts").toString
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = counted.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("nw"), sum(col("k")).as("ns"))
+            .coalesce(1).write.mode("append").parquet(partDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.read.parquet(partDir).groupBy(col("doc_id"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("ns")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
   def streamLmFluencyQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalytics
     val model = broadcast(
@@ -1681,6 +1719,87 @@ object StreamOps {
   def streamGraphBeamOracleSql(deg: Int = 8): String =
     graft.operators.Similarity.graphBeamSearchSql(
       deg = deg, bitsOpt = Some(GraphStreamBits))
+
+  /** PAGERANK OVER THE STREAMING-MAINTAINED GRAPH: the rank iterations
+    * run directly on the edge set the stream accreted
+    * ([[streamKnnGraphStoreQuery]] — batch-identical at the pinned
+    * width), so centrality scores refresh after ingest with NO graph
+    * rebuild — the "recompute the selection signal over tonight's
+    * index" shape. Unlike the beam serve this is deliberately a FULL
+    * edge read: rank is a global batch computation over the whole
+    * graph by definition (every round touches every edge once); what
+    * the store saves is the build, not the scan. Oracle: the batch
+    * [[graft.operators.Similarity.pageRankSql]] at the store's width. */
+  def streamPageRankQuery(spark: SparkSession, dir: String, deg: Int = 8,
+                          iters: Int = 4, k: Int = 20): DataFrame = {
+    import graft.operators.Similarity
+    val edges = streamKnnGraphStoreQuery(spark, dir, deg)
+      .select(col("src"), col("dst"))
+    Similarity.pageRankFromEdges(
+      graft.Tables.loadWide(spark, dir, "embeddings"), edges, iters, k)
+  }
+
+  def streamPageRankOracleSql(deg: Int = 8): String =
+    graft.operators.Similarity.pageRankSql(
+      deg = deg, bitsOpt = Some(GraphStreamBits))
+
+  private val bm25StreamStores =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private[graft] def bm25StreamStoreFor(dir: String): Option[(String, String)] =
+    bm25StreamStores.get(dir)
+
+  /** BM25 SERVED OFF A STREAM-ACCRETED POSTINGS STORE: each arriving
+    * micro-batch appends its documents' (word, doc_id, tf) rows into
+    * the term-bucket partitions and its (doc_id, dl) lengths beside
+    * them — the continuously-indexed text search shape (a crawler
+    * ingests, the index is queryable between batches, no rebuild).
+    * A document lives wholly in one batch, so per-batch counts ARE its
+    * global counts; a crash-replayed batch re-appends identical rows,
+    * and the serve's max() merge makes that a no-op (tf and dl are
+    * deterministic functions of the document — any duplicate carries
+    * the same value). Serving prunes to the query terms' bucket
+    * partitions exactly like the batch store and scores through the
+    * same [[graft.operators.TextAnalytics.bm25TopK]] tree. Oracle: the
+    * batch bm25SearchSql. */
+  def streamBm25StoreQuery(spark: SparkSession, dir: String,
+                           terms: Seq[String] = Seq("vector", "scan", "merge"),
+                           k: Int = 20): DataFrame = {
+    import graft.operators.{Dedup, TextAnalytics}
+    import graft.functions.TextFunctions.words
+    val (pd, dd) = bm25StreamStores.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("bm25_stream_posts").toString
+      val d = java.nio.file.Files.createTempDirectory("bm25_stream_docs").toString
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try {
+        val q = docsStream(spark, dir)
+          .select(col("doc_id"), explode(words(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.groupBy(col("word"), col("doc_id"))
+              .agg(count(lit(1)).as("tf"))
+              .withColumn("tbucket",
+                pmod(Dedup.chash(col("word")),
+                  lit(TextAnalytics.PostingsBuckets.toLong))
+                  .cast(IntegerType))
+              .write.mode("append").partitionBy("tbucket").parquet(p)
+            batch.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+              .coalesce(1).write.mode("append").parquet(d)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set(key, prev)
+      (p, d)
+    })
+    val posts = TextAnalytics.prunedPostings(spark, pd, terms)
+      .groupBy(col("tbucket"), col("word"), col("doc_id"))
+      .agg(max(col("tf")).as("tf"))
+    val docs = spark.read.parquet(dd)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    TextAnalytics.serveBm25(spark, dir, posts, docs, terms, k)
+  }
 
   /** Streaming HNSW hierarchy: the pinned level cap and per-layer
     * sign-LSH widths (a stream cannot count its corpus or layer

@@ -795,4 +795,74 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == (0L, 0L, 0L))
     out.values.foreach { case (n, k, d) => assert(k + d == n && k >= 0 && d >= 0) }
   }
+
+  test("store-served BM25 and store-legged hybrid equal their in-plan twins") {
+    import graft.operators.TextAnalytics
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val bmStore = rows(TextAnalytics.bm25SearchFromStore(spark, TestSession.sfDir))
+    val bmPlan = rows(TextAnalytics.bm25Search(spark, TestSession.sfDir))
+    assert(bmStore == bmPlan && bmStore.nonEmpty)
+    val hyStore = rows(TextAnalytics.hybridSearchFromStore(spark, TestSession.sfDir))
+    val hyPlan = rows(TextAnalytics.hybridSearch(spark, TestSession.sfDir))
+    assert(hyStore == hyPlan && hyStore.nonEmpty)
+  }
+
+  test("corpusStats: Heaps checkpoints hand-computed; types charge their first bucket") {
+    import graft.operators.TextAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("heaps").toString
+    // max id 2, nBuckets 20 -> width (2 div 20)+1 = 1: one bucket per doc.
+    // doc 0 "a b": 2 new types; doc 1 "a c": 1 new; doc 2 "b c": 0 new
+    Seq((0L, "a b", "en", "s0", 3L), (1L, "a c", "en", "s1", 3L),
+        (2L, "b c", "en", "s2", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalytics.corpusStats(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0, 2L, 2L), (1, 4L, 3L), (2, 6L, 3L)), out)
+    // fixture corpus: the curve is monotone and ends at the exact totals
+    val fix = TextAnalytics.corpusStats(spark, TestSession.sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(fix.sliding(2).forall(p => p.length < 2 ||
+      (p(0)._1 <= p(1)._1 && p(0)._2 <= p(1)._2)))
+    val docs = graft.Tables.load(spark, TestSession.sfDir, "documents")
+    val toks = docs.select(explode(
+        graft.functions.TextFunctions.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    assert(fix.last._1 == toks.count())
+    assert(fix.last._2 == toks.distinct().count())
+  }
+
+  test("weightedSample: exact priority-sampling order, replayed bit-identically") {
+    import graft.operators.TextAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("wsample").toString
+    val docs = Seq((0L, "x", "en", "s0", 10L), (1L, "x", "en", "s1", 10000L),
+      (2L, "x", "en", "s2", 3L), (3L, "x", "en", "s3", 500L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // reference recompute with the same affine hash and fixed-point u/w
+    val expected = docs.map { case (id, _, _, _, nc) =>
+      val u = (2654435761L * id + 40503L) % 1000000007L
+      (id, nc, u * 100000L / (nc + 1L))
+    }.sortBy { case (id, _, p) => (p, id) }
+      .zipWithIndex.map { case ((id, nc, p), i) => (i + 1, id, nc, p) }
+    val got = TextAnalytics.weightedSample(spark, dir, n = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, got)
+    // determinism: a second run picks the identical sample
+    val again = TextAnalytics.weightedSample(spark, dir, n = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(again == got)
+    // weight monotonicity under a SHARED draw: same-u docs rank by weight
+    // (heavier first). Construct ids with equal hash? Not available —
+    // instead assert the scale-free property directly: doubling every
+    // weight halves every priority ratio-preservingly, so the selection
+    // order is scale-invariant.
+    val dir2 = java.nio.file.Files.createTempDirectory("wsample2").toString
+    docs.map { case (id, t, l, s, nc) => (id, t, l, s, 2 * nc + 1) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val scaled = TextAnalytics.weightedSample(spark, dir2, n = 4).collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(scaled == got.map(_._2))
+  }
 }

@@ -134,4 +134,69 @@ class EventsSpec extends AnyFunSuite {
     // n=10, s1=20, s2=130 -> mean 2, var (10*130-400)/100 = 9, sd 3, z = 3
     assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 3.0 && r.getDouble(5) == 3.0)
   }
+
+  test("zValue: hand-computed Morton codes (the write layout and the audit share it)") {
+    val cases = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
+      // x=3 -> bits 0,1 land at 0,2 (1+4); y=5 -> bits 0,2 land at 1,5 (2+32)
+      (3L, 5L, 39L), (255L, 255L, 65535L),
+      // past the audit's 8-bit buckets: bit 16 of x lands at bit 32
+      (65536L, 0L, 4294967296L))
+    val got = cases.map { case (x, y, _) => (x, y) }
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Sinks.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == cases)
+  }
+
+  test("zorderLayout: tiles partition the events, and z-tiles bound boxes " +
+    "tighter than same-size id-ordered tiles (the data-skipping win)") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Events.zorderLayout(spark, TestSession.sfDir).collect()
+    val total = graft.Tables.load(spark, TestSession.sfDir, "events").count()
+    assert(out.map(_.getLong(1)).sum == total) // every event in exactly one tile
+    // per-tile box stats are internally consistent
+    out.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2) && r.getLong(5) >= r.getLong(4))
+      assert(r.getLong(6) ==
+        (r.getLong(3) - r.getLong(2) + 1) * (r.getLong(5) - r.getLong(4) + 1))
+    }
+    // control layout: the same events tiled in event_id order with the
+    // same tile count — the "however the crawl happened to arrive" file
+    // layout. Its boxes must be LOOSER on average: arrival order ignores
+    // (user, time) locality, so each file's min/max stats span most of
+    // the space and a box query can prune almost nothing.
+    val nTiles = out.length
+    val b = graft.Tables.load(spark, TestSession.sfDir, "events")
+      .select(col("event_id"), pmod(col("user_id"), lit(256L)).as("ub"),
+        pmod(expr("unix_micros(ts) div 60000000"), lit(256L)).as("tb"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("event_id"))))
+      .withColumn("tile", expr(s"(rk - 1) * $nTiles div $total"))
+    val ctrl = b.groupBy(col("tile"))
+      .agg(((max(col("ub")) - min(col("ub")) + 1) *
+        (max(col("tb")) - min(col("tb")) + 1)).as("span"))
+      .collect().map(_.getLong(1))
+    val zAvg = out.map(_.getLong(6)).sum.toDouble / out.length
+    val ctrlAvg = ctrl.sum.toDouble / ctrl.length
+    assert(zAvg < ctrlAvg / 4,
+      s"z-order boxes not tighter: z avg $zAvg vs id-order avg $ctrlAvg")
+  }
+
+  test("zStoreBoxQuery: served box equals the raw-table filter; cover is " +
+    "a strict subset of the tile space") {
+    val served = Events.zStoreBoxQuery(spark, TestSession.sfDir,
+      ubLo = 8, ubHi = 39, tbLo = 16, tbHi = 79)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val raw = graft.Tables.load(spark, TestSession.sfDir, "events")
+      .select(col("event_id"), pmod(col("user_id"), lit(256L)).as("ub"),
+        pmod(expr("unix_micros(ts) div 60000000"), lit(256L)).as("tb"))
+      .filter(col("ub").between(8, 39) && col("tb").between(16, 79))
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == raw && served.nonEmpty)
+    // the cover for this box is (39/4-8/4+1)*(79/4-16/4+1) = 8*16 = 128
+    // tiles of the 4096-tile space — the pruning is real, not a rescan
+    val cover = for { a <- 2 to 9; b <- 4 to 19 } yield Events.mortonOf(a, b)
+    assert(cover.distinct.size == 128 && cover.forall(_ < 4096))
+  }
 }

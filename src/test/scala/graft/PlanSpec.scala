@@ -392,4 +392,46 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffleLines.forall(l => !l.contains("payload") && !l.contains("text")),
       shuffleLines.mkString("\n"))
   }
+
+  test("bm25 postings store: term buckets prune partitions, word isin pushes down") {
+    import graft.operators.TextAnalytics
+    val terms = Seq("vector", "scan", "merge")
+    val (pd, _) = TextAnalytics.buildBm25Store(spark, sfDir)
+    val pruned = TextAnalytics.prunedPostings(spark, pd, terms)
+    val p = plan(pruned)
+    val pf = partitionFilters(p)
+    // O(query terms) directories listed, never the vocabulary
+    assert(pf.contains("tbucket") && !pf.matches(".*PartitionFilters: \\[\\s*\\].*"), pf)
+    // the word In-filter reaches the scan for row-group skipping inside
+    // the touched buckets (the store is word-sorted within partitions)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushed.contains("word"), pushed)
+    // driver bucket twin agrees with the native hash the store wrote
+    val bucketsInStore = pruned.select("tbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(bucketsInStore.subsetOf(terms.map(TextAnalytics.termBucket).toSet))
+  }
+
+  test("z-ordered event store: the box's Morton cover prunes tile partitions") {
+    import graft.operators.Events
+    import org.apache.spark.sql.functions.col
+    val sd = Events.buildZStore(spark, sfDir)
+    // a quarter-space box: cover = coarsened box's tiles, far under 4096
+    val tiles = (for { a <- 0 to 15; b <- 0 to 31 }
+      yield Events.mortonOf(a, b)).toSeq
+    val pruned = Events.prunedZTiles(spark, sd, tiles)
+    val pf = partitionFilters(plan(pruned))
+    assert(pf.contains("ztile") && !pf.matches(".*PartitionFilters: \\[\\s*\\].*"), pf)
+    // cover EXACTNESS: every box row is in a cover tile (no false
+    // negatives), and every cover tile's rows are within the coarsened
+    // box (the 4x4 tile rectangle property)
+    val boxRows = pruned
+      .filter(col("ub").between(0, 63) && col("tb").between(0, 127)).count()
+    val full = spark.read.parquet(sd)
+      .filter(col("ub").between(0, 63) && col("tb").between(0, 127)).count()
+    assert(boxRows == full && full > 0)
+    pruned.select("ub", "tb").collect().foreach { r =>
+      assert(r.getLong(0) <= 63 && r.getLong(1) <= 127)
+    }
+  }
 }

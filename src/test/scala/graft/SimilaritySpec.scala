@@ -553,4 +553,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact & pq).size.toDouble / exact.size >= 0.4,
       s"pq+rerank recall collapsed at dim=$dim")
   }
+
+  test("pageRank: distributed rank equals a driver-side reference recompute " +
+    "over the same graph, teleport floor holds") {
+    val iters = 4
+    val k = 20
+    val scale = 1000000000000L
+    val teleport = scale * 15 / 100
+    // the same graph the operator builds (deterministic)
+    val edges = Similarity.knnGraph(spark, TestSession.sfDir)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.load(spark, TestSession.sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    // reference recompute: same integer fixed-point arithmetic, plain maps
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (s, d) =>
+        in(d) = in.getOrElse(d, 0L) + (rank(s) * 85) / (outdeg(s) * 100)
+      }
+      rank = nodes.map(n => n -> (teleport + in.getOrElse(n, 0L))).toMap
+    }
+    val expected = rank.toSeq.sortBy { case (id, pr) => (-pr, id) }.take(k)
+      .zipWithIndex.map { case ((id, pr), i) => (i + 1, id, pr) }
+    val got = Similarity.pageRank(spark, TestSession.sfDir, iters = iters, k = k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // teleport floor: no node's rank can fall under the undamped share
+    assert(rank.values.forall(_ >= teleport))
+    // truncation + dangling only LOSE mass: total never exceeds n * scale
+    assert(rank.values.sum <= nodes.length.toLong * scale)
+  }
+
+  test("personalizedPageRank: non-seeds hold only propagated mass; seed set " +
+    "dominates the top ranks vs uniform") {
+    val seedLabel = 3
+    val k = 20
+    val ppr = Similarity.personalizedPageRank(spark, TestSession.sfDir,
+      k = k, seedLabel = seedLabel)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val labels = Tables.load(spark, TestSession.sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val teleport = 1000000000000L * 15 / 100
+    ppr.foreach { case (id, pr) =>
+      // a non-seed gets no restart mass: everything it holds arrived
+      // over edges, so it can exceed the seed floor only via in-mass
+      if (labels(id) != seedLabel) assert(pr >= 0)
+      else assert(pr >= teleport)
+    }
+    // the top of the personalized ranking is seed-heavier than the
+    // uniform ranking's top (the targeting actually targets)
+    val uni = Similarity.pageRank(spark, TestSession.sfDir, k = k)
+      .collect().map(_.getLong(1))
+    val pprSeedShare = ppr.count(p => labels(p._1) == seedLabel)
+    val uniSeedShare = uni.count(id => labels(id) == seedLabel)
+    assert(pprSeedShare > uniSeedShare,
+      s"ppr top-$k seed share $pprSeedShare !> uniform $uniSeedShare")
+  }
 }

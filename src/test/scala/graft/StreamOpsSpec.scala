@@ -1008,4 +1008,53 @@ class StreamOpsSpec extends AnyFunSuite {
     val dups = got.groupBy(r => (r._1, r._3)).filter(_._2.size > 1)
     assert(dups.isEmpty, s"duplicate neighbor slots: ${dups.keys.take(3)}")
   }
+
+  test("pageRank over the streamed graph store equals the batch rank at the pinned width") {
+    import graft.operators.Similarity
+    val streamed = StreamOps.streamPageRankQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = Similarity.pageRank(spark, TestSession.sfDir,
+      bitsOpt = Some(6)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("stream-accreted BM25 postings store serves the batch ranking; " +
+    "a crash-replayed batch changes nothing") {
+    import graft.operators.{Dedup, TextAnalytics}
+    import graft.functions.TextFunctions.words
+    val terms = Seq("vector", "scan", "merge")
+    def served = StreamOps.streamBm25StoreQuery(spark, TestSession.sfDir, terms)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = TextAnalytics.bm25Search(spark, TestSession.sfDir, terms)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val first = served
+    assert(first == batch && first.nonEmpty)
+    // replay: re-append one batch's worth of identical postings + dl
+    // rows (what an at-least-once restart does); max-merge must absorb it
+    val (pd, dd) = StreamOps.bm25StreamStoreFor(TestSession.sfDir).get
+    val replay = Tables.load(spark, TestSession.sfDir, "documents")
+      .limit(50)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    replay.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket",
+        pmod(Dedup.chash(col("word")), lit(TextAnalytics.PostingsBuckets.toLong))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .write.mode("append").partitionBy("tbucket").parquet(pd)
+    replay.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .coalesce(1).write.mode("append").parquet(dd)
+    assert(served == batch)
+  }
+
+  test("stream-applied BPE tokenizer equals the batch per-doc counts") {
+    val streamed = StreamOps.streamBpeTokenizeQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.TextAnalytics.bpeTokenize(spark, TestSession.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // subword count is never below word count: a segmentation has >= 1 symbol
+    streamed.foreach { case (_, nw, ns) => assert(ns >= nw) }
+  }
 }
