@@ -189,7 +189,11 @@ object ScaleProbe {
       // reports the serve — expect near-flat (a query reads its own
       // terms' buckets; the corpus only fattens those partitions by its
       // term-frequency share)
-      "bm25_store" -> ((s, d) => TextAnalytics.bm25SearchFromStore(s, d)))
+      "bm25_store" -> ((s, d) => TextAnalytics.bm25SearchFromStore(s, d)),
+      // the end-to-end curation composition: growth must track its
+      // widest stage (the quality pass / dedup groupBy — ~linear), the
+      // glue joins adding nothing super-linear
+      "corpus_curation" -> ((s, d) => TextAnalytics.corpusCuration(s, d)))
 
     val selected = onlySet match {
       case Some(set) => probes.filter { case (k, _) => set(k) }

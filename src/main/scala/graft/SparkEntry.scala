@@ -114,6 +114,16 @@ object SparkEntry {
     // Heaps'-law vocabulary-growth checkpoints: cumulative tokens vs
     // cumulative distinct types per accretion bucket
     "corpus_stats" -> ((s, d) => TextAnalytics.corpusStats(s, d)),
+    // the same curve maintained WHILE ingesting: epoch-keyed token
+    // partials + a pruned seen-words store, replay-safe merges
+    "stream_corpus_stats" -> ((s, d) =>
+      graft.streaming.StreamOps.streamCorpusStatsQuery(s, d)),
+    // per-language chars-per-subword under the learned vocabulary
+    // (tokenizer equity across languages)
+    "bpe_compression" -> ((s, d) => TextAnalytics.bpeCompression(s, d)),
+    // the end-to-end curation dataflow: dedup ∩ quality, minus bench +
+    // contaminated, weighted draw of the training subset
+    "corpus_curation" -> ((s, d) => TextAnalytics.corpusCuration(s, d)),
     // deterministic weighted sampling without replacement (priority
     // sampling): n smallest hash-u/weight priorities
     "weighted_sample" -> ((s, d) => TextAnalytics.weightedSample(s, d)),
@@ -460,6 +470,10 @@ object SparkEntry {
     // the batch per-doc counts
     "stream_bpe_tokenize" -> TextAnalytics.bpeTokenizeSql(),
     "corpus_stats" -> TextAnalytics.corpusStatsSql(),
+    // the streamed curve merges to the batch curve exactly
+    "stream_corpus_stats" -> TextAnalytics.corpusStatsSql(),
+    "bpe_compression" -> TextAnalytics.bpeCompressionSql(),
+    "corpus_curation" -> TextAnalytics.corpusCurationSql(),
     "weighted_sample" -> TextAnalytics.weightedSampleSql(),
     "curriculum_packing" -> TextAnalytics.curriculumPackingSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,

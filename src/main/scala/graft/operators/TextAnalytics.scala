@@ -2027,4 +2027,101 @@ object TextAnalytics {
         SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rn,
                doc_id, n_chars, priority
         FROM pr ORDER BY priority, doc_id LIMIT $n"""
+
+  /** TOKENIZER COMPRESSION RATE PER LANGUAGE — chars-per-subword under
+    * the learned BPE vocabulary, split by language: the tokenizer-equity
+    * number multilingual training reports (a language the vocabulary
+    * under-serves fragments into more, shorter subwords, pays more of
+    * the context window per character, and is effectively down-weighted
+    * at a fixed token budget). Same broadcast-join shape as
+    * [[bpeTokenize]], grouped by lang; the rate is ONE IEEE division of
+    * two exact integer sums. */
+  def bpeCompression(spark: SparkSession, dir: String,
+                     nMerges: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.words
+    val segs = bpeSegs(spark, dir, nMerges)
+    Tables.loadWide(spark, dir, "documents")
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(segs), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(col("k")).as("n_subwords"))
+      .withColumn("chars_per_subword",
+        col("n_chars").cast("double") / col("n_subwords").cast("double"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle twin of [[bpeCompression]]. */
+  def bpeCompressionSql(nMerges: Int = 8): String =
+    s"""WITH ${bpeCtesSql(nMerges)},
+        tokl AS (SELECT lang, w FROM (
+                   SELECT lang, unnest(${wordsSql("text")}) AS w
+                   FROM documents) WHERE w <> ''),
+        segs AS (SELECT w, len(string_split(trim(s), ' ')) AS k FROM w$nMerges)
+        SELECT lang, count(*) AS n_words,
+               CAST(sum(length(w)) AS BIGINT) AS n_chars,
+               CAST(sum(k) AS BIGINT) AS n_subwords,
+               CAST(sum(length(w)) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+                 AS chars_per_subword
+        FROM tokl JOIN segs USING (w) GROUP BY lang ORDER BY lang"""
+
+  /** END-TO-END CORPUS CURATION — the composition the individual
+    * operators exist FOR, as one oracle-checked dataflow: exact-dedup
+    * survivors ∩ quality keeps, minus the benchmark set and everything
+    * n-gram-contaminated by it, then the deterministic weighted draw of
+    * the training subset. Each stage is the already-verified operator
+    * (composition introduces only id-keyed joins), so the pipeline's
+    * correctness is the conjunction of its parts' — and the oracle IS
+    * the parts' SQL composed the same way.
+    *
+    * Scale shape: every stage keeps its own posture (hash-groupBy dedup,
+    * narrow per-doc quality pass, broadcast bench-span probe) and the
+    * glue is three doc_id equi-joins of id-only frames — the curation
+    * pipeline adds no new shuffle class of its own. */
+  def corpusCuration(spark: SparkSession, dir: String, n: Int = 100,
+                     benchBelow: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keepers = Dedup.exactDedup(spark, dir)
+      .select(col("keeper_id").as("doc_id"))
+    val quality = qualityFilter(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val contaminated = Dedup.decontaminate(spark, dir, benchBelow = benchBelow)
+      .select(col("doc_id"))
+    val survivors = keepers.join(quality, "doc_id")
+      .filter(col("doc_id") >= benchBelow)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val pr = survivors
+      .join(Tables.loadWide(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"(((2654435761 * doc_id + 40503) % ${Dedup.P}) * 100000)" +
+          " div (n_chars + 1)").as("priority"))
+    val top = pr.orderBy(col("priority"), col("doc_id")).limit(n)
+    val w = Window.orderBy(col("priority"), col("doc_id"))
+    top.withColumn("rn", row_number().over(w)
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .select(col("rn"), col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("rn"))
+  }
+
+  /** Oracle twin of [[corpusCuration]]: the stage oracles nested as CTEs
+    * (the hybridSearchSql nested-WITH precedent), composed with the same
+    * id joins and the same draw. */
+  def corpusCurationSql(n: Int = 100, benchBelow: Long = 10): String =
+    s"""WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+                         GROUP BY ${Dedup.chashSql("text")}),
+        q AS (SELECT doc_id FROM (${qualityFilterSql()}) WHERE keep),
+        cont AS (SELECT doc_id FROM (${Dedup.decontaminateSql(benchBelow = benchBelow)})),
+        surv AS (SELECT k.doc_id FROM keepers k JOIN q USING (doc_id)
+                 WHERE k.doc_id >= $benchBelow
+                   AND k.doc_id NOT IN (SELECT doc_id FROM cont)),
+        pr AS (SELECT d.doc_id, d.n_chars,
+               (((2654435761 * d.doc_id + 40503) % ${Dedup.P}) * 100000)
+                 // (d.n_chars + 1) AS priority
+               FROM documents d JOIN surv USING (doc_id))
+        SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rn,
+               doc_id, n_chars, priority
+        FROM pr ORDER BY priority, doc_id LIMIT $n"""
 }

@@ -1743,6 +1743,105 @@ object StreamOps {
     graft.operators.Similarity.pageRankSql(
       deg = deg, bitsOpt = Some(GraphStreamBits))
 
+  /** word-hash partition bucket for the seen-words store (the Heaps
+    * twin's membership state — same pruning class as the fingerprint
+    * store's [[fpBucket]]). */
+  private[graft] val WordStoreBuckets = 64
+  private[graft] def wordBucket(w: Column): Column =
+    pmod(graft.operators.Dedup.chash(w), lit(WordStoreBuckets.toLong))
+      .cast("int")
+
+  private[graft] def prunedSeenWords(spark: SparkSession, storeDir: String,
+                                     buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(storeDir).where(col("wbucket").isin(buckets: _*))
+      .select(col("w").as("seen_w"))
+
+  private val corpusStatsStores =
+    new scala.collection.concurrent.TrieMap[(String, Int), (String, String)]()
+  private[graft] def corpusStatsStoresFor(
+      dir: String, nBuckets: Int = 20): Option[(String, String)] =
+    corpusStatsStores.get((dir, nBuckets))
+
+  /** STREAMING VOCABULARY-GROWTH TRACKING — the online form of
+    * [[graft.operators.TextAnalytics.corpusStats]]: is the crawl still
+    * surfacing new vocabulary, answered WHILE it ingests. Each
+    * micro-batch appends (a) per-checkpoint-bucket token partials keyed
+    * by epoch — a crash-replayed epoch re-writes identical partials and
+    * the serve's per-(epoch, bucket) max-merge absorbs them — and (b)
+    * its never-seen-before words into a word-hash-partitioned SEEN
+    * store (anti-join pruned to the buckets the batch touches, the
+    * fingerprint-store read class), charged to their arrival
+    * checkpoint; re-appended duplicates collapse under the serve's
+    * min(bucket)-per-word merge. The checkpoint width is deploy-time
+    * config (derived here from the static table, the train-offline
+    * posture — a stream cannot know its final id range). Serve merges
+    * both stores into the batch op's exact cumulative curve; oracle:
+    * corpusStatsSql. */
+  def streamCorpusStatsQuery(spark: SparkSession, dir: String,
+                             nBuckets: Int = 20): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.expressions.Window
+    val mx = graft.Tables.load(spark, dir, "documents")
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val width = mx / nBuckets + 1
+    val (seenDir, tokDir) = corpusStatsStores.getOrElseUpdate((dir, nBuckets), {
+      val sd = java.nio.file.Files.createTempDirectory("corpus_seen_words").toString
+      val td = java.nio.file.Files.createTempDirectory("corpus_tok_parts").toString
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try {
+        val q = docsStream(spark, dir)
+          .select(col("doc_id"), explode(words(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .select(expr(s"cast(doc_id div $width as int)").as("bucket"),
+            col("w"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            val sp = batch.sparkSession
+            batch.groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
+              .withColumn("batch_id", lit(epochId))
+              .coalesce(1).write.mode("append").parquet(td)
+            val firsts = batch.groupBy(col("w"))
+              .agg(min(col("bucket")).as("bucket"))
+              .withColumn("wbucket", wordBucket(col("w"))).persist()
+            try {
+              val touched = firsts.select(col("wbucket")).distinct()
+                .collect().map(_.getInt(0)).toSeq.sorted
+              val empty = {
+                val l = new java.io.File(sd).list()
+                l == null || l.isEmpty
+              }
+              val fresh =
+                if (empty) firsts
+                else firsts.join(prunedSeenWords(sp, sd, touched),
+                  col("w") === col("seen_w"), "left_anti")
+              fresh.select(col("w"), col("bucket"), col("wbucket"))
+                .repartition(col("wbucket"))
+                .sortWithinPartitions(col("wbucket"), col("w"))
+                .write.mode("append").partitionBy("wbucket").parquet(sd)
+            } finally firsts.unpersist()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set(key, prev)
+      (sd, td)
+    })
+    val toks = spark.read.parquet(tokDir)
+      .groupBy(col("batch_id"), col("bucket")).agg(max(col("toks")).as("toks"))
+      .groupBy(col("bucket")).agg(sum(col("toks")).as("toks"))
+    val types = spark.read.parquet(seenDir)
+      .groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(types, Seq("bucket"), "full")
+      .select(col("bucket"),
+        sum(coalesce(col("toks"), lit(0L))).over(w).as("cum_tokens"),
+        sum(coalesce(col("types"), lit(0L))).over(w).as("cum_types"))
+      .orderBy(col("bucket"))
+  }
+
   private val bm25StreamStores =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private[graft] def bm25StreamStoreFor(dir: String): Option[(String, String)] =

@@ -807,6 +807,53 @@ class DedupSpec extends AnyFunSuite {
     assert(hyStore == hyPlan && hyStore.nonEmpty)
   }
 
+  test("corpusCuration: every pick survives each stage; the draw is the " +
+    "weighted-sample formula over exactly the survivor set") {
+    import graft.operators.TextAnalytics
+    val dir = TestSession.sfDir
+    val picks = TextAnalytics.corpusCuration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(picks.nonEmpty)
+    val keepers = Dedup.exactDedup(spark, dir).collect()
+      .map(_.getLong(1)).toSet
+    val quality = TextAnalytics.qualityFilter(spark, dir)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val contaminated = Dedup.decontaminate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    picks.foreach { case (_, id, _, _) =>
+      assert(keepers(id) && quality(id) && !contaminated(id) && id >= 10)
+    }
+    // the draw: recompute survivor priorities and take the same top-n
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = keepers.intersect(quality).filter(_ >= 10) -- contaminated
+    val expected = survivors.toSeq.map { id =>
+      val u = (2654435761L * id + 40503L) % 1000000007L
+      (id, docs(id), u * 100000L / (docs(id) + 1L))
+    }.sortBy { case (id, _, p) => (p, id) }.take(100)
+      .zipWithIndex.map { case ((id, nc, p), i) => (i + 1, id, nc, p) }
+    assert(picks.toSeq == expected)
+  }
+
+  test("bpeCompression: per-lang totals reconcile with bpeTokenize; every " +
+    "subword carries at least one char") {
+    import graft.operators.TextAnalytics
+    val byLang = TextAnalytics.bpeCompression(spark, TestSession.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (_, nw, nc, ns, rate) =>
+      assert(ns >= nw && nc >= ns) // a word is >= 1 subword; a subword >= 1 char
+      assert(rate == nc.toDouble / ns.toDouble && rate >= 1.0)
+    }
+    // cross-op reconciliation: summed per-lang words/subwords equal the
+    // per-doc tokenizer totals
+    val tok = TextAnalytics.bpeTokenize(spark, TestSession.sfDir).collect()
+    assert(byLang.map(_._2).sum == tok.map(_.getLong(1)).sum)
+    assert(byLang.map(_._4).sum == tok.map(_.getLong(2)).sum)
+  }
+
   test("corpusStats: Heaps checkpoints hand-computed; types charge their first bucket") {
     import graft.operators.TextAnalytics
     val dir = java.nio.file.Files.createTempDirectory("heaps").toString

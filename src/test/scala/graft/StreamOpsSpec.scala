@@ -1019,6 +1019,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed vocabulary-growth curve equals the batch Heaps checkpoints; " +
+    "replayed token partials and seen-word rows change nothing") {
+    import graft.operators.TextAnalytics
+    def curve = StreamOps.streamCorpusStatsQuery(spark, TestSession.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = TextAnalytics.corpusStats(spark, TestSession.sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val first = curve
+    assert(first == batch && first.nonEmpty)
+    // crash-replay: re-append one epoch's token partials (same batch_id
+    // — the max-merge key) and a duplicate slice of seen words (the
+    // min-merge absorbs them); the served curve must not move
+    val (seenDir, tokDir) =
+      StreamOps.corpusStatsStoresFor(TestSession.sfDir).get
+    val parts = spark.read.parquet(tokDir)
+    parts.filter(col("batch_id") === parts.agg(min(col("batch_id")))
+        .head().getLong(0))
+      .coalesce(1).write.mode("append").parquet(tokDir)
+    val seen = spark.read.parquet(seenDir)
+    seen.limit(100).select(col("w"), col("bucket"), col("wbucket"))
+      .write.mode("append").partitionBy("wbucket").parquet(seenDir)
+    assert(curve == batch)
+  }
+
   test("stream-accreted BM25 postings store serves the batch ranking; " +
     "a crash-replayed batch changes nothing") {
     import graft.operators.{Dedup, TextAnalytics}
