@@ -127,6 +127,10 @@ object SparkEntry {
     // deterministic weighted sampling without replacement (priority
     // sampling): n smallest hash-u/weight priorities
     "weighted_sample" -> ((s, d) => TextAnalytics.weightedSample(s, d)),
+    // the one-pass online form: a bounded n-row reservoir store merged
+    // per micro-batch, replay-safe (deterministic priorities + id dedupe)
+    "stream_weighted_sample" -> ((s, d) =>
+      graft.streaming.StreamOps.streamWeightedSampleQuery(s, d)),
     // curriculum packing: cap-token chunks in trained-margin order,
     // two-level (band + within-band) exact prefix sums
     "curriculum_packing" -> ((s, d) => TextAnalytics.curriculumPacking(s, d)),
@@ -475,6 +479,8 @@ object SparkEntry {
     "bpe_compression" -> TextAnalytics.bpeCompressionSql(),
     "corpus_curation" -> TextAnalytics.corpusCurationSql(),
     "weighted_sample" -> TextAnalytics.weightedSampleSql(),
+    // the streamed reservoir lands on the identical batch sample
+    "stream_weighted_sample" -> TextAnalytics.weightedSampleSql(),
     "curriculum_packing" -> TextAnalytics.curriculumPackingSql(),
     "text_normalize" -> TextAnalytics.textNormalizeSql,
     "blocklist_filter" -> TextAnalytics.blocklistFilterSql(),

@@ -1842,6 +1842,81 @@ object StreamOps {
       .orderBy(col("bucket"))
   }
 
+  private val weightedSampleStores =
+    new scala.collection.concurrent.TrieMap[(String, Int), String]()
+  private[graft] def weightedSampleStoreFor(
+      dir: String, n: Int = 50): Option[String] =
+    weightedSampleStores.get((dir, n))
+
+  /** STREAMING WEIGHTED SAMPLE — priority sampling is ONE-PASS by
+    * construction (Duffield-Lund-Thorup: the sample is the n smallest
+    * u/w priorities, and a running min-n is a streaming aggregate), so
+    * the batch draw ([[graft.operators.TextAnalytics.weightedSample]])
+    * has an exact online form: each micro-batch computes its documents'
+    * deterministic priorities, unions the stored candidate set, and
+    * keeps the n smallest — the store never holds more than n rows, the
+    * bounded-reservoir posture. Replays are no-ops twice over: a
+    * re-arriving document carries the SAME priority (hash-derived, no
+    * RNG state), and the keep-min-n merge deduplicates by doc_id before
+    * ranking. Oracle: the batch weightedSampleSql — the stream must land
+    * on the identical sample. */
+  /** One reservoir step: union the arriving priced rows with the held
+    * candidate set, dedupe by doc_id (replay absorption — duplicates
+    * carry identical deterministic values, so min is identity), keep
+    * the n smallest (priority, doc_id). Monotone: an item discarded
+    * once can never re-enter (the nth-smallest bound only tightens), so
+    * folding batches through this step lands on the exact batch top-n
+    * in any arrival order — the spec exercises a multi-batch fold. */
+  private[graft] def mergeTopPriorities(batch: DataFrame, prev: DataFrame,
+                                        n: Int): DataFrame =
+    batch.select(col("doc_id"), col("n_chars"), col("priority"))
+      .unionByName(prev)
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_chars")).as("n_chars"), min(col("priority")).as("priority"))
+      .orderBy(col("priority"), col("doc_id")).limit(n)
+
+  def streamWeightedSampleQuery(spark: SparkSession, dir: String,
+                                n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = weightedSampleStores.getOrElseUpdate((dir, n), {
+      val sd = java.nio.file.Files.createTempDirectory("wsample_store").toString
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try {
+        val q = docsStream(spark, dir)
+          .select(col("doc_id"), col("n_chars"),
+            expr(s"(((2654435761 * doc_id + 40503) % ${graft.operators.Dedup.P})" +
+              " * 100000) div (n_chars + 1)").as("priority"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val prevTop =
+              if ({ val l = new java.io.File(sd).list(); l == null || l.isEmpty })
+                batch.limit(0)
+              else sp.read.parquet(s"$sd/top.parquet")
+            val merged = mergeTopPriorities(batch, prevTop, n)
+            // the store is O(n) rows BY CONTRACT (the reservoir bound),
+            // so collecting it is bounded control state — and the
+            // driver hop breaks the same-file read-then-overwrite cycle
+            val staged = merged.collect()
+            import sp.implicits._
+            staged.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+              .toDF("doc_id", "n_chars", "priority")
+              .coalesce(1).write.mode("overwrite").parquet(s"$sd/top.parquet")
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set(key, prev)
+      sd
+    })
+    val top = spark.read.parquet(s"$store/top.parquet")
+    val w = Window.orderBy(col("priority"), col("doc_id"))
+    top.withColumn("rn", row_number().over(w).cast(IntegerType))
+      .select(col("rn"), col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("rn"))
+  }
+
   private val bm25StreamStores =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private[graft] def bm25StreamStoreFor(dir: String): Option[(String, String)] =

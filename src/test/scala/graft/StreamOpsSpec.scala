@@ -1019,6 +1019,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed weighted sample equals the batch draw; multi-batch folds " +
+    "and replays land on the same reservoir") {
+    import graft.operators.TextAnalytics
+    val streamed = StreamOps.streamWeightedSampleQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = TextAnalytics.weightedSample(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // multi-batch induction: fold the corpus through the reservoir in 3
+    // arbitrary slices (+ one REPLAYED slice) and compare to one shot
+    val priced = Tables.load(spark, TestSession.sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"(((2654435761 * doc_id + 40503) % 1000000007)" +
+          " * 100000) div (n_chars + 1)").as("priority"))
+    val slices = Seq(
+      priced.filter(col("doc_id") % 3 === 0),
+      priced.filter(col("doc_id") % 3 === 1),
+      priced.filter(col("doc_id") % 3 === 1), // crash-replayed slice
+      priced.filter(col("doc_id") % 3 === 2))
+    val folded = slices.foldLeft(priced.limit(0)) { (prev, b) =>
+      StreamOps.mergeTopPriorities(b, prev, 50).localCheckpoint(true)
+    }.orderBy(col("priority"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneShot = StreamOps.mergeTopPriorities(priced, priced.limit(0), 50)
+      .orderBy(col("priority"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(folded == oneShot)
+  }
+
   test("streamed vocabulary-growth curve equals the batch Heaps checkpoints; " +
     "replayed token partials and seen-word rows change nothing") {
     import graft.operators.TextAnalytics
