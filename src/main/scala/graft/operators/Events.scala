@@ -478,11 +478,19 @@ object Events {
   private[graft] def zStoreFor(dir: String): Option[String] = zStores.get(dir)
 
   /** Build the Z-ORDERED EVENT STORE once per corpus (memoized): rows
-    * land in `ztile` partitions — contiguous 16-cell z-runs, each a
-    * bounded 4×4 rectangle of the (user-bucket, time-bucket) plane.
-    * This is [[Sinks.writeZOrdered]]'s layout made SERVABLE: with the
-    * tile as a partition column, a box query's pruning is directory
-    * listing (assertable, engine-enforced), not just row-group stats. */
+    * land in `ztile` partitions — contiguous 256-cell z-runs, each a
+    * bounded 16×16 rectangle of the (user-bucket, time-bucket) plane,
+    * 256 partitions over the 16-bit z-space. This is
+    * [[Sinks.writeZOrdered]]'s layout made SERVABLE: with the tile as a
+    * partition column, a box query's pruning is directory listing
+    * (assertable, engine-enforced), not just row-group stats. Partition
+    * count is a LISTING-COST knob: Spark's partition discovery walks
+    * every directory once per read regardless of pruning, so the tile
+    * grain must amortize against real file sizes — 256 dirs matches the
+    * other stores' 64-bucket grain (a 4096-tile first cut put a 5-6 s
+    * listing floor under every serve at fixture scale); rows stay
+    * z-sorted WITHIN each tile, so finer boxes still row-group-skip
+    * inside the pruned partitions. */
   private[graft] def buildZStore(spark: SparkSession, dir: String): String =
     zStores.getOrElseUpdate(dir, {
       val sd = java.nio.file.Files.createTempDirectory("events_zstore").toString
@@ -490,10 +498,10 @@ object Events {
         .withColumn("ub", pmod(col("user_id"), lit(256L)))
         .withColumn("tb", pmod(expr("unix_micros(ts) div 60000000"), lit(256L)))
         .withColumn("zv", Sinks.zValue(col("ub"), col("tb")))
-        .withColumn("ztile", expr("zv div 16").cast(IntegerType))
-        .drop("zv")
+        .withColumn("ztile", expr("zv div 256").cast(IntegerType))
         .repartition(col("ztile"))
-        .sortWithinPartitions(col("ztile"), col("ub"), col("tb"))
+        .sortWithinPartitions(col("ztile"), col("zv"))
+        .drop("zv")
         .write.mode("overwrite").partitionBy("ztile").parquet(sd)
       sd
     })
@@ -505,21 +513,21 @@ object Events {
 
   /** BOX QUERY SERVED FROM THE Z-ORDERED STORE: the classic z-index
     * read path — decompose the query box into its covering z-tiles on
-    * the driver (a tile is the interleave of 4-cell-coarsened
+    * the driver (a tile is the interleave of 16-cell-coarsened
     * coordinates, so the cover is exactly the coarsened box's Morton
-    * codes: (ubHi/4−ubLo/4+1)·(tbHi/4−tbLo/4+1) ints of control state),
-    * push the cover as a static partition filter, and re-check the
-    * exact box in-plan (tile-mates outside the box are filtered after
-    * the pruned scan). At 100 TB the scan cost is the box's share of
-    * the z-space, never the table — the payoff [[zorderLayout]]'s box
-    * stats predict. Oracle: the plain WHERE on the raw table. */
+    * codes: (ubHi/16−ubLo/16+1)·(tbHi/16−tbLo/16+1) ints of control
+    * state), push the cover as a static partition filter, and re-check
+    * the exact box in-plan (tile-mates outside the box are filtered
+    * after the pruned scan). At 100 TB the scan cost is the box's share
+    * of the z-space, never the table — the payoff [[zorderLayout]]'s
+    * box stats predict. Oracle: the plain WHERE on the raw table. */
   def zStoreBoxQuery(spark: SparkSession, dir: String,
                      ubLo: Int = 0, ubHi: Int = 63,
                      tbLo: Int = 0, tbHi: Int = 127): DataFrame = {
     val sd = buildZStore(spark, dir)
     val tiles = for {
-      a <- (ubLo >> 2) to (ubHi >> 2)
-      b <- (tbLo >> 2) to (tbHi >> 2)
+      a <- (ubLo >> 4) to (ubHi >> 4)
+      b <- (tbLo >> 4) to (tbHi >> 4)
     } yield mortonOf(a, b)
     prunedZTiles(spark, sd, tiles)
       .filter(col("ub").between(ubLo, ubHi) && col("tb").between(tbLo, tbHi))

@@ -194,9 +194,9 @@ class EventsSpec extends AnyFunSuite {
       .orderBy(col("event_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(served == raw && served.nonEmpty)
-    // the cover for this box is (39/4-8/4+1)*(79/4-16/4+1) = 8*16 = 128
-    // tiles of the 4096-tile space — the pruning is real, not a rescan
-    val cover = for { a <- 2 to 9; b <- 4 to 19 } yield Events.mortonOf(a, b)
-    assert(cover.distinct.size == 128 && cover.forall(_ < 4096))
+    // the cover for this box is (39/16-8/16+1)*(79/16-16/16+1) = 3*4 = 12
+    // tiles of the 256-tile space — the pruning is real, not a rescan
+    val cover = for { a <- 0 to 2; b <- 1 to 4 } yield Events.mortonOf(a, b)
+    assert(cover.distinct.size == 12 && cover.forall(_ < 256))
   }
 }

@@ -416,8 +416,8 @@ class PlanSpec extends AnyFunSuite {
     import graft.operators.Events
     import org.apache.spark.sql.functions.col
     val sd = Events.buildZStore(spark, sfDir)
-    // a quarter-space box: cover = coarsened box's tiles, far under 4096
-    val tiles = (for { a <- 0 to 15; b <- 0 to 31 }
+    // a quarter-space box: cover = coarsened box's tiles, far under 256
+    val tiles = (for { a <- 0 to 3; b <- 0 to 7 }
       yield Events.mortonOf(a, b)).toSeq
     val pruned = Events.prunedZTiles(spark, sd, tiles)
     val pf = partitionFilters(plan(pruned))
