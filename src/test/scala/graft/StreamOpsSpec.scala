@@ -925,6 +925,18 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(after == before && after.nonEmpty)
   }
 
+  test("streaming BM25 postings store: per-bucket compaction preserves the served ranking") {
+    val before = StreamOps.streamBm25StoreQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val (postingsDir, _) = StreamOps.bm25StreamStoreFor(TestSession.sfDir).get
+    val rewritten = graft.operators.Sinks.compactPartitioned(spark, postingsDir,
+      targetBytes = 1L << 30)
+    assert(rewritten > 0, "expected the postings store's partitions to compact")
+    val after = StreamOps.streamBm25StoreQuery(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before && after.nonEmpty)
+  }
+
   test("streaming HNSW hierarchy: a genuine multi-batch build serves the " +
     "identical walk as the in-plan search at the pinned per-layer widths, " +
     "and a crash-replayed batch changes nothing") {
