@@ -2303,23 +2303,6 @@ object Similarity {
   private val PrScale = 1000000000000L
   private val PrTeleport = PrScale * 15 / 100
 
-  /** PAGERANK over the [[knnGraph]] (damping 0.85, `iters` synchronous
-    * rounds from a uniform start, top-k by final rank). Contributions
-    * split a node's damped rank evenly across its out-edges with
-    * truncating integer division — mass lost to truncation (and to
-    * dangling nodes, which the bucketed build can produce when a node's
-    * probe ring is empty) is simply not redistributed, identically on
-    * both engines.
-    *
-    * Scale shape: the graph builds ONCE (candidate-then-verify, one
-    * bucket-keyed shuffle) and is materialized before the loop —
-    * localCheckpoint here, a parquet checkpoint on a cluster — so each
-    * of the `iters` rounds is exactly one hash join (edges × ranks on
-    * src) plus one map-side-combinable sum by dst: 2 shuffles per round
-    * over (src, dst, outdeg, rank) longs, never the embeddings. The
-    * final top-k is TakeOrderedAndProject. Rank state is a DataFrame
-    * keyed by node id end to end — nothing rank-shaped ever collects to
-    * the driver. */
   /** The shared rank loop over a prepared edge set: `nodes` is (id, …),
     * `e` is (src, dst, outdeg) — BOTH already materialized by the
     * caller (the loop re-reads them every round). `init` is the round-0
@@ -2364,6 +2347,23 @@ object Similarity {
     pageRankLoop(nodes, e, lit(PrScale), lit(PrTeleport), iters, k)
   }
 
+  /** PAGERANK over the [[knnGraph]] (damping 0.85, `iters` synchronous
+    * rounds from a uniform start, top-k by final rank). Contributions
+    * split a node's damped rank evenly across its out-edges with
+    * truncating integer division — mass lost to truncation (and to
+    * dangling nodes, which the bucketed build can produce when a node's
+    * probe ring is empty) is simply not redistributed, identically on
+    * both engines.
+    *
+    * Scale shape: the graph builds ONCE (candidate-then-verify, one
+    * bucket-keyed shuffle) and is materialized before the loop —
+    * localCheckpoint here, a parquet checkpoint on a cluster — so each
+    * of the `iters` rounds is exactly one hash join (edges × ranks on
+    * src) plus one map-side-combinable sum by dst: 2 shuffles per round
+    * over (src, dst, outdeg, rank) longs, never the embeddings. The
+    * final top-k is TakeOrderedAndProject. Rank state is a DataFrame
+    * keyed by node id end to end — nothing rank-shaped ever collects to
+    * the driver. */
   def pageRank(spark: SparkSession, dir: String, deg: Int = 8,
                iters: Int = 4, k: Int = 20,
                bitsOpt: Option[Int] = None): DataFrame = {

@@ -2007,7 +2007,8 @@ object TextAnalytics {
     import org.apache.spark.sql.expressions.Window
     val pr = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
-        expr(s"(((2654435761 * doc_id + 40503) % ${Dedup.P}) * 100000)" +
+        expr(s"((((2654435761 * (doc_id % ${Dedup.P})) % ${Dedup.P}" +
+          s" + 40503) % ${Dedup.P}) * 100000)" +
           " div (n_chars + 1)").as("priority"))
     val top = pr.orderBy(col("priority"), col("doc_id")).limit(n)
     val w = Window.orderBy(col("priority"), col("doc_id"))
@@ -2021,7 +2022,8 @@ object TextAnalytics {
     * u/weight priority, same (priority, id) tie order. */
   def weightedSampleSql(n: Int = 50): String =
     s"""WITH pr AS (SELECT doc_id, n_chars,
-          (((2654435761 * doc_id + 40503) % ${Dedup.P}) * 100000)
+          ((((2654435761 * (doc_id % ${Dedup.P})) % ${Dedup.P}
+             + 40503) % ${Dedup.P}) * 100000)
             // (n_chars + 1) AS priority
           FROM documents)
         SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rn,
@@ -2096,7 +2098,8 @@ object TextAnalytics {
       .join(Tables.loadWide(spark, dir, "documents")
         .select(col("doc_id"), col("n_chars")), "doc_id")
       .select(col("doc_id"), col("n_chars"),
-        expr(s"(((2654435761 * doc_id + 40503) % ${Dedup.P}) * 100000)" +
+        expr(s"((((2654435761 * (doc_id % ${Dedup.P})) % ${Dedup.P}" +
+          s" + 40503) % ${Dedup.P}) * 100000)" +
           " div (n_chars + 1)").as("priority"))
     val top = pr.orderBy(col("priority"), col("doc_id")).limit(n)
     val w = Window.orderBy(col("priority"), col("doc_id"))
@@ -2118,7 +2121,8 @@ object TextAnalytics {
                  WHERE k.doc_id >= $benchBelow
                    AND k.doc_id NOT IN (SELECT doc_id FROM cont)),
         pr AS (SELECT d.doc_id, d.n_chars,
-               (((2654435761 * d.doc_id + 40503) % ${Dedup.P}) * 100000)
+               ((((2654435761 * (d.doc_id % ${Dedup.P})) % ${Dedup.P}
+                  + 40503) % ${Dedup.P}) * 100000)
                  // (d.n_chars + 1) AS priority
                FROM documents d JOIN surv USING (doc_id))
         SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS INT) AS rn,

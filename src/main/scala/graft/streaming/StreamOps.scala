@@ -723,44 +723,6 @@ object StreamOps {
     * the stream-stream range join; a non-windowed groupBy after the
     * join can't run in append mode). Oracle: the SAME SQL as batch
     * lm_fluency. */
-  /** STREAM-APPLIED TOKENIZER: the BPE vocabulary trains ONCE in batch
-    * ([[graft.operators.TextAnalytics.bpeSegs]] — materialized, same
-    * train-offline/score-online posture as the LM and DSIR twins) and
-    * every arriving document's word counts join it broadcast, stateless,
-    * per micro-batch — "count the context-window budget of fresh crawl
-    * under the production tokenizer" as a continuous query. Per-doc
-    * (n_words, n_subwords) partials append per batch; the final rollup
-    * merges partials by sum (exact: integer counts). Oracle: the SAME
-    * SQL as batch bpe_tokenize. */
-  def streamBpeTokenizeQuery(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.TextAnalytics
-    import graft.functions.TextFunctions.words
-    val segs = broadcast(
-      TextAnalytics.bpeSegs(spark, dir).localCheckpoint(true))
-    val counted = docsStream(spark, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .join(segs, "w")
-      .select(col("doc_id"), col("k"))
-    val partDir = java.nio.file.Files.createTempDirectory("bpe_parts").toString
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
-      val q = counted.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("nw"), sum(col("k")).as("ns"))
-            .coalesce(1).write.mode("append").parquet(partDir)
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(key, prev)
-    spark.read.parquet(partDir).groupBy(col("doc_id"))
-      .agg(sum(col("nw")).as("n_words"), sum(col("ns")).as("n_subwords"))
-      .orderBy(col("doc_id"))
-  }
-
   def streamLmFluencyQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalytics
     val model = broadcast(
@@ -789,8 +751,11 @@ object StreamOps {
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set(key, prev)
+    // max-merge, not sum: a document's slots live wholly in one batch,
+    // so its per-batch partial IS its global (s, nb) and a crash-replayed
+    // batch's identical re-appended row must be absorbed, not added
     val perDoc = spark.read.parquet(partDir).groupBy(col("doc_id"))
-      .agg(sum(col("s")).as("s"), sum(col("nb")).as("nb"))
+      .agg(max(col("s")).as("s"), max(col("nb")).as("nb"))
     graft.Tables.loadWide(spark, dir, "documents").select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -800,6 +765,55 @@ object StreamOps {
           .otherwise(lit(0.0)).as("lm_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** STREAM-APPLIED TOKENIZER: the BPE vocabulary trains ONCE in batch
+    * ([[graft.operators.TextAnalytics.bpeSegs]] — materialized, same
+    * train-offline/score-online posture as the LM and DSIR twins) and
+    * every arriving document's word counts join it broadcast, stateless,
+    * per micro-batch — "count the context-window budget of fresh crawl
+    * under the production tokenizer" as a continuous query. Per-doc
+    * (n_words, n_subwords) partials append per batch; a document lives
+    * wholly in ONE batch (file-per-batch staging), so its partial row
+    * is its global count and the final rollup merges by MAX — an
+    * at-least-once crash-replayed batch re-appends an IDENTICAL row,
+    * which max absorbs where sum would double-count (the
+    * stream_bm25_store replay contract). Oracle: the SAME SQL as batch
+    * bpe_tokenize. */
+  def streamBpeTokenizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalytics
+    import graft.functions.TextFunctions.words
+    val segs = broadcast(
+      TextAnalytics.bpeSegs(spark, dir).localCheckpoint(true))
+    val counted = docsStream(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(segs, "w")
+      .select(col("doc_id"), col("k"))
+    val partDir = java.nio.file.Files.createTempDirectory("bpe_parts").toString
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try {
+      val q = counted.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("nw"), sum(col("k")).as("ns"))
+            .coalesce(1).write.mode("append").parquet(partDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
+    mergeBpePartials(spark.read.parquet(partDir))
+  }
+
+  /** The BPE partial merge, factored out for the replay spec: one
+    * (nw, ns) row per (doc, batch), a doc wholly in one batch, so MAX
+    * (not SUM) makes an at-least-once re-appended identical partial a
+    * no-op. */
+  private[graft] def mergeBpePartials(parts: DataFrame): DataFrame =
+    parts.groupBy(col("doc_id"))
+      .agg(max(col("nw")).as("n_words"), max(col("ns")).as("n_subwords"))
+      .orderBy(col("doc_id"))
 
   /** STREAM-SCORED DSIR SELECTION against a BATCH-TRAINED importance
     * model — the online form of [[graft.operators.TextAnalytics
@@ -1754,7 +1768,43 @@ object StreamOps {
   private[graft] def prunedSeenWords(spark: SparkSession, storeDir: String,
                                      buckets: Seq[Int]): DataFrame =
     spark.read.parquet(storeDir).where(col("wbucket").isin(buckets: _*))
-      .select(col("w").as("seen_w"))
+      .groupBy(col("w")).agg(min(col("bucket")).as("seen_bucket"))
+      .select(col("w").as("seen_w"), col("seen_bucket"))
+
+  /** One micro-batch's SEEN-store update, factored out for the
+    * out-of-order-arrival spec: a word's row lands when it is UNSEEN or
+    * when this batch observed a strictly SMALLER checkpoint bucket than
+    * the stored min — first-ARRIVAL order is not a contract
+    * (FileStreamSource listing order is incidental), so an out-of-order
+    * batch must be able to lower a word's bucket; the serve's
+    * min(bucket)-per-word merge absorbs the extra rows, which also
+    * makes a crash-replayed batch (identical rows, none strictly
+    * smaller) a no-op. Reads prune to the word-hash buckets the batch
+    * touches (the fingerprint-store read class). */
+  private[graft] def updateSeenWords(sp: SparkSession, sd: String,
+                                     batch: DataFrame): Unit = {
+    val firsts = batch.groupBy(col("w"))
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("wbucket", wordBucket(col("w"))).persist()
+    try {
+      val touched = firsts.select(col("wbucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val empty = {
+        val l = new java.io.File(sd).list()
+        l == null || l.isEmpty
+      }
+      val fresh =
+        if (empty) firsts
+        else firsts.join(prunedSeenWords(sp, sd, touched),
+            col("w") === col("seen_w"), "left")
+          .filter(col("seen_bucket").isNull ||
+            col("bucket") < col("seen_bucket"))
+      fresh.select(col("w"), col("bucket"), col("wbucket"))
+        .repartition(col("wbucket"))
+        .sortWithinPartitions(col("wbucket"), col("w"))
+        .write.mode("append").partitionBy("wbucket").parquet(sd)
+    } finally firsts.unpersist()
+  }
 
   private val corpusStatsStores =
     new scala.collection.concurrent.TrieMap[(String, Int), (String, String)]()
@@ -1768,11 +1818,15 @@ object StreamOps {
     * micro-batch appends (a) per-checkpoint-bucket token partials keyed
     * by epoch — a crash-replayed epoch re-writes identical partials and
     * the serve's per-(epoch, bucket) max-merge absorbs them — and (b)
-    * its never-seen-before words into a word-hash-partitioned SEEN
-    * store (anti-join pruned to the buckets the batch touches, the
-    * fingerprint-store read class), charged to their arrival
-    * checkpoint; re-appended duplicates collapse under the serve's
-    * min(bucket)-per-word merge. The checkpoint width is deploy-time
+    * its vocabulary rows into a word-hash-partitioned SEEN store
+    * (pruned to the buckets the batch touches, the fingerprint-store
+    * read class): a word's row lands when it is unseen OR when the
+    * batch observed a strictly smaller checkpoint bucket than the
+    * stored min — so a word is charged to its min-DOC_ID bucket in ANY
+    * arrival order, not its first-arrival bucket (file listing order is
+    * incidental, never a contract); re-appended duplicates collapse
+    * under the serve's min(bucket)-per-word merge. The checkpoint width
+    * is deploy-time
     * config (derived here from the static table, the train-offline
     * posture — a stream cannot know its final id range). Serve merges
     * both stores into the batch op's exact cumulative curve; oracle:
@@ -1798,29 +1852,10 @@ object StreamOps {
             col("w"))
           .writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, epochId: Long) =>
-            val sp = batch.sparkSession
             batch.groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
               .withColumn("batch_id", lit(epochId))
               .coalesce(1).write.mode("append").parquet(td)
-            val firsts = batch.groupBy(col("w"))
-              .agg(min(col("bucket")).as("bucket"))
-              .withColumn("wbucket", wordBucket(col("w"))).persist()
-            try {
-              val touched = firsts.select(col("wbucket")).distinct()
-                .collect().map(_.getInt(0)).toSeq.sorted
-              val empty = {
-                val l = new java.io.File(sd).list()
-                l == null || l.isEmpty
-              }
-              val fresh =
-                if (empty) firsts
-                else firsts.join(prunedSeenWords(sp, sd, touched),
-                  col("w") === col("seen_w"), "left_anti")
-              fresh.select(col("w"), col("bucket"), col("wbucket"))
-                .repartition(col("wbucket"))
-                .sortWithinPartitions(col("wbucket"), col("w"))
-                .write.mode("append").partitionBy("wbucket").parquet(sd)
-            } finally firsts.unpersist()
+            updateSeenWords(batch.sparkSession, sd, batch)
           }
           .start()
         try q.processAllAvailable() finally q.stop()
@@ -1886,7 +1921,9 @@ object StreamOps {
       try {
         val q = docsStream(spark, dir)
           .select(col("doc_id"), col("n_chars"),
-            expr(s"(((2654435761 * doc_id + 40503) % ${graft.operators.Dedup.P})" +
+            expr(s"((((2654435761 * (doc_id % ${graft.operators.Dedup.P}))" +
+              s" % ${graft.operators.Dedup.P} + 40503)" +
+              s" % ${graft.operators.Dedup.P})" +
               " * 100000) div (n_chars + 1)").as("priority"))
           .writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -829,7 +829,8 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val survivors = keepers.intersect(quality).filter(_ >= 10) -- contaminated
     val expected = survivors.toSeq.map { id =>
-      val u = (2654435761L * id + 40503L) % 1000000007L
+      val u = ((2654435761L * (id % 1000000007L)) % 1000000007L + 40503L) %
+        1000000007L
       (id, docs(id), u * 100000L / (docs(id) + 1L))
     }.sortBy { case (id, _, p) => (p, id) }.take(100)
       .zipWithIndex.map { case ((id, nc, p), i) => (i + 1, id, nc, p) }
@@ -888,7 +889,8 @@ class DedupSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // reference recompute with the same affine hash and fixed-point u/w
     val expected = docs.map { case (id, _, _, _, nc) =>
-      val u = (2654435761L * id + 40503L) % 1000000007L
+      val u = ((2654435761L * (id % 1000000007L)) % 1000000007L + 40503L) %
+        1000000007L
       (id, nc, u * 100000L / (nc + 1L))
     }.sortBy { case (id, _, p) => (p, id) }
       .zipWithIndex.map { case ((id, nc, p), i) => (i + 1, id, nc, p) }

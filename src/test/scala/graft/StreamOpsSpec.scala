@@ -1043,7 +1043,8 @@ class StreamOpsSpec extends AnyFunSuite {
     // arbitrary slices (+ one REPLAYED slice) and compare to one shot
     val priced = Tables.load(spark, TestSession.sfDir, "documents")
       .select(col("doc_id"), col("n_chars"),
-        expr(s"(((2654435761 * doc_id + 40503) % 1000000007)" +
+        expr(s"((((2654435761 * (doc_id % 1000000007)) % 1000000007" +
+          s" + 40503) % 1000000007)" +
           " * 100000) div (n_chars + 1)").as("priority"))
     val slices = Seq(
       priced.filter(col("doc_id") % 3 === 0),
@@ -1121,5 +1122,47 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
     // subword count is never below word count: a segmentation has >= 1 symbol
     streamed.foreach { case (_, nw, ns) => assert(ns >= nw) }
+  }
+
+  test("BPE partial merge absorbs a crash-replayed micro-batch's partials") {
+    // per-(doc, batch) partials as foreachBatch writes them: one row per
+    // doc (a doc lives wholly in one batch); an at-least-once restart
+    // re-appends an IDENTICAL slice — max-merge must be a no-op where a
+    // sum would double-count n_words/n_subwords
+    import spark.implicits._
+    val parts = Seq((1L, 4L, 6L), (2L, 3L, 3L), (3L, 10L, 14L))
+      .toDF("doc_id", "nw", "ns")
+    def merged(p: org.apache.spark.sql.DataFrame) =
+      StreamOps.mergeBpePartials(p).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val once = merged(parts)
+    assert(once == Seq((1L, 4L, 6L), (2L, 3L, 3L), (3L, 10L, 14L)))
+    assert(merged(parts.union(parts.limit(2))) == once)
+    assert(merged(parts.union(parts)) == once)
+  }
+
+  test("seen-word store charges a word to its MIN bucket in any arrival " +
+    "order; replays are no-ops") {
+    import spark.implicits._
+    val sd = java.nio.file.Files.createTempDirectory("seen_ooo").toString
+    def upd(rows: Seq[(String, Int)]): Unit =
+      StreamOps.updateSeenWords(spark, sd, rows.toDF("w", "bucket"))
+    def served = spark.read.parquet(sd)
+      .groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    // batch 1 arrives LATE in doc order: zebra first seen at bucket 5
+    upd(Seq(("zebra", 5), ("apple", 3)))
+    assert(served == Map("zebra" -> 5, "apple" -> 3))
+    // out-of-order batch 2 carries zebra's true earlier sighting
+    upd(Seq(("zebra", 2), ("mango", 7)))
+    assert(served == Map("zebra" -> 2, "apple" -> 3, "mango" -> 7))
+    // crash-replay of batch 2: identical rows, nothing strictly smaller
+    val before = spark.read.parquet(sd).count()
+    upd(Seq(("zebra", 2), ("mango", 7)))
+    assert(spark.read.parquet(sd).count() == before)
+    assert(served == Map("zebra" -> 2, "apple" -> 3, "mango" -> 7))
+    // a LATER sighting of a seen word must not append either
+    upd(Seq(("apple", 9)))
+    assert(spark.read.parquet(sd).count() == before)
   }
 }
