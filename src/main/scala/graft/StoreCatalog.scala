@@ -1,0 +1,192 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+/** PERSISTENT INDEX-STORE CATALOG — the create-if-absent lifecycle every
+  * ANN / postings / graph store shares (the reference's vector index is a
+  * long-lived service: create the index when it doesn't exist, then serve
+  * it forever — /root/reference/src/pinecone_utils.py:30-40; this is the
+  * embedded analogue for parquet-partitioned stores).
+  *
+  * A store lives at a STABLE path derived from (family, source tables,
+  * config tuple) under one configurable root (`spark.graft.storeRoot`,
+  * default `<java.io.tmpdir>/graft_stores`), beside a tiny manifest
+  * recording the build config and a FINGERPRINT of the source files
+  * (relative path, size, mtime of every data file). Resolution order:
+  *
+  *   1. session memo (TrieMap — the per-JVM fast path);
+  *   2. on-disk manifest whose fingerprint and config match → serve with
+  *      ZERO rebuild (this is what a fresh JVM hits: build once in an
+  *      indexing session, serve from any number of later sessions);
+  *   3. otherwise build into a staging directory and publish by ATOMIC
+  *      rename — a crashed build never half-publishes (the manifest is
+  *      written last, inside staging), and when two processes race, the
+  *      loser adopts the winner's store and discards its own staging.
+  *
+  * A source-data change (the fixture regenerates between rounds; a
+  * production corpus recrawls) flips the fingerprint, so the stale store
+  * is rebuilt in place — create-if-absent never serves yesterday's index
+  * for today's corpus. Driver state is O(manifest) — a dozen strings —
+  * and the data path is whatever partition layout the family's builder
+  * writes; the catalog owns WHERE a store lives and WHETHER it is
+  * current, never what's inside it. */
+object StoreCatalog {
+
+  /** A resolved, servable store: `parts` maps each named artifact
+    * (e.g. "postings", "docs") to its directory; `meta` carries the
+    * builder's scalar facts (e.g. the HNSW hierarchy's max level) so a
+    * serve session never recomputes build-time constants. */
+  final case class StoreHandle(dir: String, parts: Map[String, String],
+                               meta: Map[String, String])
+
+  /** Build invocations this JVM — specs assert zero rebuild on the
+    * serve-from-a-second-session path. */
+  private[graft] val buildCount = new AtomicLong(0)
+
+  private val memo =
+    new scala.collection.concurrent.TrieMap[String, StoreHandle]()
+
+  /** Forget every in-memory handle (the on-disk stores stay): the spec
+    * hook that makes "open a SECOND session and serve with zero
+    * rebuild" testable inside one JVM. */
+  private[graft] def dropSessionMemo(): Unit = memo.clear()
+
+  private val ManifestName = "_graft_manifest.properties"
+
+  def storeRoot(spark: SparkSession): String =
+    spark.conf.get("spark.graft.storeRoot",
+      sys.props("java.io.tmpdir") + "/graft_stores")
+
+  /** Stat-walk fingerprint of the source files backing a store: every
+    * regular file's (relative path, size, mtime) under each source, in
+    * sorted order, hashed. Driver-side metadata only — never reads data
+    * bytes, so it stays O(file count) however large the corpus. */
+  private[graft] def sourceFingerprint(sources: Seq[String]): String = {
+    val md = MessageDigest.getInstance("SHA-1")
+    sources.sorted.foreach { s =>
+      val p = Paths.get(s)
+      md.update(s.getBytes("UTF-8"))
+      if (Files.exists(p)) {
+        val files =
+          if (Files.isDirectory(p))
+            Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+              .toSeq.sortBy(_.toString)
+          else Seq(p)
+        val base = p.toAbsolutePath.normalize()
+        files.foreach { f =>
+          val rel = base.relativize(f.toAbsolutePath.normalize())
+          md.update((s"$rel:${Files.size(f)}:" +
+            s"${Files.getLastModifiedTime(f).toMillis}").getBytes("UTF-8"))
+        }
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def canonicalConfig(config: Seq[(String, String)]): String =
+    config.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+
+  private def keyOf(family: String, sources: Seq[String],
+                    config: Seq[(String, String)]): String = {
+    val md = MessageDigest.getInstance("SHA-1")
+    md.update((family + "|" + sources.sorted.mkString(",") + "|" +
+      canonicalConfig(config)).getBytes("UTF-8"))
+    family + "-" + md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def loadManifest(dir: Path): Option[java.util.Properties] = {
+    val mf = dir.resolve(ManifestName)
+    if (!Files.exists(mf)) None
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(mf)
+      try props.load(in) finally in.close()
+      Some(props)
+    }
+  }
+
+  private def handleFrom(dir: Path,
+                         props: java.util.Properties): StoreHandle = {
+    val names = props.getProperty("parts", "").split(",").filter(_.nonEmpty)
+    val parts = names.map(n => n -> dir.resolve(n).toString).toMap
+    val meta = props.stringPropertyNames().asScala
+      .filter(_.startsWith("meta."))
+      .map(k => k.stripPrefix("meta.") -> props.getProperty(k)).toMap
+    StoreHandle(dir.toString, parts, meta)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => })
+
+  /** Resolve the store for (family, sources, config): memo → valid
+    * on-disk manifest → build. `build` receives part-name → staging
+    * directory and returns the meta map to persist; it runs at most
+    * once per (key, fingerprint) ACROSS SESSIONS — the whole point. */
+  def getOrBuild(spark: SparkSession, family: String, sources: Seq[String],
+                 config: Seq[(String, String)], parts: Seq[String])
+                (build: Map[String, String] => Map[String, String]): StoreHandle = {
+    val key = keyOf(family, sources, config)
+    memo.getOrElseUpdate(key, {
+      val root = Paths.get(storeRoot(spark))
+      Files.createDirectories(root)
+      val finalDir = root.resolve(key)
+      val fp = sourceFingerprint(sources)
+      val cfg = canonicalConfig(config)
+      val onDisk = loadManifest(finalDir).filter { props =>
+        props.getProperty("fingerprint") == fp &&
+          props.getProperty("config") == cfg &&
+          parts.forall(n => Files.exists(finalDir.resolve(n)))
+      }
+      onDisk match {
+        case Some(props) => handleFrom(finalDir, props)
+        case None =>
+          buildCount.incrementAndGet()
+          val staging = Files.createTempDirectory(root, s".build-$key-")
+          val partDirs = parts.map(n => n -> staging.resolve(n).toString).toMap
+          val meta =
+            try build(partDirs)
+            catch {
+              case e: Throwable => deleteRecursively(staging); throw e
+            }
+          val props = new java.util.Properties()
+          props.setProperty("family", family)
+          props.setProperty("fingerprint", fp)
+          props.setProperty("config", cfg)
+          props.setProperty("parts", parts.mkString(","))
+          meta.foreach { case (k, v) => props.setProperty(s"meta.$k", v) }
+          val out = Files.newOutputStream(staging.resolve(ManifestName))
+          try props.store(out, s"graft $family store") finally out.close()
+          // publish: stale store (fingerprint flipped) moves aside first;
+          // on a cross-process race the atomic move fails, the loser
+          // validates and adopts the winner's store
+          try {
+            if (Files.exists(finalDir)) {
+              val trash = root.resolve(s".trash-$key-${staging.getFileName}")
+              Files.move(finalDir, trash, StandardCopyOption.ATOMIC_MOVE)
+              deleteRecursively(trash)
+            }
+            Files.move(staging, finalDir, StandardCopyOption.ATOMIC_MOVE)
+            handleFrom(finalDir, loadManifest(finalDir).get)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException |
+                 _: java.nio.file.AccessDeniedException =>
+              deleteRecursively(staging)
+              loadManifest(finalDir)
+                .filter(_.getProperty("fingerprint") == fp)
+                .map(handleFrom(finalDir, _))
+                .getOrElse(throw new IllegalStateException(
+                  s"store $key lost a publish race to an incompatible build"))
+          }
+      }
+    })
+  }
+}

@@ -599,10 +599,11 @@ object Similarity {
                    FROM scored WHERE score IS NOT NULL)
         SELECT qid, rn, vec_id, score FROM ranked WHERE rn <= $k"""
 
-  /** One materialized IVF cell store per (fixture dir, nCells,
-    * codebook tag) per JVM (the graphStores memoization contract, keyed
-    * on the index config — the tag separates the seed build from the
-    * trained one, whose cell assignments differ). */
+  /** Session memo of resolved IVF cell stores per (fixture dir, nCells,
+    * codebook tag) — the store itself lives in the persistent
+    * [[graft.StoreCatalog]] (create-if-absent across JVMs; the tag
+    * separates the seed build from the trained one, whose cell
+    * assignments differ). */
   private val ivfStores =
     new scala.collection.concurrent.TrieMap[(String, Int, String), String]()
   private[graft] def ivfStoreDirFor(dir: String, nCells: Int = 8,
@@ -640,16 +641,19 @@ object Similarity {
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("qid", "rn", "vec_id", "score")
     }
-    val storeDir = ivfStores.getOrElseUpdate((dir, nCells, storeTag), {
-      val sd = java.nio.file.Files.createTempDirectory("ivf_cell_store").toString
-      emb.select(col("vec_id"), col("embedding"),
-          greatestOf(centScores(col("embedding"), codebook))
-            .getField("cid").cast(IntegerType).as("cell"))
-        .repartition(col("cell")) // one clustered file per cell
-        .sortWithinPartitions(col("cell"), col("vec_id"))
-        .write.mode("overwrite").partitionBy("cell").parquet(sd)
-      sd
-    })
+    val storeDir = ivfStores.getOrElseUpdate((dir, nCells, storeTag),
+      graft.StoreCatalog.getOrBuild(spark, "ivf_cells",
+        Seq(s"$dir/embeddings.parquet"),
+        Seq("nCells" -> nCells.toString, "tag" -> storeTag),
+        Seq("cells")) { parts =>
+        emb.select(col("vec_id"), col("embedding"),
+            greatestOf(centScores(col("embedding"), codebook))
+              .getField("cid").cast(IntegerType).as("cell"))
+          .repartition(col("cell")) // one clustered file per cell
+          .sortWithinPartitions(col("cell"), col("vec_id"))
+          .write.mode("overwrite").partitionBy("cell").parquet(parts("cells"))
+        Map.empty
+      }.parts("cells"))
     serveIvfFromStore(spark, emb, storeDir, codebook, k, nQueries, nProbe)
   }
 
@@ -1197,7 +1201,8 @@ object Similarity {
         .select(col("qid"), col("vec_id")),
       k, nQueries)
 
-  /** One materialized PQ code store per (dir, nCells, m) per JVM. */
+  /** Session memo of resolved PQ code stores per (dir, nCells, m); the
+    * store lives in the persistent [[graft.StoreCatalog]]. */
   private val pqStores =
     new scala.collection.concurrent.TrieMap[(String, Int, Int), String]()
   private[graft] def pqStoreDirFor(dir: String, nCells: Int = 8,
@@ -1229,12 +1234,15 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val cslice = pqSlices(codebook, sub)
-    val storeDir = pqStores.getOrElseUpdate((dir, nCells, m), {
-      val sd = java.nio.file.Files.createTempDirectory("pq_code_store").toString
-      emb.select(col("vec_id") +: pqCodeCols(cslice, m, sub): _*)
-        .write.mode("overwrite").parquet(sd)
-      sd
-    })
+    val storeDir = pqStores.getOrElseUpdate((dir, nCells, m),
+      graft.StoreCatalog.getOrBuild(spark, "pq_codes",
+        Seq(s"$dir/embeddings.parquet"),
+        Seq("nCells" -> nCells.toString, "m" -> m.toString),
+        Seq("codes")) { parts =>
+        emb.select(col("vec_id") +: pqCodeCols(cslice, m, sub): _*)
+          .write.mode("overwrite").parquet(parts("codes"))
+        Map.empty
+      }.parts("codes"))
     servePqFromStore(spark, dir, emb, storeDir, cslice, m, sub,
       k, nQueries, budget)
   }
@@ -1664,10 +1672,10 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** One materialized graph store per (fixture dir, deg) per JVM (the
-    * dedupStores memoization contract; keyed on the index config — the
-    * lshStores precedent — so a non-default deg never serves the
-    * default build). */
+  /** Session memo of resolved graph stores per (fixture dir, deg); the
+    * store lives in the persistent [[graft.StoreCatalog]] (keyed on the
+    * index config so a non-default deg never serves the default
+    * build). */
   private val graphStores =
     new scala.collection.concurrent.TrieMap[(String, Int), String]()
   private[graft] val GraphStoreBuckets = 64
@@ -1699,19 +1707,23 @@ object Similarity {
                                k: Int = 3): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val n = emb.count()
-    val storeDir = graphStores.getOrElseUpdate((dir, deg), {
-      val sd = java.nio.file.Files.createTempDirectory("knn_graph_store").toString
-      knnGraph(spark, dir, deg)
-        .select(col("src"), col("dst"))
-        .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")),
-          "dst")
-        .withColumn("gbucket",
-          pmod(col("src"), lit(GraphStoreBuckets.toLong)).cast(IntegerType))
-        .repartition(col("gbucket")) // one file per bucket, src-sorted
-        .sortWithinPartitions(col("gbucket"), col("src"))
-        .write.mode("overwrite").partitionBy("gbucket").parquet(sd)
-      sd
-    })
+    val storeDir = graphStores.getOrElseUpdate((dir, deg),
+      graft.StoreCatalog.getOrBuild(spark, "knn_graph",
+        Seq(s"$dir/embeddings.parquet"),
+        Seq("deg" -> deg.toString,
+          "buckets" -> GraphStoreBuckets.toString),
+        Seq("edges")) { parts =>
+        knnGraph(spark, dir, deg)
+          .select(col("src"), col("dst"))
+          .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")),
+            "dst")
+          .withColumn("gbucket",
+            pmod(col("src"), lit(GraphStoreBuckets.toLong)).cast(IntegerType))
+          .repartition(col("gbucket")) // one file per bucket, src-sorted
+          .sortWithinPartitions(col("gbucket"), col("src"))
+          .write.mode("overwrite").partitionBy("gbucket").parquet(parts("edges"))
+        Map.empty
+      }.parts("edges"))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
       .localCheckpoint(true)
@@ -1972,13 +1984,20 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** One materialized HNSW hierarchy store per (fixture dir, deg) per
-    * JVM — (store dir, max populated level). The [[graphStores]]
-    * memoization contract, keyed on the index config. */
+  /** Session memo of resolved HNSW hierarchy stores per (fixture dir,
+    * deg) — (store dir, max populated level); the hierarchy lives in
+    * the persistent [[graft.StoreCatalog]], max level in its
+    * manifest. */
   private val hnswStores =
     new scala.collection.concurrent.TrieMap[(String, Int), (String, Int)]()
   private[graft] def hnswStoreFor(dir: String, deg: Int = 8): Option[(String, Int)] =
     hnswStores.get((dir, deg))
+
+  /** Forget this session's resolved store handles (catalog + disk stay):
+    * the cross-session spec's fresh-JVM simulation hook. */
+  private[graft] def dropStoreMemos(): Unit = {
+    ivfStores.clear(); pqStores.clear(); graphStores.clear(); hnswStores.clear()
+  }
 
   /** The pruned hierarchy read: ONE layer, frontier-many buckets. Both
     * `lvl` and `gbucket` are partition columns, so the equality and the
@@ -2001,29 +2020,38 @@ object Similarity {
   private[graft] def buildHnswStore(spark: SparkSession, dir: String,
                                     deg: Int): (String, Int) =
     hnswStores.getOrElseUpdate((dir, deg), {
-      val emb = Tables.loadWide(spark, dir, "embeddings")
-      val lvl = emb.select(col("vec_id"), col("embedding"),
-        hnswLevelCol(col("vec_id")).as("lvl")).localCheckpoint(true)
-      val maxl = lvl.agg(max(col("lvl"))).collect()(0).getInt(0)
-      val dstEmb = emb.select(col("vec_id").as("dst"),
-        col("embedding").as("dst_emb"))
-      val layers = (0 to maxl).map { l =>
-        val nodes = lvl.filter(col("lvl") >= l)
-          .select(col("vec_id"), col("embedding"))
-        knnGraphFrom(nodes, deg, adaptiveBits(nodes.count()))
-          .select(col("src"), col("dst"))
-          .join(dstEmb, "dst")
-          .select(col("src"), col("dst"), col("dst_emb"),
-            lit(l).as("lvl"))
+      val h = graft.StoreCatalog.getOrBuild(spark, "hnsw_hierarchy",
+        Seq(s"$dir/embeddings.parquet"),
+        Seq("deg" -> deg.toString,
+          "buckets" -> GraphStoreBuckets.toString),
+        Seq("edges")) { parts =>
+        val emb = Tables.loadWide(spark, dir, "embeddings")
+        val lvl = emb.select(col("vec_id"), col("embedding"),
+          hnswLevelCol(col("vec_id")).as("lvl")).localCheckpoint(true)
+        val maxl = lvl.agg(max(col("lvl"))).collect()(0).getInt(0)
+        val dstEmb = emb.select(col("vec_id").as("dst"),
+          col("embedding").as("dst_emb"))
+        val layers = (0 to maxl).map { l =>
+          val nodes = lvl.filter(col("lvl") >= l)
+            .select(col("vec_id"), col("embedding"))
+          knnGraphFrom(nodes, deg, adaptiveBits(nodes.count()))
+            .select(col("src"), col("dst"))
+            .join(dstEmb, "dst")
+            .select(col("src"), col("dst"), col("dst_emb"),
+              lit(l).as("lvl"))
+        }
+        layers.reduce(_ unionByName _)
+          .withColumn("gbucket",
+            pmod(col("src"), lit(GraphStoreBuckets.toLong)).cast(IntegerType))
+          .repartition(col("lvl"), col("gbucket")) // one file per partition
+          .sortWithinPartitions(col("lvl"), col("gbucket"), col("src"))
+          .write.mode("overwrite").partitionBy("lvl", "gbucket")
+          .parquet(parts("edges"))
+        // max populated level is store METADATA fixed at build — a serve
+        // session reads it from the manifest, never recomputes it
+        Map("maxl" -> maxl.toString)
       }
-      val sd = java.nio.file.Files.createTempDirectory("hnsw_store").toString
-      layers.reduce(_ unionByName _)
-        .withColumn("gbucket",
-          pmod(col("src"), lit(GraphStoreBuckets.toLong)).cast(IntegerType))
-        .repartition(col("lvl"), col("gbucket")) // one file per partition
-        .sortWithinPartitions(col("lvl"), col("gbucket"), col("src"))
-        .write.mode("overwrite").partitionBy("lvl", "gbucket").parquet(sd)
-      (sd, maxl)
+      (h.parts("edges"), h.meta("maxl").toInt)
     })
 
   /** [[hnswSearch]] served from the MATERIALIZED hierarchy — the

@@ -733,6 +733,10 @@ object TextAnalytics {
   private[graft] def bm25StoreFor(dir: String): Option[(String, String)] =
     bm25Stores.get(dir)
 
+  /** Forget this session's resolved store handles (catalog + disk stay):
+    * the cross-session spec's fresh-JVM simulation hook. */
+  private[graft] def dropStoreMemos(): Unit = bm25Stores.clear()
+
   /** Driver-side twin of the native polyHash bucket — produces the
     * query's bucket set (O(nTerms) ints of control state) for the
     * static partition filter. Must stay formula-identical to
@@ -747,26 +751,33 @@ object TextAnalytics {
     * term's rows are one directory listing + a word-range row-group
     * read; doc lengths land beside them. At 100 TB the postings store
     * is the big artifact and this layout is why serving stays
-    * O(query terms), never O(vocabulary). */
+    * O(query terms), never O(vocabulary). The store persists in the
+    * [[graft.StoreCatalog]] — built once per corpus LIFETIME, served by
+    * any later session with zero rebuild. */
   private[graft] def buildBm25Store(spark: SparkSession,
                                     dir: String): (String, String) =
     bm25Stores.getOrElseUpdate(dir, {
-      val pd = java.nio.file.Files.createTempDirectory("bm25_postings").toString
-      val dd = java.nio.file.Files.createTempDirectory("bm25_docs").toString
-      val tokens = Tables.loadWide(spark, dir, "documents")
-        .select(col("doc_id"), explode(words(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-      tokens.groupBy(col("word"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("tbucket",
-          pmod(Dedup.chash(col("word")), lit(PostingsBuckets.toLong))
-            .cast(org.apache.spark.sql.types.IntegerType))
-        .repartition(col("tbucket"))
-        .sortWithinPartitions(col("tbucket"), col("word"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("tbucket").parquet(pd)
-      tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        .coalesce(1).write.mode("overwrite").parquet(dd)
-      (pd, dd)
+      val h = graft.StoreCatalog.getOrBuild(spark, "bm25_postings",
+        Seq(s"$dir/documents.parquet"),
+        Seq("buckets" -> PostingsBuckets.toString),
+        Seq("postings", "docs")) { parts =>
+        val tokens = Tables.loadWide(spark, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+        tokens.groupBy(col("word"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("tbucket",
+            pmod(Dedup.chash(col("word")), lit(PostingsBuckets.toLong))
+              .cast(org.apache.spark.sql.types.IntegerType))
+          .repartition(col("tbucket"))
+          .sortWithinPartitions(col("tbucket"), col("word"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("tbucket")
+          .parquet(parts("postings"))
+        tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+          .coalesce(1).write.mode("overwrite").parquet(parts("docs"))
+        Map.empty
+      }
+      (h.parts("postings"), h.parts("docs"))
     })
 
   /** The pruned postings read — `tbucket` is the partition column, so

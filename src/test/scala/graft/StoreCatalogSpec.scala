@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalytics}
+
+/** The persistent-store contract: an index store is built ONCE per corpus
+  * lifetime and any later session serves it with ZERO rebuild — the
+  * embedded analogue of a create-if-absent vector index service
+  * (reference: src/pinecone_utils.py:30-40). */
+class StoreCatalogSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private def dropAllMemos(): Unit = {
+    Similarity.dropStoreMemos()
+    TextAnalytics.dropStoreMemos()
+    StoreCatalog.dropSessionMemo()
+  }
+
+  test("a SECOND session serves hnsw/bm25/ivf/graph/pq stores from disk " +
+    "with zero rebuild and identical results") {
+    val dir = TestSession.sfDir
+    val root = Files.createTempDirectory("catalog_spec_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    dropAllMemos()
+    try {
+      def runAll(s: org.apache.spark.sql.SparkSession) = Map(
+        "hnsw" -> Similarity.hnswSearchFromStore(s, dir, nQueries = 3,
+          stepsUpper = 2, beamWidth = 2, steps = 2).collect().toSeq,
+        "beam" -> Similarity.graphBeamSearchFromStore(s, dir, nQueries = 3,
+          beamWidth = 2, steps = 2).collect().toSeq,
+        "ivf" -> Similarity.ivfTopKFromStore(s, dir, nQueries = 5)
+          .collect().toSeq,
+        "pq" -> Similarity.pqRerankFromStore(s, dir, nQueries = 5)
+          .collect().toSeq,
+        "bm25" -> TextAnalytics.bm25SearchFromStore(s, dir)
+          .collect().toSeq)
+
+      // session 1: indexing — every store builds exactly once
+      val before = StoreCatalog.buildCount.get()
+      val built = runAll(spark)
+      val afterBuild = StoreCatalog.buildCount.get()
+      assert(afterBuild - before == 5,
+        s"expected 5 store builds, got ${afterBuild - before}")
+      assert(built.values.forall(_.nonEmpty))
+
+      // the stores landed under the catalog root with manifests
+      val stores = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      assert(stores.length == 5, stores.map(_.getName).mkString(","))
+      stores.foreach { f =>
+        assert(new java.io.File(f, "_graft_manifest.properties").exists(),
+          s"no manifest in ${f.getName}")
+      }
+
+      // "fresh JVM": drop every in-memory handle, open a SECOND session
+      dropAllMemos()
+      val session2 = spark.newSession()
+      session2.conf.set(key, root)
+      val served = runAll(session2)
+      assert(StoreCatalog.buildCount.get() == afterBuild,
+        "a second session rebuilt a store the catalog already holds")
+      assert(served == built, "served results differ from the build session")
+    } finally {
+      dropAllMemos()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("create-if-absent: same (source, config) resolves to the same store; " +
+    "a config change or a source-file change rebuilds") {
+    val root = Files.createTempDirectory("catalog_unit_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    try {
+      val src = Files.createTempDirectory("catalog_src")
+      Files.write(src.resolve("data.bin"), Array.fill(64)(7.toByte))
+      def resolve(tag: String) = {
+        StoreCatalog.dropSessionMemo()
+        StoreCatalog.getOrBuild(spark, "unit", Seq(src.toString),
+          Seq("tag" -> tag), Seq("part")) { parts =>
+          Files.createDirectories(Paths.get(parts("part")))
+          Files.write(Paths.get(parts("part"), "x"), "x".getBytes)
+          Map("note" -> tag)
+        }
+      }
+      val b0 = StoreCatalog.buildCount.get()
+      val h1 = resolve("a")
+      assert(StoreCatalog.buildCount.get() == b0 + 1)
+      assert(h1.meta("note") == "a" && Files.exists(Paths.get(h1.parts("part"))))
+      // same source+config, fresh memo: discovered from disk, no rebuild
+      val h2 = resolve("a")
+      assert(StoreCatalog.buildCount.get() == b0 + 1)
+      assert(h2.dir == h1.dir)
+      // different config: a DIFFERENT store (the first one untouched)
+      val h3 = resolve("b")
+      assert(StoreCatalog.buildCount.get() == b0 + 2)
+      assert(h3.dir != h1.dir)
+      // source change (mtime flip): fingerprint mismatch, in-place rebuild
+      Files.setLastModifiedTime(src.resolve("data.bin"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(src.resolve("data.bin")).toMillis + 5000))
+      val h4 = resolve("a")
+      assert(StoreCatalog.buildCount.get() == b0 + 3)
+      assert(h4.dir == h1.dir, "a stale store must rebuild IN PLACE")
+    } finally {
+      StoreCatalog.dropSessionMemo()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("a crashed build publishes nothing; the next resolve builds cleanly") {
+    val root = Files.createTempDirectory("catalog_crash_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    try {
+      val src = Files.createTempDirectory("catalog_crash_src")
+      Files.write(src.resolve("d"), "d".getBytes)
+      intercept[RuntimeException] {
+        StoreCatalog.getOrBuild(spark, "crash", Seq(src.toString),
+          Nil, Seq("part")) { _ => throw new RuntimeException("boom") }
+      }
+      StoreCatalog.dropSessionMemo()
+      // no half-published store directory is visible
+      val visible = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      assert(visible.isEmpty, visible.map(_.getName).mkString(","))
+      val h = StoreCatalog.getOrBuild(spark, "crash", Seq(src.toString),
+        Nil, Seq("part")) { parts =>
+        Files.createDirectories(Paths.get(parts("part")))
+        Map.empty
+      }
+      assert(Files.exists(Paths.get(h.dir, "_graft_manifest.properties")))
+    } finally {
+      StoreCatalog.dropSessionMemo()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
