@@ -1682,6 +1682,38 @@ object Similarity {
   private[graft] def graphStoreDirFor(dir: String, deg: Int = 8): Option[String] =
     graphStores.get((dir, deg))
 
+  /** Collect the superstep's beam ONCE — O(nQueries·width) (qid, node)
+    * rows, the bounded driver-control-state class — returning the rows
+    * plus the frontier's bucket set derived DRIVER-SIDE from them. This
+    * is the single action a store-served superstep pays: it also
+    * materializes the previous round's lazily checkpointed visited set,
+    * so the per-superstep job count drops from three (eager beam
+    * checkpoint + bucket distinct-collect + eager visited checkpoint)
+    * to one — the serve-latency floor at any store size, since the
+    * store read itself is partition-pruned to these buckets. */
+  private[graft] def collectBeam(visited: DataFrame,
+                                 width: Int): (Array[(Long, Long)], Seq[Int]) = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("node"))
+    val rows = visited.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= width).select(col("qid"), col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // node ids are non-negative, so % == pmod here
+    val buckets = rows.map(t => (t._2 % GraphStoreBuckets).toInt)
+      .toSeq.distinct.sorted
+    (rows, buckets)
+  }
+
+  /** The collected beam fed back as a LOCAL relation — plan-embedded
+    * data for the broadcast side of the superstep's edge join: no job,
+    * no shuffle, no re-run of the windowed beam. */
+  private[graft] def beamFrame(spark: SparkSession,
+                               rows: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("qid", "node")
+  }
+
   /** The pruned edge read: only the partitions holding the frontier's
     * buckets are listed and scanned — the store-serve analogue of
     * StreamOps.prunedSeenFps, exposed for the plan spec. */
@@ -1735,18 +1767,14 @@ object Similarity {
       .select(col("qid"), col("node"),
         cosine(col("q_emb"), col("e_emb")).as("score"))
       .filter(col("score").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // the first beam collect materializes it
     val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
     for (_ <- 1 to steps) {
-      val beam = visited.withColumn("rn", row_number().over(wb))
-        .filter(col("rn") <= beamWidth).select(col("qid"), col("node"))
-        .localCheckpoint(true) // two consumers: the bucket probe + the join
-      // frontier bucket set: O(nQueries·beamWidth) ints of control state
-      val buckets = beam
-        .select(pmod(col("node"), lit(GraphStoreBuckets.toLong))
-          .cast(IntegerType).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      val expanded = beam
+      // ONE action per superstep: collect the beam (bounded control
+      // state), derive the bucket set driver-side, feed the beam back
+      // as a broadcast local relation
+      val (beamRows, buckets) = collectBeam(visited, beamWidth)
+      val expanded = broadcast(beamFrame(spark, beamRows))
         .join(prunedGraphEdges(spark, storeDir, buckets),
           col("node") === col("src"))
         .filter(col("dst") =!= col("qid"))
@@ -1754,7 +1782,8 @@ object Similarity {
         .select(col("qid"), col("dst").as("node"),
           cosine(col("q_emb"), col("dst_emb")).as("score"))
         .filter(col("score").isNotNull)
-      visited = visited.union(expanded).distinct().localCheckpoint(true)
+      visited = visited.union(expanded).distinct()
+        .localCheckpoint(eager = false) // the next collect materializes it
     }
     visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("node"), col("score"))
@@ -2084,20 +2113,16 @@ object Similarity {
       .select(col("qid"), col("node"),
         cosine(col("q_emb"), col("e_emb")).as("score"))
       .filter(col("score").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // the first beam collect materializes it
     val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
     val phases =
       (maxl to 1 by -1).map(l => (l, 1, stepsUpper)) :+ ((0, beamWidth, steps))
     for ((l, width, s) <- phases; _ <- 1 to s) {
-      val beam = visited.withColumn("rn", row_number().over(wb))
-        .filter(col("rn") <= width).select(col("qid"), col("node"))
-        .localCheckpoint(true) // two consumers: the bucket probe + the join
-      // frontier bucket set: O(nQueries·width) ints of control state
-      val buckets = beam
-        .select(pmod(col("node"), lit(GraphStoreBuckets.toLong))
-          .cast(IntegerType).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      val expanded = beam
+      // ONE action per superstep: collect the beam (bounded control
+      // state), derive the bucket set driver-side, feed the beam back
+      // as a broadcast local relation
+      val (beamRows, buckets) = collectBeam(visited, width)
+      val expanded = broadcast(beamFrame(spark, beamRows))
         .join(prunedHnswEdges(spark, storeDir, l, buckets),
           col("node") === col("src"))
         .filter(col("dst") =!= col("qid"))
@@ -2105,7 +2130,8 @@ object Similarity {
         .select(col("qid"), col("dst").as("node"),
           cosine(col("q_emb"), col("dst_emb")).as("score"))
         .filter(col("score").isNotNull)
-      visited = visited.union(expanded).distinct().localCheckpoint(true)
+      visited = visited.union(expanded).distinct()
+        .localCheckpoint(eager = false) // the next collect materializes it
     }
     visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("node"), col("score"))

@@ -1703,17 +1703,15 @@ object StreamOps {
         graft.functions.VectorFunctions.cosine(
           col("q_emb"), col("e_emb")).as("score"))
       .filter(col("score").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // the first beam collect materializes it
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
     for (_ <- 1 to steps) {
-      val beam = visited.withColumn("rn", row_number().over(wb))
-        .filter(col("rn") <= beamWidth).select(col("qid"), col("node"))
-        .localCheckpoint(true) // two consumers: bucket probe + the join
-      val buckets = beam
-        .select(pmod(col("node"), lit(gb)).cast(IntegerType).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      val expanded = beam
+      // ONE action per superstep: collect the beam (bounded control
+      // state), derive the bucket set driver-side, feed the beam back
+      // as a broadcast local relation
+      val (beamRows, buckets) = Similarity.collectBeam(visited, beamWidth)
+      val expanded = broadcast(Similarity.beamFrame(spark, beamRows))
         .join(prunedGraphStoreEdges(spark, edgeDir, buckets),
           col("node") === col("src"))
         .filter(col("dst") =!= col("qid"))
@@ -1723,7 +1721,8 @@ object StreamOps {
           graft.functions.VectorFunctions.cosine(
             col("q_emb"), col("dst_emb")).as("score"))
         .filter(col("score").isNotNull)
-      visited = visited.union(expanded).distinct().localCheckpoint(true)
+      visited = visited.union(expanded).distinct()
+        .localCheckpoint(eager = false) // the next collect materializes it
     }
     visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("node"), col("score"))
@@ -2113,7 +2112,7 @@ object StreamOps {
         graft.functions.VectorFunctions.cosine(
           col("q_emb"), col("e_emb")).as("score"))
       .filter(col("score").isNotNull)
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // the first beam collect materializes it
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
     val phases =
@@ -2121,13 +2120,11 @@ object StreamOps {
     for ((l, width, s) <- phases; _ <- 1 to s) {
       val edgeDir = stores(l)._2
       if (storeNonEmpty(edgeDir)) { // empty layer graph = no-op steps
-        val beam = visited.withColumn("rn", row_number().over(wb))
-          .filter(col("rn") <= width).select(col("qid"), col("node"))
-          .localCheckpoint(true) // two consumers: bucket probe + join
-        val buckets = beam
-          .select(pmod(col("node"), lit(gb)).cast(IntegerType).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        val expanded = beam
+        // ONE action per superstep: collect the beam (bounded control
+        // state), derive the bucket set driver-side, feed the beam back
+        // as a broadcast local relation
+        val (beamRows, buckets) = Similarity.collectBeam(visited, width)
+        val expanded = broadcast(Similarity.beamFrame(spark, beamRows))
           .join(prunedGraphStoreEdges(spark, edgeDir, buckets),
             col("node") === col("src"))
           .filter(col("dst") =!= col("qid"))
@@ -2137,7 +2134,8 @@ object StreamOps {
             graft.functions.VectorFunctions.cosine(
               col("q_emb"), col("dst_emb")).as("score"))
           .filter(col("score").isNotNull)
-        visited = visited.union(expanded).distinct().localCheckpoint(true)
+        visited = visited.union(expanded).distinct()
+          .localCheckpoint(eager = false) // the next collect materializes it
       }
     }
     visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= k)

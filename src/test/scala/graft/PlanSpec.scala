@@ -434,4 +434,121 @@ class PlanSpec extends AnyFunSuite {
       assert(r.getLong(0) <= 63 && r.getLong(1) <= 127)
     }
   }
+
+  test("store-served beam walk: marginal driver cost is ~one action per extra superstep") {
+    import graft.operators.Similarity
+    // Count Spark jobs via job groups (statusTracker lags the listener
+    // bus, so poll until two consecutive reads agree).
+    def countJobs(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      val group = "jobcount-" + java.util.UUID.randomUUID()
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      var prev = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      var waited = 0
+      while (cur != prev && waited < 10000) {
+        Thread.sleep(200); waited += 200
+        prev = cur
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    // store pre-built (earlier suite tests + the warm call): both counted
+    // runs are serve-only
+    Similarity.graphBeamSearchFromStore(spark, sfDir, nQueries = 3,
+      beamWidth = 2, steps = 2).collect()
+    def serve(steps: Int): Int = countJobs {
+      Similarity.graphBeamSearchFromStore(spark, sfDir, nQueries = 3,
+        beamWidth = 2, steps = steps).collect()
+    }
+    // AQE turns each query stage into its own scheduler job, which hides
+    // the action structure — switch it off so the remaining jobs are the
+    // action + its broadcast builds (results are plan-identical either
+    // way; other specs assert that)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val (j2, j5, jOld2, jOld5) =
+      try (serve(2), serve(5), serveOldStyle(2), serveOldStyle(5))
+      finally spark.conf.set(key, prev)
+    // the folded superstep is ONE synchronous action (the beam collect,
+    // which also materializes the previous round's lazily checkpointed
+    // visited set); the pre-fold shape paid three (eager beam
+    // checkpoint + bucket distinct-collect + eager visited checkpoint).
+    // Broadcast-build jobs are common to both, so compare marginals.
+    val marginal = (j5 - j2).toDouble / 3
+    val marginalOld = (jOld5 - jOld2).toDouble / 3
+    assert(marginal < marginalOld,
+      s"fold regressed: $marginal jobs/step (new) vs $marginalOld (old); " +
+        s"new=($j2,$j5) old=($jOld2,$jOld5)")
+  }
+
+  /** The PRE-FOLD store-served superstep, kept here as the regression
+    * reference: eager beam checkpoint, bucket set via a second action
+    * (distinct+collect), eager visited checkpoint — 3 driver-
+    * synchronized actions per superstep where the production fold pays
+    * one. Same walk, same store, same results. */
+  private def serveOldStyle(steps: Int): Int = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine
+    import org.apache.spark.sql.expressions.Window
+    val nQueries = 3
+    val beamWidth = 2
+    val storeDir = Similarity.graphStoreDirFor(sfDir).get
+    val emb = graft.Tables.loadWide(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val gb = Similarity.GraphStoreBuckets.toLong
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+    val entryIds = (0 until 8).map(i => nQueries + i.toLong * (n - nQueries) / 8)
+    val entries = emb.filter(col("vec_id").isin(entryIds: _*))
+      .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
+    countJobsShared {
+      var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
+        .select(col("qid"), col("node"),
+          cosine(col("q_emb"), col("e_emb")).as("score"))
+        .filter(col("score").isNotNull)
+        .localCheckpoint(true)
+      val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+      for (_ <- 1 to steps) {
+        val beam = visited.withColumn("rn", row_number().over(wb))
+          .filter(col("rn") <= beamWidth).select(col("qid"), col("node"))
+          .localCheckpoint(true)
+        val buckets = beam
+          .select(pmod(col("node"), lit(gb))
+            .cast(org.apache.spark.sql.types.IntegerType).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val expanded = beam
+          .join(Similarity.prunedGraphEdges(spark, storeDir, buckets),
+            col("node") === col("src"))
+          .filter(col("dst") =!= col("qid"))
+          .join(queries, "qid")
+          .select(col("qid"), col("dst").as("node"),
+            cosine(col("q_emb"), col("dst_emb")).as("score"))
+          .filter(col("score").isNotNull)
+        visited = visited.union(expanded).distinct().localCheckpoint(true)
+      }
+      visited.withColumn("rn", row_number().over(wb)).filter(col("rn") <= 3)
+        .select(col("qid"), col("rn"), col("node"), col("score"))
+        .orderBy(col("qid"), col("rn")).collect()
+    }
+  }
+
+  private def countJobsShared(body: => Unit): Int = {
+    val sc = spark.sparkContext
+    val group = "jobcount-" + java.util.UUID.randomUUID()
+    sc.setJobGroup(group, group)
+    try body finally sc.clearJobGroup()
+    var prev = -1
+    var cur = sc.statusTracker.getJobIdsForGroup(group).length
+    var waited = 0
+    while (cur != prev && waited < 10000) {
+      Thread.sleep(200); waited += 200
+      prev = cur
+      cur = sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    cur
+  }
 }
