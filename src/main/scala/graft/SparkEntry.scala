@@ -167,6 +167,9 @@ object SparkEntry {
     // PQ served from the codes-only store: encode once, ADC-scan the
     // m-small-codes rows, exact-rerank the shortlist
     "vector_pq_store" -> ((s, d) => Similarity.pqRerankFromStore(s, d)),
+    // dimension generality, driver-enforced: PQ at the production MiniLM
+    // width over a synthetic corpus both engines derive in closed form
+    "vector_pq_topk_d384" -> ((s, _) => Similarity.pqRerankTopKD384(s)),
     // the same serve off the stream-accumulated cell store
     "stream_ivf_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamIvfTopKQuery(s, d)),
@@ -515,6 +518,7 @@ object SparkEntry {
     "vector_ivf_trained_store" -> Similarity.ivfTrainedTopKSql(),
     // the code-store serve is contract-equal to the in-plan PQ+rerank
     "vector_pq_store" -> Similarity.pqRerankTopKSql(),
+    "vector_pq_topk_d384" -> Similarity.pqRerankTopKD384Sql(),
     "stream_ivf_store" ->
       graft.streaming.StreamOps.streamIvfTopKOracleSql(),
     "stream_pq_store" ->

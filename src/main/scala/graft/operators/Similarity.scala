@@ -1052,7 +1052,8 @@ object Similarity {
 
   /** The cb → enc → scored → ranked CTE chain shared by the plain-ADC
     * and rerank forms. */
-  private def pqCtes(nQueries: Int, nCells: Int, m: Int, dim: Int): String = {
+  private def pqCtes(nQueries: Int, nCells: Int, m: Int, dim: Int,
+                     src: String = "embeddings"): String = {
     val sub = dim / m
     def slc(c: String, j: Int): String = s"$c[${j * sub + 1}:${(j + 1) * sub}]"
     val encCtes = (0 until m).map { j =>
@@ -1060,19 +1061,19 @@ object Similarity {
             SELECT e.vec_id, cb.cid,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY ${l2Sql(slc("e.embedding", j), slc("cb.embedding", j))}, cb.cid) AS rn
-            FROM embeddings e CROSS JOIN cb) t$j WHERE rn = 1)"""
+            FROM $src e CROSS JOIN cb) t$j WHERE rn = 1)"""
     }.mkString(",\n        ")
     val encJoin = (1 until m).map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
     val cbJoins = (0 until m).map(j => s"JOIN cb c$j ON c$j.cid = e.code$j").mkString(" ")
     val scoreSum = (0 until m).map { j =>
       s"(${dotSql(slc("q.embedding", j), slc(s"c$j.embedding", j))})"
     }.mkString(" + ")
-    s"""cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+    s"""cb AS (SELECT vec_id AS cid, embedding FROM $src
                     WHERE vec_id < $nCells),
         $encCtes,
         enc AS (SELECT * FROM enc0 $encJoin),
         scored AS (SELECT q.vec_id AS qid, e.vec_id, $scoreSum AS score
-                   FROM enc e CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                   FROM enc e CROSS JOIN (SELECT vec_id, embedding FROM $src
                                           WHERE vec_id < $nQueries) q
                    $cbJoins
                    WHERE e.vec_id <> q.vec_id),
@@ -1283,18 +1284,66 @@ object Similarity {
     pqSlices(codebook, dim / m)
 
   def pqRerankTopKSql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
-                      m: Int = 4, dim: Int = 64, budget: Int = 32): String =
-    s"""WITH ${pqCtes(nQueries, nCells, m, dim)},
+                      m: Int = 4, dim: Int = 64, budget: Int = 32,
+                      src: String = "embeddings",
+                      prefixCtes: String = ""): String =
+    s"""WITH $prefixCtes${pqCtes(nQueries, nCells, m, dim, src)},
         cand AS (SELECT qid, vec_id FROM ranked WHERE rn <= $budget),
         ex AS (SELECT cand.qid, cand.vec_id,
                       ${cosineSql("q.embedding", "e.embedding")} AS score
                FROM cand
-               JOIN embeddings e ON e.vec_id = cand.vec_id
-               JOIN embeddings q ON q.vec_id = cand.qid),
+               JOIN $src e ON e.vec_id = cand.vec_id
+               JOIN $src q ON q.vec_id = cand.qid),
         r2 AS (SELECT qid, vec_id, score,
                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
                FROM ex WHERE score IS NOT NULL)
         SELECT qid, rn, vec_id, score FROM r2 WHERE rn <= $k"""
+
+  /** DIMENSION GENERALITY, driver-enforced: [[pqRerankTopK]] at the
+    * production MiniLM width (dim = 384) over a synthetic corpus both
+    * engines derive from the SAME closed-form integer expression —
+    * emb[j](i) = ((i*31 + j*17 + (i*j) % 29) % 13) - 6 as float, exact
+    * on both sides — so the PQ slice/encode/ADC/rerank path is checked
+    * at a non-default width every round, not just in the test suite.
+    * The engine persists the corpus once per session
+    * ([[d384Dir]]); the oracle derives it as a CTE. */
+  def pqRerankTopKD384(spark: SparkSession, k: Int = 3, nQueries: Int = 10,
+                       nCells: Int = 8, m: Int = 4,
+                       budget: Int = 32): DataFrame =
+    pqRerankTopK(spark, d384Dir(spark), k, nQueries, nCells, m,
+      dim = 384, budget = budget)
+
+  private[graft] val D384N = 400
+  private val d384Dirs =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  /** The persisted synthetic dim-384 corpus (one parquet per session —
+    * harness staging, not a query path). */
+  private[graft] def d384Dir(spark: SparkSession): String =
+    d384Dirs.getOrElseUpdate("d384", {
+      val dir = java.nio.file.Files.createTempDirectory("graft_d384").toString
+      spark.range(D384N)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(383)), j =>
+            (((col("id") * 31 + j.cast("long") * 17 + (col("id") * j) % 29)
+              % 13) - 6).cast("float")).as("embedding"),
+          (col("id") % 3).cast(IntegerType).as("label"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    })
+
+  def pqRerankTopKD384Sql(k: Int = 3, nQueries: Int = 10, nCells: Int = 8,
+                          m: Int = 4, budget: Int = 32): String = {
+    val cte =
+      s"""emb384 AS (SELECT CAST(i AS BIGINT) AS vec_id,
+            list_transform(generate_series(0, 383),
+              j -> CAST(((i*31 + j*17 + (i*j) % 29) % 13) - 6 AS FLOAT))
+              AS embedding
+          FROM generate_series(0, ${D384N - 1}) t(i)),
+        """
+    pqRerankTopKSql(k, nQueries, nCells, m, dim = 384, budget = budget,
+      src = "emb384", prefixCtes = cte)
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): treat cosine-near-duplicate EMBEDDINGS as the
