@@ -36,13 +36,15 @@ object RecallProbe {
     * ±1/8 — intra-cluster cosine >> inter-cluster cosine. */
   private def clusteredFixtureDir(spark: SparkSession, n: Int = 2000,
                                   dim: Int = 64,
-                                  nClusters: Int = 16): String = {
+                                  nClusters: Int = 16,
+                                  noiseRange: Long = 257L): String = {
     import spark.implicits._
+    val half = (noiseRange / 2).toInt
     val rows = (0L until n.toLong).map { i =>
       val c = (i % nClusters).toLong
       val emb = Array.tabulate(dim) { j =>
         val center = (Math.floorMod(mix64(c * 1000003L + j), 2048L) - 1024L) / 1024.0f
-        val noise = (Math.floorMod(mix64(i * 7919L + j + 17), 257L) - 128L) / 1024.0f
+        val noise = (Math.floorMod(mix64(i * 7919L + j + 17), noiseRange) - half) / 1024.0f
         center + noise
       }
       (i, emb, (i % 3).toInt)
@@ -171,5 +173,34 @@ object RecallProbe {
     val hn = hnswRows.map(r => (r._1, r._3)).toSet
     val h1 = hnswRows.filter(_._2 == 1).map(r => (r._1, r._3)).toSet
     println(f"| graph_hnsw_search (hierarchy routing, beam 8, 8 steps) | ${(exact & hn).size.toDouble / exact.size}%.3f @$k, ${(exact1 & h1).size.toDouble / exact1.size}%.3f @1 |")
+    // IVF seeded vs TRAINED codebook at EQUAL nProbe — the README claim
+    // "on clustered embeddings training raises recall at equal nProbe",
+    // measured (published either way it comes out) on TWO geometries:
+    // the well-separated fixture above, and a BLURRED variant (noise
+    // ±1/2 vs center spread ~±1) where clusters overlap and cell
+    // boundaries cut through mass — the regime where codebook placement
+    // can matter at all. On well-separated clusters assignment
+    // co-locates each whole cluster with its neighbors no matter where
+    // the centroids sit, so any codebook is recall-perfect there.
+    val blurDir = clusteredFixtureDir(spark, noiseRange = 1025L)
+    val dissDir = clusteredFixtureDir(spark, noiseRange = 2049L)
+    val dissExact = resultSet(Similarity.topK(spark, dissDir, k = k,
+      nQueries = nQ))
+    val blurExact = resultSet(Similarity.topK(spark, blurDir, k = k,
+      nQueries = nQ))
+    for ((tag, dirX, ex) <- Seq(("separated", cdir, exact),
+           ("blurred", blurDir, blurExact),
+           ("dissolved", dissDir, dissExact));
+         nc <- Seq(8, 16); np <- Seq(1, 2)) {
+      val seed = resultSet(Similarity.ivfTopK(spark, dirX, k = k,
+        nQueries = nQ, nCells = nc, nProbe = np))
+      val t1 = resultSet(Similarity.ivfTrainedTopK(spark, dirX, k = k,
+        nQueries = nQ, nCells = nc, nProbe = np, iters = 1))
+      val t3 = resultSet(Similarity.ivfTrainedTopK(spark, dirX, k = k,
+        nQueries = nQ, nCells = nc, nProbe = np, iters = 3))
+      def r(s: Set[(Long, Long)]) = (ex & s).size.toDouble / ex.size
+      println(f"| ivf $tag nCells=$nc nProbe=$np: seed ${r(seed)}%.3f, " +
+        f"trained(1) ${r(t1)}%.3f, trained(3) ${r(t3)}%.3f |")
+    }
   }
 }
