@@ -419,5 +419,95 @@ object ScaleProbe {
     val tsC = math.min(time(serveRead(fgN)), time(serveRead(fgN)))
     println(f"| pruned walk read, after compactPartitioned | $ts1%.2f | $tsC%.2f | ${tsC / ts1}%.1fx |")
     Seq(fg1, fgN).foreach(p => deleteRecursively(java.nio.file.Paths.get(p)))
+
+    hnswStreamGrowthProbe(spark, copies)
+  }
+
+  /** Streamed-HNSW LAYER-store growth: the per-layer (node, edge) store
+    * pairs [[graft.streaming.StreamOps.streamHnswSearchQuery]] maintains
+    * have GEOMETRIC occupancy (16^-l per level at the pinned 3-level
+    * hierarchy), and the costs under test are the reads a micro-batch
+    * ingest and a descent serve actually pay as HISTORY grows
+    * `copies`-fold with the batch and the walk fixed:
+    *
+    * - descent superstep: ONE layer's frontier-bucket edge partitions
+    *   (expected flat-to-occupancy of the touched buckets, the
+    *   knn-graph-store cell's class);
+    * - per-batch ingest: each reached layer's probe-pruned candidate
+    *   node read (an 8-node batch reaches upper layers with 0-1 nodes,
+    *   so upper-layer reads are near-constant);
+    * - descent ENTRY read: the top layer's nodes, read whole — grows
+    *   with corpus/16^maxLevel BY DESIGN at a pinned level count; the
+    *   production control is raising maxLevel with the corpus (a
+    *   hierarchy rewrite, like re-bucketing), which caps the top layer
+    *   at a constant. */
+  private def hnswStreamGrowthProbe(spark: SparkSession, copies: Int): Unit = {
+    import graft.streaming.StreamOps
+    val gb = 64L
+    val h0 = 2000000L
+    def layerBits(l: Int): Int = if (l == 0) 6 else 4
+    def buildLayers(h: Long): IndexedSeq[(String, String)] =
+      (0 to 2).map { l =>
+        val hl = math.max(h / math.pow(16, l).toLong, 64L)
+        val nd = java.nio.file.Files
+          .createTempDirectory(s"scale_hnsw_n$l").toString
+        val ed = java.nio.file.Files
+          .createTempDirectory(s"scale_hnsw_e$l").toString
+        spark.range(0, hl)
+          .select(col("id").as("vec_id"),
+            array((0 until 8).map(i =>
+              (pmod(xxhash64(col("id") + lit(i)), lit(2048L)) - 1024L)
+                .cast("float") / 1024.0f): _*).as("embedding"),
+            pmod(xxhash64(col("id")), lit(1L << layerBits(l)))
+              .cast("int").as("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(nd)
+        spark.range(0, hl)
+          .select(col("id").as("src"),
+            explode(array((0 until 8).map(i =>
+              xxhash64(col("id") + lit(i))): _*)).as("dst"))
+          .withColumn("score", rand(7))
+          .withColumn("gbucket", pmod(col("src"), lit(gb)).cast("int"))
+          .write.mode("overwrite").partitionBy("gbucket").parquet(ed)
+        (nd, ed)
+      }
+    val batch = spark.range(h0 * 100, h0 * 100 + 8)
+      .select(col("id").as("doc_id"))
+      .localCheckpoint(true)
+    val frontier = (0 until 8).toSeq // <= beamWidth frontier buckets
+    def superstepRead(stores: IndexedSeq[(String, String)]): DataFrame =
+      batch.join(
+        StreamOps.prunedGraphStoreEdges(spark, stores(0)._2, frontier),
+        col("doc_id") === col("src"), "left_semi")
+    def ingestReads(stores: IndexedSeq[(String, String)]): DataFrame =
+      (0 to 2).map { l =>
+        // probe fan-out: radius-1 over 2^bits buckets, <= bits+1 per node
+        val probes = (0 until math.min(1 << layerBits(l),
+          8 * (layerBits(l) + 1))).toSeq
+        StreamOps.prunedGraphNodes(spark, stores(l)._1, probes)
+          .groupBy(col("bucket")).count()
+      }.reduce(_ unionByName _)
+    def entryRead(stores: IndexedSeq[(String, String)]): DataFrame =
+      spark.read.parquet(stores(2)._1).groupBy(col("bucket")).count()
+    val l1 = buildLayers(h0)
+    val lN = buildLayers(h0 * copies)
+    println(s"\n| streamed-hnsw layer stores (3 levels, 16^-l occupancy) | history 1x | history ${copies}x | growth |")
+    println("|---|---|---|---|")
+    val cells: Seq[(String, IndexedSeq[(String, String)] => DataFrame)] = Seq(
+      "descent superstep edge read (layer 0, frontier-pruned)" ->
+        (superstepRead _),
+      "per-batch ingest candidate node reads (all layers, probe-pruned)" ->
+        (ingestReads _),
+      "descent entry read (top layer, whole — corpus/256 by design)" ->
+        (entryRead _))
+    for ((label, mk) <- cells) {
+      time(mk(l1)) // warm the shape before measuring
+      val t1 = math.min(time(mk(l1)), time(mk(l1)))
+      val tN = math.min(time(mk(lN)), time(mk(lN)))
+      println(f"| $label | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
+    }
+    (l1 ++ lN).foreach { case (a, b) =>
+      deleteRecursively(java.nio.file.Paths.get(a))
+      deleteRecursively(java.nio.file.Paths.get(b))
+    }
   }
 }
