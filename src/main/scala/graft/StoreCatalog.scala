@@ -74,10 +74,12 @@ object StoreCatalog {
       md.update(s.getBytes("UTF-8"))
       if (Files.exists(p)) {
         val files =
-          if (Files.isDirectory(p))
-            Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+          if (Files.isDirectory(p)) {
+            val st = Files.walk(p) // walk holds a dir handle until closed
+            try st.iterator().asScala.filter(Files.isRegularFile(_))
               .toSeq.sortBy(_.toString)
-          else Seq(p)
+            finally st.close()
+          } else Seq(p)
         val base = p.toAbsolutePath.normalize()
         files.foreach { f =>
           val rel = base.relativize(f.toAbsolutePath.normalize())
@@ -122,9 +124,59 @@ object StoreCatalog {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => })
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      val files = try st.iterator().asScala.toSeq.reverse finally st.close()
+      files.foreach(f =>
+        try Files.deleteIfExists(f) catch { case _: Exception => })
+    }
+
+  /** One catalog row: the directory name (= resolution key), manifest
+    * facts, and whether the recorded sources still fingerprint-match
+    * (current = servable as-is; stale = next resolve rebuilds). */
+  final case class StoreInfo(key: String, family: String, config: String,
+                             sources: Seq[String], current: Boolean,
+                             dir: String)
+
+  /** Inventory of every store under the root with a readable manifest —
+    * the admin surface a long-lived index service needs ("what indexes
+    * exist, for what corpus, and are they current"). Driver-side stat
+    * walks only. */
+  def list(spark: SparkSession): Seq[StoreInfo] = {
+    val root = Paths.get(storeRoot(spark))
+    if (!Files.exists(root)) return Nil
+    val st = Files.list(root)
+    val dirs = try st.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
+      .toSeq.sortBy(_.toString)
+    finally st.close()
+    dirs.flatMap { d =>
+      loadManifest(d).map { props =>
+        val srcs = props.getProperty("sources", "").split("\n").toSeq
+          .filter(_.nonEmpty)
+        StoreInfo(d.getFileName.toString,
+          props.getProperty("family", ""),
+          props.getProperty("config", ""),
+          srcs,
+          srcs.nonEmpty &&
+            sourceFingerprint(srcs) == props.getProperty("fingerprint"),
+          d.toString)
+      }
+    }
+  }
+
+  /** Delete every STALE store (recorded sources changed or vanished
+    * since the build) — catalog hygiene for a shared store root where
+    * corpora regenerate. Returns the removed keys. Current stores are
+    * never touched; the next resolve of a removed key simply rebuilds. */
+  def gcStale(spark: SparkSession): Seq[String] = {
+    val stale = list(spark).filterNot(_.current)
+    stale.foreach { s =>
+      deleteRecursively(Paths.get(s.dir))
+      memo.remove(s.key)
+    }
+    stale.map(_.key)
+  }
 
   /** Resolve the store for (family, sources, config): memo → valid
     * on-disk manifest → build. `build` receives part-name → staging
@@ -160,6 +212,7 @@ object StoreCatalog {
           props.setProperty("family", family)
           props.setProperty("fingerprint", fp)
           props.setProperty("config", cfg)
+          props.setProperty("sources", sources.sorted.mkString("\n"))
           props.setProperty("parts", parts.mkString(","))
           meta.foreach { case (k, v) => props.setProperty(s"meta.$k", v) }
           val out = Files.newOutputStream(staging.resolve(ManifestName))

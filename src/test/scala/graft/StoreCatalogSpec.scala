@@ -121,6 +121,55 @@ class StoreCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog admin: list inventories stores with currency; gcStale removes " +
+    "exactly the stores whose sources changed") {
+    val root = Files.createTempDirectory("catalog_admin_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    try {
+      val srcA = Files.createTempDirectory("catalog_src_a")
+      val srcB = Files.createTempDirectory("catalog_src_b")
+      Files.write(srcA.resolve("a"), "a".getBytes)
+      Files.write(srcB.resolve("b"), "b".getBytes)
+      def build(fam: String, src: java.nio.file.Path) =
+        StoreCatalog.getOrBuild(spark, fam, Seq(src.toString), Nil,
+          Seq("part")) { parts =>
+          Files.createDirectories(Paths.get(parts("part")))
+          Map.empty
+        }
+      build("fam_a", srcA)
+      build("fam_b", srcB)
+      val all = StoreCatalog.list(spark)
+      assert(all.size == 2 && all.forall(_.current),
+        all.map(i => (i.key, i.current)).toString)
+      assert(all.map(_.family).toSet == Set("fam_a", "fam_b"))
+      // corpus A regenerates: its store goes stale, B stays current
+      Files.setLastModifiedTime(srcA.resolve("a"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(srcA.resolve("a")).toMillis + 5000))
+      val afterTouch = StoreCatalog.list(spark)
+      assert(afterTouch.count(_.current) == 1 &&
+        afterTouch.find(!_.current).get.family == "fam_a")
+      val removed = StoreCatalog.gcStale(spark)
+      assert(removed.size == 1 && removed.head.startsWith("fam_a-"))
+      val left = StoreCatalog.list(spark)
+      assert(left.size == 1 && left.head.family == "fam_b" &&
+        left.head.current)
+      // the gc'd key resolves again by REBUILDING (memo was dropped too)
+      val b0 = StoreCatalog.buildCount.get()
+      build("fam_a", srcA)
+      assert(StoreCatalog.buildCount.get() == b0 + 1)
+      assert(StoreCatalog.list(spark).size == 2)
+    } finally {
+      StoreCatalog.dropSessionMemo()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a crashed build publishes nothing; the next resolve builds cleanly") {
     val root = Files.createTempDirectory("catalog_crash_root").toString
     val key = "spark.graft.storeRoot"
