@@ -72,6 +72,10 @@ object SparkEntry {
     // BM25 served from the term-bucket-partitioned postings store: a
     // query scans its own terms' partitions, never the vocabulary
     "bm25_store" -> ((s, d) => TextAnalytics.bm25SearchFromStore(s, d)),
+    // exact phrase match — order-aware retrieval BM25 can't express;
+    // in-plan and positional-postings-store-served forms
+    "phrase_search" -> ((s, d) => TextAnalytics.phraseSearch(s, d)),
+    "phrase_store" -> ((s, d) => TextAnalytics.phraseSearchFromStore(s, d)),
     // the same serve off a stream-accreted postings store (documents
     // indexed on arrival, replay-safe max-merge, no rebuild)
     "stream_bm25_store" -> ((s, d) =>
@@ -461,6 +465,8 @@ object SparkEntry {
     "bm25_search" -> TextAnalytics.bm25SearchSql(),
     // both postings-store serves are contract-equal to the in-plan search
     "bm25_store" -> TextAnalytics.bm25SearchSql(),
+    "phrase_search" -> TextAnalytics.phraseSearchSql(),
+    "phrase_store" -> TextAnalytics.phraseSearchSql(),
     "stream_bm25_store" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     // the store-legged fusion is contract-equal to the in-plan fusion

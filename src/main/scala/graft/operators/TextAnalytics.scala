@@ -824,6 +824,123 @@ object TextAnalytics {
       spark.read.parquet(dd), terms, k)
   }
 
+  /** Positional postings for one document frame: (doc_id, pos, word),
+    * positions 1-based over the EMPTY-FILTERED word sequence (the
+    * engine's single tokenizer, with '' dropped BEFORE positions are
+    * assigned so adjacency means adjacency of real words — identically
+    * in [[phraseSearchSql]]). */
+  private[graft] def phrasePostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(filter(words(col("text")), w => w =!= "")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+
+  /** The shared phrase-match tail: `posts` is a (word, doc_id, pos)
+    * relation already restricted to the phrase's terms (in-plan filter
+    * or store partition pruning); match = the terms at consecutive
+    * positions, one equi-join per extra phrase word, counted per doc
+    * and top-k ranked by (hits DESC, doc_id). The postings are
+    * materialized once (localCheckpoint) because the chain references
+    * them `phrase.length` times. */
+  private def phraseRank(posts: DataFrame, phrase: Seq[String],
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = posts.select(col("word"), col("doc_id"), col("pos"))
+      .localCheckpoint(true)
+    var t = f.filter(col("word") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    for (i <- 1 until phrase.length)
+      t = t.join(f.filter(col("word") === phrase(i))
+          .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i")),
+        col("doc_id") === col(s"d$i") && col(s"p$i") === col("pos") + i)
+        .select(col("doc_id"), col("pos"))
+    val hits = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val w = Window.orderBy(col("n_hits").desc, col("doc_id"))
+    hits.orderBy(col("n_hits").desc, col("doc_id")).limit(k)
+      .withColumn("rn", row_number().over(w)
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .select(col("rn"), col("doc_id"), col("n_hits"))
+      .orderBy(col("rn"))
+  }
+
+  /** EXACT PHRASE SEARCH — the retrieval capability BM25 cannot express
+    * (bag-of-words scoring loses order): documents containing the words
+    * of `phrase` at consecutive positions, ranked by occurrence count.
+    * In-plan form: tokenize with positions, keep only the phrase's
+    * terms (the scan's pushed filter), one position equi-join per extra
+    * word — only phrase-term postings ever materialize, the candidate
+    * volume is term-df-bounded, and nothing order-blind approximates
+    * the match. Oracle: [[phraseSearchSql]]. */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String] = Seq("vector", "small"),
+                   k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty)
+    val posts = phrasePostings(Tables.loadWide(spark, dir, "documents"))
+      .filter(col("word").isin(phrase.distinct: _*))
+    phraseRank(posts, phrase, k)
+  }
+
+  /** [[phraseSearch]] SERVED from a POSITIONAL postings store — the
+    * at-rest inverted index with positions (the standard phrase-query
+    * layout: same term-hash bucket partitions as the BM25 store, rows
+    * sorted (word, doc_id, pos) so a term's postings are one directory
+    * listing plus a word-range row-group read). Built once per corpus
+    * lifetime into the [[graft.StoreCatalog]]; a query lists only its
+    * own terms' partitions, never the vocabulary. Results are
+    * byte-identical to [[phraseSearch]]; oracle: the same SQL. */
+  def phraseSearchFromStore(spark: SparkSession, dir: String,
+                            phrase: Seq[String] = Seq("vector", "small"),
+                            k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty)
+    val h = graft.StoreCatalog.getOrBuild(spark, "phrase_postings",
+      Seq(s"$dir/documents.parquet"),
+      Seq("buckets" -> PostingsBuckets.toString),
+      Seq("postings")) { parts =>
+      phrasePostings(Tables.loadWide(spark, dir, "documents"))
+        .withColumn("tbucket",
+          pmod(Dedup.chash(col("word")), lit(PostingsBuckets.toLong))
+            .cast(org.apache.spark.sql.types.IntegerType))
+        .repartition(col("tbucket"))
+        .sortWithinPartitions(col("tbucket"), col("word"), col("doc_id"),
+          col("pos"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(parts("postings"))
+      Map.empty
+    }
+    val pruned = spark.read.parquet(h.parts("postings"))
+      .where(col("tbucket").isin(phrase.map(termBucket).distinct: _*) &&
+        col("word").isin(phrase.distinct: _*))
+    phraseRank(pruned, phrase, k)
+  }
+
+  /** Oracle twin of [[phraseSearch]] / [[phraseSearchFromStore]]:
+    * positions over the same empty-filtered tokenization, the same
+    * consecutive-position joins, the same (hits DESC, doc_id) rank. */
+  def phraseSearchSql(phrase: Seq[String] = Seq("vector", "small"),
+                      k: Int = 20): String = {
+    val joins = (1 until phrase.length).map(i =>
+      s"JOIN pos t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i")
+      .mkString("\n               ")
+    val wheres = phrase.zipWithIndex.map { case (wd, i) =>
+      s"t$i.word = '${wd.replace("'", "''")}'"
+    }.mkString(" AND ")
+    s"""WITH pos AS (SELECT doc_id, u.w AS word, u.p AS pos FROM (
+            SELECT doc_id,
+                   list_filter(${graft.functions.TextFunctions.wordsSql("text")},
+                     x -> x <> '') AS ws
+            FROM documents),
+          LATERAL (SELECT unnest(list_transform(generate_series(1, len(ws)),
+                     i -> {'p': i, 'w': ws[i]})) AS u)),
+        m AS (SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM pos t0
+               $joins
+              WHERE $wheres
+              GROUP BY 1)
+        SELECT rn, doc_id, n_hits FROM (
+          SELECT doc_id, n_hits,
+                 CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS INT) AS rn
+          FROM m) WHERE rn <= $k ORDER BY rn"""
+  }
+
   /** Stratified per-group sample: exactly `k` documents per language,
     * chosen by content-fingerprint rank — the balanced-subset op
     * (per-domain/per-language eval slices, class-balanced fine-tuning

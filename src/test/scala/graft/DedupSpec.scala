@@ -839,6 +839,33 @@ class DedupSpec extends AnyFunSuite {
     assert(hyStore == hyPlan && hyStore.nonEmpty)
   }
 
+  test("phraseSearch: hand-computed consecutive matches (overlaps count per " +
+    "start, order matters); positional store serve equals in-plan") {
+    import graft.operators.TextAnalytics
+    val dir = java.nio.file.Files.createTempDirectory("phrase").toString
+    Seq(
+      (0L, "a b a b a", "en", "s0", 9L), // "a b" at 1,3; "b a" at 2,4
+      (1L, "b a  b", "en", "s1", 6L), // "a b" once (positions over REAL words)
+      (2L, "a a a", "en", "s2", 5L), // "a a" twice (overlapping starts)
+      (3L, "b b a", "en", "s3", 5L)) // "a b" never (order matters)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def got(phrase: Seq[String]) =
+      TextAnalytics.phraseSearch(spark, dir, phrase, k = 10).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got(Seq("a", "b")) == Seq((1, 0L, 2L), (2, 1L, 1L)))
+    assert(got(Seq("a", "a")) == Seq((1, 2L, 2L)))
+    assert(got(Seq("a", "b", "a")) == Seq((1, 0L, 2L))) // 3-gram, overlapping
+    assert(got(Seq("b", "b", "b")) == Seq.empty)
+    // the store serve is byte-identical on the fixture corpus, and the
+    // postings read prunes to the phrase terms' bucket partitions
+    val store = TextAnalytics.phraseSearchFromStore(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val inPlan = TextAnalytics.phraseSearch(spark, TestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(store == inPlan && store.nonEmpty)
+  }
+
   test("corpusCuration: every pick survives each stage; the draw is the " +
     "weighted-sample formula over exactly the survivor set") {
     import graft.operators.TextAnalytics
