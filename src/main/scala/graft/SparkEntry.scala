@@ -76,6 +76,8 @@ object SparkEntry {
     // in-plan and positional-postings-store-served forms
     "phrase_search" -> ((s, d) => TextAnalytics.phraseSearch(s, d)),
     "phrase_store" -> ((s, d) => TextAnalytics.phraseSearchFromStore(s, d)),
+    "stream_phrase_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamPhraseStoreQuery(s, d)),
     // the same serve off a stream-accreted postings store (documents
     // indexed on arrival, replay-safe max-merge, no rebuild)
     "stream_bm25_store" -> ((s, d) =>
@@ -467,6 +469,7 @@ object SparkEntry {
     "bm25_store" -> TextAnalytics.bm25SearchSql(),
     "phrase_search" -> TextAnalytics.phraseSearchSql(),
     "phrase_store" -> TextAnalytics.phraseSearchSql(),
+    "stream_phrase_store" -> TextAnalytics.phraseSearchSql(),
     "stream_bm25_store" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     // the store-legged fusion is contract-equal to the in-plan fusion

@@ -841,8 +841,8 @@ object TextAnalytics {
     * and top-k ranked by (hits DESC, doc_id). The postings are
     * materialized once (localCheckpoint) because the chain references
     * them `phrase.length` times. */
-  private def phraseRank(posts: DataFrame, phrase: Seq[String],
-                         k: Int): DataFrame = {
+  private[graft] def phraseRank(posts: DataFrame, phrase: Seq[String],
+                                k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val f = posts.select(col("word"), col("doc_id"), col("pos"))
       .localCheckpoint(true)

@@ -2011,6 +2011,59 @@ object StreamOps {
     TextAnalytics.serveBm25(spark, dir, posts, docs, terms, k)
   }
 
+  private val phraseStreamStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def phraseStreamStoreFor(dir: String): Option[String] =
+    phraseStreamStores.get(dir)
+
+  /** PHRASE SEARCH SERVED OFF A STREAM-ACCRETED POSITIONAL POSTINGS
+    * STORE: each arriving micro-batch appends its documents'
+    * (word, doc_id, pos) rows into the term-hash bucket partitions —
+    * the continuously-indexed phrase-query shape (BM25's streamed
+    * sibling, with positions kept so order-aware matches stay exact).
+    * A document lives wholly in one batch, so its positional rows are
+    * final on arrival; a crash-replayed batch re-appends IDENTICAL
+    * rows, and the serve's distinct over (word, doc_id, pos) absorbs
+    * them (a position triple is a set element, not a count — dedup IS
+    * the exact merge). Serving prunes to the phrase terms' bucket
+    * partitions and ranks through the same [[graft.operators
+    * .TextAnalytics.phraseRank]] tail as the batch store. Oracle: the
+    * batch phraseSearchSql. */
+  def streamPhraseStoreQuery(spark: SparkSession, dir: String,
+                             phrase: Seq[String] = Seq("vector", "small"),
+                             k: Int = 20): DataFrame = {
+    import graft.operators.{Dedup, TextAnalytics}
+    val pd = phraseStreamStores.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("phrase_stream_posts").toString
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try {
+        val q = docsStream(spark, dir)
+          .select(col("doc_id"), col("text"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            TextAnalytics.phrasePostings(batch)
+              .withColumn("tbucket",
+                pmod(Dedup.chash(col("word")),
+                  lit(TextAnalytics.PostingsBuckets.toLong))
+                  .cast(IntegerType))
+              .write.mode("append").partitionBy("tbucket").parquet(p)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set(key, prev)
+      p
+    })
+    val pruned = spark.read.parquet(pd)
+      .where(col("tbucket").isin(
+        phrase.map(TextAnalytics.termBucket).distinct: _*) &&
+        col("word").isin(phrase.distinct: _*))
+      .select(col("word"), col("doc_id"), col("pos")).distinct()
+    TextAnalytics.phraseRank(pruned, phrase, k)
+  }
+
   /** Streaming HNSW hierarchy: the pinned level cap and per-layer
     * sign-LSH widths (a stream cannot count its corpus or layer
     * populations up front — the [[GraphStreamBits]] deploy-time-config

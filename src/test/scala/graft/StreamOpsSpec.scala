@@ -1114,6 +1114,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(served == batch)
   }
 
+  test("stream-accreted positional postings store serves the batch phrase " +
+    "ranking; a crash-replayed batch changes nothing") {
+    import graft.operators.{Dedup, TextAnalytics}
+    val phrase = Seq("vector", "small")
+    def served = StreamOps.streamPhraseStoreQuery(spark, TestSession.sfDir, phrase)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = TextAnalytics.phraseSearch(spark, TestSession.sfDir, phrase)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val first = served
+    assert(first == batch && first.nonEmpty)
+    // replay: re-append one batch's worth of identical positional rows
+    // (what an at-least-once restart does); the serve's distinct over
+    // (word, doc_id, pos) must absorb them
+    val pd = StreamOps.phraseStreamStoreFor(TestSession.sfDir).get
+    TextAnalytics.phrasePostings(
+        Tables.load(spark, TestSession.sfDir, "documents").limit(50))
+      .withColumn("tbucket",
+        pmod(Dedup.chash(col("word")),
+          lit(TextAnalytics.PostingsBuckets.toLong))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .write.mode("append").partitionBy("tbucket").parquet(pd)
+    assert(served == batch)
+  }
+
   test("stream-applied BPE tokenizer equals the batch per-doc counts") {
     val streamed = StreamOps.streamBpeTokenizeQuery(spark, TestSession.sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
