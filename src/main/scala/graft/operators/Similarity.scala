@@ -1818,13 +1818,18 @@ object Similarity {
       .filter(col("score").isNotNull)
       .localCheckpoint(eager = false) // the first beam collect materializes it
     val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    // list the store's partitions ONCE: read.parquet pays partition
+    // discovery (a walk of every bucket directory) at relation-build
+    // time, so re-reading per superstep puts a listing floor under every
+    // step — the pruning .where below is plan-time either way
+    val store = spark.read.parquet(storeDir)
     for (_ <- 1 to steps) {
       // ONE action per superstep: collect the beam (bounded control
       // state), derive the bucket set driver-side, feed the beam back
       // as a broadcast local relation
       val (beamRows, buckets) = collectBeam(visited, beamWidth)
       val expanded = broadcast(beamFrame(spark, beamRows))
-        .join(prunedGraphEdges(spark, storeDir, buckets),
+        .join(store.where(col("gbucket").isin(buckets: _*)),
           col("node") === col("src"))
         .filter(col("dst") =!= col("qid"))
         .join(queries, "qid")
@@ -2166,13 +2171,16 @@ object Similarity {
     val wb = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
     val phases =
       (maxl to 1 by -1).map(l => (l, 1, stepsUpper)) :+ ((0, beamWidth, steps))
+    // list the hierarchy's partitions ONCE (see graphBeamSearchFromStore:
+    // per-superstep read.parquet re-walks every (lvl, gbucket) directory)
+    val store = spark.read.parquet(storeDir)
     for ((l, width, s) <- phases; _ <- 1 to s) {
       // ONE action per superstep: collect the beam (bounded control
       // state), derive the bucket set driver-side, feed the beam back
       // as a broadcast local relation
       val (beamRows, buckets) = collectBeam(visited, width)
       val expanded = broadcast(beamFrame(spark, beamRows))
-        .join(prunedHnswEdges(spark, storeDir, l, buckets),
+        .join(store.where(col("lvl") === l && col("gbucket").isin(buckets: _*)),
           col("node") === col("src"))
         .filter(col("dst") =!= col("qid"))
         .join(queries, "qid")

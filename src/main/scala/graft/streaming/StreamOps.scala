@@ -1706,13 +1706,18 @@ object StreamOps {
       .localCheckpoint(eager = false) // the first beam collect materializes it
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
+    // list the store's partitions ONCE (per-superstep read.parquet
+    // re-walks every bucket directory; pruning is plan-time either way)
+    val store = spark.read.parquet(edgeDir)
+      .select(col("src"), col("dst"), col("score"), col("gbucket"))
     for (_ <- 1 to steps) {
       // ONE action per superstep: collect the beam (bounded control
       // state), derive the bucket set driver-side, feed the beam back
       // as a broadcast local relation
       val (beamRows, buckets) = Similarity.collectBeam(visited, beamWidth)
       val expanded = broadcast(Similarity.beamFrame(spark, beamRows))
-        .join(prunedGraphStoreEdges(spark, edgeDir, buckets),
+        .join(store.where(col("gbucket").isin(buckets: _*))
+            .select(col("src"), col("dst"), col("score")),
           col("node") === col("src"))
         .filter(col("dst") =!= col("qid"))
         .join(dstEmb, "dst")
@@ -2170,15 +2175,26 @@ object StreamOps {
       .partitionBy(col("qid")).orderBy(col("score").desc, col("node"))
     val phases =
       (maxl to 1 by -1).map(l => (l, 1, stepsUpper)) :+ ((0, beamWidth, steps))
+    // list each populated layer's edge partitions ONCE (per-superstep
+    // read.parquet re-walks every bucket directory; a layer's descent
+    // phase alone is stepsUpper/steps supersteps over the same store)
+    val layerEdges: Map[Int, DataFrame] =
+      (0 to maxl).flatMap { l =>
+        val edgeDir = stores(l)._2
+        if (storeNonEmpty(edgeDir))
+          Some(l -> spark.read.parquet(edgeDir)
+            .select(col("src"), col("dst"), col("score"), col("gbucket")))
+        else None
+      }.toMap
     for ((l, width, s) <- phases; _ <- 1 to s) {
-      val edgeDir = stores(l)._2
-      if (storeNonEmpty(edgeDir)) { // empty layer graph = no-op steps
+      if (layerEdges.contains(l)) { // empty layer graph = no-op steps
         // ONE action per superstep: collect the beam (bounded control
         // state), derive the bucket set driver-side, feed the beam back
         // as a broadcast local relation
         val (beamRows, buckets) = Similarity.collectBeam(visited, width)
         val expanded = broadcast(Similarity.beamFrame(spark, beamRows))
-          .join(prunedGraphStoreEdges(spark, edgeDir, buckets),
+          .join(layerEdges(l).where(col("gbucket").isin(buckets: _*))
+              .select(col("src"), col("dst"), col("score")),
             col("node") === col("src"))
           .filter(col("dst") =!= col("qid"))
           .join(dstEmb, "dst")
