@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{CharTrigrams, CmsAgg, CodesCosine, CodesDot, CosineSimilarity, KmvMins, NfcNormalize, PolyHash, QuantileSketch, SortedIntersectCountLong, Sq8Encode, TopFreq, TopKByScore}
+import graft.plans.{CharTrigrams, CmsAgg, CodesCosine, CodesDot, CosineSimilarity, KmvMins, LangIdExpr, NfcNormalize, PolyHash, QuantileSketch, SortedIntersectCountLong, Sq8Encode, TopFreq, TopKByScore}
 
 /** Column builders for graft's native Catalyst expressions — usable on
   * any session (no FunctionRegistry dependency; the SQL names
@@ -11,6 +11,9 @@ import graft.plans.{CharTrigrams, CmsAgg, CodesCosine, CodesDot, CosineSimilarit
 object NativeFunctions {
   def polyHash(c: Column): Column =
     Bridge.column(PolyHash(Bridge.expression(c)))
+  /** Single-pass stopword/CJK language ID over LOWERCASED text. */
+  def langId(c: Column): Column =
+    Bridge.column(LangIdExpr(Bridge.expression(c)))
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   /** KMV sketch aggregate: k smallest distinct longs, sorted. */

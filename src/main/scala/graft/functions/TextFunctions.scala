@@ -110,19 +110,19 @@ object TextFunctions {
   }
 
   // --- language ID: stopword-hit heuristic + CJK script detection (north
-  //     star). Order en,fr,es,de,zh; first-wins ties; no hits -> 'und'. ---
-  val langStopwords: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|a|of|and|is|to|in|that|it|for)\\b",
-    "fr" -> "\\b(le|la|les|et|un|une|est|dans|pour|que)\\b",
-    "es" -> "\\b(el|los|las|y|es|un|una|en|por|para)\\b",
-    "de" -> "\\b(der|die|das|und|ist|ein|eine|zu|mit|von)\\b",
-    "zh" -> "[\\x{4e00}-\\x{9fff}]")
+  //     star). Order en,fr,es,de,zh; first-wins ties; no hits -> 'und'.
+  //     Word lists live in graft.plans.LangId (the native kernel); the
+  //     regex patterns here are DERIVED from them so the engine's
+  //     single-pass scan and the oracle's regex counts can't desync. ---
+  val langStopwords: Seq[(String, String)] =
+    graft.plans.LangId.langWords.map { case (n, ws) =>
+      n -> s"\\b(${ws.mkString("|")})\\b"
+    } :+ ("zh" -> "[\\x{4e00}-\\x{9fff}]")
 
-  def langId(c: Column): Column = {
-    val in = lower(c)
-    argmaxLabel(langStopwords.map(l => hitCount(in, l._2)),
-      langStopwords.map(_._1), "und")
-  }
+  /** Engine side: ONE native codegen'd scan (graft.plans.LangIdExpr)
+    * instead of five regexp_extract_all passes — same result by the
+    * word-run equivalence argued in the expression's doc. */
+  def langId(c: Column): Column = NativeFunctions.langId(lower(c))
   def langIdSql(c: String): String = {
     val in = s"lower($c)"
     argmaxLabelSql(

@@ -50,6 +50,43 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one("the cat is on the mat and it is flat", langId) == "en")
     assert(one("你好世界", langId) == "zh")
     assert(one("zzz qqq", langId) == "und")
+    // first-wins tie: one en hit ("the") vs one fr hit ("le")
+    assert(one("the le", langId) == "en")
+    // "un" counts for BOTH fr and es (shared stopword, like both regexes)
+    assert(one("un un la", langId) == "fr")
+    assert(one("un un los", langId) == "es")
+  }
+
+  test("langId native scan matches the regex-count reference (property)") {
+    // the pre-round-12 implementation: five regexp_extract_all counts
+    // over lower(s) + first-wins argmax — re-run here verbatim via
+    // java.util.regex as the ground truth for the single-pass kernel
+    def ref(s: String): String = {
+      val in = s.toLowerCase
+      val scores = langStopwords.map { case (_, p) =>
+        val m = java.util.regex.Pattern.compile(p).matcher(in)
+        var c = 0; while (m.find()) c += 1; c
+      }
+      val best = scores.max
+      if (best <= 0) "und"
+      else langStopwords(scores.indexOf(best))._1
+    }
+    // word-salad + boundary torture: underscores glue runs, digits are
+    // word chars, CJK mixes into latin, accents break runs on BOTH sides
+    val alphabet = Seq("the", "le", "el", "der", "un", "une", "a", "y",
+      "of", "es", "los", "世", "界", "été", "the_", "_the", "9the",
+      "the9", "un-", ",", ".", "-", "_", "  ", "\t", "\n", "THE", "Le",
+      "athe", "thea", "x", "", "了")
+    val rnd = new scala.util.Random(7)
+    val inputs = (0 until 400).map(_ =>
+      (0 until rnd.nextInt(12)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString(
+        if (rnd.nextBoolean()) " " else ""))
+    for (s <- inputs) {
+      val got = graft.plans.LangId.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.toLowerCase)).toString
+      assert(got == ref(s), s"input: <$s>")
+    }
   }
 
   test("field extractors implement the prompt normalization rules (E1)") {
