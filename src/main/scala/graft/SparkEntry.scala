@@ -76,6 +76,10 @@ object SparkEntry {
     // in-plan and positional-postings-store-served forms
     "phrase_search" -> ((s, d) => TextAnalytics.phraseSearch(s, d)),
     "phrase_store" -> ((s, d) => TextAnalytics.phraseSearchFromStore(s, d)),
+    // proximity (sloppy) phrase: same positional index, slop as a
+    // query-time band on the position joins (exact = slop 0)
+    "phrase_slop" -> ((s, d) => TextAnalytics.phraseSlopSearch(s, d)),
+    "phrase_slop_store" -> ((s, d) => TextAnalytics.phraseSlopFromStore(s, d)),
     "stream_phrase_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamPhraseStoreQuery(s, d)),
     // the same serve off a stream-accreted postings store (documents
@@ -469,6 +473,8 @@ object SparkEntry {
     "bm25_store" -> TextAnalytics.bm25SearchSql(),
     "phrase_search" -> TextAnalytics.phraseSearchSql(),
     "phrase_store" -> TextAnalytics.phraseSearchSql(),
+    "phrase_slop" -> TextAnalytics.phraseSearchSql(slop = 2),
+    "phrase_slop_store" -> TextAnalytics.phraseSearchSql(slop = 2),
     "stream_phrase_store" -> TextAnalytics.phraseSearchSql(),
     "stream_bm25_store" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),

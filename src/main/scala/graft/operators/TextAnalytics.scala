@@ -836,24 +836,41 @@ object TextAnalytics {
 
   /** The shared phrase-match tail: `posts` is a (word, doc_id, pos)
     * relation already restricted to the phrase's terms (in-plan filter
-    * or store partition pruning); match = the terms at consecutive
-    * positions, one equi-join per extra phrase word, counted per doc
-    * and top-k ranked by (hits DESC, doc_id). The postings are
-    * materialized once (localCheckpoint) because the chain references
-    * them `phrase.length` times. */
+    * or store partition pruning); match = the terms in order with the
+    * gap between CONSECUTIVE terms bounded by `slop` extra positions
+    * (slop 0 = exact adjacency, the classic phrase query; slop k = the
+    * Lucene `PhraseQuery~k`-shaped proximity query). One doc_id
+    * equi-join per extra phrase word — the position band rides the
+    * join as a post-filter, so candidates stay term-df-bounded at any
+    * slop. Per doc, n_hits counts DISTINCT ANCHORS (first-term
+    * positions with at least one in-order completion): at slop 0 every
+    * anchor completes at most one way, so this is exactly the match
+    * count; at slop > 0 it avoids combinatorial double-counting when
+    * one anchor has several completions. Top-k ranked by
+    * (hits DESC, doc_id). The postings are materialized once
+    * (localCheckpoint) because the chain references them
+    * `phrase.length` times. */
   private[graft] def phraseRank(posts: DataFrame, phrase: Seq[String],
-                                k: Int): DataFrame = {
+                                k: Int, slop: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val f = posts.select(col("word"), col("doc_id"), col("pos"))
       .localCheckpoint(true)
     var t = f.filter(col("word") === phrase.head)
-      .select(col("doc_id"), col("pos"))
-    for (i <- 1 until phrase.length)
+      .select(col("doc_id"), col("pos"), col("pos").as("lastp"))
+    for (i <- 1 until phrase.length) {
+      val band =
+        if (slop == 0) col(s"p$i") === col("lastp") + 1
+        else col(s"p$i") > col("lastp") &&
+          col(s"p$i") <= col("lastp") + (1 + slop)
       t = t.join(f.filter(col("word") === phrase(i))
           .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i")),
-        col("doc_id") === col(s"d$i") && col(s"p$i") === col("pos") + i)
-        .select(col("doc_id"), col("pos"))
-    val hits = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        col("doc_id") === col(s"d$i") && band)
+        .select(col("doc_id"), col("pos"), col(s"p$i").as("lastp"))
+    }
+    val hits =
+      if (slop == 0) t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      else t.groupBy(col("doc_id"))
+        .agg(countDistinct(col("pos")).as("n_hits"))
     val w = Window.orderBy(col("n_hits").desc, col("doc_id"))
     hits.orderBy(col("n_hits").desc, col("doc_id")).limit(k)
       .withColumn("rn", row_number().over(w)
@@ -891,6 +908,14 @@ object TextAnalytics {
                             phrase: Seq[String] = Seq("vector", "small"),
                             k: Int = 20): DataFrame = {
     require(phrase.nonEmpty)
+    phraseRank(prunedPhrasePostings(spark, dir, phrase), phrase, k)
+  }
+
+  /** Resolve (build-if-absent) the positional postings store and prune
+    * it to `phrase`'s term buckets — the shared serve-side read for
+    * exact and proximity phrase queries. */
+  private[graft] def prunedPhrasePostings(spark: SparkSession, dir: String,
+                                          phrase: Seq[String]): DataFrame = {
     val h = graft.StoreCatalog.getOrBuild(spark, "phrase_postings",
       Seq(s"$dir/documents.parquet"),
       Seq("buckets" -> PostingsBuckets.toString),
@@ -906,23 +931,55 @@ object TextAnalytics {
         .parquet(parts("postings"))
       Map.empty
     }
-    val pruned = spark.read.parquet(h.parts("postings"))
+    spark.read.parquet(h.parts("postings"))
       .where(col("tbucket").isin(phrase.map(termBucket).distinct: _*) &&
         col("word").isin(phrase.distinct: _*))
-    phraseRank(pruned, phrase, k)
   }
 
-  /** Oracle twin of [[phraseSearch]] / [[phraseSearchFromStore]]:
+  /** PROXIMITY (SLOPPY) PHRASE SEARCH — [[phraseSearch]] generalized to
+    * "the words in order, each within `slop` extra positions of the
+    * previous" (the Lucene `PhraseQuery~k` shape; exact phrase is the
+    * degenerate slop = 0). Same positional postings, same
+    * term-df-bounded candidate volume — the band is an inequality on
+    * the SAME doc_id equi-join, so loosening slop changes selectivity,
+    * never the join class. n_hits = distinct anchor count (see
+    * [[phraseRank]]). */
+  def phraseSlopSearch(spark: SparkSession, dir: String,
+                       phrase: Seq[String] = Seq("vector", "small"),
+                       slop: Int = 2, k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty && slop >= 0)
+    val posts = phrasePostings(Tables.loadWide(spark, dir, "documents"))
+      .filter(col("word").isin(phrase.distinct: _*))
+    phraseRank(posts, phrase, k, slop)
+  }
+
+  /** [[phraseSlopSearch]] SERVED from the SAME positional postings
+    * store as [[phraseSearchFromStore]] — one at-rest index serves
+    * exact AND proximity queries (positions are the index; slop is a
+    * query-time parameter), which is the point of storing positions. */
+  def phraseSlopFromStore(spark: SparkSession, dir: String,
+                          phrase: Seq[String] = Seq("vector", "small"),
+                          slop: Int = 2, k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty && slop >= 0)
+    phraseRank(prunedPhrasePostings(spark, dir, phrase), phrase, k, slop)
+  }
+
+  /** Oracle twin of [[phraseSearch]] / [[phraseSearchFromStore]] and,
+    * at slop > 0, of [[phraseSlopSearch]] / [[phraseSlopFromStore]]:
     * positions over the same empty-filtered tokenization, the same
-    * consecutive-position joins, the same (hits DESC, doc_id) rank. */
+    * banded-position joins, the same (hits DESC, doc_id) rank. */
   def phraseSearchSql(phrase: Seq[String] = Seq("vector", "small"),
-                      k: Int = 20): String = {
-    val joins = (1 until phrase.length).map(i =>
-      s"JOIN pos t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i")
-      .mkString("\n               ")
+                      k: Int = 20, slop: Int = 0): String = {
+    val joins = (1 until phrase.length).map { i =>
+      val band =
+        if (slop == 0) s"t$i.pos = t${i - 1}.pos + 1"
+        else s"t$i.pos > t${i - 1}.pos AND t$i.pos <= t${i - 1}.pos + ${1 + slop}"
+      s"JOIN pos t$i ON t$i.doc_id = t0.doc_id AND $band"
+    }.mkString("\n               ")
     val wheres = phrase.zipWithIndex.map { case (wd, i) =>
       s"t$i.word = '${wd.replace("'", "''")}'"
     }.mkString(" AND ")
+    val cnt = if (slop == 0) "count(*)" else "count(DISTINCT t0.pos)"
     s"""WITH pos AS (SELECT doc_id, u.w AS word, u.p AS pos FROM (
             SELECT doc_id,
                    list_filter(${graft.functions.TextFunctions.wordsSql("text")},
@@ -930,7 +987,7 @@ object TextAnalytics {
             FROM documents),
           LATERAL (SELECT unnest(list_transform(generate_series(1, len(ws)),
                      i -> {'p': i, 'w': ws[i]})) AS u)),
-        m AS (SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        m AS (SELECT t0.doc_id, CAST($cnt AS BIGINT) AS n_hits
               FROM pos t0
                $joins
               WHERE $wheres
