@@ -139,6 +139,11 @@ object SparkEntry {
     // the end-to-end curation dataflow: dedup ∩ quality, minus bench +
     // contaminated, weighted draw of the training subset
     "corpus_curation" -> ((s, d) => TextAnalytics.corpusCuration(s, d)),
+    // the capstone run ONLINE: dedup/quality/decontaminate/select
+    // maintained incrementally over the document stream; end-of-stream
+    // state must equal the one-shot batch curation (same oracle)
+    "stream_corpus_curation" -> ((s, d) =>
+      graft.streaming.StreamOps.streamCorpusCurationQuery(s, d)),
     // deterministic weighted sampling without replacement (priority
     // sampling): n smallest hash-u/weight priorities
     "weighted_sample" -> ((s, d) => TextAnalytics.weightedSample(s, d)),
@@ -503,6 +508,7 @@ object SparkEntry {
     "stream_corpus_stats" -> TextAnalytics.corpusStatsSql(),
     "bpe_compression" -> TextAnalytics.bpeCompressionSql(),
     "corpus_curation" -> TextAnalytics.corpusCurationSql(),
+    "stream_corpus_curation" -> TextAnalytics.corpusCurationSql(),
     "weighted_sample" -> TextAnalytics.weightedSampleSql(),
     // the streamed reservoir lands on the identical batch sample
     "stream_weighted_sample" -> TextAnalytics.weightedSampleSql(),

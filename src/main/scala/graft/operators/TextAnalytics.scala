@@ -194,12 +194,18 @@ object TextAnalytics {
     * corpus-global. Fractions are single IEEE divisions of exact counts,
     * so the oracle hash-matches. Docs with < 2 words have no bigram
     * slots: top_bigram_frac = 0 by convention (both engines). */
-  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    docRepetitionFrom(Tables.loadWide(spark, dir, "documents"))
+
+  /** [[docRepetition]] over an arbitrary (doc_id, text) frame — the
+    * form the streaming curation pipeline scores arriving batches
+    * with (same plan, same per-doc arithmetic). */
+  private[graft] def docRepetitionFrom(docs: DataFrame): DataFrame = {
     // filter '' ONCE, then derive counts AND bigrams from the same
     // filtered array — the oracle does the same, so the two can't
     // diverge on whitespace-edged text (unfiltered bigrams would see a
     // phantom '' token wherever trim() left a \t or \n edge)
-    val toks = Tables.loadWide(spark, dir, "documents")
+    val toks = docs
       .select(col("doc_id"), words(col("text")).as("ws0"))
       .select(col("doc_id"), expr("filter(ws0, w -> w <> '')").as("ws"))
       .select(col("doc_id"), expr(
@@ -512,9 +518,21 @@ object TextAnalytics {
                     minWords: Int = 5, maxWords: Int = 500,
                     minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
                     maxDupFrac: Double = 0.8,
+                    maxTopBigramFrac: Double = 0.2): DataFrame =
+    qualityFilterFrom(Tables.loadWide(spark, dir, "documents"),
+      minWords, maxWords, minMeanLen, maxMeanLen, maxDupFrac,
+      maxTopBigramFrac)
+
+  /** [[qualityFilter]] over an arbitrary (doc_id, text) frame — per-doc
+    * scores carry no corpus-global state, so the streaming pipeline can
+    * score each arriving batch with the exact batch plan. */
+  private[graft] def qualityFilterFrom(docs: DataFrame,
+                    minWords: Int = 5, maxWords: Int = 500,
+                    minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                    maxDupFrac: Double = 0.8,
                     maxTopBigramFrac: Double = 0.2): DataFrame = {
-    val rep = docRepetition(spark, dir)
-    val lens = Tables.loadWide(spark, dir, "documents")
+    val rep = docRepetitionFrom(docs)
+    val lens = docs
       .select(col("doc_id").as("len_doc_id"), words(col("text")).as("ws0"))
       .select(col("len_doc_id"), expr(
         "aggregate(filter(ws0, w -> w <> ''), 0L, (a, w) -> a + length(w))"

@@ -1958,6 +1958,137 @@ object StreamOps {
       .orderBy(col("rn"))
   }
 
+  private val curationStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** STREAMED END-TO-END CORPUS CURATION — the batch capstone
+    * ([[graft.operators.TextAnalytics.corpusCuration]]) run ONLINE, the
+    * posture the reference's continuous-ingest pipeline implies
+    * (/root/reference/src/app.py:46-78): documents arrive as a stream
+    * and the curated training subset is maintained incrementally, one
+    * pass per micro-batch, querying-ready between batches.
+    *
+    * Per arriving batch, each stage keeps its verified streaming form:
+    *   1. exact dedup — within-batch min-doc_id-per-content-hash, then
+    *      an anti-join against the persistent fingerprint store
+    *      (bucket-pruned + fp-pushdown, the
+    *      [[streamExactDedupStoreQuery]] shape; same arrival-in-doc-
+    *      order keeper contract);
+    *   2. quality scoring — per-doc, no corpus-global state, so the
+    *      arriving batch runs the exact batch plan
+    *      ([[graft.operators.TextAnalytics.qualityFilterFrom]]);
+    *   3. benchmark decontamination — the STATIC bench span set
+    *      broadcast into every batch (train-offline posture of
+    *      [[streamDecontaminateQuery]]; the benchmark suite is fixed,
+    *      the corpus is what streams);
+    *   4. weighted selection — deterministic priorities folded into the
+    *      bounded keep-n-smallest reservoir ([[mergeTopPriorities]]:
+    *      priority sampling is a monotone streaming aggregate, so the
+    *      fold lands on the exact batch draw in any batch split).
+    *
+    * Crash-safety ordering: the DERIVED store (the reservoir) is
+    * written first, fp membership LAST — a crash between them
+    * re-proposes the batch's work on replay instead of orphaning it,
+    * and replays are no-ops because every value is a deterministic
+    * function of the document and the merge dedupes by doc_id.
+    *
+    * 100 TB: per-batch cost is the batch's own text passes plus a
+    * bucket-pruned membership anti-join — nothing rescans history; the
+    * reservoir is O(n) rows by contract; the bench spans are the only
+    * broadcast (bounded by the benchmark suite, not the corpus).
+    * Oracle: the batch corpusCurationSql — end-of-stream state must
+    * equal the one-shot batch curation exactly. */
+  def streamCorpusCurationQuery(spark: SparkSession, dir: String,
+                                n: Int = 100, benchBelow: Long = 10,
+                                w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, TextAnalytics}
+    val root = curationStores.getOrElseUpdate(dir, {
+      val sd = java.nio.file.Files.createTempDirectory("curation_store").toString
+      val fpDir = s"$sd/fps"
+      val bench = Dedup.spanTable(
+          graft.Tables.loadWide(spark, dir, "documents"), w)
+        .filter(col("doc_id") < benchBelow)
+        .select(col("span").as("b_span")).distinct()
+        .localCheckpoint(true)
+      val q = docsStream(spark, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          Dedup.chash(col("text")).as("fp"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val minIds = batch.groupBy(col("fp"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          val keepers = batch.join(minIds, Seq("fp", "doc_id"))
+            .withColumn("bucket", fpBucket(col("fp")))
+            .persist()
+          try {
+            // one bounded action decides pushdown AND sizes the batch
+            // (the streamExactDedupStoreQuery device)
+            val probe = keepers.select(col("fp"), col("bucket"))
+              .limit(FpPushdownLimit.toInt + 1).collect()
+            val small = probe.length <= FpPushdownLimit
+            val touched =
+              if (small) probe.map(_.getInt(1)).distinct.toSeq.sorted
+              else keepers.select(col("bucket")).distinct()
+                .collect().map(_.getInt(0)).toSeq.sorted
+            val fps =
+              if (small) Some(probe.map(_.getLong(0)).toSeq.sorted)
+              else None
+            val storeEmpty = {
+              val l = new java.io.File(fpDir).list(); l == null || l.isEmpty
+            }
+            // materialized once: quality, spans, survivors, and the
+            // membership append all read the fresh set
+            val fresh = (
+              if (storeEmpty) keepers
+              else keepers.join(prunedSeenFps(sp, fpDir, touched, fps),
+                col("fp") === col("seen_fp"), "left_anti")
+            ).localCheckpoint(true)
+            val qkeep = TextAnalytics.qualityFilterFrom(
+                fresh.select(col("doc_id"), col("text")))
+              .filter(col("keep")).select(col("doc_id"))
+            val contaminated = Dedup.spanTable(
+                fresh.select(col("doc_id"), col("text")), w)
+              .join(broadcast(bench), col("span") === col("b_span"))
+              .select(col("doc_id")).distinct()
+            val survivors = fresh.join(qkeep, Seq("doc_id"))
+              .filter(col("doc_id") >= benchBelow)
+              .join(contaminated, Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("n_chars"),
+                expr(s"((((2654435761 * (doc_id % ${Dedup.P})) % ${Dedup.P}" +
+                  s" + 40503) % ${Dedup.P}) * 100000)" +
+                  " div (n_chars + 1)").as("priority"))
+            val prevTop =
+              if (!new java.io.File(s"$sd/top.parquet").exists())
+                survivors.limit(0)
+              else sp.read.parquet(s"$sd/top.parquet")
+            val merged = mergeTopPriorities(survivors, prevTop, n)
+            // O(n) rows by the reservoir contract — bounded control
+            // state; the driver hop breaks read-then-overwrite
+            val staged = merged.collect()
+            import sp.implicits._
+            staged.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+              .toDF("doc_id", "n_chars", "priority")
+              .coalesce(1).write.mode("overwrite").parquet(s"$sd/top.parquet")
+            // membership LAST; one file per touched bucket, fp-sorted
+            fresh.select(col("fp"), col("doc_id"), col("bucket"))
+              .repartition(col("bucket"))
+              .sortWithinPartitions(col("bucket"), col("fp"))
+              .write.mode("append").partitionBy("bucket").parquet(fpDir)
+          } finally keepers.unpersist()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sd
+    })
+    val top = spark.read.parquet(s"$root/top.parquet")
+    val wnd = Window.orderBy(col("priority"), col("doc_id"))
+    top.withColumn("rn", row_number().over(wnd).cast(IntegerType))
+      .select(col("rn"), col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("rn"))
+  }
+
   private val bm25StreamStores =
     new scala.collection.concurrent.TrieMap[String, (String, String)]()
   private[graft] def bm25StreamStoreFor(dir: String): Option[(String, String)] =

@@ -1189,4 +1189,38 @@ class StreamOpsSpec extends AnyFunSuite {
     upd(Seq(("apple", 9)))
     assert(spark.read.parquet(sd).count() == before)
   }
+
+  test("streamed corpus curation: a genuine multi-batch fold lands on the " +
+    "exact batch curation (dedup store + quality + decontamination + " +
+    "reservoir, composed online)") {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.TextAnalytics
+    val base = Files.createTempDirectory("scuration")
+    val streamDir = Files.createDirectory(base.resolve("documents.parquet"))
+    val docs = spark.read.parquet(TestSession.sfDir + "/documents.parquet")
+    // ascending doc_id ranges: the fp store's keeper contract is
+    // arrival in doc order (first-seen = min doc_id), like ingest
+    def writeBatch(lo: Long, hi: Long, name: String, mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("scur_part").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dest = streamDir.resolve(name)
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeBatch(0L, 60L, "b1.parquet", 1000000L)
+    writeBatch(60L, 200L, "b2.parquet", 2000000L)
+    writeBatch(200L, 1000000L, "b3.parquet", 3000000L)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = StreamOps.streamCorpusCurationQuery(spark, base.toString)
+      .collect().map(key).toSeq
+    val batch = TextAnalytics.corpusCuration(spark, base.toString)
+      .collect().map(key).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
