@@ -2077,10 +2077,13 @@ object Similarity {
     hnswStores.get((dir, deg))
 
   /** Forget this session's resolved store handles (catalog + disk stay):
-    * the cross-session spec's fresh-JVM simulation hook. */
+    * the cross-session spec's fresh-JVM simulation hook, ALSO fired by
+    * the catalog when it deletes stores (gcStale/drop) so these memos
+    * can't serve a dead path. */
   private[graft] def dropStoreMemos(): Unit = {
     ivfStores.clear(); pqStores.clear(); graphStores.clear(); hnswStores.clear()
   }
+  graft.StoreCatalog.registerInvalidationHook(() => dropStoreMemos())
 
   /** The pruned hierarchy read: ONE layer, frontier-many buckets. Both
     * `lvl` and `gbucket` are partition columns, so the equality and the

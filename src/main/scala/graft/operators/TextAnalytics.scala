@@ -752,8 +752,10 @@ object TextAnalytics {
     bm25Stores.get(dir)
 
   /** Forget this session's resolved store handles (catalog + disk stay):
-    * the cross-session spec's fresh-JVM simulation hook. */
+    * the cross-session spec's fresh-JVM simulation hook, ALSO fired by
+    * the catalog when it deletes stores (gcStale/drop). */
   private[graft] def dropStoreMemos(): Unit = bm25Stores.clear()
+  graft.StoreCatalog.registerInvalidationHook(() => dropStoreMemos())
 
   /** Driver-side twin of the native polyHash bucket — produces the
     * query's bucket set (O(nTerms) ints of control state) for the

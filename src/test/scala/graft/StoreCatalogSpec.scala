@@ -170,6 +170,164 @@ class StoreCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("a memo HIT re-validates the source fingerprint: an in-session " +
+    "source regeneration rebuilds instead of serving the stale store") {
+    val root = Files.createTempDirectory("catalog_memo_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    try {
+      val src = Files.createTempDirectory("catalog_memo_src")
+      Files.write(src.resolve("d"), "one".getBytes)
+      def resolve() =
+        StoreCatalog.getOrBuild(spark, "memofp", Seq(src.toString),
+          Nil, Seq("part")) { parts =>
+          Files.createDirectories(Paths.get(parts("part")))
+          Map.empty
+        }
+      val b0 = StoreCatalog.buildCount.get()
+      resolve()
+      resolve() // memo hit, fingerprint unchanged: no rebuild
+      assert(StoreCatalog.buildCount.get() == b0 + 1)
+      // regenerate the source WITHOUT touching the session memo
+      Files.setLastModifiedTime(src.resolve("d"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(src.resolve("d")).toMillis + 5000))
+      resolve()
+      assert(StoreCatalog.buildCount.get() == b0 + 2,
+        "memo hit served a stale store after in-session source change")
+    } finally {
+      StoreCatalog.dropSessionMemo()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("fingerprint sees a content change even at identical (size, mtime): " +
+    "the tail sentinel catches same-millisecond regeneration") {
+    val src = Files.createTempDirectory("catalog_sentinel_src")
+    val f = src.resolve("d")
+    Files.write(f, "aaaaaaaaaaaaaaaaaaaaaaaa".getBytes)
+    val mtime = Files.getLastModifiedTime(f)
+    val fp1 = StoreCatalog.sourceFingerprint(Seq(src.toString))
+    Files.write(f, "aaaaaaaaaaaaaaaaaaaaaaab".getBytes) // same size
+    Files.setLastModifiedTime(f, mtime) // same mtime-millis
+    val fp2 = StoreCatalog.sourceFingerprint(Seq(src.toString))
+    assert(fp1 != fp2, "same-size same-mtime regeneration fingerprinted equal")
+    // file-count changes are seen even when the stat triple would collide
+    Files.write(src.resolve("e"), Array.emptyByteArray)
+    val fp3 = StoreCatalog.sourceFingerprint(Seq(src.toString))
+    assert(fp3 != fp2)
+  }
+
+  test("gcStale and drop fire the registered operator-memo hooks; drop " +
+    "retires a CURRENT store by exact (family, sources, config)") {
+    val root = Files.createTempDirectory("catalog_drop_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    var fired = 0
+    StoreCatalog.registerInvalidationHook(() => fired += 1)
+    try {
+      val src = Files.createTempDirectory("catalog_drop_src")
+      Files.write(src.resolve("d"), "d".getBytes)
+      def build(cfg: Seq[(String, String)]) =
+        StoreCatalog.getOrBuild(spark, "dropfam", Seq(src.toString),
+          cfg, Seq("part")) { parts =>
+          Files.createDirectories(Paths.get(parts("part")))
+          Map.empty
+        }
+      build(Seq("buckets" -> "64"))
+      build(Seq("buckets" -> "256")) // the re-bucketed layout
+      assert(StoreCatalog.list(spark).size == 2)
+      // both stores are fingerprint-CURRENT: gcStale must not touch them
+      val f0 = fired
+      assert(StoreCatalog.gcStale(spark).isEmpty && fired == f0)
+      // retiring the old layout is drop's job — exact key, hooks fired
+      assert(StoreCatalog.drop(spark, "dropfam", Seq(src.toString),
+        Seq("buckets" -> "64")))
+      assert(fired == f0 + 1, "drop did not fire invalidation hooks")
+      val left = StoreCatalog.list(spark)
+      assert(left.size == 1 && left.head.config.contains("buckets=256"))
+      // dropping a store that is already gone reports false
+      assert(!StoreCatalog.drop(spark, "dropfam", Seq(src.toString),
+        Seq("buckets" -> "64")))
+      // gcStale on a stale store fires hooks too
+      Files.setLastModifiedTime(src.resolve("d"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(src.resolve("d")).toMillis + 5000))
+      val f1 = fired
+      assert(StoreCatalog.gcStale(spark).size == 1 && fired == f1 + 1)
+    } finally {
+      StoreCatalog.dropSessionMemo()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("two concurrent resolvers of the same STALE store both finish with " +
+    "a valid handle (the move-aside race: loser retries or adopts, " +
+    "staging never leaks)") {
+    val root = Files.createTempDirectory("catalog_race_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    try {
+      val src = Files.createTempDirectory("catalog_race_src")
+      Files.write(src.resolve("d"), "d".getBytes)
+      def resolve(sleepMs: Long) =
+        StoreCatalog.getOrBuild(spark, "racefam", Seq(src.toString),
+          Nil, Seq("part")) { parts =>
+          Thread.sleep(sleepMs)
+          Files.createDirectories(Paths.get(parts("part")))
+          Map.empty
+        }
+      resolve(0) // seed the store
+      // stale it, then race two resolvers from a cold memo
+      Files.setLastModifiedTime(src.resolve("d"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(src.resolve("d")).toMillis + 5000))
+      StoreCatalog.dropSessionMemo()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // both threads bypass the memo fast path by starting simultaneously
+      val fa = Future(StoreCatalog.getOrBuild(spark, "racefam",
+        Seq(src.toString), Nil, Seq("part")) { parts =>
+        Thread.sleep(50)
+        Files.createDirectories(Paths.get(parts("part")))
+        Map.empty
+      })
+      val fb = Future(StoreCatalog.getOrBuild(spark, "racefam",
+        Seq(src.toString), Nil, Seq("part")) { parts =>
+        Thread.sleep(50)
+        Files.createDirectories(Paths.get(parts("part")))
+        Map.empty
+      })
+      val ha = Await.result(fa, 60.seconds)
+      val hb = Await.result(fb, 60.seconds)
+      assert(ha.dir == hb.dir)
+      assert(Files.exists(Paths.get(ha.parts("part"))))
+      // no staging or trash directories leaked
+      val leftovers = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("."))
+      assert(leftovers.isEmpty, leftovers.map(_.getName).mkString(","))
+      // and the published store is current
+      val infos = StoreCatalog.list(spark).filter(_.family == "racefam")
+      assert(infos.size == 1 && infos.head.current)
+    } finally {
+      StoreCatalog.dropSessionMemo()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a crashed build publishes nothing; the next resolve builds cleanly") {
     val root = Files.createTempDirectory("catalog_crash_root").toString
     val key = "spark.graft.storeRoot"
