@@ -1726,10 +1726,11 @@ object Similarity {
     * index config so a non-default deg never serves the default
     * build). */
   private val graphStores =
-    new scala.collection.concurrent.TrieMap[(String, Int), String]()
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), String]()
   private[graft] val GraphStoreBuckets = 64
-  private[graft] def graphStoreDirFor(dir: String, deg: Int = 8): Option[String] =
-    graphStores.get((dir, deg))
+  private[graft] def graphStoreDirFor(dir: String, deg: Int = 8,
+                                      buckets: Int = GraphStoreBuckets): Option[String] =
+    graphStores.get((dir, deg, buckets))
 
   /** Collect the superstep's beam ONCE — O(nQueries·width) (qid, node)
     * rows, the bounded driver-control-state class — returning the rows
@@ -1740,8 +1741,9 @@ object Similarity {
     * checkpoint + bucket distinct-collect + eager visited checkpoint)
     * to one — the serve-latency floor at any store size, since the
     * store read itself is partition-pruned to these buckets. */
-  private[graft] def collectBeam(visited: DataFrame,
-                                 width: Int): (Array[(Long, Long)], Seq[Int]) = {
+  private[graft] def collectBeam(visited: DataFrame, width: Int,
+                                 nBuckets: Int = GraphStoreBuckets)
+      : (Array[(Long, Long)], Seq[Int]) = {
     import org.apache.spark.sql.expressions.Window
     val wb = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("node"))
@@ -1749,7 +1751,7 @@ object Similarity {
       .filter(col("rn") <= width).select(col("qid"), col("node"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // node ids are non-negative, so % == pmod here
-    val buckets = rows.map(t => (t._2 % GraphStoreBuckets).toInt)
+    val buckets = rows.map(t => (t._2 % nBuckets).toInt)
       .toSeq.distinct.sorted
     (rows, buckets)
   }
@@ -1785,26 +1787,74 @@ object Similarity {
   def graphBeamSearchFromStore(spark: SparkSession, dir: String, deg: Int = 8,
                                nQueries: Int = 10, nEntries: Int = 8,
                                beamWidth: Int = 8, steps: Int = 8,
-                               k: Int = 3): DataFrame = {
-    val emb = Tables.loadWide(spark, dir, "embeddings")
-    val n = emb.count()
-    val storeDir = graphStores.getOrElseUpdate((dir, deg),
+                               k: Int = 3): DataFrame =
+    graphBeamServeFrom(spark, dir, buildGraphStore(spark, dir, deg),
+      GraphStoreBuckets, nQueries, nEntries, beamWidth, steps, k)
+
+  /** Resolve (build-if-absent) the src-bucket-partitioned k-NN edge
+    * store at `buckets` partitions — the default width for fresh
+    * builds; a RE-BUCKETED width resolves the layout
+    * [[rebucketGraphStore]] published. */
+  private[graft] def buildGraphStore(spark: SparkSession, dir: String,
+                                     deg: Int,
+                                     buckets: Int = GraphStoreBuckets): String =
+    graphStores.getOrElseUpdate((dir, deg, buckets),
       graft.StoreCatalog.getOrBuild(spark, "knn_graph",
         Seq(s"$dir/embeddings.parquet"),
         Seq("deg" -> deg.toString,
-          "buckets" -> GraphStoreBuckets.toString),
+          "buckets" -> buckets.toString),
         Seq("edges")) { parts =>
+        val emb = Tables.loadWide(spark, dir, "embeddings")
         knnGraph(spark, dir, deg)
           .select(col("src"), col("dst"))
           .join(emb.select(col("vec_id").as("dst"), col("embedding").as("dst_emb")),
             "dst")
           .withColumn("gbucket",
-            pmod(col("src"), lit(GraphStoreBuckets.toLong)).cast(IntegerType))
+            pmod(col("src"), lit(buckets.toLong)).cast(IntegerType))
           .repartition(col("gbucket")) // one file per bucket, src-sorted
           .sortWithinPartitions(col("gbucket"), col("src"))
           .write.mode("overwrite").partitionBy("gbucket").parquet(parts("edges"))
         Map.empty
       }.parts("edges"))
+
+  /** CATALOG-MANAGED RE-BUCKETING of the k-NN edge store — the
+    * store-growth knob every bucket-partitioned layout documents
+    * ("raise buckets with the corpus"), run as a catalog operation:
+    * the widened layout is REWRITTEN from the old store's at-rest rows
+    * (the partition key is a pure function of `src` — no graph
+    * rebuild, no embedding scan), built under the NEW config's key via
+    * the catalog's staging + atomic publish (crash-safe, race-safe),
+    * and the old store keeps serving until the caller retires it with
+    * [[graft.StoreCatalog.drop]] — which also clears the operator
+    * memos, so nothing can read the dead layout. Serve continuity is
+    * spec-pinned: the widened store serves byte-identical walks. */
+  def rebucketGraphStore(spark: SparkSession, dir: String, deg: Int = 8,
+                         newBuckets: Int = 256): String = {
+    val oldDir = buildGraphStore(spark, dir, deg)
+    graphStores.getOrElseUpdate((dir, deg, newBuckets),
+      graft.StoreCatalog.getOrBuild(spark, "knn_graph",
+        Seq(s"$dir/embeddings.parquet"),
+        Seq("deg" -> deg.toString,
+          "buckets" -> newBuckets.toString),
+        Seq("edges")) { parts =>
+        Sinks.rebucketPartitioned(spark, oldDir, parts("edges"), "gbucket",
+          pmod(col("src"), lit(newBuckets.toLong)).cast(IntegerType),
+          Seq("src"))
+        Map.empty
+      }.parts("edges"))
+  }
+
+  /** The descent itself, off an explicit edge store at an explicit
+    * bucket width — shared by the default serve and the re-bucketed
+    * layout (the frontier's bucket set is derived with the STORE's own
+    * width, everything else is width-agnostic). */
+  private[graft] def graphBeamServeFrom(spark: SparkSession, dir: String,
+                                        storeDir: String, nBuckets: Int,
+                                        nQueries: Int = 10, nEntries: Int = 8,
+                                        beamWidth: Int = 8, steps: Int = 8,
+                                        k: Int = 3): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    val n = emb.count()
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
       .localCheckpoint(true)
@@ -1827,7 +1877,7 @@ object Similarity {
       // ONE action per superstep: collect the beam (bounded control
       // state), derive the bucket set driver-side, feed the beam back
       // as a broadcast local relation
-      val (beamRows, buckets) = collectBeam(visited, beamWidth)
+      val (beamRows, buckets) = collectBeam(visited, beamWidth, nBuckets)
       val expanded = broadcast(beamFrame(spark, beamRows))
         .join(store.where(col("gbucket").isin(buckets: _*)),
           col("node") === col("src"))
@@ -1938,11 +1988,11 @@ object Similarity {
     * reproduces the exact layer membership). Levels are NESTED: a node
     * at level l is a member of every layer <= l, the standard HNSW
     * structure. */
-  private[graft] def hnswLevelCol(id: Column): Column = {
+  private[graft] def hnswLevelCol(id: Column, cap: Int = 2): Column = {
     val h = graft.functions.TextFunctions.fingerprint(id.cast("string"))
-    when(pmod(h, lit(256L)) === 0, lit(2))
-      .when(pmod(h, lit(16L)) === 0, lit(1))
-      .otherwise(lit(0))
+    (cap to 1 by -1).foldRight(lit(0): Column) { (l, rest) =>
+      when(pmod(h, lit(1L << (4 * l))) === 0, lit(l)).otherwise(rest)
+    }
   }
 
   private def hnswLevelSql: String = {
@@ -2068,13 +2118,14 @@ object Similarity {
   }
 
   /** Session memo of resolved HNSW hierarchy stores per (fixture dir,
-    * deg) — (store dir, max populated level); the hierarchy lives in
-    * the persistent [[graft.StoreCatalog]], max level in its
+    * deg, level cap) — (store dir, max populated level); the hierarchy
+    * lives in the persistent [[graft.StoreCatalog]], max level in its
     * manifest. */
   private val hnswStores =
-    new scala.collection.concurrent.TrieMap[(String, Int), (String, Int)]()
-  private[graft] def hnswStoreFor(dir: String, deg: Int = 8): Option[(String, Int)] =
-    hnswStores.get((dir, deg))
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), (String, Int)]()
+  private[graft] def hnswStoreFor(dir: String, deg: Int = 8,
+                                  cap: Int = 2): Option[(String, Int)] =
+    hnswStores.get((dir, deg, cap))
 
   /** Forget this session's resolved store handles (catalog + disk stay):
     * the cross-session spec's fresh-JVM simulation hook, ALSO fired by
@@ -2104,16 +2155,17 @@ object Similarity {
     * The per-layer count()s are paid HERE, once per index lifetime,
     * not per query. Returns (store dir, max populated level). */
   private[graft] def buildHnswStore(spark: SparkSession, dir: String,
-                                    deg: Int): (String, Int) =
-    hnswStores.getOrElseUpdate((dir, deg), {
+                                    deg: Int, cap: Int = 2): (String, Int) =
+    hnswStores.getOrElseUpdate((dir, deg, cap), {
       val h = graft.StoreCatalog.getOrBuild(spark, "hnsw_hierarchy",
         Seq(s"$dir/embeddings.parquet"),
         Seq("deg" -> deg.toString,
-          "buckets" -> GraphStoreBuckets.toString),
+          "buckets" -> GraphStoreBuckets.toString,
+          "maxcap" -> cap.toString),
         Seq("edges")) { parts =>
         val emb = Tables.loadWide(spark, dir, "embeddings")
         val lvl = emb.select(col("vec_id"), col("embedding"),
-          hnswLevelCol(col("vec_id")).as("lvl")).localCheckpoint(true)
+          hnswLevelCol(col("vec_id"), cap).as("lvl")).localCheckpoint(true)
         val maxl = lvl.agg(max(col("lvl"))).collect()(0).getInt(0)
         val dstEmb = emb.select(col("vec_id").as("dst"),
           col("embedding").as("dst_emb"))
@@ -2140,6 +2192,86 @@ object Similarity {
       (h.parts("edges"), h.meta("maxl").toInt)
     })
 
+  /** HIERARCHY REWRITE: RAISE THE LEVEL CAP — the production control
+    * SCALE_PROBE documents for the growing top layer (the descent's
+    * entry read scans the whole top layer; at a pinned cap it is
+    * corpus/16^cap and grows linearly with the corpus — raising the cap
+    * re-caps it 16× per level). Run as a catalog operation like
+    * [[rebucketGraphStore]]: the raised hierarchy builds under the NEW
+    * `maxcap` config key with staging + atomic publish, and the rewrite
+    * is METADATA-SHAPED for the existing layers — raising the cap can
+    * only move nodes UP (levels are nested, membership of layer
+    * l <= oldCap is `hash % 16^l == 0` under either cap), so layers
+    * 0..oldMaxl are HARDLINKED file-for-file, and only the new top
+    * layers' (16^cap-smaller) graphs are computed. At 100 TB the base
+    * layer — virtually the whole store — is never rewritten or even
+    * read. The old store serves until [[graft.StoreCatalog.drop]]
+    * retires it. Serve continuity is spec-pinned: the raised store
+    * serves BYTE-IDENTICAL walks at the old parameters (the lower
+    * layers are the same inodes), and its new top layer equals a
+    * direct build over the raised level's nodes. */
+  def raiseHnswMaxLevel(spark: SparkSession, dir: String, deg: Int = 8,
+                        fromCap: Int = 2, toCap: Int = 3): (String, Int) = {
+    require(toCap > fromCap, s"toCap $toCap must exceed fromCap $fromCap")
+    val (oldDir, oldMaxl) = buildHnswStore(spark, dir, deg, fromCap)
+    hnswStores.getOrElseUpdate((dir, deg, toCap), {
+      val h = graft.StoreCatalog.getOrBuild(spark, "hnsw_hierarchy",
+        Seq(s"$dir/embeddings.parquet"),
+        Seq("deg" -> deg.toString,
+          "buckets" -> GraphStoreBuckets.toString,
+          "maxcap" -> toCap.toString),
+        Seq("edges")) { parts =>
+        linkTree(java.nio.file.Paths.get(oldDir),
+          java.nio.file.Paths.get(parts("edges")))
+        val emb = Tables.loadWide(spark, dir, "embeddings")
+        val lvl = emb.select(col("vec_id"), col("embedding"),
+          hnswLevelCol(col("vec_id"), toCap).as("lvl")).localCheckpoint(true)
+        val newMaxl = lvl.agg(max(col("lvl"))).collect()(0).getInt(0)
+        val dstEmb = emb.select(col("vec_id").as("dst"),
+          col("embedding").as("dst_emb"))
+        ((oldMaxl + 1) to newMaxl).foreach { l =>
+          val nodes = lvl.filter(col("lvl") >= l)
+            .select(col("vec_id"), col("embedding"))
+          knnGraphFrom(nodes, deg, adaptiveBits(nodes.count()))
+            .select(col("src"), col("dst"))
+            .join(dstEmb, "dst")
+            .select(col("src"), col("dst"), col("dst_emb"), lit(l).as("lvl"))
+            .withColumn("gbucket",
+              pmod(col("src"), lit(GraphStoreBuckets.toLong)).cast(IntegerType))
+            .repartition(col("gbucket"))
+            .sortWithinPartitions(col("gbucket"), col("src"))
+            .write.mode("append").partitionBy("lvl", "gbucket")
+            .parquet(parts("edges"))
+        }
+        Map("maxl" -> newMaxl.toString)
+      }
+      (h.parts("edges"), h.meta("maxl").toInt)
+    })
+  }
+
+  /** Hardlink every data file of `src` into `dest` at the same relative
+    * path (directories created, Spark marker files like _SUCCESS
+    * skipped) — the metadata-only "copy" a layout rewrite uses for the
+    * partitions it does not change. Falls back to a real copy when the
+    * filesystem refuses links. */
+  private def linkTree(src: java.nio.file.Path, dest: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val st = Files.walk(src)
+    val files = try st.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("_"))
+      .toSeq
+    finally st.close()
+    files.foreach { f =>
+      val rel = src.relativize(f)
+      val out = dest.resolve(rel)
+      Files.createDirectories(out.getParent)
+      try Files.createLink(out, f)
+      catch { case _: Exception => Files.copy(f, out) }
+    }
+  }
+
   /** [[hnswSearch]] served from the MATERIALIZED hierarchy — the
     * production ANN serve shape: the per-layer graphs are built ONCE
     * ([[buildHnswStore]]) into a store partitioned by (lvl, gbucket),
@@ -2159,12 +2291,29 @@ object Similarity {
                           beamWidth: Int = 8, steps: Int = 8,
                           k: Int = 3): DataFrame = {
     val (storeDir, maxl) = buildHnswStore(spark, dir, deg)
+    hnswServeFromStore(spark, dir, storeDir, maxl, nQueries, stepsUpper,
+      beamWidth, steps, k)
+  }
+
+  /** The descent off an EXPLICIT hierarchy store, entered at layer
+    * `maxl`: entry set = the nodes of layer `maxl` (levels are nested,
+    * so membership is one `hash % 16^maxl == 0` filter — at
+    * maxl == the build cap this is exactly "level == maxl"). Serving a
+    * RAISED hierarchy at a LOWER maxl reads only the lower layers —
+    * which the rewrite hardlinked — so results are byte-identical to
+    * the pre-raise store at those parameters: the serve-continuity
+    * contract of [[raiseHnswMaxLevel]], pinned by its spec. */
+  private[graft] def hnswServeFromStore(spark: SparkSession, dir: String,
+                                        storeDir: String, maxl: Int,
+                                        nQueries: Int = 10, stepsUpper: Int = 4,
+                                        beamWidth: Int = 8, steps: Int = 8,
+                                        k: Int = 3): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
       .localCheckpoint(true)
     val entries = emb
-      .filter(hnswLevelCol(col("vec_id")) === maxl)
+      .filter(hnswLevelCol(col("vec_id"), maxl) === maxl)
       .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
     var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
       .select(col("qid"), col("node"),

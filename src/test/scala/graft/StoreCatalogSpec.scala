@@ -328,6 +328,148 @@ class StoreCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog-managed re-bucketing: the widened graph store serves " +
+    "byte-identical walks; drop retires the old layout with zero stale " +
+    "reads and zero rebuilds of the new one") {
+    val dir = TestSession.sfDir
+    val root = Files.createTempDirectory("catalog_rebucket_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    dropAllMemos()
+    try {
+      val r1 = Similarity.graphBeamSearchFromStore(spark, dir, nQueries = 3,
+        beamWidth = 2, steps = 2).collect().toSeq
+      val oldDir = Similarity.graphStoreDirFor(dir).get
+      val newDir = Similarity.rebucketGraphStore(spark, dir, 8, 256)
+      // the widened layout spans buckets beyond the old width
+      val buckets = new java.io.File(newDir).list()
+        .filter(_.startsWith("gbucket=")).map(_.stripPrefix("gbucket=").toInt)
+      assert(buckets.max >= 64, s"max bucket ${buckets.max} not widened")
+      // serve continuity: byte-identical walk off the widened store
+      val r2 = Similarity.graphBeamServeFrom(spark, dir, newDir, 256,
+        nQueries = 3, beamWidth = 2, steps = 2).collect().toSeq
+      assert(r2 == r1)
+      // retire the old layout — fingerprint-current, so this is drop's
+      // job, and the hook clears the operator memo holding oldDir
+      assert(StoreCatalog.drop(spark, "knn_graph",
+        Seq(s"$dir/embeddings.parquet"),
+        Seq("deg" -> "8", "buckets" -> "64")))
+      assert(!Files.exists(Paths.get(oldDir)), "old layout still on disk")
+      assert(Similarity.graphStoreDirFor(dir).isEmpty,
+        "operator memo still holds the dropped store")
+      // the widened store resolves and serves with ZERO rebuild
+      val b0 = StoreCatalog.buildCount.get()
+      val resolved = Similarity.buildGraphStore(spark, dir, 8, 256)
+      assert(StoreCatalog.buildCount.get() == b0, "re-resolve rebuilt")
+      val r3 = Similarity.graphBeamServeFrom(spark, dir, resolved, 256,
+        nQueries = 3, beamWidth = 2, steps = 2).collect().toSeq
+      assert(r3 == r1)
+    } finally {
+      dropAllMemos()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("hierarchy raise: lower layers are hardlinked and serve " +
+    "byte-identical at the old parameters; the new top layer equals a " +
+    "direct build and re-caps the entry set 16x") {
+    val dir = TestSession.sfDir
+    val root = Files.createTempDirectory("catalog_raise_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    dropAllMemos()
+    try {
+      val (d1, maxl1) = Similarity.buildHnswStore(spark, dir, 8, cap = 1)
+      assert(maxl1 == 1, s"fixture should populate level 1, got $maxl1")
+      val rOld = Similarity.hnswServeFromStore(spark, dir, d1, maxl1,
+        nQueries = 3, stepsUpper = 2, beamWidth = 2, steps = 2)
+        .collect().toSeq
+      val (d2, maxl2) = Similarity.raiseHnswMaxLevel(spark, dir, 8,
+        fromCap = 1, toCap = 2)
+      assert(maxl2 == 2, s"raise should populate level 2, got $maxl2")
+      // serve-identical at the OLD parameters: the walk reads only the
+      // layers the rewrite hardlinked
+      val rAtOld = Similarity.hnswServeFromStore(spark, dir, d2, 1,
+        nQueries = 3, stepsUpper = 2, beamWidth = 2, steps = 2)
+        .collect().toSeq
+      assert(rAtOld == rOld)
+      // the raised entry layer is a 16x re-cap (nonempty, strictly
+      // smaller than the old top layer)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n1 = emb.filter(
+        Similarity.hnswLevelCol(col("vec_id"), 1) === 1).count()
+      val n2 = emb.filter(
+        Similarity.hnswLevelCol(col("vec_id"), 2) === 2).count()
+      assert(n2 > 0 && n2 < n1, s"entry re-cap: $n1 -> $n2")
+      // the raised store serves at the new entry layer
+      val rRaised = Similarity.hnswServeFromStore(spark, dir, d2, 2,
+        nQueries = 3, stepsUpper = 2, beamWidth = 2, steps = 2)
+        .collect().toSeq
+      assert(rRaised.nonEmpty)
+      // the new top layer is EXACTLY the graph a direct build computes
+      // over the raised level's nodes (at sf0.001 level 2 holds one
+      // node — a legitimately empty graph, equal on both sides; the
+      // NON-degenerate equality is pinned by the 0 -> 1 raise below)
+      def layerEdges(store: String, l: Int) =
+        spark.read.parquet(store).where(col("lvl") === l)
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      def directEdges(minLvl: Int, cap: Int, deg: Int) = {
+        val nodes = emb.filter(
+            Similarity.hnswLevelCol(col("vec_id"), cap) >= minLvl)
+          .select(col("vec_id"), col("embedding"))
+        Similarity.knnGraphFrom(nodes, deg,
+            Similarity.adaptiveBits(nodes.count()))
+          .select(col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      }
+      assert(layerEdges(d2, 2) == directEdges(2, 2, 8))
+      // a flat (cap 0) hierarchy raised to cap 1 — at deg 6 so neither
+      // catalog key collides with the stores built above and the
+      // REWRITE path (not a fresh build) provably produced the layer:
+      // the added layer holds the fixture's ~n/16 level-1 nodes, a
+      // real graph
+      val (d0, m0) = Similarity.buildHnswStore(spark, dir, 6, cap = 0)
+      assert(m0 == 0)
+      val bRaise = StoreCatalog.buildCount.get()
+      val (d01, m01) = Similarity.raiseHnswMaxLevel(spark, dir, 6,
+        fromCap = 0, toCap = 1)
+      assert(m01 == 1)
+      assert(StoreCatalog.buildCount.get() == bRaise + 1,
+        "raise resolved an existing store instead of rewriting")
+      val raisedL1 = layerEdges(d01, 1)
+      assert(raisedL1 == directEdges(1, 1, 6) && raisedL1.nonEmpty)
+      // and its base layer is the flat store's, hardlinked
+      assert(layerEdges(d01, 0) == layerEdges(d0, 0))
+      // metadata-shaped rewrite: a base-layer file in the raised store
+      // is the SAME inode as the old store's (hardlink, not a copy)
+      def firstParquet(base: String): java.nio.file.Path = {
+        val st = Files.walk(Paths.get(base))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.find(p =>
+            Files.isRegularFile(p) &&
+              p.toString.endsWith(".parquet")).get
+        } finally st.close()
+      }
+      val f1 = firstParquet(s"$d1/lvl=0")
+      val f2 = Paths.get(d2).resolve(Paths.get(d1).relativize(f1))
+      assert(Files.exists(f2) && Files.isSameFile(f1, f2),
+        "base layer was copied, not hardlinked")
+    } finally {
+      dropAllMemos()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("a crashed build publishes nothing; the next resolve builds cleanly") {
     val root = Files.createTempDirectory("catalog_crash_root").toString
     val key = "spark.graft.storeRoot"
