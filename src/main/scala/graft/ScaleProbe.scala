@@ -216,8 +216,40 @@ object ScaleProbe {
       println(f"| $name | $t1%.2f | $tN%.2f | ${tN / t1}%.1fx |")
     }
 
+    // named like a probe so SPARK_GRAFT_SCALE_ONLY can target or skip it
+    if (onlySet.forall(_("bpe_batched")))
+      bpeBatchedProbe(spark, bigDir)
+
     if (sys.env.get("SPARK_GRAFT_SCALE_STORES").contains("1"))
       storeGrowthProbe(spark, copies)
+    if (sys.env.get("SPARK_GRAFT_SCALE_REWRITE").contains("1"))
+      rewriteGrowthProbe(spark, copies)
+  }
+
+  /** BATCHED-BPE trainer cell: the exact trainer pays one driver round
+    * per merge — the one loop whose round count scales with a MODEL
+    * knob (vocabulary size), not data. The batched trainer merges B
+    * symbol-disjoint pairs per round (count-invariance guard, ordering
+    * departure documented on [[graft.operators.TextAnalytics
+    * .bpeTrain]]); this cell measures the claim that rounds — and wall
+    * — cut ~B-fold at a production-shaped merge count on the 10×
+    * corpus (10 vocabulary-disjoint copies ⇒ ~10× the distinct words,
+    * so 64 merges have real material). */
+  private def bpeBatchedProbe(spark: SparkSession, bigDir: String): Unit = {
+    import graft.operators.TextAnalytics
+    val nMerges = 64
+    def trainWall(batch: Int): (Double, Int, Int) = {
+      val t0 = System.nanoTime()
+      val (merges, _, rounds) =
+        TextAnalytics.bpeTrain(spark, bigDir, nMerges, batch)
+      ((System.nanoTime() - t0) / 1e9, rounds, merges.size)
+    }
+    println(s"\n| bpe trainer, nMerges=$nMerges on the 10x corpus | driver rounds | merges learned | wall s |")
+    println("|---|---|---|---|")
+    for (b <- Seq(1, 16)) {
+      val (w, rounds, learned) = trainWall(b)
+      println(f"| batch=$b | $rounds | $learned | $w%.2f |")
+    }
   }
 
   /** PERSISTENT-STORE growth probe: per-micro-batch ingest cost of the
@@ -509,5 +541,99 @@ object ScaleProbe {
       deleteRecursively(java.nio.file.Paths.get(a))
       deleteRecursively(java.nio.file.Paths.get(b))
     }
+  }
+
+  /** LAYOUT-REWRITE growth cells: the read-cost consequence of the two
+    * catalog-managed rewrites (the rewrites themselves —
+    * [[graft.operators.Similarity.rebucketGraphStore]] /
+    * [[graft.operators.Similarity.raiseHnswMaxLevel]] — are
+    * correctness-pinned by StoreCatalogSpec; these cells measure WHY a
+    * deployment runs them).
+    *
+    * - RE-BUCKETING: a bucket-pruned serve read grows with per-bucket
+    *   occupancy — doubling history at a pinned width doubles the
+    *   touched buckets' content. Re-bucketing the doubled store to 2×
+    *   the buckets (the real [[graft.operators.Sinks
+    *   .rebucketPartitioned]] rewrite) halves occupancy and the serve
+    *   read re-flattens to the baseline.
+    * - MAXLEVEL RAISE: the HNSW descent's entry read scans the WHOLE
+    *   top layer — corpus/16^cap at a pinned cap, linear in the
+    *   corpus. Raising the cap one level re-caps the top layer 16×;
+    *   the cell reads the top layer before and after. */
+  private def rewriteGrowthProbe(spark: SparkSession, copies: Int): Unit = {
+    // 4M srcs x 8 edges = 32M rows at 1x: big enough that a touched
+    // bucket's CONTENT (not listing overhead) dominates the read, so
+    // the occupancy effect and its re-flattening are visible
+    val h1 = 4000000L
+    def buildEdges(h: Long, buckets: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("scale_rebucket").toString
+      spark.range(0, h)
+        .select(col("id").as("src"),
+          explode(array((0 until 8).map(i =>
+            xxhash64(col("id") + lit(i))): _*)).as("dst"))
+        .withColumn("score", rand(7))
+        .withColumn("gbucket", pmod(col("src"), lit(buckets.toLong)).cast("int"))
+        .repartition(col("gbucket"))
+        .sortWithinPartitions(col("gbucket"), col("src"))
+        .write.mode("overwrite").partitionBy("gbucket").parquet(dir)
+      dir
+    }
+    // a fixed 8-node frontier; its bucket set derived at the STORE's width
+    val frontierIds = (0 until 8).map(i => h1 / 2 + i * 1000L)
+    def serveRead(store: String, buckets: Int): DataFrame = {
+      val bk = frontierIds.map(id => (id % buckets).toInt).distinct.sorted
+      val fr = frontierIds.map(Tuple1(_))
+      import spark.implicits._
+      broadcast(fr.toDF("node")).join(
+        spark.read.parquet(store).where(col("gbucket").isin(bk: _*)),
+        col("node") === col("src"), "left_semi")
+    }
+    val grow = 4L // occupancy growth at the pinned width
+    val e1 = buildEdges(h1, 64)
+    val e2 = buildEdges(h1 * grow, 64) // occupancy grown at pinned width
+    // the REAL rewrite: recompute the key, rewrite the layout 4x wider
+    val e2w = java.nio.file.Files.createTempDirectory("scale_rebucket_w").toString
+    graft.operators.Sinks.rebucketPartitioned(spark, e2, e2w, "gbucket",
+      pmod(col("src"), lit(256L)).cast("int"), Seq("src"))
+    println(s"\n| graph-store serve read across re-bucketing | s | vs baseline |")
+    println("|---|---|---|")
+    time(serveRead(e1, 64)) // warm the shape
+    val tb = math.min(time(serveRead(e1, 64)), time(serveRead(e1, 64)))
+    val td = math.min(time(serveRead(e2, 64)), time(serveRead(e2, 64)))
+    val tw = math.min(time(serveRead(e2w, 256)), time(serveRead(e2w, 256)))
+    println(f"| history 1x, 64 buckets (baseline) | $tb%.2f | 1.0x |")
+    println(f"| history ${grow}x, 64 buckets (occupancy ${grow}x) | $td%.2f | ${td / tb}%.1fx |")
+    println(f"| history ${grow}x, REBUCKETED to 256 (occupancy re-flattened) | $tw%.2f | ${tw / tb}%.1fx |")
+    Seq(e1, e2, e2w).foreach(p =>
+      deleteRecursively(java.nio.file.Paths.get(p)))
+
+    // entry read across a maxLevel raise: top layer = corpus/16^cap
+    def buildTop(rows: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("scale_toplayer").toString
+      spark.range(0, math.max(rows, 4L))
+        .select(col("id").as("vec_id"),
+          array((0 until 8).map(i =>
+            (pmod(xxhash64(col("id") + lit(i)), lit(2048L)) - 1024L)
+              .cast("float") / 1024.0f): _*).as("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val corpus1 = 40000000L
+    val top1 = buildTop(corpus1 / 256) // 1x corpus, cap 2
+    val topN = buildTop(corpus1 * copies / 256) // copies-x corpus, cap 2
+    val topR = buildTop(corpus1 * copies / 4096) // copies-x corpus, RAISED cap 3
+    def entry(store: String): DataFrame =
+      spark.read.parquet(store).agg(count(lit(1)).as("n"))
+    println(s"\n| hnsw descent entry read across a maxLevel raise | s | vs baseline |")
+    println("|---|---|---|")
+    time(entry(top1)) // warm the shape
+    val te1 = math.min(time(entry(top1)), time(entry(top1)))
+    val teN = math.min(time(entry(topN)), time(entry(topN)))
+    val teR = math.min(time(entry(topR)), time(entry(topR)))
+    println(f"| corpus 1x, cap 2 (baseline) | $te1%.2f | 1.0x |")
+    println(f"| corpus ${copies}x, cap 2 (linear growth by design) | $teN%.2f | ${teN / te1}%.1fx |")
+    println(f"| corpus ${copies}x, cap RAISED to 3 (re-capped 16x) | $teR%.2f | ${teR / te1}%.1fx |")
+    Seq(top1, topN, topR).foreach(p =>
+      deleteRecursively(java.nio.file.Paths.get(p)))
   }
 }

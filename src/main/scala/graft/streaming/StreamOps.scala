@@ -743,19 +743,25 @@ object StreamOps {
     spark.conf.set(key, "4")
     try {
       val q = scored.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
           batch.groupBy(col("doc_id"))
             .agg(sum(col("sc")).as("s"), count(lit(1)).as("nb"))
+            .withColumn("epoch", lit(epochId))
             .coalesce(1).write.mode("append").parquet(partDir)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set(key, prev)
-    // max-merge, not sum: a document's slots live wholly in one batch,
-    // so its per-batch partial IS its global (s, nb) and a crash-replayed
-    // batch's identical re-appended row must be absorbed, not added
-    val perDoc = spark.read.parquet(partDir).groupBy(col("doc_id"))
+    // epoch-stamped merge: max per (doc, epoch) absorbs an at-least-once
+    // replay's IDENTICAL re-appended partial, sum across epochs carries
+    // a document whose slots ever split across batches — correct under
+    // both failure modes instead of silently undercounting if the
+    // one-doc-one-batch staging invariant ever breaks
+    val perDoc = spark.read.parquet(partDir)
+      .groupBy(col("doc_id"), col("epoch"))
       .agg(max(col("s")).as("s"), max(col("nb")).as("nb"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("s"), sum(col("nb")).as("nb"))
     graft.Tables.loadWide(spark, dir, "documents").select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -795,9 +801,10 @@ object StreamOps {
     spark.conf.set(key, "4")
     try {
       val q = counted.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
           batch.groupBy(col("doc_id"))
             .agg(count(lit(1)).as("nw"), sum(col("k")).as("ns"))
+            .withColumn("epoch", lit(epochId))
             .coalesce(1).write.mode("append").parquet(partDir)
         }
         .start()
@@ -807,12 +814,16 @@ object StreamOps {
   }
 
   /** The BPE partial merge, factored out for the replay spec: one
-    * (nw, ns) row per (doc, batch), a doc wholly in one batch, so MAX
-    * (not SUM) makes an at-least-once re-appended identical partial a
-    * no-op. */
+    * (nw, ns, epoch) row per (doc, batch). MAX per (doc, epoch) makes
+    * an at-least-once re-appended identical partial a no-op; SUM
+    * across epochs carries a document whose tokens ever split across
+    * batches (the staging layout keeps a doc in one batch, but the
+    * merge no longer silently undercounts if that invariant breaks). */
   private[graft] def mergeBpePartials(parts: DataFrame): DataFrame =
-    parts.groupBy(col("doc_id"))
-      .agg(max(col("nw")).as("n_words"), max(col("ns")).as("n_subwords"))
+    parts.groupBy(col("doc_id"), col("epoch"))
+      .agg(max(col("nw")).as("nw"), max(col("ns")).as("ns"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("ns")).as("n_subwords"))
       .orderBy(col("doc_id"))
 
   /** STREAM-SCORED DSIR SELECTION against a BATCH-TRAINED importance

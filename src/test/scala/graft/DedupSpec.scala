@@ -579,23 +579,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connected components: checksum fixed-point spends fewer jobs than count+except per round") {
-    // Count Spark jobs via job groups (statusTracker lags the listener
-    // bus, so poll until two consecutive reads agree).
-    def countJobs(body: => Unit): Int = {
-      val sc = spark.sparkContext
-      val group = "jobcount-" + java.util.UUID.randomUUID()
-      sc.setJobGroup(group, group)
-      try body finally sc.clearJobGroup()
-      var prev = -1
-      var cur = sc.statusTracker.getJobIdsForGroup(group).length
-      var waited = 0
-      while (cur != prev && waited < 10000) {
-        Thread.sleep(200); waited += 200
-        prev = cur
-        cur = sc.statusTracker.getJobIdsForGroup(group).length
-      }
-      cur
-    }
+    import TestSession.countJobs
     // a 9-node chain: diameter forces several contraction rounds
     val chain = (0L until 9L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("u", "v")

@@ -437,23 +437,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("store-served beam walk: marginal driver cost is ~one action per extra superstep") {
     import graft.operators.Similarity
-    // Count Spark jobs via job groups (statusTracker lags the listener
-    // bus, so poll until two consecutive reads agree).
-    def countJobs(body: => Unit): Int = {
-      val sc = spark.sparkContext
-      val group = "jobcount-" + java.util.UUID.randomUUID()
-      sc.setJobGroup(group, group)
-      try body finally sc.clearJobGroup()
-      var prev = -1
-      var cur = sc.statusTracker.getJobIdsForGroup(group).length
-      var waited = 0
-      while (cur != prev && waited < 10000) {
-        Thread.sleep(200); waited += 200
-        prev = cur
-        cur = sc.statusTracker.getJobIdsForGroup(group).length
-      }
-      cur
-    }
+    import TestSession.countJobs
     // store pre-built (earlier suite tests + the warm call): both counted
     // runs are serve-only
     Similarity.graphBeamSearchFromStore(spark, sfDir, nQueries = 3,
@@ -505,7 +489,7 @@ class PlanSpec extends AnyFunSuite {
     val entryIds = (0 until 8).map(i => nQueries + i.toLong * (n - nQueries) / 8)
     val entries = emb.filter(col("vec_id").isin(entryIds: _*))
       .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
-    countJobsShared {
+    TestSession.countJobs {
       var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
         .select(col("qid"), col("node"),
           cosine(col("q_emb"), col("e_emb")).as("score"))
@@ -536,19 +520,4 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  private def countJobsShared(body: => Unit): Int = {
-    val sc = spark.sparkContext
-    val group = "jobcount-" + java.util.UUID.randomUUID()
-    sc.setJobGroup(group, group)
-    try body finally sc.clearJobGroup()
-    var prev = -1
-    var cur = sc.statusTracker.getJobIdsForGroup(group).length
-    var waited = 0
-    while (cur != prev && waited < 10000) {
-      Thread.sleep(200); waited += 200
-      prev = cur
-      cur = sc.statusTracker.getJobIdsForGroup(group).length
-    }
-    cur
-  }
 }

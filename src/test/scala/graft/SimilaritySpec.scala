@@ -646,21 +646,7 @@ class SimilaritySpec extends AnyFunSuite {
     // bounded lineage: each round's rank frame is a checkpointed scan +
     // ONE step, not `rounds` nested joins — so the marginal jobs per
     // extra round are flat (AQE off: action + broadcast builds only)
-    def countJobs(body: => Unit): Int = {
-      val sc = spark.sparkContext
-      val group = "jobcount-" + java.util.UUID.randomUUID()
-      sc.setJobGroup(group, group)
-      try body finally sc.clearJobGroup()
-      var prev = -1
-      var cur = sc.statusTracker.getJobIdsForGroup(group).length
-      var waited = 0
-      while (cur != prev && waited < 10000) {
-        Thread.sleep(200); waited += 200
-        prev = cur
-        cur = sc.statusTracker.getJobIdsForGroup(group).length
-      }
-      cur
-    }
+    import TestSession.countJobs
     val key = "spark.sql.adaptive.enabled"
     val prevConf = spark.conf.get(key)
     spark.conf.set(key, "false")

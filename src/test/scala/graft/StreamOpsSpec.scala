@@ -1148,21 +1148,28 @@ class StreamOpsSpec extends AnyFunSuite {
     streamed.foreach { case (_, nw, ns) => assert(ns >= nw) }
   }
 
-  test("BPE partial merge absorbs a crash-replayed micro-batch's partials") {
-    // per-(doc, batch) partials as foreachBatch writes them: one row per
-    // doc (a doc lives wholly in one batch); an at-least-once restart
-    // re-appends an IDENTICAL slice — max-merge must be a no-op where a
-    // sum would double-count n_words/n_subwords
+  test("BPE partial merge absorbs a crash-replayed micro-batch's partials " +
+    "AND sums a doc that split across two epochs") {
+    // per-(doc, batch) partials as foreachBatch writes them, epoch-
+    // stamped: an at-least-once restart re-appends an IDENTICAL
+    // (doc, epoch) slice — max-per-epoch must be a no-op where a sum
+    // would double-count — while a doc whose tokens genuinely split
+    // across two DISTINCT epochs must SUM, not silently undercount
     import spark.implicits._
-    val parts = Seq((1L, 4L, 6L), (2L, 3L, 3L), (3L, 10L, 14L))
-      .toDF("doc_id", "nw", "ns")
+    val parts = Seq((1L, 4L, 6L, 0L), (2L, 3L, 3L, 0L), (3L, 10L, 14L, 1L))
+      .toDF("doc_id", "nw", "ns", "epoch")
     def merged(p: org.apache.spark.sql.DataFrame) =
       StreamOps.mergeBpePartials(p).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val once = merged(parts)
     assert(once == Seq((1L, 4L, 6L), (2L, 3L, 3L), (3L, 10L, 14L)))
+    // replays: identical (doc, epoch) rows re-appended — absorbed
     assert(merged(parts.union(parts.limit(2))) == once)
     assert(merged(parts.union(parts)) == once)
+    // a genuine cross-epoch split: doc 1's remaining tokens arrive in
+    // epoch 1 — the merge must carry BOTH slices
+    val split = parts.union(Seq((1L, 2L, 5L, 1L)).toDF("doc_id", "nw", "ns", "epoch"))
+    assert(merged(split) == Seq((1L, 6L, 11L), (2L, 3L, 3L), (3L, 10L, 14L)))
   }
 
   test("seen-word store charges a word to its MIN bucket in any arrival " +
