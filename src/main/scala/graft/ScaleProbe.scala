@@ -561,10 +561,10 @@ object ScaleProbe {
     *   corpus. Raising the cap one level re-caps the top layer 16×;
     *   the cell reads the top layer before and after. */
   private def rewriteGrowthProbe(spark: SparkSession, copies: Int): Unit = {
-    // 4M srcs x 8 edges = 32M rows at 1x: big enough that a touched
-    // bucket's CONTENT (not listing overhead) dominates the read, so
-    // the occupancy effect and its re-flattening are visible
-    val h1 = 4000000L
+    // 8M srcs x 8 edges = 64M rows at 1x: big enough that a touched
+    // bucket's CONTENT (not listing/job overhead) dominates the read,
+    // so the occupancy effect and its re-flattening are visible
+    val h1 = 8000000L
     def buildEdges(h: Long, buckets: Int): String = {
       val dir = java.nio.file.Files.createTempDirectory("scale_rebucket").toString
       spark.range(0, h)
@@ -578,15 +578,15 @@ object ScaleProbe {
         .write.mode("overwrite").partitionBy("gbucket").parquet(dir)
       dir
     }
-    // a fixed 8-node frontier; its bucket set derived at the STORE's width
+    // a fixed 8-node frontier; its bucket set derived at the STORE's
+    // width. The quantity under test is the PRUNED BUCKET READ a
+    // superstep pays — decode the touched buckets' full content (the
+    // semi-join on top is frontier-sized and constant across layouts)
     val frontierIds = (0 until 8).map(i => h1 / 2 + i * 1000L)
     def serveRead(store: String, buckets: Int): DataFrame = {
       val bk = frontierIds.map(id => (id % buckets).toInt).distinct.sorted
-      val fr = frontierIds.map(Tuple1(_))
-      import spark.implicits._
-      broadcast(fr.toDF("node")).join(
-        spark.read.parquet(store).where(col("gbucket").isin(bk: _*)),
-        col("node") === col("src"), "left_semi")
+      spark.read.parquet(store).where(col("gbucket").isin(bk: _*))
+        .agg(sum(col("dst")).as("d"), sum(col("score")).as("s"))
     }
     val grow = 4L // occupancy growth at the pinned width
     val e1 = buildEdges(h1, 64)
@@ -597,10 +597,17 @@ object ScaleProbe {
       pmod(col("src"), lit(256L)).cast("int"), Seq("src"))
     println(s"\n| graph-store serve read across re-bucketing | s | vs baseline |")
     println("|---|---|---|")
-    time(serveRead(e1, 64)) // warm the shape
-    val tb = math.min(time(serveRead(e1, 64)), time(serveRead(e1, 64)))
-    val td = math.min(time(serveRead(e2, 64)), time(serveRead(e2, 64)))
-    val tw = math.min(time(serveRead(e2w, 256)), time(serveRead(e2w, 256)))
+    // ROUND-ROBIN reps, min per cell: the stores were just written, so a
+    // sequential warm-then-measure order charges the first cell with the
+    // OS digesting gigabytes of dirty pages — interleaving gives every
+    // cell one rep in each decay phase and min discards the victims
+    time(serveRead(e1, 64)); time(serveRead(e2, 64)); time(serveRead(e2w, 256))
+    val reps = (1 to 3).map { _ =>
+      (time(serveRead(e1, 64)), time(serveRead(e2, 64)), time(serveRead(e2w, 256)))
+    }
+    val tb = reps.map(_._1).min
+    val td = reps.map(_._2).min
+    val tw = reps.map(_._3).min
     println(f"| history 1x, 64 buckets (baseline) | $tb%.2f | 1.0x |")
     println(f"| history ${grow}x, 64 buckets (occupancy ${grow}x) | $td%.2f | ${td / tb}%.1fx |")
     println(f"| history ${grow}x, REBUCKETED to 256 (occupancy re-flattened) | $tw%.2f | ${tw / tb}%.1fx |")
@@ -615,21 +622,31 @@ object ScaleProbe {
           array((0 until 8).map(i =>
             (pmod(xxhash64(col("id") + lit(i)), lit(2048L)) - 1024L)
               .cast("float") / 1024.0f): _*).as("embedding"))
-        .coalesce(1).write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(dir)
       dir
     }
-    val corpus1 = 40000000L
+    // big enough that the top layer's CONTENT (1.5M rows of 8-float
+    // vectors at 1x) dominates the read, not job overhead
+    val corpus1 = 400000000L
     val top1 = buildTop(corpus1 / 256) // 1x corpus, cap 2
     val topN = buildTop(corpus1 * copies / 256) // copies-x corpus, cap 2
     val topR = buildTop(corpus1 * copies / 4096) // copies-x corpus, RAISED cap 3
+    // the descent's actual entry work: score every top-layer node
+    // against a query vector (one cosine-sized fold per row)
     def entry(store: String): DataFrame =
-      spark.read.parquet(store).agg(count(lit(1)).as("n"))
+      spark.read.parquet(store)
+        .select(expr("aggregate(embedding, 0.0D, (a, x) -> a + x * x)").as("s"))
+        .agg(sum(col("s")).as("n"))
     println(s"\n| hnsw descent entry read across a maxLevel raise | s | vs baseline |")
     println("|---|---|---|")
-    time(entry(top1)) // warm the shape
-    val te1 = math.min(time(entry(top1)), time(entry(top1)))
-    val teN = math.min(time(entry(topN)), time(entry(topN)))
-    val teR = math.min(time(entry(topR)), time(entry(topR)))
+    // same round-robin device as the re-bucket cell above
+    time(entry(top1)); time(entry(topN)); time(entry(topR))
+    val ereps = (1 to 3).map { _ =>
+      (time(entry(top1)), time(entry(topN)), time(entry(topR)))
+    }
+    val te1 = ereps.map(_._1).min
+    val teN = ereps.map(_._2).min
+    val teR = ereps.map(_._3).min
     println(f"| corpus 1x, cap 2 (baseline) | $te1%.2f | 1.0x |")
     println(f"| corpus ${copies}x, cap 2 (linear growth by design) | $teN%.2f | ${teN / te1}%.1fx |")
     println(f"| corpus ${copies}x, cap RAISED to 3 (re-capped 16x) | $teR%.2f | ${teR / te1}%.1fx |")

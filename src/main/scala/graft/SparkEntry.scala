@@ -82,6 +82,8 @@ object SparkEntry {
     "phrase_slop_store" -> ((s, d) => TextAnalytics.phraseSlopFromStore(s, d)),
     "stream_phrase_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamPhraseStoreQuery(s, d)),
+    "stream_phrase_slop" -> ((s, d) =>
+      graft.streaming.StreamOps.streamPhraseSlopQuery(s, d)),
     // the same serve off a stream-accreted postings store (documents
     // indexed on arrival, replay-safe max-merge, no rebuild)
     "stream_bm25_store" -> ((s, d) =>
@@ -481,6 +483,7 @@ object SparkEntry {
     "phrase_slop" -> TextAnalytics.phraseSearchSql(slop = 2),
     "phrase_slop_store" -> TextAnalytics.phraseSearchSql(slop = 2),
     "stream_phrase_store" -> TextAnalytics.phraseSearchSql(),
+    "stream_phrase_slop" -> TextAnalytics.phraseSearchSql(slop = 2),
     "stream_bm25_store" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     // the store-legged fusion is contract-equal to the in-plan fusion

@@ -241,6 +241,27 @@ object StoreCatalog {
     existed
   }
 
+  /** Hardlink every data file of `src` into `dest` at the same
+    * relative path (directories created, Spark marker files like
+    * _SUCCESS skipped) — the metadata-only "copy" a layout rewrite
+    * uses for parts it does not change. Falls back to a real copy when
+    * the filesystem refuses links. */
+  private[graft] def linkTree(src: Path, dest: Path): Unit = {
+    val st = Files.walk(src)
+    val files = try st.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("_"))
+      .toSeq
+    finally st.close()
+    files.foreach { f =>
+      val rel = src.relativize(f)
+      val out = dest.resolve(rel)
+      Files.createDirectories(out.getParent)
+      try Files.createLink(out, f)
+      catch { case _: Exception => Files.copy(f, out) }
+    }
+  }
+
   /** Resolve the store for (family, sources, config): memo → valid
     * on-disk manifest → build. `build` receives part-name → staging
     * directory and returns the meta map to persist; it runs at most

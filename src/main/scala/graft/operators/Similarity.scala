@@ -2249,28 +2249,9 @@ object Similarity {
     })
   }
 
-  /** Hardlink every data file of `src` into `dest` at the same relative
-    * path (directories created, Spark marker files like _SUCCESS
-    * skipped) — the metadata-only "copy" a layout rewrite uses for the
-    * partitions it does not change. Falls back to a real copy when the
-    * filesystem refuses links. */
-  private def linkTree(src: java.nio.file.Path, dest: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    import scala.jdk.CollectionConverters._
-    val st = Files.walk(src)
-    val files = try st.iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filterNot(_.getFileName.toString.startsWith("_"))
-      .toSeq
-    finally st.close()
-    files.foreach { f =>
-      val rel = src.relativize(f)
-      val out = dest.resolve(rel)
-      Files.createDirectories(out.getParent)
-      try Files.createLink(out, f)
-      catch { case _: Exception => Files.copy(f, out) }
-    }
-  }
+  private def linkTree(src: java.nio.file.Path,
+                       dest: java.nio.file.Path): Unit =
+    graft.StoreCatalog.linkTree(src, dest)
 
   /** [[hnswSearch]] served from the MATERIALIZED hierarchy — the
     * production ANN serve shape: the per-layer graphs are built ONCE

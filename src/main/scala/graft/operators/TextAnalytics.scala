@@ -747,9 +747,10 @@ object TextAnalytics {
   private[graft] val PostingsBuckets = 64
 
   private val bm25Stores =
-    new scala.collection.concurrent.TrieMap[String, (String, String)]()
-  private[graft] def bm25StoreFor(dir: String): Option[(String, String)] =
-    bm25Stores.get(dir)
+    new scala.collection.concurrent.TrieMap[(String, Int), (String, String)]()
+  private[graft] def bm25StoreFor(dir: String,
+      buckets: Int = PostingsBuckets): Option[(String, String)] =
+    bm25Stores.get((dir, buckets))
 
   /** Forget this session's resolved store handles (catalog + disk stay):
     * the cross-session spec's fresh-JVM simulation hook, ALSO fired by
@@ -761,9 +762,10 @@ object TextAnalytics {
     * query's bucket set (O(nTerms) ints of control state) for the
     * static partition filter. Must stay formula-identical to
     * [[graft.plans.PolyHash]] ((acc*31 + codepoint) % P, empty → 0). */
-  private[graft] def termBucket(t: String): Int =
+  private[graft] def termBucket(t: String,
+                                buckets: Int = PostingsBuckets): Int =
     (t.codePoints().toArray.foldLeft(0L)((acc, cp) =>
-      (acc * 31 + cp) % Dedup.P) % PostingsBuckets).toInt
+      (acc * 31 + cp) % Dedup.P) % buckets).toInt
 
   /** Build the postings + doc-length stores ONCE per corpus (memoized):
     * postings = (word, doc_id, tf) clustered into term-hash bucket
@@ -776,7 +778,7 @@ object TextAnalytics {
     * any later session with zero rebuild. */
   private[graft] def buildBm25Store(spark: SparkSession,
                                     dir: String): (String, String) =
-    bm25Stores.getOrElseUpdate(dir, {
+    bm25Stores.getOrElseUpdate((dir, PostingsBuckets), {
       val h = graft.StoreCatalog.getOrBuild(spark, "bm25_postings",
         Seq(s"$dir/documents.parquet"),
         Seq("buckets" -> PostingsBuckets.toString),
@@ -800,14 +802,46 @@ object TextAnalytics {
       (h.parts("postings"), h.parts("docs"))
     })
 
+  /** CATALOG-MANAGED RE-BUCKETING of the postings store — the
+    * term-bucket sibling of [[graft.operators.Similarity
+    * .rebucketGraphStore]]: the widened layout rewrites from the
+    * store's own at-rest rows (`tbucket` is a pure function of the
+    * word — no re-tokenization, the corpus is never read), publishes
+    * under the NEW config key via the catalog's staging + atomic
+    * rename, and the doc-length part (bucket-independent) HARDLINKS
+    * across. The old store serves until
+    * [[graft.StoreCatalog.drop]] retires it. */
+  def rebucketBm25Store(spark: SparkSession, dir: String,
+                        newBuckets: Int = 256): (String, String) = {
+    val (pd, dd) = buildBm25Store(spark, dir)
+    bm25Stores.getOrElseUpdate((dir, newBuckets), {
+      val h = graft.StoreCatalog.getOrBuild(spark, "bm25_postings",
+        Seq(s"$dir/documents.parquet"),
+        Seq("buckets" -> newBuckets.toString),
+        Seq("postings", "docs")) { parts =>
+        Sinks.rebucketPartitioned(spark, pd, parts("postings"), "tbucket",
+          pmod(Dedup.chash(col("word")), lit(newBuckets.toLong))
+            .cast(org.apache.spark.sql.types.IntegerType),
+          Seq("word", "doc_id"))
+        graft.StoreCatalog.linkTree(java.nio.file.Paths.get(dd),
+          java.nio.file.Paths.get(parts("docs")))
+        Map.empty
+      }
+      (h.parts("postings"), h.parts("docs"))
+    })
+  }
+
   /** The pruned postings read — `tbucket` is the partition column, so
     * the isin lists only the query terms' directories; the word isin
     * then lands in PushedFilters for row-group skipping within them.
-    * Exposed for the plan spec. */
+    * `buckets` must be the STORE's own width (a re-bucketed layout
+    * derives the prune set at its width). Exposed for the plan spec. */
   private[graft] def prunedPostings(spark: SparkSession, postingsDir: String,
-                                    terms: Seq[String]): DataFrame =
+                                    terms: Seq[String],
+                                    buckets: Int = PostingsBuckets): DataFrame =
     spark.read.parquet(postingsDir)
-      .where(col("tbucket").isin(terms.map(termBucket).distinct: _*) &&
+      .where(col("tbucket").isin(
+        terms.map(termBucket(_, buckets)).distinct: _*) &&
         col("word").isin(terms: _*))
 
   /** The serve tail shared by the batch-built and stream-accreted
@@ -952,7 +986,7 @@ object TextAnalytics {
       Map.empty
     }
     spark.read.parquet(h.parts("postings"))
-      .where(col("tbucket").isin(phrase.map(termBucket).distinct: _*) &&
+      .where(col("tbucket").isin(phrase.map(termBucket(_)).distinct: _*) &&
         col("word").isin(phrase.distinct: _*))
   }
 

@@ -2178,7 +2178,22 @@ object StreamOps {
     * batch phraseSearchSql. */
   def streamPhraseStoreQuery(spark: SparkSession, dir: String,
                              phrase: Seq[String] = Seq("vector", "small"),
-                             k: Int = 20): DataFrame = {
+                             k: Int = 20): DataFrame =
+    streamPhraseServe(spark, dir, phrase, k, slop = 0)
+
+  /** PROXIMITY phrase search off the SAME stream-accreted positional
+    * store — slop is a query-time band on the position joins
+    * ([[graft.operators.TextAnalytics.phraseRank]]), so one online
+    * index serves exact and proximate queries alike. Oracle: the batch
+    * phraseSearchSql at the same slop. */
+  def streamPhraseSlopQuery(spark: SparkSession, dir: String,
+                            phrase: Seq[String] = Seq("vector", "small"),
+                            slop: Int = 2, k: Int = 20): DataFrame =
+    streamPhraseServe(spark, dir, phrase, k, slop)
+
+  private def streamPhraseServe(spark: SparkSession, dir: String,
+                                phrase: Seq[String], k: Int,
+                                slop: Int): DataFrame = {
     import graft.operators.{Dedup, TextAnalytics}
     val pd = phraseStreamStores.getOrElseUpdate(dir, {
       val p = java.nio.file.Files
@@ -2205,10 +2220,10 @@ object StreamOps {
     })
     val pruned = spark.read.parquet(pd)
       .where(col("tbucket").isin(
-        phrase.map(TextAnalytics.termBucket).distinct: _*) &&
+        phrase.map(TextAnalytics.termBucket(_)).distinct: _*) &&
         col("word").isin(phrase.distinct: _*))
       .select(col("word"), col("doc_id"), col("pos")).distinct()
-    TextAnalytics.phraseRank(pruned, phrase, k)
+    TextAnalytics.phraseRank(pruned, phrase, k, slop)
   }
 
   /** Streaming HNSW hierarchy: the pinned level cap and per-layer

@@ -409,7 +409,7 @@ class PlanSpec extends AnyFunSuite {
     // driver bucket twin agrees with the native hash the store wrote
     val bucketsInStore = pruned.select("tbucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    assert(bucketsInStore.subsetOf(terms.map(TextAnalytics.termBucket).toSet))
+    assert(bucketsInStore.subsetOf(terms.map(TextAnalytics.termBucket(_)).toSet))
   }
 
   test("z-ordered event store: the box's Morton cover prunes tile partitions") {

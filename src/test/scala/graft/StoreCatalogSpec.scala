@@ -374,6 +374,63 @@ class StoreCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog-managed re-bucketing of the postings store: the widened " +
+    "layout serves byte-identical BM25, the doc-length part hardlinks " +
+    "across, and after dropping the old layout the new one resolves " +
+    "with zero rebuild") {
+    val dir = TestSession.sfDir
+    val root = Files.createTempDirectory("catalog_postings_root").toString
+    val key = "spark.graft.storeRoot"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, root)
+    dropAllMemos()
+    try {
+      val terms = Seq("vector", "scan", "merge")
+      val r1 = TextAnalytics.bm25SearchFromStore(spark, dir).collect().toSeq
+      val (pdOld, ddOld) = TextAnalytics.bm25StoreFor(dir).get
+      val (pd2, dd2) = TextAnalytics.rebucketBm25Store(spark, dir, 256)
+      // serve continuity at the widened width
+      val r2 = TextAnalytics.serveBm25(spark, dir,
+        TextAnalytics.prunedPostings(spark, pd2, terms, 256),
+        spark.read.parquet(dd2), terms, 20).collect().toSeq
+      assert(r2 == r1)
+      // the bucket-independent docs part is the SAME inodes
+      def firstParquet(base: String): java.nio.file.Path = {
+        val st = Files.walk(Paths.get(base))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.find(p =>
+            Files.isRegularFile(p) && p.toString.endsWith(".parquet")).get
+        } finally st.close()
+      }
+      assert(Files.isSameFile(firstParquet(ddOld), firstParquet(dd2)),
+        "docs part was copied, not hardlinked")
+      // retire the old layout; the widened store must resolve from its
+      // manifest without any rebuild
+      assert(StoreCatalog.drop(spark, "bm25_postings",
+        Seq(s"$dir/documents.parquet"),
+        Seq("buckets" -> TextAnalytics.PostingsBuckets.toString)))
+      val b0 = StoreCatalog.buildCount.get()
+      val h = StoreCatalog.getOrBuild(spark, "bm25_postings",
+        Seq(s"$dir/documents.parquet"),
+        Seq("buckets" -> "256"), Seq("postings", "docs")) { _ =>
+        sys.error("widened store should resolve from disk, not rebuild")
+      }
+      assert(StoreCatalog.buildCount.get() == b0,
+        "resolving the widened store after the drop rebuilt something")
+      val r3 = TextAnalytics.serveBm25(spark, dir,
+        TextAnalytics.prunedPostings(spark, h.parts("postings"), terms, 256),
+        spark.read.parquet(h.parts("docs")), terms, 20).collect().toSeq
+      assert(r3 == r1)
+    } finally {
+      dropAllMemos()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("hierarchy raise: lower layers are hardlinked and serve " +
     "byte-identical at the old parameters; the new top layer equals a " +
     "direct build and re-caps the entry set 16x") {
