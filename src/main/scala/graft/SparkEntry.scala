@@ -80,6 +80,10 @@ object SparkEntry {
     // query-time band on the position joins (exact = slop 0)
     "phrase_slop" -> ((s, d) => TextAnalytics.phraseSlopSearch(s, d)),
     "phrase_slop_store" -> ((s, d) => TextAnalytics.phraseSlopFromStore(s, d)),
+    // unordered co-occurrence window ("vector NEAR small"), in-plan and
+    // off the same stored positional index
+    "phrase_near" -> ((s, d) => TextAnalytics.phraseNearSearch(s, d)),
+    "phrase_near_store" -> ((s, d) => TextAnalytics.phraseNearFromStore(s, d)),
     "stream_phrase_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamPhraseStoreQuery(s, d)),
     "stream_phrase_slop" -> ((s, d) =>
@@ -482,6 +486,8 @@ object SparkEntry {
     "phrase_store" -> TextAnalytics.phraseSearchSql(),
     "phrase_slop" -> TextAnalytics.phraseSearchSql(slop = 2),
     "phrase_slop_store" -> TextAnalytics.phraseSearchSql(slop = 2),
+    "phrase_near" -> TextAnalytics.phraseNearSql(),
+    "phrase_near_store" -> TextAnalytics.phraseNearSql(),
     "stream_phrase_store" -> TextAnalytics.phraseSearchSql(),
     "stream_phrase_slop" -> TextAnalytics.phraseSearchSql(slop = 2),
     "stream_bm25_store" -> TextAnalytics.bm25SearchSql(),

@@ -1018,6 +1018,90 @@ object TextAnalytics {
     phraseRank(prunedPhrasePostings(spark, dir, phrase), phrase, k, slop)
   }
 
+  /** UNORDERED PROXIMITY (co-occurrence window) SEARCH — the third
+    * retrieval shape next to exact phrase (slop 0) and ordered slop:
+    * documents where every query term occurs within ±`w` positions of
+    * an anchor occurrence of the FIRST term, in any order (the
+    * "vector near small" query). Same positional postings, same
+    * term-df-bounded candidates — each extra term is one more doc_id
+    * equi-join with a symmetric band; n_hits = distinct anchors with a
+    * full witness set. Served in-plan and (below) from the SAME stored
+    * positional index as the ordered forms. Terms must be distinct
+    * (duplicate terms have no order-free reading). */
+  def phraseNearSearch(spark: SparkSession, dir: String,
+                       terms: Seq[String] = Seq("vector", "small"),
+                       w: Int = 3, k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size && w >= 1)
+    val posts = phrasePostings(Tables.loadWide(spark, dir, "documents"))
+      .filter(col("word").isin(terms: _*))
+    nearRank(posts, terms, w, k)
+  }
+
+  /** [[phraseNearSearch]] SERVED from the positional postings store —
+    * exact, ordered-slop, and unordered-window queries all read the
+    * one at-rest index. */
+  def phraseNearFromStore(spark: SparkSession, dir: String,
+                          terms: Seq[String] = Seq("vector", "small"),
+                          w: Int = 3, k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size && w >= 1)
+    nearRank(prunedPhrasePostings(spark, dir, terms), terms, w, k)
+  }
+
+  /** The unordered-window match tail: anchor on the first term's
+    * occurrences, demand each other term within ±w of the anchor
+    * (symmetric band on the doc_id equi-join), count distinct anchors
+    * per doc, (hits DESC, doc_id) top-k. */
+  private def nearRank(posts: DataFrame, terms: Seq[String],
+                       w: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = posts.select(col("word"), col("doc_id"), col("pos"))
+      .localCheckpoint(true)
+    var t = f.filter(col("word") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    for (i <- 1 until terms.length)
+      t = t.join(f.filter(col("word") === terms(i))
+          .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i")),
+        col("doc_id") === col(s"d$i") &&
+          col(s"p$i") >= col("pos") - w && col(s"p$i") <= col("pos") + w)
+        .select(col("doc_id"), col("pos"))
+    val hits = t.groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("n_hits"))
+    val wnd = Window.orderBy(col("n_hits").desc, col("doc_id"))
+    hits.orderBy(col("n_hits").desc, col("doc_id")).limit(k)
+      .withColumn("rn", row_number().over(wnd)
+        .cast(org.apache.spark.sql.types.IntegerType))
+      .select(col("rn"), col("doc_id"), col("n_hits"))
+      .orderBy(col("rn"))
+  }
+
+  /** Oracle twin of [[phraseNearSearch]] / [[phraseNearFromStore]]. */
+  def phraseNearSql(terms: Seq[String] = Seq("vector", "small"),
+                    w: Int = 3, k: Int = 20): String = {
+    val joins = (1 until terms.length).map(i =>
+      s"JOIN pos t$i ON t$i.doc_id = t0.doc_id AND " +
+        s"t$i.pos BETWEEN t0.pos - $w AND t0.pos + $w")
+      .mkString("\n               ")
+    val wheres = terms.zipWithIndex.map { case (wd, i) =>
+      s"t$i.word = '${wd.replace("'", "''")}'"
+    }.mkString(" AND ")
+    s"""WITH pos AS (SELECT doc_id, u.w AS word, u.p AS pos FROM (
+            SELECT doc_id,
+                   list_filter(${graft.functions.TextFunctions.wordsSql("text")},
+                     x -> x <> '') AS ws
+            FROM documents),
+          LATERAL (SELECT unnest(list_transform(generate_series(1, len(ws)),
+                     i -> {'p': i, 'w': ws[i]})) AS u)),
+        m AS (SELECT t0.doc_id, CAST(count(DISTINCT t0.pos) AS BIGINT) AS n_hits
+              FROM pos t0
+               $joins
+              WHERE $wheres
+              GROUP BY 1)
+        SELECT rn, doc_id, n_hits FROM (
+          SELECT doc_id, n_hits,
+                 CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS INT) AS rn
+          FROM m) WHERE rn <= $k ORDER BY rn"""
+  }
+
   /** Oracle twin of [[phraseSearch]] / [[phraseSearchFromStore]] and,
     * at slop > 0, of [[phraseSlopSearch]] / [[phraseSlopFromStore]]:
     * positions over the same empty-filtered tokenization, the same
