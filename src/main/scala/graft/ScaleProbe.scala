@@ -190,6 +190,16 @@ object ScaleProbe {
       // terms' buckets; the corpus only fattens those partitions by its
       // term-frequency share)
       "bm25_store" -> ((s, d) => TextAnalytics.bm25SearchFromStore(s, d)),
+      // round 12: character-level retrieval. In-plan forms pay the
+      // trigram extraction scan (~linear); the store serves read the
+      // query trigrams' bucket partitions for candidates and only the
+      // candidates' doc buckets for verification (growth tracks the
+      // query grams' df share, never the corpus); prefix serve reads
+      // one first-char partition's word range
+      "substr_search" -> ((s, d) => TextSearch.substrSearch(s, d)),
+      "substr_store" -> ((s, d) => TextSearch.substrSearchFromStore(s, d)),
+      "regex_search" -> ((s, d) => TextSearch.regexSearch(s, d)),
+      "prefix_store" -> ((s, d) => TextSearch.prefixSearchFromStore(s, d)),
       // the end-to-end curation composition: growth must track its
       // widest stage (the quality pass / dedup groupBy — ~linear), the
       // glue joins adding nothing super-linear

@@ -84,10 +84,25 @@ object SparkEntry {
     // off the same stored positional index
     "phrase_near" -> ((s, d) => TextAnalytics.phraseNearSearch(s, d)),
     "phrase_near_store" -> ((s, d) => TextAnalytics.phraseNearFromStore(s, d)),
+    // character-level retrieval: arbitrary substring (crosses word
+    // boundaries — no word-granular index sees it) and regex with
+    // required-literal prefilter, both off the trigram inverted index
+    "substr_search" -> ((s, d) => TextSearch.substrSearch(s, d)),
+    "substr_store" -> ((s, d) => TextSearch.substrSearchFromStore(s, d)),
+    "regex_search" -> ((s, d) => TextSearch.regexSearch(s, d)),
+    "regex_store" -> ((s, d) => TextSearch.regexSearchFromStore(s, d)),
+    // word-prefix search off the RANGE-partitioned term layout (hash
+    // buckets structurally cannot prune a prefix)
+    "prefix_search" -> ((s, d) => TextSearch.prefixSearch(s, d)),
+    "prefix_store" -> ((s, d) => TextSearch.prefixSearchFromStore(s, d)),
     "stream_phrase_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamPhraseStoreQuery(s, d)),
     "stream_phrase_slop" -> ((s, d) =>
       graft.streaming.StreamOps.streamPhraseSlopQuery(s, d)),
+    // substring search off a stream-accreted trigram index (the
+    // continuously-indexed grep: appended on arrival, never rebuilt)
+    "stream_substr_store" -> ((s, d) =>
+      graft.streaming.StreamOps.streamSubstrStoreQuery(s, d)),
     // the same serve off a stream-accreted postings store (documents
     // indexed on arrival, replay-safe max-merge, no rebuild)
     "stream_bm25_store" -> ((s, d) =>
@@ -488,8 +503,16 @@ object SparkEntry {
     "phrase_slop_store" -> TextAnalytics.phraseSearchSql(slop = 2),
     "phrase_near" -> TextAnalytics.phraseNearSql(),
     "phrase_near_store" -> TextAnalytics.phraseNearSql(),
+    // the trigram-index serves are contract-equal to their in-plan twins
+    "substr_search" -> TextSearch.substrSearchSql(),
+    "substr_store" -> TextSearch.substrSearchSql(),
+    "regex_search" -> TextSearch.regexSearchSql(),
+    "regex_store" -> TextSearch.regexSearchSql(),
+    "prefix_search" -> TextSearch.prefixSearchSql(),
+    "prefix_store" -> TextSearch.prefixSearchSql(),
     "stream_phrase_store" -> TextAnalytics.phraseSearchSql(),
     "stream_phrase_slop" -> TextAnalytics.phraseSearchSql(slop = 2),
+    "stream_substr_store" -> TextSearch.substrSearchSql(),
     "stream_bm25_store" -> TextAnalytics.bm25SearchSql(),
     "hybrid_search" -> TextAnalytics.hybridSearchSql(),
     // the store-legged fusion is contract-equal to the in-plan fusion

@@ -1,0 +1,445 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.Tables
+import graft.functions.NativeFunctions.charTrigrams
+import graft.functions.TextFunctions.words
+
+/** Substring, regex, and prefix search served from CHARACTER-level
+  * index layouts — the retrieval shapes the word-granular postings
+  * stores (BM25/phrase, [[TextAnalytics]]) cannot express:
+  *
+  *  - `substrSearch` — documents containing an arbitrary byte-level
+  *    substring (`"le par"` crosses a word boundary mid-token; no
+  *    tokenizer sees it). Index = the character-trigram inverted index
+  *    (the pg_trgm / Google-Code-Search design): a doc is a candidate
+  *    iff it contains EVERY trigram of the query, so candidates are
+  *    bounded by the rarest query trigram's df and only candidates are
+  *    ever verified with a real `contains`.
+  *  - `regexSearch` — regex matching with the same index: a
+  *    conservative required-literal extraction ([[requiredLiterals]])
+  *    turns the pattern's mandatory literal runs into trigram
+  *    prefilters; the regex itself runs only on the surviving docs.
+  *  - `prefixSearch` — word-prefix matching (`s*`) served from a
+  *    RANGE-partitioned term layout: the hash-bucketed BM25 postings
+  *    cannot prune a prefix (hashing destroys order), so this store
+  *    partitions by the word's first character and sorts words within
+  *    each partition — the query reads one directory and a contiguous
+  *    word range (StartsWith lands in PushedFilters for row-group
+  *    skipping). One logical inverted index, two layouts, because the
+  *    two query classes prune on different algebra.
+  *
+  * Reference behavior: the reference's retrieval surface is semantic
+  * top-k only (`/root/reference/src/pinecone_utils.py:64-75`); these
+  * are the exact-match retrieval family a corpus engine needs beside
+  * it (the Lucene `WildcardQuery`/`RegexpQuery`/`PrefixQuery` class).
+  *
+  * Scale: the trigram store is partitioned by trigram hash bucket
+  * (queries list only their trigrams' directories), the stored-fields
+  * part by doc-id bucket (verification reads only candidate buckets —
+  * the driver holds a bucket SET, ≤ [[DocBuckets]] ints, never ids).
+  * All candidate movement stays in-plan; the only collect is that
+  * bounded bucket set. At 100 TB the index is built once per corpus
+  * lifetime into the [[graft.StoreCatalog]] and every query reads
+  * O(query trigrams + candidate buckets), never the corpus.
+  */
+object TextSearch {
+
+  /** Trigram-hash partition count of the postings part. Same
+    * deploy-time-config posture as [[TextAnalytics.PostingsBuckets]]:
+    * raising it with the corpus is a catalog store rewrite. */
+  private[graft] val TrigramBuckets = 64
+
+  /** Doc-id-hash partition count of the stored-fields (text) part —
+    * the verification read prunes to candidate buckets, so this bounds
+    * BOTH the prune-set control state and the verify read's share of
+    * the corpus (≈ nCandidateBuckets/DocBuckets of the text). */
+  private[graft] val DocBuckets = 64
+
+  private val trigramStores =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val prefixStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private[graft] def dropStoreMemos(): Unit = {
+    trigramStores.clear(); prefixStores.clear()
+  }
+  graft.StoreCatalog.registerInvalidationHook(() => dropStoreMemos())
+
+  /** Driver-side query trigrams — must stay semantics-identical to
+    * [[graft.plans.CharTrigrams]] (code-point windows), then distinct:
+    * the candidate test is set containment, multiplicity is
+    * irrelevant. */
+  private[graft] def queryTrigrams(s: String): Seq[String] = {
+    val n = s.codePointCount(0, s.length)
+    if (n < 3) Seq.empty
+    else (0 until n - 2).map { k =>
+      val i0 = s.offsetByCodePoints(0, k)
+      s.substring(i0, s.offsetByCodePoints(i0, 3))
+    }.distinct
+  }
+
+  private[graft] def tgBucket(tg: String): Int =
+    TextAnalytics.termBucket(tg, TrigramBuckets)
+
+  /** Distinct character trigrams per document, exploded —
+    * `array_distinct` BEFORE the explode keeps the dedup inside the
+    * scan's codegen stage (no (doc, tg) shuffle at build time). */
+  private[graft] def trigramPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(charTrigrams(col("text")))).as("tg"))
+
+  /** Conservative required-literal extraction from a regex: maximal
+    * top-level literal runs that every match must contain. Anything
+    * uncertain surrenders: group bodies (`(a|b)` — alternation),
+    * char classes, escapes, and `.` `^` `$` break the run; `?` `*`
+    * `{m,n}` additionally drop the (optional/repeated) char before
+    * them; a TOP-LEVEL `|` makes nothing mandatory → no literals.
+    * `+` keeps its char (one-or-more is mandatory) but breaks the run
+    * (repetition breaks contiguity beyond it). Sound by construction:
+    * it only ever claims a literal that provably occurs in every
+    * match, so the trigram prefilter never drops a true match — a
+    * pattern with no extractable literal just degrades to
+    * verify-everything (documented fallback), never to a wrong
+    * answer. */
+  private[graft] def requiredLiterals(rx: String): Seq[String] = {
+    val runs = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inClass = false
+    var topAlt = false
+    var i = 0
+    def flush(): Unit = { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+    while (i < rx.length) {
+      val c = rx.charAt(i)
+      if (inClass) {
+        if (c == '\\') i += 1
+        else if (c == ']') inClass = false
+      } else c match {
+        case '\\' => flush(); i += 1
+        case '[' => flush(); inClass = true
+        case '(' => flush(); depth += 1
+        case ')' => flush(); depth -= 1
+        case '|' => flush(); if (depth == 0) topAlt = true
+        case '?' | '*' =>
+          if (cur.nonEmpty) cur.setLength(cur.length - 1)
+          flush()
+        case '{' =>
+          if (cur.nonEmpty) cur.setLength(cur.length - 1)
+          flush()
+          while (i < rx.length && rx.charAt(i) != '}') i += 1
+        case '+' => flush()
+        case '.' | '^' | '$' => flush()
+        case ch => if (depth == 0) cur += ch else ()
+      }
+      i += 1
+    }
+    flush()
+    if (topAlt) Seq.empty else runs.distinct.toSeq
+  }
+
+  /** Build (once per corpus lifetime, catalog-persisted) the trigram
+    * index: postings = (tg, doc_id) in trigram-hash bucket partitions,
+    * sorted (tg, doc_id) within each — a query trigram's rows are one
+    * directory listing plus a tg-range row-group read; stored fields =
+    * (doc_id, text) in doc-id-hash bucket partitions sorted by doc_id —
+    * the verification side reads only candidate buckets. The text is
+    * duplicated into the store deliberately (Lucene stored-fields
+    * posture): verification must NOT re-read the source table, whose
+    * layout owes this query class nothing. */
+  private[graft] def buildTrigramStore(spark: SparkSession,
+                                       dir: String): (String, String) =
+    trigramStores.getOrElseUpdate(dir, {
+      val h = graft.StoreCatalog.getOrBuild(spark, "trigram_postings",
+        Seq(s"$dir/documents.parquet"),
+        Seq("buckets" -> TrigramBuckets.toString,
+          "docbuckets" -> DocBuckets.toString),
+        Seq("postings", "docs")) { parts =>
+        val docs = Tables.loadWide(spark, dir, "documents")
+        trigramPostings(docs)
+          .withColumn("tgbucket",
+            pmod(Dedup.chash(col("tg")), lit(TrigramBuckets.toLong))
+              .cast(IntegerType))
+          .repartition(col("tgbucket"))
+          .sortWithinPartitions(col("tgbucket"), col("tg"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("tgbucket")
+          .parquet(parts("postings"))
+        docs.select(col("doc_id"), col("text"))
+          .withColumn("dbucket",
+            pmod(col("doc_id"), lit(DocBuckets.toLong)).cast(IntegerType))
+          .repartition(col("dbucket"))
+          .sortWithinPartitions(col("dbucket"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("dbucket")
+          .parquet(parts("docs"))
+        Map.empty
+      }
+      (h.parts("postings"), h.parts("docs"))
+    })
+
+  /** The pruned postings read: `tgbucket` is the partition column so
+    * the isin lists only the query trigrams' directories; the tg isin
+    * then lands in PushedFilters for row-group skipping within them.
+    * Exposed for the plan spec. */
+  private[graft] def prunedTrigramPostings(spark: SparkSession,
+                                           postingsDir: String,
+                                           grams: Seq[String]): DataFrame =
+    spark.read.parquet(postingsDir)
+      .where(col("tgbucket").isin(grams.map(tgBucket).distinct: _*) &&
+        col("tg").isin(grams: _*))
+
+  /** Candidate docs = those containing EVERY query trigram. `posts`
+    * carries one row per (doc, tg) (distinct by construction in both
+    * the in-plan and stored forms), so containment is a count. */
+  private[graft] def candidateDocs(posts: DataFrame, grams: Seq[String]): DataFrame =
+    posts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ng"))
+      .where(col("ng") === grams.size)
+      .select(col("doc_id"))
+
+  /** Shared rank tail: (doc_id, n_hits) → top-k by (hits DESC, doc_id)
+    * with a row number — the phrase family's result contract. */
+  private[graft] def rankHits(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_hits").desc, col("doc_id"))
+    hits.orderBy(col("n_hits").desc, col("doc_id")).limit(k)
+      .withColumn("rn", row_number().over(w).cast(IntegerType))
+      .select(col("rn"), col("doc_id"), col("n_hits"))
+      .orderBy(col("rn"))
+  }
+
+  /** Occurrence count of literal `pat` in `text` (non-overlapping,
+    * left-to-right — `replace` semantics, identical on both engines). */
+  private[graft] def substrHits(pat: String): Column =
+    ((length(col("text")) - length(replace(col("text"), lit(pat), lit(""))))
+      / lit(pat.length)).cast(LongType)
+
+  /** Verify candidates against their text and rank: only candidate
+    * rows ever reach `verdict` — the predicate runs on an
+    * index-bounded set, never the corpus. `cands` is
+    * broadcast (it is bounded by the rarest prefilter gram's df; a
+    * corpus whose commonest trigram is query-frequent wants the hint
+    * dropped — documented knob, not a code path). */
+  private[graft] def verifyRank(docs: DataFrame, cands: DataFrame,
+                         verdict: Column, hits: Column, k: Int): DataFrame =
+    rankHits(
+      docs.join(broadcast(cands), Seq("doc_id"))
+        .where(verdict)
+        .select(col("doc_id"), hits.as("n_hits")),
+      k)
+
+  /** SUBSTRING SEARCH, in-plan form: trigram prefilter and contains
+    * verification composed over the source scan (the build-IS-the-query
+    * shape — at scale this IS the index build; the store twin below is
+    * the serve path). Requires |pat| ≥ 3 (shorter has no trigram; use
+    * [[prefixSearch]]'s layout or a full verify for those).
+    * Oracle: [[substrSearchSql]]. */
+  def substrSearch(spark: SparkSession, dir: String,
+                   pat: String = "le par", k: Int = 20): DataFrame = {
+    val grams = queryTrigrams(pat)
+    require(grams.nonEmpty, "substring query needs >= 3 chars")
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val cands = candidateDocs(
+      trigramPostings(docs).where(col("tg").isin(grams: _*)), grams)
+    verifyRank(docs, cands, col("text").contains(pat), substrHits(pat), k)
+  }
+
+  /** [[substrSearch]] SERVED from the catalog-persisted trigram index:
+    * postings pruned to the query trigrams' bucket partitions →
+    * candidate intersection → stored-fields read pruned to the
+    * candidates' doc buckets (ONE bounded driver collect: the bucket
+    * set, ≤ [[DocBuckets]] ints) → contains verify on candidates only.
+    * Results are byte-identical to the in-plan form; same oracle. */
+  def substrSearchFromStore(spark: SparkSession, dir: String,
+                            pat: String = "le par", k: Int = 20): DataFrame = {
+    val grams = queryTrigrams(pat)
+    require(grams.nonEmpty, "substring query needs >= 3 chars")
+    val (pd, dd) = buildTrigramStore(spark, dir)
+    val cands = candidateDocs(
+      prunedTrigramPostings(spark, pd, grams), grams)
+      .localCheckpoint(true)
+    verifyRank(prunedDocText(spark, dd, cands), cands,
+      col("text").contains(pat), substrHits(pat), k)
+  }
+
+  /** Stored-fields read pruned to the candidates' doc-id buckets. The
+    * collect is the BUCKET set (≤ [[DocBuckets]] ints of control
+    * state), never doc ids; the id-level join stays in-plan. */
+  private[graft] def prunedDocText(spark: SparkSession, docsDir: String,
+                                   cands: DataFrame): DataFrame = {
+    val buckets = cands
+      .select(pmod(col("doc_id"), lit(DocBuckets.toLong))
+        .cast(IntegerType).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(docsDir)
+      .where(col("dbucket").isin(buckets: _*))
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** Regex match count (non-overlapping, left-to-right — identical
+    * semantics in Spark's Java regex and DuckDB's RE2 for the
+    * lookaround-free dialect this operator documents). */
+  private def regexHits(rx: String): Column =
+    size(regexp_extract_all(col("text"), lit(rx), lit(0))).cast(LongType)
+
+  /** REGEX SEARCH, in-plan form: [[requiredLiterals]] turns the
+    * pattern's mandatory literal runs into a trigram prefilter (the
+    * union of every literal's trigrams must all be present), then the
+    * regex runs on candidates only. A pattern with no extractable
+    * literal (top-level alternation, all-optional) degrades to
+    * verify-everything — correct, just unindexed, and the degradation
+    * is the documented contract, not a surprise. Dialect: the
+    * lookaround-free common subset of Java regex and RE2.
+    * Oracle: [[regexSearchSql]]. */
+  def regexSearch(spark: SparkSession, dir: String,
+                  rx: String = "fast (table|merge)", k: Int = 20): DataFrame = {
+    val grams = requiredLiterals(rx).flatMap(queryTrigrams).distinct
+    val docs = Tables.loadWide(spark, dir, "documents")
+    if (grams.isEmpty)
+      rankHits(docs.where(col("text").rlike(rx))
+        .select(col("doc_id"), regexHits(rx).as("n_hits")), k)
+    else {
+      val cands = candidateDocs(
+        trigramPostings(docs).where(col("tg").isin(grams: _*)), grams)
+      verifyRank(docs, cands, col("text").rlike(rx), regexHits(rx), k)
+    }
+  }
+
+  /** [[regexSearch]] SERVED from the SAME trigram index as the
+    * substring form — one at-rest character index serves byte-literal
+    * and regex queries alike (positions of the literal prefilter are
+    * irrelevant to either, so the index stores none). */
+  def regexSearchFromStore(spark: SparkSession, dir: String,
+                           rx: String = "fast (table|merge)",
+                           k: Int = 20): DataFrame = {
+    val grams = requiredLiterals(rx).flatMap(queryTrigrams).distinct
+    val (pd, dd) = buildTrigramStore(spark, dir)
+    if (grams.isEmpty)
+      rankHits(spark.read.parquet(dd).where(col("text").rlike(rx))
+        .select(col("doc_id"), regexHits(rx).as("n_hits")), k)
+    else {
+      val cands = candidateDocs(
+        prunedTrigramPostings(spark, pd, grams), grams)
+        .localCheckpoint(true)
+      verifyRank(prunedDocText(spark, dd, cands), cands,
+        col("text").rlike(rx), regexHits(rx), k)
+    }
+  }
+
+  /** Build (once, catalog-persisted) the RANGE-layout term store:
+    * (word, doc_id, tf) partitioned by the word's first character and
+    * sorted (word, doc_id) within each partition — the layout whose
+    * order a prefix predicate can prune (first-char directory +
+    * StartsWith row-group skipping), which the hash-bucketed BM25
+    * postings structurally cannot. Same tokenizer, same tf, different
+    * physical order: layout follows query algebra. */
+  private[graft] def buildPrefixStore(spark: SparkSession,
+                                      dir: String): String =
+    prefixStores.getOrElseUpdate(dir, {
+      val h = graft.StoreCatalog.getOrBuild(spark, "prefix_postings",
+        Seq(s"$dir/documents.parquet"),
+        Seq("layout" -> "first-char-range"),
+        Seq("postings")) { parts =>
+        Tables.loadWide(spark, dir, "documents")
+          .select(col("doc_id"), explode(words(col("text"))).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("w0", substring(col("word"), 1, 1))
+          .repartition(col("w0"))
+          .sortWithinPartitions(col("w0"), col("word"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("w0")
+          .parquet(parts("postings"))
+        Map.empty
+      }
+      h.parts("postings")
+    })
+
+  /** The pruned prefix read: one first-char directory, then a
+    * StartsWith pushed filter over the partition's word-sorted
+    * row groups. Exposed for the plan spec. */
+  private[graft] def prunedPrefixPostings(spark: SparkSession,
+                                          postingsDir: String,
+                                          prefix: String): DataFrame =
+    spark.read.parquet(postingsDir)
+      .where(col("w0") === prefix.substring(0, 1) &&
+        col("word").startsWith(prefix))
+
+  /** WORD-PREFIX SEARCH, in-plan form: documents ranked by total
+    * occurrences of words starting with `prefix` (the Lucene
+    * `PrefixQuery` shape — `s*` matches scan, slow, sort, spark, …).
+    * Oracle: [[prefixSearchSql]]. */
+  def prefixSearch(spark: SparkSession, dir: String,
+                   prefix: String = "s", k: Int = 20): DataFrame = {
+    require(prefix.nonEmpty)
+    rankHits(
+      Tables.loadWide(spark, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .where(col("word").startsWith(prefix))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_hits")),
+      k)
+  }
+
+  /** [[prefixSearch]] SERVED from the range-layout store: the serve
+    * aggregates pre-counted (word, doc_id, tf) rows from exactly one
+    * partition's matching word range — O(matching terms' postings),
+    * never the vocabulary. */
+  def prefixSearchFromStore(spark: SparkSession, dir: String,
+                            prefix: String = "s", k: Int = 20): DataFrame = {
+    require(prefix.nonEmpty)
+    val pd = buildPrefixStore(spark, dir)
+    rankHits(
+      prunedPrefixPostings(spark, pd, prefix)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast(LongType).as("n_hits")),
+      k)
+  }
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** Oracle twin of [[substrSearch]] / [[substrSearchFromStore]]. */
+  def substrSearchSql(pat: String = "le par", k: Int = 20): String = {
+    val q = sqlLit(pat)
+    s"""SELECT rn, doc_id, n_hits FROM (
+          SELECT doc_id, n_hits,
+                 CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS INT) AS rn
+          FROM (SELECT doc_id,
+                       CAST((length(text) - length(replace(text, '$q', '')))
+                            / length('$q') AS BIGINT) AS n_hits
+                FROM documents
+                WHERE contains(text, '$q')))
+        WHERE rn <= $k ORDER BY rn"""
+  }
+
+  /** Oracle twin of [[regexSearch]] / [[regexSearchFromStore]]. */
+  def regexSearchSql(rx: String = "fast (table|merge)", k: Int = 20): String = {
+    val q = sqlLit(rx)
+    s"""SELECT rn, doc_id, n_hits FROM (
+          SELECT doc_id, n_hits,
+                 CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS INT) AS rn
+          FROM (SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '$q')) AS BIGINT) AS n_hits
+                FROM documents
+                WHERE regexp_matches(text, '$q')))
+        WHERE rn <= $k ORDER BY rn"""
+  }
+
+  /** Oracle twin of [[prefixSearch]] / [[prefixSearchFromStore]].
+    * `prefix` must be LIKE-literal-safe (no % _ \\ — callers pass word
+    * prefixes). */
+  def prefixSearchSql(prefix: String = "s", k: Int = 20): String = {
+    val q = sqlLit(prefix)
+    s"""SELECT rn, doc_id, n_hits FROM (
+          SELECT doc_id, n_hits,
+                 CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS INT) AS rn
+          FROM (SELECT doc_id,
+                       CAST(len(list_filter(
+                         ${graft.functions.TextFunctions.wordsSql("text")},
+                         x -> x LIKE '$q%')) AS BIGINT) AS n_hits
+                FROM documents)
+          WHERE n_hits > 0)
+        WHERE rn <= $k ORDER BY rn"""
+  }
+}

@@ -2226,6 +2226,67 @@ object StreamOps {
     TextAnalytics.phraseRank(pruned, phrase, k, slop)
   }
 
+  private val trigramStreamStores =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private[graft] def trigramStreamStoreFor(dir: String): Option[(String, String)] =
+    trigramStreamStores.get(dir)
+
+  /** SUBSTRING SEARCH SERVED OFF A STREAM-ACCRETED TRIGRAM INDEX: each
+    * arriving micro-batch appends its documents' distinct (tg, doc_id)
+    * rows into trigram-hash bucket partitions and the documents
+    * themselves into doc-bucket stored-fields partitions — the
+    * continuously-indexed form of [[graft.operators.TextSearch
+    * .substrSearchFromStore]] (a grep-index that is never rebuilt, only
+    * appended). A document's trigram set is final on arrival (one doc,
+    * one batch); a crash-replayed batch re-appends IDENTICAL rows and
+    * the serve's distinct absorbs them — the phrase store's replay
+    * posture. The serve prunes exactly like the batch store: query
+    * trigrams' bucket partitions for candidates, candidates' doc
+    * buckets for verification (one bounded driver collect, ≤ DocBuckets
+    * ints). Oracle: the batch substrSearchSql. */
+  def streamSubstrStoreQuery(spark: SparkSession, dir: String,
+                             pat: String = "le par", k: Int = 20): DataFrame = {
+    import graft.operators.{Dedup, TextSearch}
+    val grams = TextSearch.queryTrigrams(pat)
+    require(grams.nonEmpty, "substring query needs >= 3 chars")
+    val (pd, dd) = trigramStreamStores.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files
+        .createTempDirectory("trigram_stream_posts").toString
+      val d = java.nio.file.Files
+        .createTempDirectory("trigram_stream_docs").toString
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "4")
+      try {
+        val q = docsStream(spark, dir)
+          .select(col("doc_id"), col("text"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            TextSearch.trigramPostings(batch)
+              .withColumn("tgbucket",
+                pmod(Dedup.chash(col("tg")),
+                  lit(TextSearch.TrigramBuckets.toLong))
+                  .cast(IntegerType))
+              .write.mode("append").partitionBy("tgbucket").parquet(p)
+            batch.select(col("doc_id"), col("text"))
+              .withColumn("dbucket",
+                pmod(col("doc_id"), lit(TextSearch.DocBuckets.toLong))
+                  .cast(IntegerType))
+              .write.mode("append").partitionBy("dbucket").parquet(d)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set(key, prev)
+      (p, d)
+    })
+    val cands = TextSearch.candidateDocs(
+      TextSearch.prunedTrigramPostings(spark, pd, grams).distinct(), grams)
+      .localCheckpoint(true)
+    TextSearch.verifyRank(
+      TextSearch.prunedDocText(spark, dd, cands).distinct(), cands,
+      col("text").contains(pat), TextSearch.substrHits(pat), k)
+  }
+
   /** Streaming HNSW hierarchy: the pinned level cap and per-layer
     * sign-LSH widths (a stream cannot count its corpus or layer
     * populations up front — the [[GraphStreamBits]] deploy-time-config

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextSearch
+
+/** Substring / regex / prefix search: hand-computed semantics on a
+  * fixture corpus, store-vs-in-plan equality on the sf corpus, the
+  * required-literal regex extractor's soundness cases, and the plan
+  * shapes that matter at 100 TB (trigram-bucket and doc-bucket
+  * partition pruning; prefix StartsWith pushdown on the range
+  * layout). */
+class TextSearchSpec extends AnyFunSuite {
+  import TestSession.{spark, sfDir}
+  import spark.implicits._
+
+  private lazy val corpusDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("textsearch").toString
+    Seq(
+      (0L, "zab cdz ab cd", "en", "s0", 13L), // "ab cd" twice
+      (1L, "ab cx", "en", "s1", 5L), // no " cd" trigram: never a candidate
+      (2L, "ababa", "en", "s2", 5L), // "aba": non-overlapping count = 1
+      (3L, "zab cz cdz", "en", "s3", 10L), // all trigrams of "ab cd", no match
+      (4L, "", "en", "s4", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long)] =
+    df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("substrSearch: cross-word-boundary matches, non-overlapping counts, " +
+    "candidate-but-no-match docs die at verification") {
+    // "ab cd" spans a word boundary — no word-granular index can see it
+    assert(rows(TextSearch.substrSearch(spark, corpusDir, "ab cd", k = 10)) ==
+      Seq((1, 0L, 2L)))
+    // doc 3 contains every trigram of "ab cd" but not the substring:
+    // it must be filtered by the contains verification, not returned
+    assert(rows(TextSearch.substrSearch(spark, corpusDir, "aba", k = 10)) ==
+      Seq((1, 2L, 1L))) // "ababa": left-to-right non-overlap = 1
+    assert(rows(TextSearch.substrSearch(spark, corpusDir, "zzz", k = 10)).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextSearch.substrSearch(spark, corpusDir, "ab", k = 10)
+    }
+  }
+
+  test("regexSearch: literal-prefiltered matches; no-literal patterns fall " +
+    "back to full verification with identical results") {
+    assert(rows(TextSearch.regexSearch(spark, corpusDir, "ab (cd|ce)", k = 10)) ==
+      Seq((1, 0L, 2L)))
+    // top-level alternation: no mandatory literal, full-verify fallback
+    assert(rows(TextSearch.regexSearch(spark, corpusDir, "cdz|ababa", k = 10)) ==
+      Seq((1, 0L, 1L), (2, 2L, 1L), (3, 3L, 1L)))
+  }
+
+  test("prefixSearch: word-prefix occurrence totals, full words only") {
+    assert(rows(TextSearch.prefixSearch(spark, corpusDir, "cd", k = 10)) ==
+      Seq((1, 0L, 2L), (2, 3L, 1L))) // doc0: cdz+cd; doc3: cdz
+    // 'zab' does NOT match prefix 'ab' (prefix, not substring)
+    assert(rows(TextSearch.prefixSearch(spark, corpusDir, "ab", k = 10)) ==
+      Seq((1, 0L, 1L), (2, 1L, 1L), (3, 2L, 1L)))
+    assert(rows(TextSearch.prefixSearch(spark, corpusDir, "q", k = 10)).isEmpty)
+  }
+
+  test("requiredLiterals: sound extraction — groups, classes, escapes, and " +
+    "quantified chars surrender; top-level alternation yields nothing") {
+    import TextSearch.requiredLiterals
+    assert(requiredLiterals("fast (table|merge)") == Seq("fast "))
+    assert(requiredLiterals("slow+ fast") == Seq("slow", " fast"))
+    assert(requiredLiterals("a|b") == Seq.empty)
+    assert(requiredLiterals("colou?r") == Seq("colo", "r"))
+    assert(requiredLiterals("ab{2,3}c") == Seq("a", "c"))
+    assert(requiredLiterals("x[abc]y") == Seq("x", "y"))
+    assert(requiredLiterals("foo\\d+bar") == Seq("foo", "bar"))
+    assert(requiredLiterals("a.c") == Seq("a", "c"))
+    assert(requiredLiterals("^start end$") == Seq("start end"))
+  }
+
+  test("queryTrigrams matches the native char_trigrams expression, distinct") {
+    import graft.functions.NativeFunctions.charTrigrams
+    for (s <- Seq("le par", "aaaa", "ab", "", "fast (x)")) {
+      val native = spark.range(1).select(charTrigrams(lit(s)))
+        .collect()(0).getSeq[String](0).distinct
+      assert(TextSearch.queryTrigrams(s) == native, s"for '$s'")
+    }
+  }
+
+  test("store serves equal their in-plan twins on the sf corpus") {
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val su = all(TextSearch.substrSearch(spark, sfDir))
+    assert(su == all(TextSearch.substrSearchFromStore(spark, sfDir)) &&
+      su.nonEmpty)
+    val re = all(TextSearch.regexSearch(spark, sfDir))
+    assert(re == all(TextSearch.regexSearchFromStore(spark, sfDir)) &&
+      re.nonEmpty)
+    val pre = all(TextSearch.prefixSearch(spark, sfDir))
+    assert(pre == all(TextSearch.prefixSearchFromStore(spark, sfDir)) &&
+      pre.nonEmpty)
+  }
+
+  test("stream-accreted trigram store serve equals the batch substring search") {
+    val batch = TextSearch.substrSearch(spark, sfDir).collect().map(_.toSeq).toSeq
+    val stream = graft.streaming.StreamOps.streamSubstrStoreQuery(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
+  private def partitionFilters(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters:")).mkString("\n")
+
+  test("trigram store serve prunes postings to the query trigrams' buckets " +
+    "and stored fields to the candidates' doc buckets") {
+    val (pd, dd) = TextSearch.buildTrigramStore(spark, sfDir)
+    val grams = TextSearch.queryTrigrams("le par")
+    val pf = partitionFilters(TextSearch.prunedTrigramPostings(spark, pd, grams))
+    assert(pf.contains("tgbucket") &&
+      !pf.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), pf)
+    val cands = Seq(3L, 67L).toDF("doc_id")
+    val df = TextSearch.prunedDocText(spark, dd, cands)
+    val dpf = partitionFilters(df)
+    assert(dpf.contains("dbucket") &&
+      !dpf.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), dpf)
+    // buckets 3 and 67%64=3 collapse to ONE directory
+    assert(df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      .subsetOf((0L until 10000L).filter(_ % 64 == 3).toSet))
+  }
+
+  test("prefix store serve prunes to one first-char partition and pushes " +
+    "the StartsWith into the scan") {
+    val pd = TextSearch.buildPrefixStore(spark, sfDir)
+    val served = TextSearch.prunedPrefixPostings(spark, pd, "s")
+    val pf = partitionFilters(served)
+    assert(pf.contains("w0") &&
+      !pf.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), pf)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("StringStartsWith(word,s"), p.take(2000))
+  }
+}
