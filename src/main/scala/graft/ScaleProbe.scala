@@ -200,6 +200,9 @@ object ScaleProbe {
       "substr_store" -> ((s, d) => TextSearch.substrSearchFromStore(s, d)),
       "regex_search" -> ((s, d) => TextSearch.regexSearch(s, d)),
       "prefix_store" -> ((s, d) => TextSearch.prefixSearchFromStore(s, d)),
+      // fuzzy serve: delkey partitions ~ vocabulary share (Heaps-law
+      // sublinear), the doc side a word-pruned term-store read
+      "fuzzy_store" -> ((s, d) => TextSearch.fuzzySearchFromStore(s, d)),
       // the end-to-end curation composition: growth must track its
       // widest stage (the quality pass / dedup groupBy — ~linear), the
       // glue joins adding nothing super-linear

@@ -95,6 +95,14 @@ object SparkEntry {
     // buckets structurally cannot prune a prefix)
     "prefix_search" -> ((s, d) => TextSearch.prefixSearch(s, d)),
     "prefix_store" -> ((s, d) => TextSearch.prefixSearchFromStore(s, d)),
+    // wildcard (* / ?) compiled onto the regex path — one index, one
+    // verifier, three query syntaxes
+    "wildcard_search" -> ((s, d) => TextSearch.wildcardSearch(s, d)),
+    "wildcard_store" -> ((s, d) => TextSearch.wildcardSearchFromStore(s, d)),
+    // fuzzy term search (SymSpell deletion-key candidates + banded
+    // Levenshtein verify; doc side served off the prefix term store)
+    "fuzzy_search" -> ((s, d) => TextSearch.fuzzySearch(s, d)),
+    "fuzzy_store" -> ((s, d) => TextSearch.fuzzySearchFromStore(s, d)),
     "stream_phrase_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamPhraseStoreQuery(s, d)),
     "stream_phrase_slop" -> ((s, d) =>
@@ -510,6 +518,10 @@ object SparkEntry {
     "regex_store" -> TextSearch.regexSearchSql(),
     "prefix_search" -> TextSearch.prefixSearchSql(),
     "prefix_store" -> TextSearch.prefixSearchSql(),
+    "wildcard_search" -> TextSearch.wildcardSearchSql(),
+    "wildcard_store" -> TextSearch.wildcardSearchSql(),
+    "fuzzy_search" -> TextSearch.fuzzySearchSql(),
+    "fuzzy_store" -> TextSearch.fuzzySearchSql(),
     "stream_phrase_store" -> TextAnalytics.phraseSearchSql(),
     "stream_phrase_slop" -> TextAnalytics.phraseSearchSql(slop = 2),
     "stream_substr_store" -> TextSearch.substrSearchSql(),

@@ -397,6 +397,152 @@ object TextSearch {
       k)
   }
 
+  /** Compile a `*`/`?` wildcard pattern (the Lucene `WildcardQuery`
+    * shape) to the common Java/RE2 regex dialect: `*` → `.*`, `?` →
+    * `.`, everything else escaped. The compiled form rides the ENTIRE
+    * regex path — including [[requiredLiterals]], whose rules see the
+    * wildcards as run-breakers and the literal spans between them as
+    * trigram prefilters, which is exactly the right index use. */
+  private[graft] def wildcardRegex(pat: String): String =
+    pat.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }
+
+  /** WILDCARD SEARCH — `*` (any run) and `?` (any char) over the raw
+    * text, served by compiling to [[regexSearch]] /
+    * [[regexSearchFromStore]]: one verification engine, one index,
+    * three query syntaxes (regex, wildcard, literal substring).
+    * Oracle: [[wildcardSearchSql]]. */
+  def wildcardSearch(spark: SparkSession, dir: String,
+                     pat: String = "fa?t mer*e", k: Int = 20): DataFrame =
+    regexSearch(spark, dir, wildcardRegex(pat), k)
+
+  /** [[wildcardSearch]] SERVED from the trigram index. */
+  def wildcardSearchFromStore(spark: SparkSession, dir: String,
+                              pat: String = "fa?t mer*e",
+                              k: Int = 20): DataFrame =
+    regexSearchFromStore(spark, dir, wildcardRegex(pat), k)
+
+  /** 1-deletion neighborhood of a word (SymSpell): the word plus every
+    * single-code-point-deleted variant. If lev(a,b) ≤ 1 the
+    * neighborhoods intersect (delete the edited position from
+    * whichever side carries it); sharing a key only bounds lev ≤ 2,
+    * so candidates are always re-verified with a banded Levenshtein.
+    * Distance 1 covers the dominant typo class; higher distances are a
+    * k-deletion generalization of the same store (deploy-time
+    * config), not a new algorithm. */
+  private[graft] def delKeys(w: String): Seq[String] = {
+    val n = w.codePointCount(0, w.length)
+    val dels = (0 until n).map { i =>
+      val a = w.offsetByCodePoints(0, i)
+      val b = w.offsetByCodePoints(a, 1)
+      w.substring(0, a) + w.substring(b)
+    }
+    (w +: dels).distinct
+  }
+
+  private[graft] val KeyBuckets = 64
+  private[graft] def keyBucket(s: String): Int =
+    TextAnalytics.termBucket(s, KeyBuckets)
+
+  /** Build (once, catalog-persisted) the fuzzy term index: the
+    * 1-deletion keys of every VOCABULARY word, key-hash-bucket
+    * partitioned — a fuzzy query reads its own ≤(len+1) keys'
+    * partitions, never the vocabulary. The doc side deliberately
+    * REUSES the [[buildPrefixStore]] layout: matched words carry their
+    * first characters, so the same first-char range store that serves
+    * prefix scans serves fuzzy point lookups (one term store, two
+    * probe algebras). The per-word key expansion is a higher-order
+    * transform over the VOCABULARY frame only — interpreted lambdas
+    * are fine on a Heaps-law-sized input, and never touch the corpus. */
+  private[graft] def buildFuzzyStore(spark: SparkSession,
+                                     dir: String): (String, String) = {
+    val pd = buildPrefixStore(spark, dir)
+    val h = graft.StoreCatalog.getOrBuild(spark, "fuzzy_delkeys",
+      Seq(s"$dir/documents.parquet"),
+      Seq("kbuckets" -> KeyBuckets.toString, "dist" -> "1"),
+      Seq("delkeys")) { parts =>
+      spark.read.parquet(pd).select(col("word")).distinct()
+        .withColumn("key", explode(expr(
+          "array_union(array(word), transform(sequence(0, length(word)-1)," +
+            " i -> concat(substr(word, 1, i), substr(word, i+2))))")))
+        .withColumn("kbucket",
+          pmod(Dedup.chash(col("key")), lit(KeyBuckets.toLong))
+            .cast(IntegerType))
+        .repartition(col("kbucket"))
+        .sortWithinPartitions(col("kbucket"), col("key"), col("word"))
+        .write.mode("overwrite").partitionBy("kbucket")
+        .parquet(parts("delkeys"))
+      Map.empty
+    }
+    (h.parts("delkeys"), pd)
+  }
+
+  /** The pruned deletion-key read — `kbucket` partition isin over the
+    * query's own keys. Exposed for the plan spec. */
+  private[graft] def prunedDelKeys(spark: SparkSession, delkeysDir: String,
+                                   keys: Seq[String]): DataFrame =
+    spark.read.parquet(delkeysDir)
+      .where(col("kbucket").isin(keys.map(keyBucket).distinct: _*) &&
+        col("key").isin(keys: _*))
+
+  /** Banded Levenshtein acceptance (the threshold form returns -1
+    * above the band — round-7 editdist_verify device). */
+  private def levWithin(term: String, maxDist: Int): Column =
+    expr(s"levenshtein(word, '${sqlLit(term)}', $maxDist)") =!= lit(-1)
+
+  /** FUZZY TERM SEARCH, in-plan form: documents ranked by total
+    * occurrences of vocabulary words within Levenshtein distance
+    * `maxDist` of `term` (the Lucene `FuzzyQuery` shape — "sow"
+    * matches slow AND row). The candidate generator is the DISTINCT
+    * vocabulary (Heaps-law-small relative to the corpus), the verify
+    * is the banded Levenshtein, and the corpus is touched once, by the
+    * broadcast matched-word join. Oracle: [[fuzzySearchSql]]. */
+  def fuzzySearch(spark: SparkSession, dir: String, term: String = "sow",
+                  maxDist: Int = 1, k: Int = 20): DataFrame = {
+    require(term.nonEmpty && maxDist >= 1)
+    val toks = Tables.loadWide(spark, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val matched = toks.select(col("word")).distinct()
+      .where(levWithin(term, maxDist))
+    rankHits(
+      toks.join(broadcast(matched), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_hits")),
+      k)
+  }
+
+  /** [[fuzzySearch]] SERVED from the deletion-key index: the query's
+    * ≤(len+1) keys prune the delkeys partitions to candidate words,
+    * the banded Levenshtein verifies them, and the surviving word SET
+    * (combinatorially bounded control state for dist 1: every match
+    * lives within the term's single-edit neighborhood, ≤ ~(len+1)·|Σ|
+    * strings exist there regardless of corpus size) prunes the SAME
+    * first-char term store the prefix query serves from. */
+  def fuzzySearchFromStore(spark: SparkSession, dir: String,
+                           term: String = "sow", maxDist: Int = 1,
+                           k: Int = 20): DataFrame = {
+    require(term.nonEmpty && maxDist == 1,
+      "the deletion-key store is built for dist 1")
+    val (kd, pd) = buildFuzzyStore(spark, dir)
+    val matched = prunedDelKeys(spark, kd, delKeys(term))
+      .select(col("word")).distinct()
+      .where(levWithin(term, maxDist))
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (matched.isEmpty) rankHits(
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("n_hits")), k)
+    else rankHits(
+      spark.read.parquet(pd)
+        .where(col("w0").isin(matched.map(_.substring(0, 1)).distinct: _*) &&
+          col("word").isin(matched: _*))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast(LongType).as("n_hits")),
+      k)
+  }
+
   private def sqlLit(s: String): String = s.replace("'", "''")
 
   /** Oracle twin of [[substrSearch]] / [[substrSearchFromStore]]. */
@@ -424,6 +570,29 @@ object TextSearch {
                 FROM documents
                 WHERE regexp_matches(text, '$q')))
         WHERE rn <= $k ORDER BY rn"""
+  }
+
+  /** Oracle twin of [[wildcardSearch]] / [[wildcardSearchFromStore]] —
+    * the regex oracle over the compiled pattern (one compiler, both
+    * engines see the identical regex). */
+  def wildcardSearchSql(pat: String = "fa?t mer*e", k: Int = 20): String =
+    regexSearchSql(wildcardRegex(pat), k)
+
+  /** Oracle twin of [[fuzzySearch]] / [[fuzzySearchFromStore]]. */
+  def fuzzySearchSql(term: String = "sow", maxDist: Int = 1,
+                     k: Int = 20): String = {
+    val t = sqlLit(term)
+    s"""WITH w AS (SELECT doc_id, u.w AS word FROM (
+            SELECT doc_id,
+                   ${graft.functions.TextFunctions.wordsSql("text")} AS ws
+            FROM documents),
+          LATERAL (SELECT unnest(ws) AS w) u),
+        m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM w
+              WHERE levenshtein(word, '$t') <= $maxDist GROUP BY 1)
+        SELECT rn, doc_id, n_hits FROM (
+          SELECT doc_id, n_hits,
+                 CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS INT) AS rn
+          FROM m) WHERE rn <= $k ORDER BY rn"""
   }
 
   /** Oracle twin of [[prefixSearch]] / [[prefixSearchFromStore]].

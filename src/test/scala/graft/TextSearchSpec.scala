@@ -100,6 +100,64 @@ class TextSearchSpec extends AnyFunSuite {
       pre.nonEmpty)
   }
 
+  test("wildcardRegex: * and ? compile, regex metachars are escaped") {
+    import TextSearch.wildcardRegex
+    assert(wildcardRegex("fa?t mer*e") == "fa.t mer.*e")
+    assert(wildcardRegex("a+b(c)|d.e") == "a\\+b\\(c\\)\\|d\\.e")
+    assert(wildcardRegex("**") == ".*.*")
+  }
+
+  test("wildcardSearch: ? is one char, * spans any run including spaces") {
+    // "zab c?" -> matches "zab cd" (doc0), "zab cz" (doc3)
+    assert(rows(TextSearch.wildcardSearch(spark, corpusDir, "zab c?", k = 10)) ==
+      Seq((1, 0L, 1L), (2, 3L, 1L)))
+    // the * crosses a word boundary: "ab*dz" spans "ab cdz"
+    assert(rows(TextSearch.wildcardSearch(spark, corpusDir, "ab*dz", k = 10)) ==
+      Seq((1, 0L, 1L), (2, 3L, 1L)))
+  }
+
+  test("delKeys: the word plus each single-deletion variant, distinct") {
+    assert(TextSearch.delKeys("sow") == Seq("sow", "ow", "sw", "so"))
+    assert(TextSearch.delKeys("aa") == Seq("aa", "a"))
+    // the SymSpell property on the fixture pair: lev(sow, slow) = 1 and
+    // their neighborhoods intersect
+    assert(TextSearch.delKeys("sow").toSet
+      .intersect(TextSearch.delKeys("slow").toSet).nonEmpty)
+  }
+
+  test("fuzzySearch: multi-word single-edit matches, hand-computed") {
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    Seq(
+      (0L, "slow row slow", "en", "s0", 13L), // 3 matches of {slow, row}
+      (1L, "sort sow", "en", "s1", 8L), // sow exact (dist 0); sort is dist 2
+      (2L, "grow crow", "en", "s2", 9L), // dist 2: no matches
+      (3L, "sows", "en", "s3", 4L)) // one insertion: dist 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(rows(TextSearch.fuzzySearch(spark, dir, "sow", k = 10)) ==
+      Seq((1, 0L, 3L), (2, 1L, 1L), (3, 3L, 1L)))
+  }
+
+  test("fuzzy and wildcard store serves equal their in-plan twins") {
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val fz = all(TextSearch.fuzzySearch(spark, sfDir))
+    assert(fz == all(TextSearch.fuzzySearchFromStore(spark, sfDir)) &&
+      fz.nonEmpty)
+    val wc = all(TextSearch.wildcardSearch(spark, sfDir))
+    assert(wc == all(TextSearch.wildcardSearchFromStore(spark, sfDir)) &&
+      wc.nonEmpty)
+    // a term with no vocabulary neighbor serves an empty result, not a crash
+    assert(all(TextSearch.fuzzySearchFromStore(spark, sfDir, "xyzzy")).isEmpty)
+  }
+
+  test("fuzzy delkeys serve prunes to the query keys' bucket partitions") {
+    val (kd, _) = TextSearch.buildFuzzyStore(spark, sfDir)
+    val pf = partitionFilters(
+      TextSearch.prunedDelKeys(spark, kd, TextSearch.delKeys("sow")))
+    assert(pf.contains("kbucket") &&
+      !pf.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), pf)
+  }
+
   test("stream-accreted trigram store serve equals the batch substring search") {
     val batch = TextSearch.substrSearch(spark, sfDir).collect().map(_.toSeq).toSeq
     val stream = graft.streaming.StreamOps.streamSubstrStoreQuery(spark, sfDir)
