@@ -229,20 +229,22 @@ object TextSearch {
         .select(col("doc_id"), hits.as("n_hits")),
       k)
 
-  /** SUBSTRING SEARCH, in-plan form: trigram prefilter and contains
-    * verification composed over the source scan (the build-IS-the-query
-    * shape — at scale this IS the index build; the store twin below is
-    * the serve path). Requires |pat| ≥ 3 (shorter has no trigram; use
-    * [[prefixSearch]]'s layout or a full verify for those).
+  /** SUBSTRING SEARCH, in-plan form: a direct codegen'd `contains`
+    * scan (the grep shape). Without an index, ONE substring query's
+    * best plan at any scale IS the narrow scan — a per-query trigram
+    * extraction would cost more than the `contains` it prefilters;
+    * the trigram algebra earns its keep only at rest, amortized over
+    * every future query ([[substrSearchFromStore]]). Requires
+    * |pat| ≥ 3 to stay contract-equal with the store form.
     * Oracle: [[substrSearchSql]]. */
   def substrSearch(spark: SparkSession, dir: String,
                    pat: String = "le par", k: Int = 20): DataFrame = {
-    val grams = queryTrigrams(pat)
-    require(grams.nonEmpty, "substring query needs >= 3 chars")
-    val docs = Tables.loadWide(spark, dir, "documents")
-    val cands = candidateDocs(
-      trigramPostings(docs).where(col("tg").isin(grams: _*)), grams)
-    verifyRank(docs, cands, col("text").contains(pat), substrHits(pat), k)
+    require(queryTrigrams(pat).nonEmpty, "substring query needs >= 3 chars")
+    rankHits(
+      Tables.loadWide(spark, dir, "documents")
+        .where(col("text").contains(pat))
+        .select(col("doc_id"), substrHits(pat).as("n_hits")),
+      k)
   }
 
   /** [[substrSearch]] SERVED from the catalog-persisted trigram index:
@@ -283,27 +285,25 @@ object TextSearch {
   private def regexHits(rx: String): Column =
     size(regexp_extract_all(col("text"), lit(rx), lit(0))).cast(LongType)
 
-  /** REGEX SEARCH, in-plan form: [[requiredLiterals]] turns the
-    * pattern's mandatory literal runs into a trigram prefilter (the
-    * union of every literal's trigrams must all be present), then the
-    * regex runs on candidates only. A pattern with no extractable
-    * literal (top-level alternation, all-optional) degrades to
-    * verify-everything — correct, just unindexed, and the degradation
-    * is the documented contract, not a surprise. Dialect: the
-    * lookaround-free common subset of Java regex and RE2.
+  /** REGEX SEARCH, in-plan form: [[requiredLiterals]] become cheap
+    * codegen'd `contains` prefilters ahead of the regex (the classic
+    * grep literal-prescan — `&&` short-circuits, so most rows never
+    * reach the automaton), all inside one narrow scan. A pattern with
+    * no extractable literal (top-level alternation, all-optional) runs
+    * the regex on every row — correct, just unprefiltered, and the
+    * degradation is the documented contract, not a surprise. Dialect:
+    * the lookaround-free common subset of Java regex and RE2.
     * Oracle: [[regexSearchSql]]. */
   def regexSearch(spark: SparkSession, dir: String,
                   rx: String = "fast (table|merge)", k: Int = 20): DataFrame = {
-    val grams = requiredLiterals(rx).flatMap(queryTrigrams).distinct
-    val docs = Tables.loadWide(spark, dir, "documents")
-    if (grams.isEmpty)
-      rankHits(docs.where(col("text").rlike(rx))
-        .select(col("doc_id"), regexHits(rx).as("n_hits")), k)
-    else {
-      val cands = candidateDocs(
-        trigramPostings(docs).where(col("tg").isin(grams: _*)), grams)
-      verifyRank(docs, cands, col("text").rlike(rx), regexHits(rx), k)
-    }
+    val lits = requiredLiterals(rx)
+    val pre = lits.map(l => col("text").contains(l))
+      .foldLeft(lit(true))(_ && _)
+    rankHits(
+      Tables.loadWide(spark, dir, "documents")
+        .where(pre && col("text").rlike(rx))
+        .select(col("doc_id"), regexHits(rx).as("n_hits")),
+      k)
   }
 
   /** [[regexSearch]] SERVED from the SAME trigram index as the

@@ -32,15 +32,20 @@ class TextSearchSpec extends AnyFunSuite {
     df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
 
   test("substrSearch: cross-word-boundary matches, non-overlapping counts, " +
-    "candidate-but-no-match docs die at verification") {
+    "candidate-but-no-match docs die at the store's verification") {
     // "ab cd" spans a word boundary — no word-granular index can see it
     assert(rows(TextSearch.substrSearch(spark, corpusDir, "ab cd", k = 10)) ==
       Seq((1, 0L, 2L)))
-    // doc 3 contains every trigram of "ab cd" but not the substring:
-    // it must be filtered by the contains verification, not returned
+    // the store path must agree: doc 3 contains every trigram of
+    // "ab cd" but not the substring — a CANDIDATE the trigram
+    // intersection admits and the contains verification must kill
+    assert(rows(TextSearch.substrSearchFromStore(spark, corpusDir, "ab cd",
+      k = 10)) == Seq((1, 0L, 2L)))
     assert(rows(TextSearch.substrSearch(spark, corpusDir, "aba", k = 10)) ==
       Seq((1, 2L, 1L))) // "ababa": left-to-right non-overlap = 1
     assert(rows(TextSearch.substrSearch(spark, corpusDir, "zzz", k = 10)).isEmpty)
+    assert(rows(TextSearch.substrSearchFromStore(spark, corpusDir, "zzz",
+      k = 10)).isEmpty)
     intercept[IllegalArgumentException] {
       TextSearch.substrSearch(spark, corpusDir, "ab", k = 10)
     }
@@ -50,9 +55,14 @@ class TextSearchSpec extends AnyFunSuite {
     "back to full verification with identical results") {
     assert(rows(TextSearch.regexSearch(spark, corpusDir, "ab (cd|ce)", k = 10)) ==
       Seq((1, 0L, 2L)))
+    assert(rows(TextSearch.regexSearchFromStore(spark, corpusDir, "ab (cd|ce)",
+      k = 10)) == Seq((1, 0L, 2L)))
     // top-level alternation: no mandatory literal, full-verify fallback
+    // on BOTH paths (the store reads its stored-fields part in full)
     assert(rows(TextSearch.regexSearch(spark, corpusDir, "cdz|ababa", k = 10)) ==
       Seq((1, 0L, 1L), (2, 2L, 1L), (3, 3L, 1L)))
+    assert(rows(TextSearch.regexSearchFromStore(spark, corpusDir, "cdz|ababa",
+      k = 10)) == Seq((1, 0L, 1L), (2, 2L, 1L), (3, 3L, 1L)))
   }
 
   test("prefixSearch: word-prefix occurrence totals, full words only") {
