@@ -103,6 +103,14 @@ object SparkEntry {
     // Levenshtein verify; doc side served off the prefix term store)
     "fuzzy_search" -> ((s, d) => TextSearch.fuzzySearch(s, d)),
     "fuzzy_store" -> ((s, d) => TextSearch.fuzzySearchFromStore(s, d)),
+    // typo-tolerant phrase: per-slot single-edit expansion feeding the
+    // positional phrase algebra; the serve composes the delkey store
+    // with the positional postings store
+    "phrase_fuzzy" -> ((s, d) => TextSearch.phraseFuzzySearch(s, d)),
+    "phrase_fuzzy_store" -> ((s, d) => TextSearch.phraseFuzzyFromStore(s, d)),
+    // autocomplete: top-k terms under a prefix by collection frequency
+    "term_complete" -> ((s, d) => TextSearch.termComplete(s, d)),
+    "term_complete_store" -> ((s, d) => TextSearch.termCompleteFromStore(s, d)),
     "stream_phrase_store" -> ((s, d) =>
       graft.streaming.StreamOps.streamPhraseStoreQuery(s, d)),
     "stream_phrase_slop" -> ((s, d) =>
@@ -522,6 +530,10 @@ object SparkEntry {
     "wildcard_store" -> TextSearch.wildcardSearchSql(),
     "fuzzy_search" -> TextSearch.fuzzySearchSql(),
     "fuzzy_store" -> TextSearch.fuzzySearchSql(),
+    "phrase_fuzzy" -> TextSearch.phraseFuzzySql(),
+    "phrase_fuzzy_store" -> TextSearch.phraseFuzzySql(),
+    "term_complete" -> TextSearch.termCompleteSql(),
+    "term_complete_store" -> TextSearch.termCompleteSql(),
     "stream_phrase_store" -> TextAnalytics.phraseSearchSql(),
     "stream_phrase_slop" -> TextAnalytics.phraseSearchSql(slop = 2),
     "stream_substr_store" -> TextSearch.substrSearchSql(),

@@ -905,18 +905,30 @@ object TextAnalytics {
     * (localCheckpoint) because the chain references them
     * `phrase.length` times. */
   private[graft] def phraseRank(posts: DataFrame, phrase: Seq[String],
-                                k: Int, slop: Int = 0): DataFrame = {
+                                k: Int, slop: Int = 0): DataFrame =
+    phraseRankSets(posts, phrase.map(Seq(_)), k, slop)
+
+  /** [[phraseRank]] generalized to a word SET per phrase slot (the
+    * Lucene `MultiPhraseQuery` shape — the typo-tolerant phrase
+    * query's match tail). Every position holds exactly one token, so
+    * the anchor-counting argument is unchanged: at slop 0 each anchor
+    * still completes at most one way per following position no matter
+    * how wide the slots are. An empty slot (a term with no expansion)
+    * correctly matches nothing — `isin` of an empty list is false. */
+  private[graft] def phraseRankSets(posts: DataFrame,
+                                    slots: Seq[Seq[String]],
+                                    k: Int, slop: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val f = posts.select(col("word"), col("doc_id"), col("pos"))
       .localCheckpoint(true)
-    var t = f.filter(col("word") === phrase.head)
+    var t = f.filter(col("word").isin(slots.head: _*))
       .select(col("doc_id"), col("pos"), col("pos").as("lastp"))
-    for (i <- 1 until phrase.length) {
+    for (i <- 1 until slots.length) {
       val band =
         if (slop == 0) col(s"p$i") === col("lastp") + 1
         else col(s"p$i") > col("lastp") &&
           col(s"p$i") <= col("lastp") + (1 + slop)
-      t = t.join(f.filter(col("word") === phrase(i))
+      t = t.join(f.filter(col("word").isin(slots(i): _*))
           .select(col("doc_id").as(s"d$i"), col("pos").as(s"p$i")),
         col("doc_id") === col(s"d$i") && band)
         .select(col("doc_id"), col("pos"), col(s"p$i").as("lastp"))

@@ -543,6 +543,169 @@ object TextSearch {
       k)
   }
 
+  /** Driver-side banded Levenshtein acceptance — the verify twin of
+    * [[levWithin]] for expansions already collected as control state.
+    * Plain DP over two small strings; the band is checked on lengths
+    * first (ASCII fixture: code units == code points cross-engine). */
+  private[graft] def levAtMost(a: String, b: String, d: Int): Boolean = {
+    if (math.abs(a.length - b.length) > d) return false
+    var prev = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length) <= d
+  }
+
+  /** Expand each query term to its vocabulary words within distance 1,
+    * via the deletion-key store: ONE pruned read over the union of all
+    * terms' keys, then driver-side slot assignment (the expansion is
+    * combinatorially-bounded control state — every slot lives inside
+    * its term's single-edit neighborhood). */
+  private def expandSlotsFromStore(spark: SparkSession, kd: String,
+                                   terms: Seq[String]): Seq[Seq[String]] = {
+    val keys = terms.flatMap(delKeys).distinct
+    val cands = prunedDelKeys(spark, kd, keys)
+      .select(col("word")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    terms.map(t => cands.filter(levAtMost(_, t, 1)))
+  }
+
+  /** TYPO-TOLERANT PHRASE SEARCH, in-plan form: each phrase slot is
+    * expanded to its single-edit vocabulary neighborhood ("sow table"
+    * finds "slow table" AND "row table"), then the match runs the SAME
+    * positional algebra as exact phrase — the Lucene `MultiPhraseQuery`
+    * shape, [[TextAnalytics.phraseRankSets]]. Expansion here comes
+    * from a distinct-vocabulary scan; candidates stay bounded by the
+    * expanded terms' dfs. Oracle: [[phraseFuzzySql]]. */
+  def phraseFuzzySearch(spark: SparkSession, dir: String,
+                        phrase: Seq[String] = Seq("sow", "table"),
+                        k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty)
+    val docs = Tables.loadWide(spark, dir, "documents")
+    val vocab = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .where(phrase.map(t => levWithin(t, 1)).reduce(_ || _))
+      .collect().map(_.getString(0)).toSeq.sorted
+    val slots = phrase.map(t => vocab.filter(levAtMost(_, t, 1)))
+    val posts = TextAnalytics.phrasePostings(docs)
+      .filter(col("word").isin(slots.flatten.distinct: _*))
+    TextAnalytics.phraseRankSets(posts, slots, k)
+  }
+
+  /** [[phraseFuzzySearch]] SERVED BY COMPOSING TWO AT-REST INDEXES:
+    * slot expansion off the deletion-key store (reads only the query
+    * terms' key buckets), the positional match off the SAME positional
+    * postings store that serves exact/slop/near phrase — typo-tolerant
+    * phrase queries cost one extra bounded index probe, no new
+    * corpus-sized artifact. */
+  def phraseFuzzyFromStore(spark: SparkSession, dir: String,
+                           phrase: Seq[String] = Seq("sow", "table"),
+                           k: Int = 20): DataFrame = {
+    require(phrase.nonEmpty)
+    val (kd, _) = buildFuzzyStore(spark, dir)
+    val slots = expandSlotsFromStore(spark, kd, phrase)
+    TextAnalytics.phraseRankSets(
+      TextAnalytics.prunedPhrasePostings(spark, dir, slots.flatten.distinct),
+      slots, k)
+  }
+
+  /** TERM COMPLETION (autocomplete): the top-k vocabulary words under
+    * a prefix, ranked by collection frequency, with document frequency
+    * beside it — served in-plan from a token scan. Oracle:
+    * [[termCompleteSql]]. */
+  def termComplete(spark: SparkSession, dir: String, prefix: String = "s",
+                   k: Int = 10): DataFrame = {
+    require(prefix.nonEmpty)
+    completeRank(
+      Tables.loadWide(spark, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .where(col("word").startsWith(prefix))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).cast(LongType).as("cf"),
+          countDistinct(col("doc_id")).cast(LongType).as("df")),
+      k)
+  }
+
+  /** [[termComplete]] SERVED from the range-layout term store: one
+    * first-char directory, a StartsWith word range, and the (word,
+    * doc_id, tf) rows aggregate to (cf, df) without touching any
+    * text — the autocomplete read is O(prefix-matching postings),
+    * independent of corpus width. */
+  def termCompleteFromStore(spark: SparkSession, dir: String,
+                            prefix: String = "s", k: Int = 10): DataFrame = {
+    require(prefix.nonEmpty)
+    val pd = buildPrefixStore(spark, dir)
+    completeRank(
+      prunedPrefixPostings(spark, pd, prefix)
+        .groupBy(col("word"))
+        .agg(sum(col("tf")).cast(LongType).as("cf"),
+          count(lit(1)).cast(LongType).as("df")),
+      k)
+  }
+
+  private def completeRank(terms: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cf").desc, col("word"))
+    terms.orderBy(col("cf").desc, col("word")).limit(k)
+      .withColumn("rn", row_number().over(w).cast(IntegerType))
+      .select(col("rn"), col("word"), col("cf"), col("df"))
+      .orderBy(col("rn"))
+  }
+
+  /** Oracle twin of [[phraseFuzzySearch]] / [[phraseFuzzyFromStore]]:
+    * the exact-phrase oracle with each slot's equality relaxed to the
+    * Levenshtein band — the oracle expands nothing, it states the
+    * semantics directly. */
+  def phraseFuzzySql(phrase: Seq[String] = Seq("sow", "table"),
+                     k: Int = 20): String = {
+    val joins = (1 until phrase.length).map(i =>
+      s"JOIN pos t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t${i - 1}.pos + 1")
+      .mkString("\n               ")
+    val wheres = phrase.zipWithIndex.map { case (t, i) =>
+      s"levenshtein(t$i.word, '${sqlLit(t)}') <= 1"
+    }.mkString(" AND ")
+    s"""WITH pos AS (SELECT doc_id, u.w AS word, u.p AS pos FROM (
+            SELECT doc_id,
+                   list_filter(${graft.functions.TextFunctions.wordsSql("text")},
+                     x -> x <> '') AS ws
+            FROM documents),
+          LATERAL (SELECT unnest(list_transform(generate_series(1, len(ws)),
+                     i -> {'p': i, 'w': ws[i]})) AS u)),
+        m AS (SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM pos t0
+               $joins
+              WHERE $wheres
+              GROUP BY 1)
+        SELECT rn, doc_id, n_hits FROM (
+          SELECT doc_id, n_hits,
+                 CAST(row_number() OVER (ORDER BY n_hits DESC, doc_id) AS INT) AS rn
+          FROM m) WHERE rn <= $k ORDER BY rn"""
+  }
+
+  /** Oracle twin of [[termComplete]] / [[termCompleteFromStore]]. */
+  def termCompleteSql(prefix: String = "s", k: Int = 10): String = {
+    val q = sqlLit(prefix)
+    s"""WITH w AS (SELECT doc_id, u.w AS word FROM (
+            SELECT doc_id,
+                   ${graft.functions.TextFunctions.wordsSql("text")} AS ws
+            FROM documents),
+          LATERAL (SELECT unnest(ws) AS w) u
+          WHERE u.w LIKE '$q%'),
+        t AS (SELECT word, CAST(count(*) AS BIGINT) AS cf,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM w GROUP BY 1)
+        SELECT rn, word, cf, df FROM (
+          SELECT word, cf, df,
+                 CAST(row_number() OVER (ORDER BY cf DESC, word) AS INT) AS rn
+          FROM t) WHERE rn <= $k ORDER BY rn"""
+  }
+
   private def sqlLit(s: String): String = s.replace("'", "''")
 
   /** Oracle twin of [[substrSearch]] / [[substrSearchFromStore]]. */

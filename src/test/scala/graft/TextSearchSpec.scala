@@ -168,6 +168,41 @@ class TextSearchSpec extends AnyFunSuite {
       !pf.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), pf)
   }
 
+  test("phraseFuzzySearch: multi-expansion slots, hand-computed; store " +
+    "composition equals in-plan") {
+    val dir = java.nio.file.Files.createTempDirectory("pfuzzy").toString
+    Seq(
+      (0L, "slow table row table", "en", "s0", 20L), // both expansions hit
+      (1L, "row cable", "en", "s1", 9L), // second slot dist 1: cable? lev(cable,table)=1
+      (2L, "slow sable slow", "en", "s2", 15L), // sable: dist 1 of table
+      (3L, "table slow", "en", "s3", 10L)) // wrong order: no match
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // slots: "sow" -> {slow, row, sows?...}; "table" -> {table, cable, sable}
+    val got = rows(TextSearch.phraseFuzzySearch(spark, dir,
+      Seq("sow", "table"), k = 10))
+    assert(got == Seq((1, 0L, 2L), (2, 1L, 1L), (3, 2L, 1L)))
+    val store = rows(TextSearch.phraseFuzzyFromStore(spark, dir,
+      Seq("sow", "table"), k = 10))
+    assert(store == got)
+    // a slot with no expansion matches nothing
+    assert(rows(TextSearch.phraseFuzzySearch(spark, dir,
+      Seq("sow", "qqqqqq"), k = 10)).isEmpty)
+  }
+
+  test("termComplete: prefix-ranked vocabulary with cf and df; store serve " +
+    "equals in-plan on the sf corpus") {
+    val got = TextSearch.termComplete(spark, corpusDir, "cd", k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // corpus: doc0 has cdz, cd; doc3 has cdz -> cdz cf=2 df=2; cd cf=1 df=1
+    assert(got == Seq((1, "cdz", 2L, 2L), (2, "cd", 1L, 1L)))
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val inPlan = all(TextSearch.termComplete(spark, sfDir))
+    assert(inPlan == all(TextSearch.termCompleteFromStore(spark, sfDir)) &&
+      inPlan.nonEmpty)
+  }
+
   test("stream-accreted trigram store serve equals the batch substring search") {
     val batch = TextSearch.substrSearch(spark, sfDir).collect().map(_.toSeq).toSeq
     val stream = graft.streaming.StreamOps.streamSubstrStoreQuery(spark, sfDir)
