@@ -60,7 +60,7 @@ object TextSearch {
   private[graft] val DocBuckets = 64
 
   private val trigramStores =
-    new scala.collection.concurrent.TrieMap[String, (String, String)]()
+    new scala.collection.concurrent.TrieMap[(String, Int), (String, String)]()
   private val prefixStores =
     new scala.collection.concurrent.TrieMap[String, String]()
   private[graft] def dropStoreMemos(): Unit = {
@@ -151,7 +151,7 @@ object TextSearch {
     * layout owes this query class nothing. */
   private[graft] def buildTrigramStore(spark: SparkSession,
                                        dir: String): (String, String) =
-    trigramStores.getOrElseUpdate(dir, {
+    trigramStores.getOrElseUpdate((dir, TrigramBuckets), {
       val h = graft.StoreCatalog.getOrBuild(spark, "trigram_postings",
         Seq(s"$dir/documents.parquet"),
         Seq("buckets" -> TrigramBuckets.toString,
@@ -178,15 +178,50 @@ object TextSearch {
       (h.parts("postings"), h.parts("docs"))
     })
 
+  /** CATALOG-MANAGED RE-BUCKETING of the trigram index — the
+    * store-growth knob for THIS family: the trigram vocabulary is
+    * alphabet-bounded, so each of the 64 hash-bucket partitions grows
+    * linearly with the corpus; widening the bucket count re-flattens
+    * the per-partition read. The widened layout rewrites from the
+    * store's own at-rest rows (`tgbucket` is a pure function of the
+    * trigram — the corpus is never re-scanned), publishes under the
+    * NEW config key via the catalog's staging + atomic rename, and
+    * the stored-fields part (bucket-independent) HARDLINKS across.
+    * Same contract as [[TextAnalytics.rebucketBm25Store]] /
+    * `Similarity.rebucketGraphStore`. */
+  def rebucketTrigramStore(spark: SparkSession, dir: String,
+                           newBuckets: Int = 256): (String, String) = {
+    val (pd, dd) = buildTrigramStore(spark, dir)
+    trigramStores.getOrElseUpdate((dir, newBuckets), {
+      val h = graft.StoreCatalog.getOrBuild(spark, "trigram_postings",
+        Seq(s"$dir/documents.parquet"),
+        Seq("buckets" -> newBuckets.toString,
+          "docbuckets" -> DocBuckets.toString),
+        Seq("postings", "docs")) { parts =>
+        Sinks.rebucketPartitioned(spark, pd, parts("postings"), "tgbucket",
+          pmod(Dedup.chash(col("tg")), lit(newBuckets.toLong))
+            .cast(IntegerType),
+          Seq("tg", "doc_id"))
+        graft.StoreCatalog.linkTree(java.nio.file.Paths.get(dd),
+          java.nio.file.Paths.get(parts("docs")))
+        Map.empty
+      }
+      (h.parts("postings"), h.parts("docs"))
+    })
+  }
+
   /** The pruned postings read: `tgbucket` is the partition column so
     * the isin lists only the query trigrams' directories; the tg isin
     * then lands in PushedFilters for row-group skipping within them.
-    * Exposed for the plan spec. */
+    * `buckets` must be the STORE's own width (a re-bucketed layout
+    * derives its prune set at its width). Exposed for the plan spec. */
   private[graft] def prunedTrigramPostings(spark: SparkSession,
                                            postingsDir: String,
-                                           grams: Seq[String]): DataFrame =
+                                           grams: Seq[String],
+                                           buckets: Int = TrigramBuckets): DataFrame =
     spark.read.parquet(postingsDir)
-      .where(col("tgbucket").isin(grams.map(tgBucket).distinct: _*) &&
+      .where(col("tgbucket").isin(
+        grams.map(TextAnalytics.termBucket(_, buckets)).distinct: _*) &&
         col("tg").isin(grams: _*))
 
   /** Candidate docs = those containing EVERY query trigram. `posts`

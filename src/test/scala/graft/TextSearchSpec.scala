@@ -231,6 +231,25 @@ class TextSearchSpec extends AnyFunSuite {
       .subsetOf((0L until 10000L).filter(_ % 64 == 3).toSet))
   }
 
+  test("trigram store re-bucketing: the widened layout serves identical " +
+    "results with the prune set derived at its own width") {
+    val pat = "le par"
+    val grams = TextSearch.queryTrigrams(pat)
+    val base = TextSearch.substrSearchFromStore(spark, sfDir, pat)
+      .collect().map(_.toSeq).toSeq
+    val (pd, dd) = TextSearch.rebucketTrigramStore(spark, sfDir, 256)
+    val posts = TextSearch.prunedTrigramPostings(spark, pd, grams, buckets = 256)
+    val pf = partitionFilters(posts)
+    assert(pf.contains("tgbucket") &&
+      !pf.matches("(?s).*PartitionFilters: \\[\\s*\\].*"), pf)
+    val cands = TextSearch.candidateDocs(posts, grams).localCheckpoint(true)
+    val served = TextSearch.verifyRank(
+      TextSearch.prunedDocText(spark, dd, cands), cands,
+      col("text").contains(pat), TextSearch.substrHits(pat), 20)
+      .collect().map(_.toSeq).toSeq
+    assert(served == base && served.nonEmpty)
+  }
+
   test("prefix store serve prunes to one first-char partition and pushes " +
     "the StartsWith into the scan") {
     val pd = TextSearch.buildPrefixStore(spark, sfDir)
