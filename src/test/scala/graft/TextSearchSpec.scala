@@ -210,6 +210,23 @@ class TextSearchSpec extends AnyFunSuite {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("stream trigram store: a crash-replayed (duplicate-appended) batch " +
+    "changes nothing served") {
+    import graft.streaming.StreamOps
+    val before = StreamOps.streamSubstrStoreQuery(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val (pd, dd) = StreamOps.trigramStreamStoreFor(sfDir).get
+    // re-append the ENTIRE store to itself — a strictly worse duplication
+    // than any real epoch replay (which re-appends one batch)
+    val posts = spark.read.parquet(pd).localCheckpoint(true)
+    posts.write.mode("append").partitionBy("tgbucket").parquet(pd)
+    val docs = spark.read.parquet(dd).localCheckpoint(true)
+    docs.write.mode("append").partitionBy("dbucket").parquet(dd)
+    val after = StreamOps.streamSubstrStoreQuery(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before && after.nonEmpty)
+  }
+
   private def partitionFilters(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString.linesIterator
       .filter(_.contains("PartitionFilters:")).mkString("\n")
