@@ -253,8 +253,12 @@ object ScaleProbe {
     val nMerges = 64
     def trainWall(batch: Int): (Double, Int, Int) = {
       val t0 = System.nanoTime()
+      // driverVocabCap = 0 forces the DISTRIBUTED trainer: this cell
+      // measures the per-driver-round cost the batched form amortizes,
+      // which the r12 driver-resident loop (vocab under the cap) would
+      // otherwise hide at fixture scale.
       val (merges, _, rounds) =
-        TextAnalytics.bpeTrain(spark, bigDir, nMerges, batch)
+        TextAnalytics.bpeTrain(spark, bigDir, nMerges, batch, driverVocabCap = 0)
       ((System.nanoTime() - t0) / 1e9, rounds, merges.size)
     }
     println(s"\n| bpe trainer, nMerges=$nMerges on the 10x corpus | driver rounds | merges learned | wall s |")

@@ -79,7 +79,7 @@ object Multimodal {
     * per-row error channel or pick [[StubDecoder]] for non-image media. */
   object ImageDecoder extends Decoder {
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = graft.sources.MediaCodec.readImage(payload)
       if (img == null) throw new IllegalArgumentException("not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
@@ -127,9 +127,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    graft.sources.MediaCodec.writePng(img)
   }
 
   /** Synthesize a deterministic media table from the documents fixture
@@ -212,7 +210,7 @@ object Multimodal {
       else {
         val img =
           if (m.payload == null) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          else graft.sources.MediaCodec.readImage(m.payload)
         if (img == null) m.copy(width = w, height = h)
         else {
           val scaled = new java.awt.image.BufferedImage(w, h,
@@ -223,9 +221,8 @@ object Multimodal {
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(img, 0, 0, w, h, null)
           } finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(scaled, "png", bos)
-          m.copy(payload = bos.toByteArray, width = w, height = h)
+          m.copy(payload = graft.sources.MediaCodec.writePng(scaled),
+            width = w, height = h)
         }
       }
     }
@@ -252,7 +249,7 @@ object Multimodal {
       }
       .mapPartitions { rows =>
         rows.map { case (id, png) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val img = graft.sources.MediaCodec.readImage(png)
           val raster = img.getRaster
           var sum = 0L; var mn = 256; var mx = -1; var cnt = 0
           var y = 0
@@ -455,6 +452,10 @@ object Multimodal {
 
   // ---- video: REAL MJPEG / DIB frames in a real AVI container ----
 
+  /** StageProbe accessors (scratch measurement main, r12). */
+  private[graft] def videoDimsProbe(id: Long): (Int, Int) = videoDims(id)
+  private[graft] def videoFrameCountProbe(n: Int): Int = videoFrameCount(n)
+
   private def videoDims(id: Long): (Int, Int) =
     (16 + (id % 4).toInt * 8, 16 + (id % 3).toInt * 8)
   private def videoPixDims(id: Long): (Int, Int) =
@@ -482,9 +483,7 @@ object Multimodal {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
+      graft.sources.MediaCodec.writeJpeg(img)
     }
     graft.sources.AviCodec.buildAvi(frames, w, h, "MJPG")
   }
@@ -516,8 +515,7 @@ object Multimodal {
           val s = graft.sources.AviCodec.parseAvi(avi)
           require(s.handler == "MJPG", s"expected MJPG stream, got ${s.handler}")
           s.frames.iterator.zipWithIndex.map { case (frame, idx) =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(frame))
+            val img = graft.sources.MediaCodec.readImage(frame)
             require(img != null, s"frame $idx of doc $id is not decodable JPEG")
             (id, idx, img.getWidth, img.getHeight)
           }
@@ -726,7 +724,7 @@ object Multimodal {
       val counts = new Array[Long](dim)
       for (frame <- s.frames) {
         if (s.handler == "MJPG") {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+          val img = graft.sources.MediaCodec.readImage(frame)
           require(img != null, "undecodable MJPEG frame")
           // single-band (grayscale) rasters are read raw: getRGB would
           // push linear gray through an sRGB conversion and shift values
@@ -818,7 +816,7 @@ object Multimodal {
       }
       .mapPartitions { rows =>
         rows.map { case (id, png) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val img = graft.sources.MediaCodec.readImage(png)
           val raster = img.getRaster
           var hash = 0L
           var r = 0

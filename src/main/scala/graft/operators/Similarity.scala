@@ -2417,31 +2417,65 @@ object Similarity {
       .withColumn("prn", row_number().over(wp))
       .filter(col("prn") <= poolSize)
       .select(col("qid"), col("vec_id"), col("embedding"), col("rel"))
-      .localCheckpoint(true) // scanned every selection round
-    val w1 = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))
-    var selected = pool.withColumn("mmr", col("rel") * 0.5)
-      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id"), lit(1).as("pos"), col("mmr"))
-    for (k <- 2 to kSel) {
-      val selEmb = selected.select(col("qid").as("j_qid"), col("vec_id").as("j_vid"))
-        .join(pool.select(col("qid").as("p_qid"), col("vec_id").as("p_vid"),
-          col("embedding").as("s_emb")),
-          col("j_qid") === col("p_qid") && col("j_vid") === col("p_vid"))
-        .select(col("j_qid"), col("s_emb"))
-      val cand = pool.join(
-        selected.select(col("qid").as("x_qid"), col("vec_id").as("x_vid")),
-        col("qid") === col("x_qid") && col("vec_id") === col("x_vid"),
-        "left_anti")
-      val next = cand.join(selEmb, col("qid") === col("j_qid"))
-        .withColumn("sim", cosine(col("embedding"), col("s_emb")))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(max(col("sim")).as("maxsim"), first(col("rel")).as("rel"))
-        .withColumn("mmr", col("rel") * 0.5 - col("maxsim") * 0.5)
-        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id"), lit(k).as("pos"), col("mmr"))
-      selected = selected.union(next).localCheckpoint(true)
+    // r12: the greedy selection runs on the DRIVER over the collected
+    // pool — bounded O(nQueries · poolSize) control state (the same
+    // class as the walk-beam collects), NOT corpus-sized: the expensive
+    // corpus-wide relevance scan above stays distributed, and only the
+    // top-`poolSize` survivors per query cross to the driver. The old
+    // in-plan loop paid ~2 Spark jobs per selection round (anti-join +
+    // union + eager checkpoint); selection over ≤ poolSize candidates
+    // per query is pure arithmetic. The pairwise score reproduces
+    // graft.plans.CosineSimilarity's left-to-right double fold exactly
+    // (same ops, same order — bit-identical, see CosineSimilarity's
+    // semantics note), so the result is the oracle's bit-for-bit.
+    val poolRows = pool.collect()
+    def cosD(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+      if (a.length != b.length) return None
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) None
+      else Some(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
-    selected.orderBy(col("qid"), col("pos"))
+    case class P(vecId: Long, emb: Seq[Float], rel: Double)
+    val byQ = poolRows.groupBy(_.getLong(0)).map { case (qid, rows) =>
+      qid -> rows.map(r =>
+        P(r.getLong(1), r.getSeq[Float](2), r.getDouble(3))).toSeq
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Option[Double])]
+    for ((qid, cands) <- byQ) {
+      val selected = scala.collection.mutable.ArrayBuffer.empty[P]
+      for (k <- 1 to kSel) {
+        // mmr = rel/2 - maxsim/2 (k = 1: no selected yet, mmr = rel/2);
+        // argmax by (mmr DESC NULLS LAST, vec_id ASC) — the w1 window's
+        // total order
+        val scored = cands.filter(c => !selected.exists(_.vecId == c.vecId))
+          .map { c =>
+            val mmr: Option[Double] =
+              if (selected.isEmpty) Some(c.rel * 0.5)
+              else {
+                val sims = selected.flatMap(s => cosD(c.emb, s.emb))
+                if (sims.isEmpty) None
+                else Some(c.rel * 0.5 - sims.max * 0.5)
+              }
+            (c, mmr)
+          }
+        val ordered = scored.sortBy { case (c, mmr) =>
+          (mmr.isEmpty, mmr.map(-_).getOrElse(0.0), c.vecId)
+        }
+        ordered.headOption.foreach { case (c, mmr) =>
+          selected += c
+          out += ((qid, c.vecId, k, mmr)) // None -> NULL, as max(sim) would
+        }
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("qid", "vec_id", "pos", "mmr")
+      .orderBy(col("qid"), col("pos"))
   }
 
   /** Oracle twin of [[mmrRerank]]: the greedy selection UNROLLED into

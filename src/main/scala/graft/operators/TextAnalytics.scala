@@ -1439,10 +1439,15 @@ object TextAnalytics {
     val slots = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         explode(charTrigrams(col("text"))).as("tg"))
-    val docG = slots.groupBy(col("doc_id"), col("tg"))
+    // one trigram explode over the corpus: lang rides along in the
+    // per-doc group key (functionally dependent on doc_id — identical
+    // counts), and the language profile re-aggregates the per-doc
+    // counts instead of re-exploding the text a second time.
+    val docG = slots.groupBy(col("doc_id"), col("lang"), col("tg"))
       .agg(count(lit(1)).as("n"))
-    val langG = slots.groupBy(col("lang"), col("tg").as("ptg"))
-      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // two consumers: doc scores + lang profile
+    val langG = docG.groupBy(col("lang"), col("tg").as("ptg"))
+      .agg(sum(col("n")).as("c"))
     val prof = langG
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("c").desc, col("ptg"))))
@@ -1581,8 +1586,13 @@ object TextAnalytics {
 
   /** All bigram SLOTS of each document (non-distinct), the LM feature
     * stream — shared by batch training/scoring and the streaming twin. */
-  def lmSlots(docs: DataFrame): DataFrame =
-    lmWs(docs).select(col("doc_id"), explode(expr(
+  def lmSlots(docs: DataFrame): DataFrame = lmSlotsFromWs(lmWs(docs))
+
+  /** [[lmSlots]] over an already-tokenized (doc_id, ws) frame — lets a
+    * caller that also needs the token arrays (vocab size) tokenize the
+    * corpus once and fan both consumers off the materialized arrays. */
+  def lmSlotsFromWs(ws: DataFrame): DataFrame =
+    ws.select(col("doc_id"), explode(expr(
       "filter(transform(ws, (w, i) -> IF(i < size(ws) - 1, concat(w, ' ', element_at(ws, i + 2)), NULL)), x -> x IS NOT NULL)"
     )).as("bg"))
 
@@ -1607,21 +1617,27 @@ object TextAnalytics {
     * the streaming twin ("train once in batch, score the stream"). */
   def lmModel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadWide(spark, dir, "documents")
-    val docBg = lmSlots(docs).groupBy(col("doc_id"), col("bg"))
+    // tokenize once: both the bigram counts and the vocab size read the
+    // materialized token arrays (r12 — was two full words() text scans)
+    val ws = lmWs(docs).localCheckpoint(true)
+    val docBg = lmSlotsFromWs(ws).groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("n"))
-    lmModelFrom(docBg, lmWs(docs))
+    lmModelFrom(docBg, ws)
   }
 
   def lmFluency(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadWide(spark, dir, "documents")
-    val ws = lmWs(docs)
+    // tokenize once (r12): the vocab-size branch used to re-run the
+    // words() regex scan over the full text; now it reads the
+    // materialized token arrays.
+    val ws = lmWs(docs).localCheckpoint(true)
     // materialize the counted bigrams once: three branches consume them
     // (model training, prefix counts via the model, the per-doc scoring
     // join) and would otherwise re-explode the corpus per branch. Eager
     // localCheckpoint, not persist: lifetime tracks the result frame
     // (ContextCleaner-freed), and blocks hold (doc_id, bg, n) triples —
     // the same data a shuffle would spill anyway.
-    val docBg = lmSlots(docs).groupBy(col("doc_id"), col("bg"))
+    val docBg = lmSlotsFromWs(ws).groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val model = lmModelFrom(docBg, ws)
@@ -1925,7 +1941,39 @@ object TextAnalytics {
     * a narrow dot product. At 100 TB: epochs × one aggregate over the
     * corpus, nothing quadratic, no per-row driver traffic. */
   def perceptronQuality(spark: SparkSession, dir: String,
-                        epochs: Int = 16): DataFrame = {
+                        epochs: Int = 16): DataFrame =
+    perceptronScoredFeats(spark, dir, epochs)
+      .select(col("doc_id"), col("y"), col("margin"), col("pred"))
+      .orderBy(col("doc_id"))
+
+  /** Distinct-feature histogram cap for the driver-side epoch loop: the
+    * feature space is (x1, x2) integer pairs, so the histogram is
+    * usually tiny (≤ distinct (word count, distinct-word count) pairs),
+    * but it is DATA-derived — above this cap training falls back to the
+    * per-epoch distributed aggregate. 64k rows × 4 longs is well under
+    * a MB of driver state. */
+  private val MaxPerceptronHist = 1 << 16
+
+  /** Trained scores WITH the features still attached: (doc_id, y, x1,
+    * margin, pred) — [[curriculumPacking]] reuses x1 as its exact token
+    * count instead of re-tokenizing the corpus.
+    *
+    * r12 optimization (guide §5 "the driver should do almost no data
+    * work" — inverted deliberately for MODEL work): each of the 16
+    * epochs used to be one distributed aggregate over the corpus-sized
+    * feats frame (16 sequential Spark jobs whose real payload is three
+    * longs). The update Σ cnt·y·xⱼ over misclassified rows depends on
+    * features only through the (y, x1, x2) histogram, so we aggregate
+    * that histogram ONCE (one job), run the exact integer weight
+    * trajectory on the driver (pure arithmetic, bit-identical — JVM
+    * long division in both forms), and pay one final distributed
+    * scoring pass. 18 jobs → 3. If the histogram overflows the cap the
+    * old per-epoch distributed loop runs instead — results identical
+    * either way. */
+  private[graft] def perceptronScoredFeats(spark: SparkSession, dir: String,
+                                           epochs: Int = 16,
+                                           histCap: Int = MaxPerceptronHist)
+      : DataFrame = {
     val d = 3
     val feats = Tables.loadWide(spark, dir, "documents")
       .select(col("doc_id"), words(col("text")).as("ws0"))
@@ -1936,21 +1984,43 @@ object TextAnalytics {
         size(array_distinct(col("ws"))).cast("long").as("x2"))
       .withColumn("y",
         when(lit(2L) * col("x2") >= col("x1"), lit(1L)).otherwise(lit(-1L)))
-      .localCheckpoint(true) // consumed once per epoch + final scoring
+      .localCheckpoint(true) // consumed by the histogram + final scoring
     val w = Array.fill(d)(0L)
     def marginCol: org.apache.spark.sql.Column =
       (0 until d).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
-    for (t <- 1 to epochs) {
-      val aggs = (0 until d).map(j =>
-        coalesce(sum(col("y") * col(s"x$j")), lit(0L)).as(s"d$j"))
-      // d longs to the driver per epoch — O(model) state, never per-row
-      val upd = feats.filter(col("y") * marginCol <= 0)
-        .agg(aggs.head, aggs.tail: _*).collect()(0)
-      for (j <- 0 until d) w(j) += upd.getLong(j) / t // JVM /: trunc-to-0
+    // limit(cap+1) keeps the fetch bounded; if it returned every row the
+    // histogram is complete and the loop runs on the driver
+    val hist = feats.groupBy(col("y"), col("x1"), col("x2"))
+      .agg(count(lit(1)).as("cnt"))
+      .limit(histCap + 1).collect()
+    if (hist.length <= histCap) {
+      val rows = hist.map(r =>
+        (r.getLong(0), Array(1L, r.getLong(1), r.getLong(2)), r.getLong(3)))
+      for (t <- 1 to epochs) {
+        val dj = Array.fill(d)(0L)
+        for ((y, x, cnt) <- rows) {
+          var m = 0L
+          var j = 0
+          while (j < d) { m += x(j) * w(j); j += 1 }
+          if (y * m <= 0L) {
+            j = 0
+            while (j < d) { dj(j) += cnt * y * x(j); j += 1 }
+          }
+        }
+        for (j <- 0 until d) w(j) += dj(j) / t // JVM /: trunc-to-0
+      }
+    } else {
+      for (t <- 1 to epochs) {
+        val aggs = (0 until d).map(j =>
+          coalesce(sum(col("y") * col(s"x$j")), lit(0L)).as(s"d$j"))
+        // d longs to the driver per epoch — O(model) state, never per-row
+        val upd = feats.filter(col("y") * marginCol <= 0)
+          .agg(aggs.head, aggs.tail: _*).collect()(0)
+        for (j <- 0 until d) w(j) += upd.getLong(j) / t // JVM /: trunc-to-0
+      }
     }
-    feats.select(col("doc_id"), col("y"), marginCol.as("margin"),
-        when(marginCol > 0, lit(1)).otherwise(lit(-1)).as("pred"))
-      .orderBy(col("doc_id"))
+    feats.select(col("doc_id"), col("y"), col("x1"), marginCol.as("margin"),
+      when(marginCol > 0, lit(1)).otherwise(lit(-1)).as("pred"))
   }
 
   /** The perceptron's shared WITH-body (features + unrolled epochs) and
@@ -2011,16 +2081,13 @@ object TextAnalytics {
   def curriculumPacking(spark: SparkSession, dir: String, cap: Long = 512,
                         epochs: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = perceptronQuality(spark, dir, epochs)
-      .select(col("doc_id"), col("margin"))
     // n_tokens is the model's own x1 (filtered word count) so engine and
-    // oracle pack identical token totals on whitespace-edged text
-    val toks = Tables.loadWide(spark, dir, "documents")
-      .select(col("doc_id").as("t_id"), words(col("text")).as("ws0"))
-      .select(col("t_id"),
-        size(expr("filter(ws0, w -> w <> '')")).cast("long").as("n_tokens"))
-    val rows = scored.join(toks, col("doc_id") === col("t_id"))
-      .select(col("doc_id"), col("margin"), col("n_tokens"))
+    // oracle pack identical token totals on whitespace-edged text.
+    // r12: taken directly off the perceptron's feature frame — the old
+    // form re-tokenized the corpus into a separate `toks` frame and
+    // joined it back (one full words() scan + one join, both gone).
+    val rows = perceptronScoredFeats(spark, dir, epochs)
+      .select(col("doc_id"), col("margin"), col("x1").as("n_tokens"))
       .withColumn("band", expr("margin div 65536"))
       .localCheckpoint(true) // two consumers: band totals + the window
     val bandTotals = rows.groupBy(col("band"))
@@ -2116,14 +2183,110 @@ object TextAnalytics {
     * round that finds fewer disjoint candidates does not borrow from
     * later rounds, keeping the engine in lockstep with the unrolled
     * oracle ([[bpeMergesBatchedSql]]). */
+  /** Re-checkpoint the training vocabulary every this many rounds: the
+    * per-round rewrite is a chain of replace() projections, so lineage
+    * depth — not data — is what grows with the round count. */
+  private val CkptEvery = 8
+
+  /** Word-frequency-table cap for the driver-resident merge loop (r12):
+    * BPE refinement runs over the O(distinct words) vocabulary, never
+    * the corpus, so up to this many distinct words the merge rounds are
+    * pure driver arithmetic (the corpus pass that BUILT the table stays
+    * distributed — this is guide §8's "decide with small rows" applied
+    * to training). Above the cap the distributed per-round loop runs
+    * instead; both paths compute the identical merge sequence. */
+  private[graft] val BpeDriverVocabCap = 1 << 17
+
+  /** The merge loop of [[bpeTrain]] run as driver arithmetic over the
+    * collected (word, freq) table. Replicates the distributed loop's
+    * semantics EXACTLY: the same Java-regex char spacing, the same
+    * literal-replace rewrite, the same (cnt DESC, pair ASC) shortlist
+    * order with pair compared as unsigned UTF-8 bytes (UTF8String's
+    * binary order — String.compareTo's UTF-16 order differs on
+    * supplementary code points). */
+  private def bpeTrainDriver(spark: SparkSession, wf: Array[(String, Long)],
+                             nMerges: Int, batch: Int)
+      : (Seq[(Int, String, Long)], DataFrame, Int) = {
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      var c = 0
+      while (i < n && c == 0) {
+        c = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (c != 0) c < 0 else x.length < y.length
+    }
+    var vocab = wf.map { case (w, n) =>
+      (w, " " + w.replaceAll("(.)", "$1 "), n)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    val rounds = (nMerges + batch - 1) / batch
+    for (r <- 1 to rounds) {
+      val want = math.min(batch, nMerges - batch * (r - 1))
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((_, s, n) <- vocab) {
+        val a = s.trim.split(" ")
+        var i = 0
+        while (i < a.length - 1) {
+          val p = a(i) + " " + a(i + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      val cand = counts.toArray
+        .sortWith { case ((p1, c1), (p2, c2)) =>
+          if (c1 != c2) c1 > c2 else utf8Lt(p1, p2)
+        }
+        .take(if (batch == 1) 1 else batch * 8)
+      val used = scala.collection.mutable.Set.empty[String]
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      for ((p, c) <- cand if kept.size < want) {
+        val ab = p.split(" ")
+        if (ab.forall(!used(_))) {
+          kept += ((p, c))
+          used ++= ab
+          used += ab.mkString("")
+        }
+      }
+      if (kept.nonEmpty) {
+        kept.foreach { case (p, c) => merges += ((merges.size + 1, p, c)) }
+        vocab = vocab.map { case (w, s, n) =>
+          val s2 = kept.foldLeft(s) { case (acc, (p, _)) =>
+            acc.replace(s" $p ", " " + p.replace(" ", "") + " ")
+          }
+          (w, s2, n)
+        }
+      }
+    }
+    import spark.implicits._
+    (merges.toSeq, vocab.toSeq.toDF("w", "s", "n"), rounds)
+  }
+
   private[graft] def bpeTrain(spark: SparkSession, dir: String,
-                              nMerges: Int, batch: Int = 1)
+                              nMerges: Int, batch: Int = 1,
+                              wfOpt: Option[DataFrame] = None,
+                              driverVocabCap: Int = BpeDriverVocabCap)
       : (Seq[(Int, String, Long)], DataFrame, Int) = {
     import graft.functions.TextFunctions.words
-    val docs = Tables.loadWide(spark, dir, "documents")
-    var vocab = docs.select(explode(words(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // Word frequencies: callers that already tokenized the corpus for
+    // their own apply side (bpeTokenize, bpeCompression, the streaming
+    // twin) pass their (w, n) aggregate in, so the corpus text is
+    // scanned ONCE per query instead of once for the trainer plus once
+    // for the apply join (guide §1.2: don't compute things twice).
+    val wf = wfOpt.getOrElse {
+      Tables.loadWide(spark, dir, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    }
+    val wfHead = wf.limit(driverVocabCap + 1).collect()
+    if (wfHead.length <= driverVocabCap)
+      return bpeTrainDriver(spark, wfHead.map(r => (r.getString(0), r.getLong(1))),
+        nMerges, batch)
+    var vocab = wf
       .select(col("w"), concat(lit(" "),
         regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("n"))
       .localCheckpoint(true)
@@ -2165,7 +2328,16 @@ object TextAnalytics {
             lit(s" $p "), lit(" " + p.replace(" ", "") + " "))
         }
         vocab = vocab.select(col("w"), sCol.as("s"), col("n"))
-          .localCheckpoint(true)
+        // The rewrite stays LAZY: each round only appends replace()
+        // expressions to the vocab projection, so round r's shortlist
+        // job scans the checkpointed base once through an r-deep
+        // expression chain — one Spark job per round instead of two
+        // (the per-round eager localCheckpoint used to cost its own
+        // job; r12 measurement: ~70-90 ms/job on the O(vocab) table).
+        // A bounded cadence keeps the plan shallow when a production
+        // run does thousands of rounds (batched trainer).
+        if (r % CkptEvery == 0 && r < rounds)
+          vocab = vocab.localCheckpoint(true)
       }
     }
     (merges.toSeq, vocab, rounds)
@@ -2324,11 +2496,18 @@ object TextAnalytics {
   def bpeTokenize(spark: SparkSession, dir: String,
                   nMerges: Int = 8): DataFrame = {
     import graft.functions.TextFunctions.words
-    val segs = bpeSegs(spark, dir, nMerges)
     val docs = Tables.loadWide(spark, dir, "documents")
+    // tokenize the corpus ONCE: the per-doc counts are materialized
+    // (eager localCheckpoint — lifetime tracks the result frame) and the
+    // trainer's word frequencies are derived from them by a second
+    // aggregation over the already-counted rows, instead of a second
+    // full text scan + explode.
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val wf = tok.groupBy(col("w")).agg(sum(col("m")).as("n"))
+    val segs = bpeSegs(spark, dir, nMerges, Some(wf))
     tok.join(broadcast(segs), "w")
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_words"),
@@ -2341,8 +2520,9 @@ object TextAnalytics {
     * [[bpeTokenize]] broadcasts, factored out so the streaming twin
     * ([[graft.streaming.StreamOps.streamBpeTokenizeQuery]]) ships the
     * identical model into its micro-batches. */
-  def bpeSegs(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
-    val (_, vocab, _) = bpeTrain(spark, dir, nMerges)
+  def bpeSegs(spark: SparkSession, dir: String, nMerges: Int = 8,
+              wfOpt: Option[DataFrame] = None): DataFrame = {
+    val (_, vocab, _) = bpeTrain(spark, dir, nMerges, wfOpt = wfOpt)
     vocab.select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("k"))
   }
 
@@ -2491,15 +2671,21 @@ object TextAnalytics {
   def bpeCompression(spark: SparkSession, dir: String,
                      nMerges: Int = 8): DataFrame = {
     import graft.functions.TextFunctions.words
-    val segs = bpeSegs(spark, dir, nMerges)
-    Tables.loadWide(spark, dir, "documents")
+    // one corpus tokenize pass (the bpeTokenize trick, keyed by lang):
+    // per-(lang, word) counts feed both the trainer's word frequencies
+    // and the per-language apply join.
+    val tokl = Tables.loadWide(spark, dir, "documents")
       .select(col("lang"), explode(words(col("text"))).as("w"))
       .filter(col("w") =!= "")
-      .join(broadcast(segs), "w")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val wf = tokl.groupBy(col("w")).agg(sum(col("m")).as("n"))
+    val segs = bpeSegs(spark, dir, nMerges, Some(wf))
+    tokl.join(broadcast(segs), "w")
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("w")).cast("long")).as("n_chars"),
-        sum(col("k")).as("n_subwords"))
+      .agg(sum(col("m")).as("n_words"),
+        sum(length(col("w")).cast("long") * col("m")).as("n_chars"),
+        sum(col("k") * col("m")).as("n_subwords"))
       .withColumn("chars_per_subword",
         col("n_chars").cast("double") / col("n_subwords").cast("double"))
       .orderBy(col("lang"))

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.ImageIO
+
 
 /** REAL (fixture-grade) OCR: deterministic 5x7 bitmap-glyph template
   * matching over actual raster images — the same "real codec for the
@@ -197,9 +197,7 @@ object GlyphOcr {
       for (r <- 0 until GlyphH; c <- 0 until GlyphW if rows(r)(c) == '#')
         img.setRGB(x0 + c, y0 + r, 0x000000)
     }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    MediaCodec.writePng(img)
   }
 
   // --- Proportional pitch -------------------------------------------
@@ -272,9 +270,7 @@ object GlyphOcr {
         }
       }
     }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    MediaCodec.writePng(img)
   }
 
   /** Scanner-grade PROPORTIONAL rasterization: the [[renderProportional]]
@@ -339,9 +335,7 @@ object GlyphOcr {
     }
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, w, h, px, 0, w)
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    MediaCodec.writePng(img)
   }
 
   /** splitmix64 — the pixel/jitter PRNG. Pure function of its input, so
@@ -398,9 +392,7 @@ object GlyphOcr {
     }
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, w, h, px, 0, w)
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    MediaCodec.writePng(img)
   }
 
   /** Scanner-misfeed rasterization: the noisy render rotated by
@@ -411,8 +403,8 @@ object GlyphOcr {
   def renderRotated(text: String, seed: Long, angleDeg: Double,
                     scale: Int = 2, saltPepperPerMille: Int = 4,
                     font: String = FontRegular): Array[Byte] = {
-    val img = ImageIO.read(
-      new ByteArrayInputStream(renderNoisy(text, seed, scale, saltPepperPerMille, font)))
+    val img = MediaCodec.readImage(
+      renderNoisy(text, seed, scale, saltPepperPerMille, font))
     val (w, h) = (img.getWidth, img.getHeight)
     val src = img.getRGB(0, 0, w, h, null, 0, w)
     val out = new Array[Int](w * h)
@@ -434,9 +426,7 @@ object GlyphOcr {
     }
     val res = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     res.setRGB(0, 0, w, h, out, 0, w)
-    val bout = new ByteArrayOutputStream()
-    ImageIO.write(res, "png", bout)
-    bout.toByteArray
+    MediaCodec.writePng(res)
   }
 
   /** Max acceptable device-pixel Hamming distance PER LOGICAL PIXEL AREA
@@ -692,7 +682,7 @@ object GlyphOcr {
       parseProportionalCounted(bytes)._1
 
     private[sources] def parseProportionalCounted(bytes: Array[Byte]): (String, Int) = {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = MediaCodec.readImage(bytes)
       if (img == null)
         throw new IllegalArgumentException("undecodable image bytes")
       val (w, h) = (img.getWidth, img.getHeight)
@@ -1049,7 +1039,7 @@ object GlyphOcr {
     }
 
     def parse(bytes: Array[Byte]): String = {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = MediaCodec.readImage(bytes)
       if (img == null)
         throw new IllegalArgumentException("undecodable image bytes")
       val (w, h) = (img.getWidth, img.getHeight)
