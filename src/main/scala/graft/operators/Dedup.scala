@@ -955,7 +955,16 @@ object Dedup {
     *
     * Output: one row per node that appears in any edge —
     * (doc_id, cluster_id = min doc_id of its component). */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Edge cap for the driver-resident union-find (r12): a duplicate-pair
+    * graph under this many canonical edges resolves as driver arithmetic
+    * (the expensive part — pair detection — stays distributed); above it
+    * the large-star/small-star contraction runs unchanged. Both paths
+    * emit the identical (node, component-min) assignment. */
+  private[graft] val CcDriverEdgeCap = 1 << 17
+
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         driverEdgeCap: Int = CcDriverEdgeCap)
+      : DataFrame = {
     def canon(e: DataFrame): DataFrame = e
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -983,7 +992,34 @@ object Dedup {
       (r.getLong(0),
         Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
-    var edges = canon(pairs).localCheckpoint(true)
+    val canonical = canon(pairs)
+    // bounded fetch: if every canonical edge fits under the cap, the
+    // component minima come from a driver union-find (one job instead
+    // of 2-3 per contraction round); the star-contraction output after
+    // convergence is exactly the star {(min, node)} + root self-rows,
+    // which is what the union-find emits
+    val head = canonical.limit(driverEdgeCap + 1).collect()
+    if (head.length <= driverEdgeCap) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      val nodes = head.iterator.flatMap(e => Iterator(e.getLong(0), e.getLong(1)))
+        .toArray.distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
+    }
+    var edges = canonical.localCheckpoint(true)
     var (cnt, sig) = stats(edges)
     var prev: DataFrame = null
     var converged = cnt == 0L

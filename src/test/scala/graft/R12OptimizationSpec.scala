@@ -104,6 +104,36 @@ class R12OptimizationSpec extends AnyFunSuite {
     assert(viaDriver == viaDist)
   }
 
+  // --- connected components: driver union-find == star contraction ----
+
+  test("connectedComponents driver union-find equals the distributed " +
+    "star-contraction on chains, triangles and disjoint components") {
+    import spark.implicits._
+    // 1-2-3 chain, 10-11-12 triangle, 20-21 pair, plus a dupe edge
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 20L), (3L, 2L)).toDF("u", "v")
+    val viaDriver = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaDist = graft.operators.Dedup.connectedComponents(pairs,
+        driverEdgeCap = 0) // forces the star-contraction loop
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaDriver == viaDist)
+    assert(viaDriver == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
+  test("dupClusters via the driver union-find matches the distributed " +
+    "path on the fixture") {
+    import graft.operators.Dedup
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val a = Dedup.dupClusters(spark, dir).collect().map(key).toSeq
+    val pairs = Dedup.jaccardPairs(spark, dir)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val b = Dedup.connectedComponents(pairs, driverEdgeCap = 0)
+      .orderBy(col("doc_id")).collect().map(key).toSeq
+    assert(a == b)
+  }
+
   // --- shared tokenize passes: restructured queries, same results -----
 
   test("bpeTokenize's shared tokenize pass feeds the trainer the same " +
