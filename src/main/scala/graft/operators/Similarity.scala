@@ -1593,6 +1593,36 @@ object Similarity {
                         nQueries: Int = 10, nEntries: Int = 8,
                         maxSteps: Int = 16): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
+    // r13: the supersteps were the wall (8/32-core ratio ~1 — driver
+    // actions, not data). When the corpus fits WalkDriver.NodeCap the
+    // whole walk runs driver-side off ONE graph collect (the r12
+    // union-find probe/fallback pattern); above cap the distributed
+    // loop below is unchanged. deg ≤ 16 keeps the knnGraph under
+    // EdgeCap whenever the corpus fits NodeCap, so the edge probe
+    // cannot waste a build.
+    WalkDriver.collectEmb(emb.select(col("vec_id"), col("embedding")))
+      .flatMap { embMap =>
+        WalkDriver.collectAdj(
+          knnGraph(spark, dir, deg).select(col("src"), col("dst"))).map { adj =>
+          val queries = WalkDriver.queriesOf(embMap, nQueries)
+          val entries = WalkDriver.spreadEntries(embMap.size.toLong, nQueries,
+            nEntries, embMap)
+          WalkDriver.greedyResultDF(spark,
+            WalkDriver.greedyWalk(queries, entries, embMap, adj, maxSteps))
+        }
+      }.getOrElse(
+        graphGreedySearchDistributed(spark, dir, deg, nQueries, nEntries,
+          maxSteps))
+  }
+
+  /** The pre-r13 distributed superstep loop — the above-cap fallback,
+    * and the equivalence anchor R13WalkDriverSpec pins the driver walk
+    * against. */
+  private[graft] def graphGreedySearchDistributed(
+      spark: SparkSession, dir: String, deg: Int = 8,
+      nQueries: Int = 10, nEntries: Int = 8,
+      maxSteps: Int = 16): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
     val n = emb.count()
     // moves = graph edges with the destination vector attached once —
     // every superstep scans this, so materialize eagerly (lifetime
@@ -1682,6 +1712,32 @@ object Similarity {
                       nQueries: Int = 10, nEntries: Int = 8,
                       beamWidth: Int = 8, steps: Int = 8,
                       k: Int = 3): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    // r13 bounded driver walk — see graphGreedySearch; the distributed
+    // superstep loop below is the unchanged above-cap fallback.
+    WalkDriver.collectEmb(emb.select(col("vec_id"), col("embedding")))
+      .flatMap { embMap =>
+        WalkDriver.collectAdj(
+          knnGraph(spark, dir, deg).select(col("src"), col("dst"))).map { adj =>
+          val queries = WalkDriver.queriesOf(embMap, nQueries)
+          val entries = WalkDriver.spreadEntries(embMap.size.toLong, nQueries,
+            nEntries, embMap)
+          WalkDriver.beamResultDF(spark,
+            WalkDriver.beamWalk(queries, entries, embMap,
+              Seq((adj, beamWidth, steps)), k))
+        }
+      }.getOrElse(
+        graphBeamSearchDistributed(spark, dir, deg, nQueries, nEntries,
+          beamWidth, steps, k))
+  }
+
+  /** The pre-r13 distributed superstep loop — the above-cap fallback
+    * and R13WalkDriverSpec's equivalence anchor. */
+  private[graft] def graphBeamSearchDistributed(
+      spark: SparkSession, dir: String, deg: Int = 8,
+      nQueries: Int = 10, nEntries: Int = 8,
+      beamWidth: Int = 8, steps: Int = 8,
+      k: Int = 3): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val n = emb.count()
     val moves = knnGraph(spark, dir, deg)
@@ -1853,6 +1909,37 @@ object Similarity {
                                         nQueries: Int = 10, nEntries: Int = 8,
                                         beamWidth: Int = 8, steps: Int = 8,
                                         k: Int = 3): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    // r13 bounded driver walk: when the corpus fits the cap the edge
+    // store is collected ONCE ((src, dst) pairs only — dst vectors come
+    // from the collected corpus map, the same floats the store carries)
+    // and all supersteps run driver-side. Above cap the bucket-pruned
+    // superstep serve below is unchanged — at store sizes where pruning
+    // matters, that is the path that runs.
+    WalkDriver.collectEmb(emb.select(col("vec_id"), col("embedding")))
+      .flatMap { embMap =>
+        WalkDriver.collectAdj(
+          spark.read.parquet(storeDir).select(col("src"), col("dst"))).map { adj =>
+          val queries = WalkDriver.queriesOf(embMap, nQueries)
+          val entries = WalkDriver.spreadEntries(embMap.size.toLong, nQueries,
+            nEntries, embMap)
+          WalkDriver.beamResultDF(spark,
+            WalkDriver.beamWalk(queries, entries, embMap,
+              Seq((adj, beamWidth, steps)), k))
+        }
+      }.getOrElse(
+        graphBeamServeFromDistributed(spark, dir, storeDir, nBuckets,
+          nQueries, nEntries, beamWidth, steps, k))
+  }
+
+  /** The pre-r13 bucket-pruned superstep serve — the above-cap
+    * fallback and R13WalkDriverSpec's equivalence anchor. */
+  private[graft] def graphBeamServeFromDistributed(
+      spark: SparkSession, dir: String,
+      storeDir: String, nBuckets: Int,
+      nQueries: Int = 10, nEntries: Int = 8,
+      beamWidth: Int = 8, steps: Int = 8,
+      k: Int = 3): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val n = emb.count()
     val queries = emb.filter(col("vec_id") < nQueries)
@@ -2064,6 +2151,57 @@ object Similarity {
                  beamWidth: Int = 8, steps: Int = 8,
                  k: Int = 3,
                  layerBits: Option[Int => Int] = None): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    // r13 bounded driver walk: the per-layer GRAPH BUILDS stay
+    // distributed (knnGraphFrom, identical bits), but their edges are
+    // collected once each and all 2·stepsUpper + steps supersteps run
+    // driver-side — see graphGreedySearch. Above any cap the
+    // distributed loop below is unchanged.
+    WalkDriver.collectEmb(emb.select(col("vec_id"), col("embedding")))
+      .flatMap { embMap =>
+        val lvl = emb.select(col("vec_id"), col("embedding"),
+          hnswLevelCol(col("vec_id")).as("lvl")).localCheckpoint(true)
+        val maxl = lvl.agg(max(col("lvl"))).collect()(0).getInt(0)
+        def bitsFor(l: Int, count: => Long): Int =
+          layerBits.map(f => f(l)).getOrElse(adaptiveBits(count))
+        def layerAdj(l: Int) = {
+          val nodes = lvl.filter(col("lvl") >= l)
+            .select(col("vec_id"), col("embedding"))
+          WalkDriver.collectAdj(
+            knnGraphFrom(nodes, deg, bitsFor(l, nodes.count()))
+              .select(col("src"), col("dst")))
+        }
+        val baseAdj = WalkDriver.collectAdj(
+          knnGraphFrom(emb.select(col("vec_id"), col("embedding")), deg,
+            bitsFor(0, embMap.size.toLong)).select(col("src"), col("dst")))
+        val upperAdjs = (maxl to 1 by -1).map(l => layerAdj(l))
+        val entriesOpt = WalkDriver.collectUnder(
+          lvl.filter(col("lvl") === maxl).select(col("vec_id")),
+          WalkDriver.NodeCap)
+        if (baseAdj.isEmpty || upperAdjs.exists(_.isEmpty) || entriesOpt.isEmpty)
+          None
+        else {
+          val queries = WalkDriver.queriesOf(embMap, nQueries)
+          val entries = entriesOpt.get.map(_.getLong(0))
+          val phases =
+            upperAdjs.map(a => (a.get, 1, stepsUpper)) :+
+              ((baseAdj.get, beamWidth, steps))
+          Some(WalkDriver.beamResultDF(spark,
+            WalkDriver.beamWalk(queries, entries, embMap, phases, k)))
+        }
+      }.getOrElse(
+        hnswSearchDistributed(spark, dir, deg, nQueries, stepsUpper,
+          beamWidth, steps, k, layerBits))
+  }
+
+  /** The pre-r13 distributed superstep loop — the above-cap fallback
+    * and R13WalkDriverSpec's equivalence anchor. */
+  private[graft] def hnswSearchDistributed(
+      spark: SparkSession, dir: String, deg: Int = 8,
+      nQueries: Int = 10, stepsUpper: Int = 4,
+      beamWidth: Int = 8, steps: Int = 8,
+      k: Int = 3,
+      layerBits: Option[Int => Int] = None): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val lvl = emb.select(col("vec_id"), col("embedding"),
       hnswLevelCol(col("vec_id")).as("lvl")).localCheckpoint(true)
@@ -2289,6 +2427,50 @@ object Similarity {
                                         nQueries: Int = 10, stepsUpper: Int = 4,
                                         beamWidth: Int = 8, steps: Int = 8,
                                         k: Int = 3): DataFrame = {
+    val emb = Tables.loadWide(spark, dir, "embeddings")
+    // r13 bounded driver walk over the collected hierarchy — see
+    // graphBeamServeFrom; the (lvl, gbucket)-pruned superstep serve
+    // below is the unchanged above-cap fallback.
+    val driverResult =
+      WalkDriver.collectEmb(emb.select(col("vec_id"), col("embedding")))
+        .flatMap { embMap =>
+          WalkDriver.collectUnder(
+            spark.read.parquet(storeDir)
+              .select(col("lvl").cast(IntegerType), col("src"), col("dst")),
+            WalkDriver.EdgeCap).flatMap { edgeRows =>
+            val adjByLvl = edgeRows.groupBy(_.getInt(0)).map { case (l, rs) =>
+              l -> WalkDriver.adjOf(rs.map(r =>
+                org.apache.spark.sql.Row(r.getLong(1), r.getLong(2))))
+            }
+            val empty = new scala.collection.mutable.LongMap[Array[Long]]()
+            WalkDriver.collectUnder(
+              emb.filter(hnswLevelCol(col("vec_id"), maxl) === maxl)
+                .select(col("vec_id")),
+              WalkDriver.NodeCap).map { entryRows =>
+              val queries = WalkDriver.queriesOf(embMap, nQueries)
+              val entries = entryRows.map(_.getLong(0))
+              val phases =
+                (maxl to 1 by -1).map(l =>
+                  (adjByLvl.getOrElse(l, empty), 1, stepsUpper)) :+
+                  ((adjByLvl.getOrElse(0, empty), beamWidth, steps))
+              WalkDriver.beamResultDF(spark,
+                WalkDriver.beamWalk(queries, entries, embMap, phases, k))
+            }
+          }
+        }
+    driverResult.getOrElse(
+      hnswServeFromStoreDistributed(spark, dir, storeDir, maxl, nQueries,
+        stepsUpper, beamWidth, steps, k))
+  }
+
+  /** The pre-r13 (lvl, gbucket)-pruned superstep serve — the above-cap
+    * fallback and R13WalkDriverSpec's equivalence anchor. */
+  private[graft] def hnswServeFromStoreDistributed(
+      spark: SparkSession, dir: String,
+      storeDir: String, maxl: Int,
+      nQueries: Int = 10, stepsUpper: Int = 4,
+      beamWidth: Int = 8, steps: Int = 8,
+      k: Int = 3): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
@@ -2590,6 +2772,33 @@ object Similarity {
   private[graft] def pageRankLoop(nodes: DataFrame, e: DataFrame,
                                   init: Column, restart: Column,
                                   iters: Int, k: Int): DataFrame = {
+    // r13 bounded driver rounds (the walk-family probe/fallback
+    // pattern): ranks are integer fixed-point end to end, so the
+    // driver replays the exact (pr*85) div (outdeg*100) truncations.
+    // init/restart are COLUMNS over `nodes` — they evaluate inside the
+    // probe's collect job, so the seed-gated personalized form needs no
+    // driver re-derivation. Both inputs are already materialized by the
+    // callers (pageRankPrep), so an above-cap probe wastes nothing.
+    val spark = nodes.sparkSession
+    val driverResult = WalkDriver.collectUnder(
+      nodes.select(col("id"), init.cast(LongType), restart.cast(LongType)),
+      WalkDriver.NodeCap).flatMap { nRows =>
+      WalkDriver.collectUnder(
+        e.select(col("src"), col("dst"), col("outdeg")),
+        WalkDriver.EdgeCap).map { eRows =>
+        WalkDriver.pageRankResultDF(spark,
+          WalkDriver.pageRank(nRows, eRows, iters, k))
+      }
+    }
+    driverResult.getOrElse(pageRankLoopDistributed(nodes, e, init, restart,
+      iters, k))
+  }
+
+  /** The pre-r13 iterate-by-join rank loop — the above-cap fallback
+    * and R13WalkDriverSpec's equivalence anchor. */
+  private[graft] def pageRankLoopDistributed(nodes: DataFrame, e: DataFrame,
+                                             init: Column, restart: Column,
+                                             iters: Int, k: Int): DataFrame = {
     var r = nodes.select(col("id"), init.as("pr"))
     for (_ <- 1 to iters)
       r = pageRankStep(nodes, e, restart, r)

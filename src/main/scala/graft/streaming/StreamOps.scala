@@ -1693,12 +1693,31 @@ object StreamOps {
                            nQueries: Int = 10, nEntries: Int = 8,
                            beamWidth: Int = 8, steps: Int = 8,
                            k: Int = 3): DataFrame = {
-    import graft.operators.Similarity
+    import graft.operators.{Similarity, WalkDriver}
     // ensure the store exists (memoized; replays are no-ops)
     streamKnnGraphStoreQuery(spark, dir, deg)
     val (_, edgeDir) = knnGraphStreamStores((dir, deg, GraphStreamBits))
+    val embT = graft.Tables.loadWide(spark, dir, "embeddings")
+    // r13 bounded driver walk (see Similarity.graphBeamServeFrom): the
+    // streamed edge store is collected once and the supersteps run
+    // driver-side; the bucket-pruned serve below is the unchanged
+    // above-cap fallback.
+    val driverResult =
+      WalkDriver.collectEmb(embT.select(col("vec_id"), col("embedding")))
+        .flatMap { embMap =>
+          WalkDriver.collectAdj(
+            spark.read.parquet(edgeDir).select(col("src"), col("dst"))).map { adj =>
+            val dq = WalkDriver.queriesOf(embMap, nQueries)
+            val de = WalkDriver.spreadEntries(embMap.size.toLong, nQueries,
+              nEntries, embMap)
+            WalkDriver.beamResultDF(spark,
+              WalkDriver.beamWalk(dq, de, embMap,
+                Seq((adj, beamWidth, steps)), k))
+          }
+        }
+    if (driverResult.isDefined) return driverResult.get
     val gb = Similarity.GraphStoreBuckets.toLong
-    val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+    val emb = embT
     val n = emb.count()
     val dstEmb = emb.select(col("vec_id").as("dst"),
       col("embedding").as("dst_emb")).localCheckpoint(true)
@@ -2370,17 +2389,49 @@ object StreamOps {
       try q.processAllAvailable() finally q.stop()
       sts
     })
-    val gb = Similarity.GraphStoreBuckets.toLong
     val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+    // top populated level: a directory existence check per level —
+    // O(levels) driver work against store METADATA, no data read
+    val maxl = (HnswStreamMaxLevel to 0 by -1)
+      .find(l => storeNonEmpty(stores(l)._1)).getOrElse(0)
+    // r13 bounded driver walk over the streamed hierarchy (see
+    // Similarity.hnswServeFromStore): each populated layer's edge store
+    // is collected once, the descent runs driver-side; the pruned
+    // superstep serve below is the unchanged above-cap fallback.
+    import graft.operators.WalkDriver
+    val driverResult =
+      WalkDriver.collectEmb(emb.select(col("vec_id"), col("embedding")))
+        .flatMap { embMap =>
+          val empty = new scala.collection.mutable.LongMap[Array[Long]]()
+          val adjOpts: Seq[(Int, Option[scala.collection.mutable.LongMap[Array[Long]]])] =
+            (0 to maxl).map { l =>
+              val edgeDir = stores(l)._2
+              if (storeNonEmpty(edgeDir))
+                l -> WalkDriver.collectAdj(
+                  spark.read.parquet(edgeDir).select(col("src"), col("dst")))
+              else l -> Some(empty)
+            }
+          if (adjOpts.exists(_._2.isEmpty)) None
+          else WalkDriver.collectUnder(
+            spark.read.parquet(stores(maxl)._1).select(col("vec_id")),
+            WalkDriver.NodeCap).map { entryRows =>
+            val adjByLvl = adjOpts.map { case (l, a) => l -> a.get }.toMap
+            val dq = WalkDriver.queriesOf(embMap, nQueries)
+            val de = entryRows.map(_.getLong(0))
+            val phases =
+              (maxl to 1 by -1).map(l => (adjByLvl(l), 1, stepsUpper)) :+
+                ((adjByLvl(0), beamWidth, steps))
+            WalkDriver.beamResultDF(spark,
+              WalkDriver.beamWalk(dq, de, embMap, phases, k))
+          }
+        }
+    if (driverResult.isDefined) return driverResult.get
+    val gb = Similarity.GraphStoreBuckets.toLong
     val dstEmb = emb.select(col("vec_id").as("dst"),
       col("embedding").as("dst_emb")).localCheckpoint(true)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
       .localCheckpoint(true)
-    // top populated level: a directory existence check per level —
-    // O(levels) driver work against store METADATA, no data read
-    val maxl = (HnswStreamMaxLevel to 0 by -1)
-      .find(l => storeNonEmpty(stores(l)._1)).getOrElse(0)
     val entries = spark.read.parquet(stores(maxl)._1)
       .select(col("vec_id").as("node"), col("embedding").as("e_emb"))
     var visited = queries.join(broadcast(entries), col("node") =!= col("qid"))
