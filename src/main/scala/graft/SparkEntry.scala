@@ -393,14 +393,15 @@ object SparkEntry {
     * scan to do real work). */
   private def jsonRepairQuery(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    graft.Tables.load(s, d, "events")
+    // sort-the-base (r13): see DocPipeline.runSorted — the trailing
+    // orderBy's range sampling re-ran the repair scans twice
+    graft.Tables.loadWideSorted(s, d, "events", "event_id")
       .select(col("event_id"), col("props"),
         concat(lit("noise {\"z\":1} ```json\n"), col("props"),
           lit("\n``` trailing")).as("wrapped"))
       .select(col("event_id"),
         graft.functions.JsonRepair.extractJsonCandidate(col("wrapped")).as("repaired"),
         graft.functions.JsonRepair.safeJson(col("props")).as("safe"))
-      .orderBy(col("event_id"))
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -67,6 +67,35 @@ object Tables {
     if (approxParts * 2 < target) df.repartition(target) else df
   }
 
+  /** [[loadWide]]'s spread in a RANGE layout, globally sorted on `key`
+    * — the sort-the-base device (r13): downstream order-preserving
+    * chains emit key-ordered output with no trailing global sort (whose
+    * RangePartitioning would re-run the whole chain in its sampling
+    * job). Two properties matter:
+    *  - an EXPLICIT numPartitions (REPARTITION_BY_NUM) is never
+    *    AQE-coalesced, so the heavy chain above keeps the full spread
+    *    (a plain orderBy's exchange coalesced the 1.5 MB fixture base
+    *    to ~2 partitions and serialized the regex work — measured);
+    *  - the range exchange REPLACES loadWide's round-robin exchange
+    *    rather than stacking on it.
+    * Same scale guard as loadWide: at production scale the scan's own
+    * parallelism wins the max() and the range shuffle spreads to it. */
+  def loadWideSorted(spark: SparkSession, dir: String, name: String,
+                     key: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes =
+      try fs.getContentSummary(path).getLength
+      catch { case _: Exception => Long.MaxValue }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val approxParts = math.max(1L, bytes / maxSplit + 1)
+    val n = math.max(target.toLong, approxParts).min(Int.MaxValue).toInt
+    df.repartitionByRange(n, col(key)).sortWithinPartitions(col(key))
+  }
+
   /** Register every fixture table as a temp view (SQL surface for free). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -63,14 +63,18 @@ object TextFunctions {
     * max over struct(score, -idx) compares score first, then earliest
     * label. Pure codegen'd expression — no UDF. */
   private def argmaxLabel(scores: Seq[Column], names: Seq[String], fallback: String): Column = {
-    val packed = array(scores.zipWithIndex.map { case (s, i) =>
-      struct(s.as("score"), lit(-i).as("negidx"))
-    }: _*)
-    val best = array_max(packed)
-    when(best.getField("score") > 0,
-      element_at(array(names.map(lit): _*),
-        (-best.getField("negidx")).cast(IntegerType) + 1))
-      .otherwise(lit(fallback))
+    // r13: the label rides IN the struct and a (score=0, negidx=1,
+    // fallback) sentinel replaces the score>0 gate — the sentinel wins
+    // exactly when every real score is 0 (tie on score, negidx 1 beats
+    // every real 0..-(n-1)), so ONE array_max reference produces the
+    // answer. The old form referenced array_max(packed) twice (.score
+    // and .negidx), duplicating all n regex-count subtrees in the plan.
+    val packed = array(
+      (scores.zip(names).zipWithIndex.map { case ((s, n), i) =>
+        struct(s.as("score"), lit(-i).as("negidx"), lit(n).as("label"))
+      } :+ struct(lit(0).as("score"), lit(1).as("negidx"),
+        lit(fallback).as("label"))): _*)
+    array_max(packed).getField("label")
   }
 
   private def argmaxLabelSql(scored: Seq[(String, String)], fallback: String): String = {

@@ -87,6 +87,13 @@ object DocPipeline {
     schemaRows.toDF("schema_doc_type", "schema_json", "schema_description")
   }
 
+  /** The built-in index as literal lookup maps (the degenerate broadcast
+    * of an 8-row dimension — see schemaLookup). */
+  private val schemaJsonByType: Column =
+    map(schemaRows.flatMap { case (dt, js, _) => Seq(lit(dt), lit(js)) }: _*)
+  private val schemaDescByType: Column =
+    map(schemaRows.flatMap { case (dt, _, d) => Seq(lit(dt), lit(d)) }: _*)
+
   /** Stage 1-2: ingest + parse. For the parquet corpus the text is already
     * parsed (FIXTURES.md); binary formats route through
     * sources.BinaryIngest. Seeds the envelope columns. */
@@ -132,12 +139,20 @@ object DocPipeline {
     * buggy fallback-without-schema is deliberately normalized per SURVEY
     * quirk ledger: ours carries a real empty schema). */
   def schemaLookup(spark: SparkSession, df: DataFrame): DataFrame =
-    df.join(broadcast(schemaTable(spark)),
-        df("doc_type") === col("schema_doc_type"), "left")
-      .withColumn("schema_json",
-        coalesce(col("schema_json"), lit("""{"fields":{},"description":"fallback"}""")))
+    // r13: the schema "table" is a handful of LITERAL rows, so the
+    // broadcast left join degenerates to a literal map lookup — same
+    // left-join semantics (try_element_at is NULL on a missing or NULL
+    // key, exactly the join miss the coalesce fallbacks catch), no
+    // BroadcastExchange build per query, and — the enabling win — no
+    // Join node, so the doc-pipeline family's sort-the-base ordering
+    // (see runSorted) survives EliminateSorts, which drops any Sort
+    // below a Join. Results are byte-identical: DocPipelineSpec's
+    // schemaLookup value tests and the unchanged oracle rows pin it.
+    df.withColumn("schema_json",
+        coalesce(try_element_at(schemaJsonByType, col("doc_type")),
+          lit("""{"fields":{},"description":"fallback"}""")))
       .withColumn("schema_description",
-        coalesce(col("schema_description"),
+        coalesce(try_element_at(schemaDescByType, col("doc_type")),
           concat(lit("Default schema for "), coalesce(col("doc_type"), lit("unknown")), lit(" documents"))))
       // E5 schema unwrap (src/agents.py:170-171) through VariantType
       // (SURVEY §1.2 maps the reference's jsonb to variant): the schema
@@ -152,7 +167,6 @@ object DocPipeline {
       .withColumn("schema_variant", parse_json(col("schema_json")))
       .withColumn("schema_fields",
         try_variant_get(col("schema_variant"), "$.fields", "map<string,string>"))
-      .drop("schema_doc_type")
 
   /** Does this row's retrieved schema request `field`? Advisory mode
     * (empty/unparseable fields map — the fallback schema, or E6's
@@ -334,14 +348,27 @@ object DocPipeline {
   def run(spark: SparkSession, dir: String): DataFrame =
     runOnDocs(spark, Tables.loadWide(spark, dir, "documents"))
 
+  /** r13: SORT THE BASE, NOT THE RESULT. A trailing orderBy's
+    * RangePartitioning samples its child with a SEPARATE job, so the
+    * whole per-row chain (clean, classify, extract regexes, prompt
+    * concat) ran twice — measured 1.34 s -> 0.75 s on llm_prompts at
+    * sf0.1. Sorting the two-column base first yields the identical
+    * doc_id-ordered output: every later stage is a projection or a
+    * broadcast-left join (both preserve partition contents and order)
+    * and AQE coalesces only CONTIGUOUS range partitions. The sample job
+    * re-reads only the cheap base. Output equality AND order are pinned
+    * by R13EarlySortSpec against the late-sort form. */
+  private def runSorted(spark: SparkSession, dir: String): DataFrame =
+    runOnDocs(spark,
+      Tables.loadWideSorted(spark, dir, "documents", "doc_id"))
+
   /** Oracle-checkable projection of the pipeline (excludes the
     * wall-clock `created_at`). */
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir).select(
+    runSorted(spark, dir).select(
       col("doc_id"), col("success"), col("doc_type"), col("record_id"),
       col("file_url"), col("x_first_token"), col("x_n_tokens"),
       col("is_valid"), col("retry_count"))
-      .orderBy(col("doc_id"))
 
   /** DuckDB oracle for pipelineQuery: the full stage chain composed from
     * the TextFunctions SQL builders. Mirrors stage order exactly —
@@ -416,9 +443,8 @@ object DocPipeline {
   /** R2 log envelope, oracle-visible: the per-row stage log as a joined
     * string (array<string> compares poorly across Arrow bridges). */
   def pipelineLogsQuery(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir)
+    runSorted(spark, dir) // sort-the-base: see runSorted
       .select(col("doc_id"), array_join(col("logs"), "|").as("logs_str"))
-      .orderBy(col("doc_id"))
   def pipelineLogsOracleSql: String = {
     val err = "(text IS NULL OR length(trim(text)) = 0)"
     s"""SELECT doc_id,
@@ -443,7 +469,16 @@ object DocPipeline {
     "invoice", "agreement", "receipt", "checkbox", "findings",
     "transcript", "dear hiring", "employment history")
 
-  def enrichedDocs(spark: SparkSession, dir: String): DataFrame = {
+  def enrichedDocs(spark: SparkSession, dir: String): DataFrame =
+    enrichedFrom(Tables.loadWide(spark, dir, "documents"))
+
+  /** [[enrichedDocs]] over the range-sorted base — the sort-the-base
+    * form (see [[runSorted]]); the enrichment is a pure projection, so
+    * the doc_id order and the pinned spread carry through. */
+  def enrichedDocsSorted(spark: SparkSession, dir: String): DataFrame =
+    enrichedFrom(Tables.loadWideSorted(spark, dir, "documents", "doc_id"))
+
+  private def enrichedFrom(docs: DataFrame): DataFrame = {
     val kw = element_at(
       array((enrichKeywords :+ "").map(lit): _*),
       (col("doc_id") % 9).cast(IntegerType) + 1)
@@ -452,7 +487,7 @@ object DocPipeline {
         when(col("doc_id") % 3 === 0, lit("-")).otherwise(lit("")),
         ((col("doc_id") % 90) + 10).cast(StringType), lit(".25")))
       .otherwise(lit(""))
-    Tables.loadWide(spark, dir, "documents").withColumn("text",
+    docs.withColumn("text",
       concat(kw, lit(" "), col("text"), amount,
         lit(" user"), col("doc_id").cast(StringType), lit("@example.com"),
         lit(" on 2024-03-1"), (col("doc_id") % 9).cast(StringType),
@@ -482,11 +517,10 @@ object DocPipeline {
     * doc_types emit different field sets, driven by the PARSED
     * schema_json fields map — the J1→E1 edge carries real information. */
   def schemaExtractQuery(spark: SparkSession, dir: String): DataFrame =
-    pipelineOver(spark, enrichedDocs(spark, dir))
-      .select(col("doc_id"), col("doc_type"),
+    pipelineOver(spark, enrichedDocsSorted(spark, dir))
+      .select(col("doc_id"), col("doc_type"), // sort-the-base: see runSorted
         array_join(array_sort(map_keys(col("schema_fields"))), ",").as("schema_keys"),
         col("x_amount"), col("x_email"), col("x_date"), col("x_phone"))
-      .orderBy(col("doc_id"))
 
   def schemaExtractOracleSql: String = {
     val keysCase = schemaFieldSets
@@ -512,7 +546,17 @@ object DocPipeline {
     * (doc_type, field) count shuffle of tiny rows. */
   def schemaProfileQuery(spark: SparkSession, dir: String): DataFrame =
     pipelineOver(spark, enrichedDocs(spark, dir))
-      .filter(col("structured_data").isNotNull)
+      // r13: filter on the CHEAP null gate, not the derived JSON.
+      // structured_data = guarded(to_json(struct(...)), null, error) and
+      // to_json of a non-null struct is never null, so the two
+      // predicates are equivalent — but a filter on structured_data gets
+      // SUBSTITUTED through every projection by predicate pushdown, and
+      // with schemaLookup's join barrier gone (literal lookup, r13) the
+      // rewritten condition inlined the classify tree 162× into one
+      // scan-level Filter (3 MB condition, 58 MiB task binaries,
+      // measured 258 s). The error gate pushes down as the cheap
+      // raw-text null check it is.
+      .filter(col("error").isNull)
       .select(col("doc_type"),
         explode(map_keys(from_json(col("structured_data"),
           MapType(StringType, StringType)))).as("field"))
@@ -580,13 +624,12 @@ object DocPipeline {
     * gets handed; the DuckDB twin proves the strings byte-identical. */
   def promptsQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Prompts
-    val base = validate(extract(schemaLookup(spark,
-      classifyStage(clean(ingest(enrichedDocs(spark, dir)))))))
+    val base = validate(extract(schemaLookup(spark, // sort-the-base: see runSorted
+      classifyStage(clean(ingest(enrichedDocsSorted(spark, dir)))))))
     base.select(col("doc_id"),
       Prompts.classificationPrompt(col("raw_text")).as("classify_prompt"),
       Prompts.extractionPrompt(col("doc_type"), to_json(col("schema_fields")),
         col("raw_text"), col("validation_feedback")).as("extract_prompt"))
-      .orderBy(col("doc_id"))
   }
 
   def promptsOracleSql: String = {
@@ -632,10 +675,9 @@ object DocPipeline {
     * amount that the text lacks exhaust retries and persist anyway
     * (retry_count=1, is_valid=false). */
   def retryFixQuery(spark: SparkSession, dir: String): DataFrame =
-    pipelineOver(spark, enrichedDocs(spark, dir))
+    pipelineOver(spark, enrichedDocsSorted(spark, dir))
       .select(col("doc_id"), col("doc_type"), col("x_amount"),
-        col("is_valid"), col("retry_count"))
-      .orderBy(col("doc_id"))
+        col("is_valid"), col("retry_count")) // sort-the-base: see runSorted
 
   def retryFixOracleSql: String =
     s"""WITH $enrichedCte, ${pipelineOracleCtes("enriched", "text")}

@@ -146,14 +146,14 @@ object EmbeddingStore {
       lit("""{"id":"""), col("doc_id").cast("string"),
       lit(""","schema":{"fields":{"a":"x"}},"tags":["t1","t2"],"label":"L"""),
       (col("doc_id") % 5).cast("string"), lit("\"}"))
-    graft.Tables.loadWide(spark, dir, "documents")
+    // sort-the-base (r13): see DocPipeline.runSorted
+    graft.Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), sanitizeMetadata(j).as("m"))
       .select(col("doc_id"),
         element_at(col("m"), "id").as("m_id"),
         element_at(col("m"), "schema").as("m_schema"),
         element_at(col("m"), "tags").as("m_tags"),
         element_at(col("m"), "label").as("m_label"))
-      .orderBy(col("doc_id"))
   }
   def metadataSanitizeOracleSql: String =
     """SELECT doc_id, CAST(doc_id AS VARCHAR) AS m_id,

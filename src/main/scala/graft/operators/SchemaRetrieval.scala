@@ -65,7 +65,10 @@ object SchemaRetrieval {
     * src/agents.py:132, where raw_text is already clean_text'ed). */
   def cascade(spark: SparkSession, dir: String): DataFrame = {
     val cleaned = graft.functions.TextFunctions.cleanText(col("text"))
-    val docs = Tables.loadWide(spark, dir, "documents")
+    // sort-the-base (r13): see DocPipeline.runSorted — the trailing
+    // orderBy's range-sampling job would re-run the clean+classify+embed
+    // chain twice
+    val docs = Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"),
         graft.functions.TextFunctions.classify(cleaned).as("doc_type"),
         pseudoEmbed(substring(cleaned, 1, 1000)).as("d_emb"))
@@ -88,7 +91,6 @@ object SchemaRetrieval {
       .withColumn("chosen",
         when(matched, col("doc_type")).otherwise(best.getField("name")))
       .select(col("doc_id"), col("strategy"), col("chosen"))
-      .orderBy(col("doc_id"))
   }
 
   def cascadeSql: String = {

@@ -19,14 +19,13 @@ object TextAnalytics {
   /** Per-document profile: language, token count, first token, rolling-hash
     * fingerprint. One narrow pass over the corpus. */
   def docProfile(spark: SparkSession, dir: String): DataFrame =
-    Tables.loadWide(spark, dir, "documents")
+    Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(
         col("doc_id"),
         langId(col("text")).as("lang_pred"),
         tokenCount(col("text")).as("n_tokens"),
         firstToken(col("text")).as("first_token"),
         fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
 
   def docProfileSql: String =
     s"""SELECT doc_id, ${langIdSql("text")} AS lang_pred,
@@ -38,9 +37,8 @@ object TextAnalytics {
   /** Per-document quality score (bounded [0,1] composite). Kept separate
     * from docProfile so a float mismatch is isolated to one query. */
   def docQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.loadWide(spark, dir, "documents")
+    Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      .orderBy(col("doc_id"))
 
   def docQualitySql: String =
     s"SELECT doc_id, ${qualityScoreSql("text")} AS quality FROM documents"
@@ -48,10 +46,9 @@ object TextAnalytics {
   /** C1 classification over the cleaned text (pipeline stages 3-4 as a
     * standalone query). */
   def docClassify(spark: SparkSession, dir: String): DataFrame =
-    Tables.loadWide(spark, dir, "documents")
+    Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"),
         classify(cleanText(col("text"))).as("doc_type"))
-      .orderBy(col("doc_id"))
 
   def docClassifySql: String =
     s"SELECT doc_id, ${classifySql(cleanTextSql("text"))} AS doc_type FROM documents"
@@ -60,11 +57,10 @@ object TextAnalytics {
     * subword segments (the two token-count bases a training-data
     * pipeline budgets with). */
   def docTokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.loadWide(spark, dir, "documents")
+    Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"),
         tokenCount(col("text")).as("ws_tokens"),
         subwordCount(col("text")).as("subword_tokens"))
-      .orderBy(col("doc_id"))
 
   def docTokensSql: String =
     s"""SELECT doc_id, ${tokenCountSql("text")} AS ws_tokens,
@@ -370,9 +366,8 @@ object TextAnalytics {
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@example.com on +1 555 000 "),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-    Tables.loadWide(spark, dir, "documents")
+    Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), scrubPii(enriched).as("scrubbed"))
-      .orderBy(col("doc_id"))
   }
 
   def piiScrubSql: String = {
@@ -388,12 +383,11 @@ object TextAnalytics {
     * unlike positional/random sampling. Narrow, no shuffle. */
   def docSplits(spark: SparkSession, dir: String): DataFrame = {
     val bucket = fingerprint(col("text")) % 100
-    Tables.loadWide(spark, dir, "documents")
+    Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), bucket.as("bucket"),
         when(bucket < 90, lit("train"))
           .when(bucket < 95, lit("val"))
           .otherwise(lit("test")).as("split"))
-      .orderBy(col("doc_id"))
   }
 
   def docSplitsSql: String =
@@ -602,12 +596,11 @@ object TextAnalytics {
     require(blocked.nonEmpty && blocked.forall(_.matches("[a-z0-9]+")),
       "blocklist terms must be lowercase tokens")
     val inList = blocked.map(t => s"'$t'").mkString(", ")
-    Tables.loadWide(spark, dir, "documents")
+    Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), words(col("text")).as("ws0"))
       .select(col("doc_id"),
         expr(s"size(filter(ws0, t -> t IN ($inList)))").cast("long").as("n_blocked"))
       .withColumn("keep", col("n_blocked") === 0L)
-      .orderBy(col("doc_id"))
   }
 
   def blocklistFilterSql(blocked: Seq[String] = Seq("vector", "stream")): String = {
@@ -1380,7 +1373,7 @@ object TextAnalytics {
     import graft.functions.NativeFunctions.nfcNormalize
     val injected = regexp_replace(
       regexp_replace(col("text"), "e", "e\u0301"), "a", "a\u200B")
-    Tables.loadWide(spark, dir, "documents")
+    Tables.loadWideSorted(spark, dir, "documents", "doc_id")
       .select(col("doc_id"), injected.as("t"))
       .select(col("doc_id"), col("t"), nfcNormalize(col("t")).as("s"))
       .select(col("doc_id"),
@@ -1391,7 +1384,6 @@ object TextAnalytics {
       .select(col("doc_id"), col("n_injected"),
         length(col("normalized")).cast("long").as("n_norm"),
         col("normalized"))
-      .orderBy(col("doc_id"))
   }
 
   def textNormalizeSql: String = {
@@ -1432,30 +1424,56 @@ object TextAnalytics {
     * scoring is a broadcast hash join + per-doc rollup + a
     * WindowGroupLimit argmax. */
   def langTrigramClassify(spark: SparkSession, dir: String,
-                          k: Int = 40): DataFrame = {
+                          k: Int = 40,
+                          profCap: Int = 1 << 14): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.NativeFunctions.charTrigrams
     val docs = Tables.loadWide(spark, dir, "documents")
-    val slots = docs.filter(col("text").isNotNull)
+    def slots = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         explode(charTrigrams(col("text"))).as("tg"))
-    // one trigram explode over the corpus: lang rides along in the
-    // per-doc group key (functionally dependent on doc_id — identical
-    // counts), and the language profile re-aggregates the per-doc
-    // counts instead of re-exploding the text a second time.
-    val docG = slots.groupBy(col("doc_id"), col("lang"), col("tg"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // two consumers: doc scores + lang profile
-    val langG = docG.groupBy(col("lang"), col("tg").as("ptg"))
-      .agg(sum(col("n")).as("c"))
-    val prof = langG
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("c").desc, col("ptg"))))
-      .filter(col("rk") <= k)
-      .select(col("lang").as("lang_p"), col("ptg"))
-    val score = docG.join(broadcast(prof), col("tg") === col("ptg"))
-      .groupBy(col("doc_id"), col("lang_p"))
-      .agg(sum(col("n")).as("score"))
+    // r13: the PROFILE is bounded model state — k·n_langs rows (the
+    // clusterCapSample codebook class) — so it collects to the driver
+    // off a DIRECT (lang, tg) count (identical to re-aggregating the
+    // per-doc counts: sum over docs of per-doc counts == the plain
+    // count) and feeds back as a broadcast local relation. The corpus
+    // then makes two cheap streaming passes (profile count, score) and
+    // the O(corpus) eager localCheckpoint of per-(doc, tg) counts —
+    // r12's scale-risk item — disappears; the scoring shuffle carries
+    // only profile-matched slots. Above the cap (a degenerate corpus
+    // with > 2^14 languages) the r12 checkpoint shape below is the
+    // unchanged fallback.
+    val profLocal = WalkDriver.collectUnder(
+      slots.groupBy(col("lang"), col("tg"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tg"))))
+        .filter(col("rk") <= k)
+        .select(col("lang"), col("tg")),
+      profCap)
+    val score = profLocal match {
+      case Some(rows) =>
+        import spark.implicits._
+        val prof = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+          .toDF("lang_p", "ptg")
+        slots.join(broadcast(prof), col("tg") === col("ptg"))
+          .groupBy(col("doc_id"), col("lang_p"))
+          .agg(count(lit(1)).as("score"))
+      case None =>
+        val docG = slots.groupBy(col("doc_id"), col("lang"), col("tg"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // two consumers: doc scores + lang profile
+        val langG = docG.groupBy(col("lang"), col("tg").as("ptg"))
+          .agg(sum(col("n")).as("c"))
+        val prof = langG
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("c").desc, col("ptg"))))
+          .filter(col("rk") <= k)
+          .select(col("lang").as("lang_p"), col("ptg"))
+        docG.join(broadcast(prof), col("tg") === col("ptg"))
+          .groupBy(col("doc_id"), col("lang_p"))
+          .agg(sum(col("n")).as("score"))
+    }
     val best = score
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))

@@ -723,10 +723,28 @@ object StreamOps {
     * the stream-stream range join; a non-windowed groupBy after the
     * join can't run in append mode). Oracle: the SAME SQL as batch
     * lm_fluency. */
+  /** Session memo of the resolved LM-model store per fixture dir; the
+    * model lives in the persistent [[graft.StoreCatalog]], fingerprint-
+    * keyed on the documents source (r13 — VERDICT item 3: the batch
+    * model trained inside the streaming twin on EVERY invocation; the
+    * "train once" its scaladoc promises is a materialized model, the
+    * bm25/postings store pattern). */
+  private val lmModelStores =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  graft.StoreCatalog.registerInvalidationHook(() => lmModelStores.clear())
+  private[graft] def lmModelStoreDir(spark: SparkSession, dir: String): String =
+    lmModelStores.getOrElseUpdate(dir,
+      graft.StoreCatalog.getOrBuild(spark, "lm_model",
+        Seq(s"$dir/documents.parquet"), Seq(), Seq("model")) { parts =>
+        graft.operators.TextAnalytics.lmModel(spark, dir)
+          .coalesce(1).write.mode("overwrite").parquet(parts("model"))
+        Map.empty
+      }.parts("model"))
+
   def streamLmFluencyQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalytics
     val model = broadcast(
-      TextAnalytics.lmModel(spark, dir).localCheckpoint(true))
+      spark.read.parquet(lmModelStoreDir(spark, dir)))
     val scored = TextAnalytics.lmSlots(docsStream(spark, dir))
       .join(model, col("bg") === col("mbg"))
       .select(col("doc_id"), col("sc"))
