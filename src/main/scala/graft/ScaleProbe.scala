@@ -232,6 +232,8 @@ object ScaleProbe {
     // named like a probe so SPARK_GRAFT_SCALE_ONLY can target or skip it
     if (onlySet.forall(_("bpe_batched")))
       bpeBatchedProbe(spark, bigDir)
+    if (onlySet.forall(_("driver_caps")))
+      driverCapsProbe(spark, sfDir, bigDir)
 
     if (sys.env.get("SPARK_GRAFT_SCALE_STORES").contains("1"))
       storeGrowthProbe(spark, copies)
@@ -266,6 +268,55 @@ object ScaleProbe {
     for (b <- Seq(1, 16)) {
       val (w, rounds, learned) = trainWall(b)
       println(f"| batch=$b | $rounds | $learned | $w%.2f |")
+    }
+  }
+
+  /** DRIVER-CAP crossover cells (r13, VERDICT item 7): for every
+    * bounded-driver rewrite, measure the driver path AND the forced
+    * distributed fallback at 1× and 10× — showing (a) the fallback
+    * still runs and scales, and (b) which side of the cap each scale
+    * lands on. The CC cell uses the k-NN edge set as its graph: at 10×
+    * (~160k canonical edges) it naturally EXCEEDS CcDriverEdgeCap
+    * (2^17 = 131072... note 160k > cap), so the default path itself
+    * demonstrates the crossover. */
+  private def driverCapsProbe(spark: SparkSession, sfDir: String,
+                              bigDir: String): Unit = {
+    import graft.operators._
+    def t2(fn: => DataFrame): Double = math.min(time(fn), time(fn))
+    println("\n== driver-cap crossover (r13): driver path vs forced distributed ==")
+    println("| cell | scale | size | driver-path s | distributed s |")
+    println("|---|---|---|---|---|")
+    for ((label, dir) <- Seq("1x" -> sfDir, "10x" -> bigDir)) {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val d = t2(Similarity.graphBeamSearch(spark, dir))
+      val f = t2(Similarity.graphBeamSearchDistributed(spark, dir))
+      println(f"| beam_walk | $label | $n nodes | $d%.2f | $f%.2f |")
+    }
+    for ((label, dir) <- Seq("1x" -> sfDir, "10x" -> bigDir)) {
+      val emb = graft.Tables.loadWide(spark, dir, "embeddings")
+      val edges = Similarity.knnGraphFrom(emb, 8,
+          Similarity.adaptiveBits(emb.count()))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .localCheckpoint(true)
+      val eCnt = edges.count()
+      val d = t2(Dedup.connectedComponents(edges))
+      val f = t2(Dedup.connectedComponents(edges, driverEdgeCap = 0))
+      println(f"| cc (cap=${Dedup.CcDriverEdgeCap}) | $label | $eCnt edges | $d%.2f | $f%.2f |")
+    }
+    for ((label, dir) <- Seq("1x" -> sfDir, "10x" -> bigDir)) {
+      val d = t2(TextAnalytics.perceptronScoredFeats(spark, dir))
+      val f = t2(TextAnalytics.perceptronScoredFeats(spark, dir, histCap = 0))
+      println(f"| perceptron_hist | $label | - | $d%.2f | $f%.2f |")
+    }
+    for ((label, dir) <- Seq("1x" -> sfDir, "10x" -> bigDir)) {
+      val d = t2(TextAnalytics.langTrigramClassify(spark, dir))
+      val f = t2(TextAnalytics.langTrigramClassify(spark, dir, profCap = 0))
+      println(f"| trigram_profile | $label | - | $d%.2f | $f%.2f |")
+    }
+    for ((label, dir) <- Seq("1x" -> sfDir, "10x" -> bigDir)) {
+      val d = t2(Similarity.mmrRerank(spark, dir))
+      val f = t2(Similarity.mmrRerank(spark, dir, poolCap = 0))
+      println(f"| mmr_pool | $label | - | $d%.2f | $f%.2f |")
     }
   }
 

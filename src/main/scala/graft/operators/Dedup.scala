@@ -992,7 +992,12 @@ object Dedup {
       (r.getLong(0),
         Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
-    val canonical = canon(pairs)
+    // LAZY checkpoint (r13, ADVICE item): the bounded probe below
+    // materializes only the partitions it touches; an above-cap run
+    // then COMPLETES the same checkpoint via its first stats() action
+    // instead of re-running the expensive canon(pairs) lineage that the
+    // probe partially computed and discarded.
+    val canonical = canon(pairs).localCheckpoint(eager = false)
     // bounded fetch: if every canonical edge fits under the cap, the
     // component minima come from a driver union-find (one job instead
     // of 2-3 per contraction round); the star-contraction output after
@@ -1019,7 +1024,7 @@ object Dedup {
       import spark.implicits._
       return nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "cluster_id")
     }
-    var edges = canonical.localCheckpoint(true)
+    var edges = canonical // stats() materializes the lazy checkpoint
     var (cnt, sig) = stats(edges)
     var prev: DataFrame = null
     var converged = cnt == 0L

@@ -2586,7 +2586,8 @@ object Similarity {
     * selection cost is O(nQueries · poolSize · kSel²) cosines,
     * independent of corpus size. Ties break on vec_id everywhere. */
   def mmrRerank(spark: SparkSession, dir: String, kSel: Int = 5,
-                poolSize: Int = 20, nQueries: Int = 8): DataFrame = {
+                poolSize: Int = 20, nQueries: Int = 8,
+                poolCap: Int = MmrDriverPoolCap): DataFrame = {
     val emb = Tables.loadWide(spark, dir, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding"))
     val queries = broadcast(
@@ -2610,7 +2611,16 @@ object Similarity {
     // graft.plans.CosineSimilarity's left-to-right double fold exactly
     // (same ops, same order — bit-identical, see CosineSimilarity's
     // semantics note), so the result is the oracle's bit-for-bit.
-    val poolRows = pool.collect()
+    // r13 (VERDICT item 6): the collect now carries the same
+    // cap-guard + distributed fallback as the round's other driver
+    // rewrites — the pool is nQueries·poolSize rows BY CONSTRUCTION
+    // (prn <= poolSize upstream), but a caller raising nQueries past
+    // the cap now falls back to the pre-r12 in-plan selection loop
+    // instead of an unbounded collect.
+    val poolProbe = WalkDriver.collectUnder(pool, poolCap)
+    if (poolProbe.isEmpty)
+      return mmrRerankInPlan(pool.localCheckpoint(true), kSel)
+    val poolRows = poolProbe.get
     def cosD(a: Seq[Float], b: Seq[Float]): Option[Double] = {
       if (a.length != b.length) return None
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -2658,6 +2668,42 @@ object Similarity {
     import spark.implicits._
     out.toSeq.toDF("qid", "vec_id", "pos", "mmr")
       .orderBy(col("qid"), col("pos"))
+  }
+
+  /** Driver-pool cap for [[mmrRerank]] — 2^14 (qid, vec_id, embedding,
+    * rel) rows, far above the declared 8×20 pool. */
+  private[graft] val MmrDriverPoolCap: Int = 1 << 14
+
+  /** The pre-r12 in-plan greedy selection — [[mmrRerank]]'s above-cap
+    * fallback (one anti-join + pairwise-max aggregate + argmax window
+    * per selection round over the checkpointed pool). Identical output:
+    * same λ=1/2 arithmetic, same (mmr DESC NULLS LAST, vec_id) argmax
+    * — pinned by R13WalkDriverSpec's over-cap equivalence test. */
+  private[graft] def mmrRerankInPlan(pool: DataFrame, kSel: Int): DataFrame = {
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))
+    var selected = pool.withColumn("mmr", col("rel") * 0.5)
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), lit(1).as("pos"), col("mmr"))
+    for (k <- 2 to kSel) {
+      val selEmb = selected.select(col("qid").as("j_qid"), col("vec_id").as("j_vid"))
+        .join(pool.select(col("qid").as("p_qid"), col("vec_id").as("p_vid"),
+          col("embedding").as("s_emb")),
+          col("j_qid") === col("p_qid") && col("j_vid") === col("p_vid"))
+        .select(col("j_qid"), col("s_emb"))
+      val cand = pool.join(
+        selected.select(col("qid").as("x_qid"), col("vec_id").as("x_vid")),
+        col("qid") === col("x_qid") && col("vec_id") === col("x_vid"),
+        "left_anti")
+      val next = cand.join(selEmb, col("qid") === col("j_qid"))
+        .withColumn("sim", cosine(col("embedding"), col("s_emb")))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(max(col("sim")).as("maxsim"), first(col("rel")).as("rel"))
+        .withColumn("mmr", col("rel") * 0.5 - col("maxsim") * 0.5)
+        .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), lit(k).as("pos"), col("mmr"))
+      selected = selected.union(next).localCheckpoint(true)
+    }
+    selected.orderBy(col("qid"), col("pos"))
   }
 
   /** Oracle twin of [[mmrRerank]]: the greedy selection UNROLLED into

@@ -41,9 +41,14 @@ object MediaCodec {
 
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+  // full 8-byte PNG signature (\x89PNG\r\n\x1a\n) — a payload with only
+  // the 4-byte prefix but corrupt bytes 4-7 must fall through to
+  // ImageIO.read's null-on-unrecognized contract instead of throwing
+  // from the cached reader (r13, ADVICE item)
   private def isPng(b: Array[Byte]): Boolean =
     b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
-      b(3) == 'G'
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a &&
+      b(7) == 0x0a
 
   private def readWith(r: javax.imageio.ImageReader,
                        bytes: Array[Byte]): BufferedImage = {

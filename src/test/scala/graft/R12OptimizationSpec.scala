@@ -63,13 +63,20 @@ class R12OptimizationSpec extends AnyFunSuite {
     val png = bos.toByteArray
     val expect = pixels(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(png)))
+    // r13 (ADVICE): a failed assert inside a spawned Thread kills only
+    // that thread — collect failures and rethrow after join, so this
+    // test can actually fail
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val threads = (1 to 4).map { _ =>
       new Thread(() => {
-        for (_ <- 1 to 50)
-          assert(pixels(graft.sources.MediaCodec.readImage(png)) == expect)
+        try {
+          for (_ <- 1 to 50)
+            assert(pixels(graft.sources.MediaCodec.readImage(png)) == expect)
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
   }
 
   // --- BPE: driver-resident trainer == distributed trainer ------------

@@ -94,6 +94,19 @@ class R13WalkDriverSpec extends AnyFunSuite {
       rows(Similarity.pageRankLoopDistributed(nodesL, e, gate(scale), gate(tele), 4, 20)))
   }
 
+  test("mmr_rerank: driver greedy selection == in-plan fallback loop " +
+    "(cap guard, VERDICT item 6)") {
+    assert(rows(Similarity.mmrRerank(spark, dir)) ==
+      rows(Similarity.mmrRerank(spark, dir, poolCap = 0)))
+  }
+
+  test("lang_trigram_id: driver-collected profile == checkpointed " +
+    "two-consumer fallback") {
+    import graft.operators.TextAnalytics
+    assert(rows(TextAnalytics.langTrigramClassify(spark, dir)) ==
+      rows(TextAnalytics.langTrigramClassify(spark, dir, profCap = 0)))
+  }
+
   test("the probe refuses inputs over its cap (fallback gate)") {
     val emb = Tables.loadWide(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
