@@ -36,7 +36,7 @@ object StreamOps {
   private def stageParquetDir(src: java.nio.file.Path): String =
     if (java.nio.file.Files.isDirectory(src)) src.toString
     else stagedStreamDirs.getOrElseUpdate(src.toString, {
-      val d = java.nio.file.Files.createTempDirectory("graft_stream")
+      val d = graft.Scratch.dir("graft_stream")
       try java.nio.file.Files.createLink(d.resolve(src.getFileName), src)
       catch { case _: Exception =>
         java.nio.file.Files.copy(src, d.resolve(src.getFileName)) }
@@ -418,7 +418,7 @@ object StreamOps {
                        cap: Int = Int.MaxValue): String =
     stagedDocs.getOrElseUpdate((dir, cap), {
       import spark.implicits._
-      val d = java.nio.file.Files.createTempDirectory("docs_drop")
+      val d = graft.Scratch.dir("docs_drop")
       graft.Tables.loadWide(spark, dir, "documents")
         .filter(col("text").isNotNull && length(col("text")) > 0 &&
           col("doc_id") < cap)
@@ -536,7 +536,7 @@ object StreamOps {
                          nQueries: Int = 10, bits: Int = 6): DataFrame = {
     import graft.operators.Similarity
     val storeDir = lshStores.getOrElseUpdate((dir, bits), {
-      val store = java.nio.file.Files.createTempDirectory("graft_lsh_store").toString
+      val store = graft.Scratch.dir("graft_lsh_store").toString
       val q = embeddingsStream(spark, dir)
         .select(col("vec_id"), col("embedding"),
           Similarity.signBucket(col("embedding"), bits).as("bucket"))
@@ -755,7 +755,7 @@ object StreamOps {
     // O(docs per batch) and merge exactly (integer sc). This is the
     // streaming twin of map-side combine, and most of the
     // stream-vs-batch fixed-cost gap was that sink volume.
-    val partDir = java.nio.file.Files.createTempDirectory("lm_parts").toString
+    val partDir = graft.Scratch.dir("lm_parts").toString
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "4")
@@ -813,7 +813,7 @@ object StreamOps {
       .filter(col("w") =!= "")
       .join(segs, "w")
       .select(col("doc_id"), col("k"))
-    val partDir = java.nio.file.Files.createTempDirectory("bpe_parts").toString
+    val partDir = graft.Scratch.dir("bpe_parts").toString
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "4")
@@ -883,7 +883,7 @@ object StreamOps {
             lit(nBuckets.toLong)).as("b"))
         .join(model, "b")
         .select(col("doc_id"), col("lw").as("p"))
-      val pd = java.nio.file.Files.createTempDirectory("dsir_parts").toString
+      val pd = graft.Scratch.dir("dsir_parts").toString
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       spark.conf.set(key, "4")
@@ -989,9 +989,9 @@ object StreamOps {
     import graft.operators.TextAnalytics
     val (featsDir, _, modelDir) =
       dsirRefreshStores.getOrElseUpdate((dir, nBuckets, targetLang), {
-        val fd = java.nio.file.Files.createTempDirectory("dsir_feats").toString
-        val cd = java.nio.file.Files.createTempDirectory("dsir_counts").toString
-        val md = java.nio.file.Files.createTempDirectory("dsir_models").toString
+        val fd = graft.Scratch.dir("dsir_feats").toString
+        val cd = graft.Scratch.dir("dsir_counts").toString
+        val md = graft.Scratch.dir("dsir_models").toString
         val key = "spark.sql.shuffle.partitions"
         val prev = spark.conf.get(key)
         spark.conf.set(key, "4")
@@ -1064,7 +1064,7 @@ object StreamOps {
     */
   def streamSinkJdbcQuery(spark: SparkSession, dir: String): DataFrame = {
     val url = jdbcSinkDbs.getOrElseUpdate(dir,
-      s"jdbc:duckdb:${java.nio.file.Files.createTempDirectory("jdbc_sink")}/sink.db")
+      s"jdbc:duckdb:${graft.Scratch.dir("jdbc_sink")}/sink.db")
     val rows = eventsStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     // 10k-row prepared-statement batches: the default 1000 spends the
@@ -1153,7 +1153,7 @@ object StreamOps {
   def streamExactDedupStoreQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.fingerprint
     val store = dedupStores.getOrElseUpdate(dir, {
-      val storeDir = java.nio.file.Files.createTempDirectory("dedup_store").toString
+      val storeDir = graft.Scratch.dir("dedup_store").toString
       val q = docsStream(spark, dir)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .writeStream.outputMode("append")
@@ -1244,7 +1244,7 @@ object StreamOps {
     * the only text-touching work. */
   def streamNearDupStoreQuery(spark: SparkSession, dir: String): DataFrame = {
     val store = neardupSigStores.getOrElseUpdate(dir, {
-      val storeDir = java.nio.file.Files.createTempDirectory("neardup_sigs").toString
+      val storeDir = graft.Scratch.dir("neardup_sigs").toString
       val q = docsStream(spark, dir)
         .select(col("doc_id"), col("text"))
         .writeStream.outputMode("append")
@@ -1306,7 +1306,7 @@ object StreamOps {
     * partition only, and serve touches no pixel data at all. */
   def streamImageNearDupStoreQuery(spark: SparkSession, dir: String): DataFrame = {
     val store = imageHashStores.getOrElseUpdate(dir, {
-      val storeDir = java.nio.file.Files.createTempDirectory("image_hashes").toString
+      val storeDir = graft.Scratch.dir("image_hashes").toString
       val q = docsStream(spark, dir)
         .select(col("doc_id"), col("text"))
         .writeStream.outputMode("append")
@@ -1383,7 +1383,7 @@ object StreamOps {
     import graft.functions.NativeFunctions.kmvMins
     import graft.operators.Sketches
     val store = kmvStores.getOrElseUpdate(dir, {
-      val storeDir = java.nio.file.Files.createTempDirectory("kmv_store").toString
+      val storeDir = graft.Scratch.dir("kmv_store").toString
       val q = eventsStream(spark, dir).writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
           batch.select(col("event_type"),
@@ -1441,7 +1441,7 @@ object StreamOps {
                            depth: Int = 4, width: Int = 8192): DataFrame = {
     import graft.functions.NativeFunctions.cmsAgg
     val store = cmsStores.getOrElseUpdate(dir, {
-      val storeDir = java.nio.file.Files.createTempDirectory("cms_store").toString
+      val storeDir = graft.Scratch.dir("cms_store").toString
       val q = eventsStream(spark, dir).writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
           batch.groupBy(col("event_type"))
@@ -1674,8 +1674,8 @@ object StreamOps {
                                deg: Int = 8,
                                bits: Int = GraphStreamBits): DataFrame = {
     val (_, edgeDir) = knnGraphStreamStores.getOrElseUpdate((dir, deg, bits), {
-      val nd = java.nio.file.Files.createTempDirectory("knn_stream_nodes").toString
-      val ed = java.nio.file.Files.createTempDirectory("knn_stream_edges").toString
+      val nd = graft.Scratch.dir("knn_stream_nodes").toString
+      val ed = graft.Scratch.dir("knn_stream_edges").toString
       val q = embeddingsStream(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .writeStream.outputMode("append")
@@ -1891,8 +1891,8 @@ object StreamOps {
       .agg(max(col("doc_id"))).head().getLong(0)
     val width = mx / nBuckets + 1
     val (seenDir, tokDir) = corpusStatsStores.getOrElseUpdate((dir, nBuckets), {
-      val sd = java.nio.file.Files.createTempDirectory("corpus_seen_words").toString
-      val td = java.nio.file.Files.createTempDirectory("corpus_tok_parts").toString
+      val sd = graft.Scratch.dir("corpus_seen_words").toString
+      val td = graft.Scratch.dir("corpus_tok_parts").toString
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       spark.conf.set(key, "4")
@@ -1966,7 +1966,7 @@ object StreamOps {
                                 n: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val store = weightedSampleStores.getOrElseUpdate((dir, n), {
-      val sd = java.nio.file.Files.createTempDirectory("wsample_store").toString
+      val sd = graft.Scratch.dir("wsample_store").toString
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       spark.conf.set(key, "4")
@@ -2052,7 +2052,7 @@ object StreamOps {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Dedup, TextAnalytics}
     val root = curationStores.getOrElseUpdate(dir, {
-      val sd = java.nio.file.Files.createTempDirectory("curation_store").toString
+      val sd = graft.Scratch.dir("curation_store").toString
       val fpDir = s"$sd/fps"
       val bench = Dedup.spanTable(
           graft.Tables.loadWide(spark, dir, "documents"), w)
@@ -2161,8 +2161,8 @@ object StreamOps {
     import graft.operators.{Dedup, TextAnalytics}
     import graft.functions.TextFunctions.words
     val (pd, dd) = bm25StreamStores.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("bm25_stream_posts").toString
-      val d = java.nio.file.Files.createTempDirectory("bm25_stream_docs").toString
+      val p = graft.Scratch.dir("bm25_stream_posts").toString
+      val d = graft.Scratch.dir("bm25_stream_docs").toString
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       spark.conf.set(key, "4")
@@ -2233,8 +2233,7 @@ object StreamOps {
                                 slop: Int): DataFrame = {
     import graft.operators.{Dedup, TextAnalytics}
     val pd = phraseStreamStores.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("phrase_stream_posts").toString
+      val p = graft.Scratch.dir("phrase_stream_posts").toString
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       spark.conf.set(key, "4")
@@ -2287,10 +2286,8 @@ object StreamOps {
     val grams = TextSearch.queryTrigrams(pat)
     require(grams.nonEmpty, "substring query needs >= 3 chars")
     val (pd, dd) = trigramStreamStores.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files
-        .createTempDirectory("trigram_stream_posts").toString
-      val d = java.nio.file.Files
-        .createTempDirectory("trigram_stream_docs").toString
+      val p = graft.Scratch.dir("trigram_stream_posts").toString
+      val d = graft.Scratch.dir("trigram_stream_docs").toString
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       spark.conf.set(key, "4")
@@ -2394,8 +2391,8 @@ object StreamOps {
     import graft.operators.Similarity
     val stores = hnswStreamStores.getOrElseUpdate((dir, deg), {
       val sts = (0 to HnswStreamMaxLevel).map { l =>
-        (java.nio.file.Files.createTempDirectory(s"hnsw_stream_nodes_$l").toString,
-          java.nio.file.Files.createTempDirectory(s"hnsw_stream_edges_$l").toString)
+        (graft.Scratch.dir(s"hnsw_stream_nodes_$l").toString,
+          graft.Scratch.dir(s"hnsw_stream_edges_$l").toString)
       }
       val q = embeddingsStream(spark, dir)
         .select(col("vec_id"), col("embedding"))
@@ -2567,7 +2564,7 @@ object StreamOps {
         .toDF("qid", "rn", "vec_id", "score")
     }
     val storeDir = ivfStreamStores.getOrElseUpdate((dir, nCells), {
-      val sd = java.nio.file.Files.createTempDirectory("ivf_stream_store").toString
+      val sd = graft.Scratch.dir("ivf_stream_store").toString
       val q = embeddingsStream(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .writeStream.outputMode("append")
@@ -2642,7 +2639,7 @@ object StreamOps {
         .toDF("qid", "rn", "vec_id", "score")
     }
     val storeDir = pqStreamStores.getOrElseUpdate((dir, nCells, m), {
-      val sd = java.nio.file.Files.createTempDirectory("pq_stream_store").toString
+      val sd = graft.Scratch.dir("pq_stream_store").toString
       val q = embeddingsStream(spark, dir)
         .select(col("vec_id"), col("embedding"))
         .writeStream.outputMode("append")
@@ -2722,7 +2719,7 @@ object StreamOps {
                               cap: Int = 256): DataFrame = {
     import graft.functions.TextFunctions.{langId, words}
     val store = topFreqStores.getOrElseUpdate((dir, cap), {
-      val storeDir = java.nio.file.Files.createTempDirectory("topfreq_store").toString
+      val storeDir = graft.Scratch.dir("topfreq_store").toString
       val q = docsStream(spark, dir).writeStream
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
           batch
